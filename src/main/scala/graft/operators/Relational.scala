@@ -1,0 +1,127 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Reference-parity relational operators re-targeted onto the testdata star
+  * schema (mapping table: `/root/repo/FIXTURES.md` §C).
+  *
+  * Every operator shape of the reference appears here:
+  *   - A1 two-key groupBy+sum      (`/root/reference/utils/kmeans_utils.py:36`)
+  *   - A2 agg-of-agg avg/min/max   (`/root/reference/utils/kmeans_utils.py:37-38`)
+  *   - A3 groupBy+mean             (`/root/reference/utils/kmeans_utils.py:42`)
+  *   - A4 dropDuplicates           (`/root/reference/utils/kmeans_utils.py:48`)
+  *   - J1-J4 equi-joins inner/left (`/root/reference/utils/kmeans_utils.py:48,50`)
+  *   - P1 derived date column      (`/root/reference/utils/kmeans_utils.py:30`)
+  *   - P5/F6 log features          (`/root/reference/utils/kmeans_utils.py:63-64`)
+  *   - P6 na.fill(0)               (`/root/reference/utils/kmeans_utils.py:50`)
+  *
+  * Scale notes (100 TB posture):
+  *   - dimension joins (`customer ⋈ nation`, anything ⋈ `region`) are
+  *     explicitly `broadcast()` — a dim of a few MB must never shuffle the
+  *     fact side;
+  *   - fact⋈fact joins (`lineitem ⋈ orders`) shuffle on the join key; the
+  *     two-level aggregation A1→A2 keeps the first groupBy keyed on
+  *     `(custkey, orderkey)` so the second groupBy on `custkey` needs no
+  *     second full shuffle of the wide data;
+  *   - money aggregates are summed as DECIMAL(18,4): the inputs are exact
+  *     2-dp values, so per-row products are exact 4-dp values and decimal
+  *     summation is exact and ORDER-INDEPENDENT — the result is identical
+  *     no matter how partial aggregation interleaves across 1000 executors
+  *     (double summation would drift in the last ulp and flip rounded
+  *     values nondeterministically).
+  */
+object Relational {
+
+  /** Exact per-row revenue: 2dp price × (1 − 2dp discount) is an exact 4dp
+    * value; DECIMAL(18,4) captures it losslessly. */
+  private def revDec: Column =
+    (col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .cast(DecimalType(18, 4))
+
+  /** lineitem ⋈ orders keyed revenue rows, the shared A1 input. */
+  private def orderRevDec(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), revDec.as("rev"))
+    val o = Tables.load(spark, dir, "orders").select("o_orderkey", "o_custkey")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_custkey").as("custkey"), col("l_orderkey").as("orderkey"))
+      .agg(sum("rev").as("rev_dec"))
+  }
+
+  /** A1 analog: per-(customer, order) revenue. */
+  def sessionRevenue(spark: SparkSession, dir: String): DataFrame =
+    orderRevDec(spark, dir)
+      .select(col("custkey"), col("orderkey"),
+        col("rev_dec").cast("double").as("order_rev"))
+
+  /** A2 analog: re-aggregation of A1 → per-customer buy stats. */
+  def userStats(spark: SparkSession, dir: String): DataFrame =
+    orderRevDec(spark, dir)
+      .groupBy("custkey")
+      .agg(
+        (sum("rev_dec").cast("double") / count(lit(1))).as("avg_buy"),
+        min("rev_dec").cast("double").as("min_buy"),
+        max("rev_dec").cast("double").as("max_buy"))
+
+  /** A3 analog: avg(value) per user over `events` (accuracy = avg(isHit)).
+    * `value` is exact 2dp → decimal sum / count is exact. */
+  def accuracy(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy(col("user_id").as("custkey"))
+      .agg((sum(col("value").cast(DecimalType(18, 4))).cast("double")
+        / count(lit(1))).as("accuracy"))
+
+  /** J1 + A4 analog: dim join + projection + dropDuplicates.
+    * `nation` is broadcast — the fact side never shuffles for a dim join. */
+  def strengths(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer").select("c_custkey", "c_nationkey")
+    val n = Tables.load(spark, dir, "nation").select("n_nationkey", "n_regionkey")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .select(col("c_custkey").as("custkey"),
+        col("n_regionkey").cast("double").as("strength"))
+      .dropDuplicates()
+  }
+
+  /** P1/F2-F4 analog: derived age column — datediff(to_date(lit), d)/365.
+    * (Oracle-facing variant uses the CORRECT 'yyyy-MM-dd' format; the
+    * reference's 'yyyy-mm-dd' bug Q1 is pinned in QuirkSpec instead.) */
+  def ageDerivation(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey").as("orderkey"),
+        (datediff(to_date(lit("2016-06-16"), "yyyy-MM-dd"), col("o_orderdate"))
+          / lit(365)).as("age"))
+
+  /** Per-customer age from first order date (dob analog for the pipeline). */
+  def ages(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg((datediff(to_date(lit("2016-06-16"), "yyyy-MM-dd"),
+        min("o_orderdate")) / lit(365)).as("age"))
+
+  /** P5/F6 analog: natural-log features over the A2 stats. Rounded to 6 dp
+    * because libm log may differ from the JVM's by 1 ulp. */
+  def logFeatures(spark: SparkSession, dir: String): DataFrame =
+    userStats(spark, dir).select(
+      col("custkey"),
+      round(log(col("avg_buy")), 6).as("log_avg_buy"),
+      round(log(col("min_buy")), 6).as("log_min_buy"),
+      round(log(col("max_buy")), 6).as("log_max_buy"))
+
+  /** §7.1 flagship: the full `load_data` analog — S2→P1→A1→A2→A3→J2-J4→P6
+    * in one query (`/root/reference/utils/kmeans_utils.py:15-52`).
+    *
+    * Join order (and therefore column order) mirrors the reference:
+    * ages ⋈ buy-stats ⋈ accuracy, LEFT ⋈ strengths, then na.fill(0) —
+    * quirks Q3 (positional features) and Q5 (blanket fill) preserved.
+    */
+  def customerFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val joined = ages(spark, dir)
+      .join(userStats(spark, dir), Seq("custkey"))
+      .join(accuracy(spark, dir), Seq("custkey"))
+      .join(strengths(spark, dir), Seq("custkey"), "left")
+    joined.na.fill(0)
+  }
+}
