@@ -31,6 +31,28 @@ object SparkEntry {
     "q_age_derivation"    -> Relational.ageDerivation _,
     "q_log_features"      -> Relational.logFeatures _,
     "q_customer_features" -> Relational.customerFeatures _,
+    "q_filter_pred"       -> Breadth.filterPred _,
+    "q_pricing_summary"   -> Breadth.pricingSummary _,
+    "q_topk_customers"    -> Breadth.topkCustomers _,
+    "q_sort_limit"        -> Breadth.sortLimit _,
+    "q_set_ops"           -> Breadth.setOps _,
+    "q_window_rank"       -> Breadth.windowRank _,
+    "q_window_running"    -> Breadth.windowRunning _,
+    "q_window_lag"        -> Breadth.windowLag _,
+    "q_semi_join"         -> Breadth.semiJoin _,
+    "q_anti_join"         -> Breadth.antiJoin _,
+    "q_region_revenue"    -> Breadth.regionRevenue _,
+    "q_distinct_segments" -> Breadth.distinctSegments _,
+    "q_case_when"         -> Breadth.caseWhen _,
+    "q_string_funcs"      -> Breadth.stringFuncs _,
+    "q_date_funcs"        -> Breadth.dateFuncs _,
+    "q_rollup"            -> Breadth.rollupAgg _,
+    "q_pivot_returnflag"  -> Breadth.pivotReturnflag _,
+    "q_having"            -> Breadth.havingAgg _,
+    "q_count_distinct"    -> Breadth.countDistinctAgg _,
+    "q_non_equi_join"     -> Breadth.nonEquiJoin _,
+    "q_unpivot_stats"     -> Breadth.unpivotStats _,
+    "q_events_hourly"     -> Breadth.eventsHourly _,
   )
 
   // Shared oracle CTE fragments (DuckDB dialect).
@@ -97,5 +119,151 @@ object SparkEntry {
          |JOIN stats s USING (custkey)
          |JOIN acc x USING (custkey)
          |LEFT JOIN strengths st USING (custkey)""".stripMargin,
+    "q_filter_pred" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |       COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY 1, 2""".stripMargin,
+    "q_topk_customers" ->
+      """SELECT o.o_custkey AS custkey,
+        |       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS spend
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1
+        |ORDER BY spend DESC, custkey ASC
+        |LIMIT 10""".stripMargin,
+    "q_sort_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC
+        |LIMIT 100""".stripMargin,
+    "q_set_ops" ->
+      """SELECT custkey FROM (
+        |  (SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |   UNION
+        |   SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders
+        |  EXCEPT
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')""".stripMargin,
+    "q_window_rank" ->
+      """SELECT * FROM (
+        |  SELECT c_custkey AS custkey, n_name AS nation, c_acctbal AS acctbal,
+        |         ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rnk
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  WINDOW w AS (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey ASC))
+        |WHERE rn <= 5""".stripMargin,
+    "q_window_running" ->
+      """SELECT l_suppkey AS suppkey, l_orderkey AS orderkey, l_linenumber AS linenumber,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+        |            OVER (PARTITION BY l_suppkey
+        |                  ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_rev
+        |FROM lineitem""".stripMargin,
+    "q_window_lag" ->
+      """SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+        |       DATE_DIFF('day',
+        |         CAST(LAG(o_orderdate, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DATE),
+        |         CAST(o_orderdate AS DATE)) AS days_since_prev
+        |FROM orders""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey AS custkey, c_mktsegment AS mktsegment
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey AS custkey, c_acctbal AS acctbal
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderdate >= TIMESTAMP '2001-01-01')""".stripMargin,
+    "q_region_revenue" ->
+      """SELECT r.r_name AS region,
+        |       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_items
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY 1""".stripMargin,
+    "q_distinct_segments" ->
+      "SELECT DISTINCT c_mktsegment AS mktsegment FROM customer",
+    "q_case_when" ->
+      """SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+        |            WHEN c_acctbal < 5000 THEN 'mid'
+        |            ELSE 'high' END AS bucket,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer GROUP BY 1""".stripMargin,
+    "q_string_funcs" ->
+      """SELECT p_partkey AS partkey,
+        |       UPPER(p_brand) AS brand_upper,
+        |       LOWER(p_type) AS type_lower,
+        |       LENGTH(p_name) AS name_len,
+        |       SUBSTRING(p_name, 1, 5) AS name_pfx,
+        |       CONCAT_WS('|', p_brand, p_type) AS brand_type,
+        |       REGEXP_REPLACE(p_name, ' ', '_', 'g') AS name_underscored,
+        |       TRIM(p_name) AS name_trim
+        |FROM part""".stripMargin,
+    "q_date_funcs" ->
+      """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+        |       CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS o_month,
+        |       COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monthly_total
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+    "q_rollup" ->
+      """SELECT COALESCE(n_name, 'ALL') AS nation,
+        |       COALESCE(c_mktsegment, 'ALL') AS mktsegment,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP (n_name, c_mktsegment)""".stripMargin,
+    "q_pivot_returnflag" ->
+      """SELECT l_linestatus AS linestatus,
+        |       CAST(SUM(CAST(CASE WHEN l_returnflag = 'A' THEN l_quantity ELSE 0 END AS DECIMAL(18,2))) AS DOUBLE) AS qty_a,
+        |       CAST(SUM(CAST(CASE WHEN l_returnflag = 'N' THEN l_quantity ELSE 0 END AS DECIMAL(18,2))) AS DOUBLE) AS qty_n,
+        |       CAST(SUM(CAST(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END AS DECIMAL(18,2))) AS DOUBLE) AS qty_r
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q_having" ->
+      """SELECT n_name AS nation, COUNT(*) AS n_customers
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 HAVING COUNT(*) > 60""".stripMargin,
+    "q_count_distinct" ->
+      """SELECT c_mktsegment AS mktsegment,
+        |       COUNT(DISTINCT c_nationkey) AS n_nations,
+        |       COUNT(*) AS n_customers
+        |FROM customer GROUP BY 1""".stripMargin,
+    "q_non_equi_join" ->
+      """SELECT o.o_orderstatus AS orderstatus, COUNT(*) AS n_late_lines
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+        |GROUP BY 1""".stripMargin,
+    "q_unpivot_stats" ->
+      s"""WITH $userStatsCte
+         |SELECT custkey, 'avg_buy' AS stat, avg_buy AS value FROM stats
+         |UNION ALL
+         |SELECT custkey, 'min_buy' AS stat, min_buy AS value FROM stats
+         |UNION ALL
+         |SELECT custkey, 'max_buy' AS stat, max_buy AS value FROM stats""".stripMargin,
+    "q_events_hourly" ->
+      """SELECT CAST(FLOOR(EPOCH(ts) / 3600) * 3600 AS BIGINT) AS bucket_start,
+        |       event_type,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
   )
 }

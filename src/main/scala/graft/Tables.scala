@@ -66,9 +66,12 @@ object Tables {
     StructField("l_linestatus", StringType),
     StructField("l_shipdate", TimestampType)))
 
+  /** `ts` is physically INT64 TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects as TimestampType — so we read the raw nanos as Long and
+    * derive a µs-precision timestamp column in [[load]]. */
   val events: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", TimestampType),
+    StructField("ts", LongType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -92,7 +95,17 @@ object Tables {
     "lineitem" -> lineitem, "events" -> events,
     "documents" -> documents, "embeddings" -> embeddings)
 
-  /** Load one testdata table with its pinned schema. */
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
+  /** Load one testdata table with its pinned schema.
+    *
+    * For `events`, the raw nano epoch is kept as `ts_ns` and `ts` is
+    * rewritten as a µs-precision TimestampType (Spark's native resolution)
+    * so downstream time logic (windows, watermarks) sees a real timestamp. */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      import org.apache.spark.sql.functions._
+      df.withColumn("ts_ns", col("ts"))
+        .withColumn("ts", timestamp_micros((col("ts_ns") / 1000).cast("long")))
+    } else df
+  }
 }
