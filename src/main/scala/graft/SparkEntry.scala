@@ -53,6 +53,9 @@ object SparkEntry {
     "q_non_equi_join"     -> Breadth.nonEquiJoin _,
     "q_unpivot_stats"     -> Breadth.unpivotStats _,
     "q_events_hourly"     -> Breadth.eventsHourly _,
+    // ML operators (M1-M7) — not SQL-expressible, rows-only checks
+    "q_kmeans_scan"        -> graft.ml.KMeansScan.kmeansQuery _,
+    "q_kmeans_assignments" -> graft.ml.KMeansScan.assignmentsQuery _,
   )
 
   // Shared oracle CTE fragments (DuckDB dialect).

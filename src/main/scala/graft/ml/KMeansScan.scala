@@ -1,0 +1,101 @@
+package graft.ml
+
+import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
+import org.apache.spark.ml.evaluation.ClusteringEvaluator
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** K-scan driver mirroring `kmeans_scan` / `save_clustering_results` /
+  * `load_kmeans_model` (`/root/reference/utils/kmeans_utils.py:80-143`).
+  *
+  * Per k in [kMin, kMax] (reference: 2..6, `/root/reference/pyspark_kmeans.py:23`):
+  * fit KMeans(seed=1) on `features`, score silhouette (squared-Euclidean
+  * default, `/root/reference/utils/kmeans_utils.py:85,105`), collect the k
+  * centers (tiny — the ONLY driver-side collect in the engine), persist the
+  * model (`/root/reference/utils/kmeans_utils.py:107`).
+  *
+  * Scale note: each Lloyd iteration is one distributed aggregation; centers
+  * (k × 7 doubles) are broadcast back. Nothing here grows with data size on
+  * the driver except the k×d center matrix.
+  */
+object KMeansScan {
+
+  final case class ScanResult(
+      k: Int,
+      silhouette: Double,
+      centers: Array[Array[Double]],
+      modelPath: String)
+
+  def scan(
+      data: DataFrame,
+      kMin: Int = 2,
+      kMax: Int = 6,
+      modelDir: String = "tmp_models",
+      seed: Long = 1L): Seq[ScanResult] = {
+    val evaluator = new ClusteringEvaluator() // silhouette, squaredEuclidean
+    (kMin to kMax).map { k =>
+      val model = new KMeans()
+        .setK(k).setSeed(seed).setFeaturesCol("features")
+        .fit(data)
+      val predictions = model.transform(data)
+      val score = evaluator.evaluate(predictions)
+      val path = s"$modelDir/model_w_k_$k"
+      model.write.overwrite().save(path)
+      ScanResult(k, score, model.clusterCenters.map(_.toArray), path)
+    }
+  }
+
+  /** Reload a persisted model (`/root/reference/utils/kmeans_utils.py:133-143`). */
+  def loadModel(path: String): KMeansModel = KMeansModel.load(path)
+
+  /** Centers+scores as a DataFrame — the `clustering_results.csv` shape
+    * (`/root/reference/utils/kmeans_utils.py:123-130`): one row per
+    * (k, center), columns k, score, f0..f6. */
+  def resultsFrame(
+      spark: SparkSession,
+      results: Seq[ScanResult],
+      featureNames: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val rows = for {
+      r <- results
+      center <- r.centers
+    } yield (r.k, r.silhouette, center)
+    val base = rows.toDF("k", "score", "center")
+    featureNames.zipWithIndex.foldLeft(base) { case (df, (name, i)) =>
+      df.withColumn(name, col("center").getItem(i))
+    }.drop("center")
+  }
+
+  /** Driver CSV sink analog (S5): tiny driver-resident result set. */
+  def saveResultsCsv(df: DataFrame, path: String): Unit = {
+    val cols = df.columns
+    val pw = new java.io.PrintWriter(path)
+    try {
+      pw.println(cols.mkString(","))
+      df.collect().foreach(r => pw.println(cols.indices.map(r.get(_).toString).mkString(",")))
+    } finally pw.close()
+  }
+
+  /** Rows-only verify query: run the full scan on the given sf dir and
+    * return the (k, score, rounded centers) frame. Deterministic under the
+    * pinned seed + coalesce(4) partitioning (quirk Q7). */
+  def kmeansQuery(spark: SparkSession, dir: String): DataFrame = {
+    val data = FeaturePipeline.prepareData(spark, dir)
+    val featureNames = FeaturePipeline.featureCols(
+      FeaturePipeline.featureTable(spark, dir))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_models").toString
+    val results = scan(data, 2, 6, tmp)
+    resultsFrame(spark, results, featureNames.toSeq)
+  }
+
+  /** Rows-only verify query: per-customer cluster assignment at k=4. */
+  def assignmentsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val data = FeaturePipeline.prepareData(spark, dir)
+    val model = new KMeans().setK(4).setSeed(1L).setFeaturesCol("features")
+      .fit(data)
+    model.transform(data)
+      .select(col("custkey"), col("prediction").as("cluster"),
+        vector_to_array(col("features")).as("scaled_features"))
+  }
+}
