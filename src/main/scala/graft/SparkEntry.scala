@@ -56,6 +56,12 @@ object SparkEntry {
     // ML operators (M1-M7) — not SQL-expressible, rows-only checks
     "q_kmeans_scan"        -> graft.ml.KMeansScan.kmeansQuery _,
     "q_kmeans_assignments" -> graft.ml.KMeansScan.assignmentsQuery _,
+    // dedup suite (north-star extension)
+    "q_dedup_exact"     -> Dedup.exact _,
+    "q_dedup_minhash"   -> ((s: SparkSession, d: String) => Dedup.minhashPairs(s, d)),
+    "q_dedup_simhash"   -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
+    "q_dedup_ngram"     -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d)),
+    "q_dedup_embedding" -> ((s: SparkSession, d: String) => Dedup.embeddingPairs(s, d, 0.4)),
   )
 
   // Shared oracle CTE fragments (DuckDB dialect).
@@ -268,5 +274,38 @@ object SparkEntry {
         |       COUNT(*) AS n_events,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY text""".stripMargin,
+    "q_dedup_minhash" ->
+      // Oracle = exhaustive exact Jaccard; the LSH banding (32 bands × 4
+      // rows) has miss probability ≈5e-8 at j=0.8, so results coincide.
+      s"""WITH $shinglesCte
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) >= 0.8""".stripMargin,
+    "q_dedup_ngram" ->
+      s"""WITH $shinglesCte
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)), 6) AS jaccard
+         |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) >= 0.2""".stripMargin,
+    "q_dedup_embedding" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+        |             / (SQRT(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+        |                * SQRT(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+        |      / (SQRT(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+        |         * SQRT(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.4""".stripMargin,
   )
+
+  /** DuckDB CTE: distinct word-3-gram shingles per document. */
+  private val shinglesCte =
+    """toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id, lang,
+      |       list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]) AS s
+      |       FROM toks WHERE len(t) >= 3)""".stripMargin
 }

@@ -1,0 +1,38 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector and text helper columns built from codegen'd built-ins —
+  * no Scala UDFs anywhere (SURVEY.md §7.4d: keep the hot path inside
+  * whole-stage codegen).
+  */
+object VecText {
+
+  /** Sequential-fold dot product over two array columns, computed in
+    * double. Mirrors DuckDB's `list_dot_product` evaluation order so the
+    * oracle compare is bit-stable. */
+  def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+
+  def norm2(a: String): Column = dot(a, a)
+
+  /** cosine(a,b) = dot/(sqrt(|a|)*sqrt(|b|)) — the exact formula the
+    * oracle uses; do not "simplify" to sqrt(|a|*|b|) (different ulps). */
+  def cosine(a: String, b: String): Column =
+    dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+
+  /** Single-space tokenization — matches DuckDB `string_split(text, ' ')`.
+    * The corpus is single-space separated; a regex split would diverge
+    * from the oracle on empty tokens. */
+  def tokens(text: String): Column = split(col(text), " ")
+
+  /** Distinct word-3-gram shingles of a token-array column (0-based Spark
+    * subscripts; empty array below 3 tokens). */
+  def shingles3(toks: String): Column =
+    expr(s"CASE WHEN size($toks) >= 3 THEN array_distinct(transform(sequence(0, size($toks) - 3), i -> concat_ws(' ', $toks[i], $toks[i+1], $toks[i+2]))) ELSE array() END")
+
+  /** Exact Jaccard similarity of two array columns (distinct semantics). */
+  def jaccard(a: String, b: String): Column =
+    expr(s"CAST(size(array_intersect($a, $b)) AS DOUBLE) / size(array_union($a, $b))")
+}

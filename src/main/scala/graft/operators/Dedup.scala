@@ -1,0 +1,172 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.VecText._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite over `documents` / `embeddings` — the training-data
+  * pipeline operators the reference lacks (BASELINE.json north star).
+  *
+  * Scale posture: every variant avoids O(n²) over the full corpus —
+  * exact dedup shuffles 8-byte fingerprints (not text); MinHash/SimHash
+  * block through LSH band buckets; n-gram Jaccard blocks on (lang,
+  * length-bucket); embedding near-dup reuses the LSH idea with random
+  * hyperplanes. Candidate verification touches only bucket-mates.
+  */
+object Dedup {
+
+  // ---- exact ---------------------------------------------------------
+
+  /** Exact dedup: group by 64-bit content fingerprint, keep the smallest
+    * doc_id. At 100 TB the shuffle carries (hash, id) pairs — never text. */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(xxhash64(col("text")).as("fp"), col("doc_id"))
+      .groupBy("fp")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+
+  // ---- MinHash + LSH -------------------------------------------------
+
+  /** Mersenne prime 2^31−1: universal-hash modulus; a·h+b stays in Long. */
+  private val P = 2147483647L
+  private val NumPerm = 128
+  private val BandRows = 4 // 32 bands × 4 rows: P(miss | j=0.8) ≈ 5e-8
+
+  /** Fixed permutation coefficients — seeded, so signatures are stable
+    * across sessions/partitionings. */
+  private val (permA, permB) = {
+    val rnd = new scala.util.Random(42)
+    (Array.fill(NumPerm)(1L + math.abs(rnd.nextLong()) % (P - 1)),
+     Array.fill(NumPerm)(math.abs(rnd.nextLong()) % P))
+  }
+
+  /** 128-wide MinHash signature column over a shingle-hash array column. */
+  private def minhashSig(hsCol: String): Column = {
+    val sigs = (0 until NumPerm).map { j =>
+      s"array_min(transform($hsCol, h -> pmod(${permA(j)}L * h + ${permB(j)}L, ${P}L)))"
+    }
+    expr(s"array(${sigs.mkString(", ")})")
+  }
+
+  /** Docs with their shingle sets (empty-shingle docs dropped — they can't
+    * be near-duplicates of anything under Jaccard). */
+  private def docShingles(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), shingles3("split(text, ' ')").as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /** MinHash LSH near-dup pairs: signature → band buckets → candidate
+    * pairs → exact-Jaccard verification at `threshold`.
+    *
+    * The band join is the scale path: candidates are only pairs sharing a
+    * (band_idx, band_hash) bucket — O(n·bands) shuffle, no cross join. */
+  def minhashPairs(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
+    val sh = docShingles(spark, dir)
+    val sig = sh
+      .withColumn("hs", expr("transform(sh, s -> pmod(xxhash64(s), 2147483647L))"))
+      .withColumn("sig", minhashSig("hs"))
+      .select(col("doc_id"), col("sh"), col("sig"))
+    val nBands = NumPerm / BandRows
+    val bandExprs = (0 until nBands).map { k =>
+      val rows = (0 until BandRows).map(r => s"sig[${k * BandRows + r}]").mkString(", ")
+      s"named_struct('band_idx', $k, 'band_hash', hash($rows))"
+    }
+    val banded = sig
+      .withColumn("band", explode(expr(s"array(${bandExprs.mkString(", ")})")))
+      .select(col("doc_id"), col("band.band_idx"), col("band.band_hash"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    val candidates = a.join(b,
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val shA = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val shB = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    candidates
+      .join(shA, "id_a").join(shB, "id_b")
+      .withColumn("jaccard", jaccard("sh_a", "sh_b"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ---- SimHash -------------------------------------------------------
+
+  /** 64-bit SimHash over distinct tokens: bit i of the fingerprint is the
+    * sign of Σ(±1) across token-hash bits. Pure expression — codegen'd,
+    * no UDF, no driver loop. */
+  private def simhash64(toksCol: String): Column = {
+    val body =
+      s"""aggregate(
+         |  sequence(0, 63),
+         |  CAST(0 AS BIGINT),
+         |  (acc, i) -> acc + IF(
+         |    size(filter(th, h -> ((h >> i) & 1) = 1)) * 2 > size(th),
+         |    shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))""".stripMargin
+    expr(body)
+  }
+
+  /** Per-doc SimHash fingerprints (rows-only check; xxhash64 has no DuckDB
+    * equivalent). */
+  def simhashDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        expr("transform(array_distinct(split(text, ' ')), t -> xxhash64(t))").as("th"))
+      .filter(size(col("th")) > 0)
+      .select(col("doc_id"), simhash64("th").as("simhash"))
+
+  /** SimHash near-dup pairs at Hamming distance ≤ maxHamming, blocked by
+    * 4×16-bit bands (a pair within distance 3 must agree on ≥1 band). */
+  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    val docs = simhashDocs(spark, dir)
+    val banded = docs.withColumn("band",
+        explode(expr("transform(sequence(0, 3), k -> named_struct('band_idx', k, 'band_val', (simhash >> (k * 16)) & 65535))")))
+      .select(col("doc_id"), col("simhash"), col("band.band_idx"), col("band.band_val"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_val") === col("b.band_val") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ---- n-gram Jaccard (blocked, oracle-checkable) --------------------
+
+  /** Blocked word-3-gram Jaccard: candidates only within (lang) blocks,
+    * verified exactly. Fully SQL-expressible → DuckDB oracle. */
+  def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.2): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), shingles3("split(text, ' ')").as("sh"))
+      .filter(size(col("sh")) > 0)
+    val a = docs.select(col("lang"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = docs.select(col("lang"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("lang"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard", jaccard("sh_a", "sh_b"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  // ---- embedding near-dup --------------------------------------------
+
+  /** Embedding cosine near-dup pairs. Exact all-pairs within the corpus —
+    * the LSH-bucketed scale path lives in [[Similarity]]; this is the
+    * oracle-checkable baseline. */
+  def embeddingPairs(spark: SparkSession, dir: String, threshold: Double = 0.45): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine("emb_a", "emb_b"))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+}
