@@ -62,6 +62,9 @@ object SparkEntry {
     "q_dedup_simhash"   -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     "q_dedup_ngram"     -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d)),
     "q_dedup_embedding" -> ((s: SparkSession, d: String) => Dedup.embeddingPairs(s, d, 0.4)),
+    // similarity search (north-star extension)
+    "q_ann_brute" -> ((s: SparkSession, d: String) => Similarity.bruteTopK(s, d)),
+    "q_ann_ivf"   -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
   )
 
   // Shared oracle CTE fragments (DuckDB dialect).
@@ -300,6 +303,19 @@ object SparkEntry {
         |WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
         |      / (SQRT(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
         |         * SQRT(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.4""".stripMargin,
+    "q_ann_brute" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+        |         / (SQRT(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+        |            * SQRT(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))) AS cos_raw
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cos_raw,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS rnk
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, rnk, ROUND(cos_raw, 6) AS cos
+        |FROM ranked WHERE rnk <= 5""".stripMargin,
   )
 
   /** DuckDB CTE: distinct word-3-gram shingles per document. */

@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  test("brute-force top-k returns k ranked neighbors per probe") {
+    val df = Similarity.bruteTopK(spark, sf, k = 5, nProbes = 10).cache()
+    assert(df.count() == 50)
+    val perQuery = df.groupBy("query_id").count().collect()
+    assert(perQuery.forall(_.getLong(1) == 5))
+    // ranks are 1..5 and cosine is non-increasing within a query
+    val rows = df.orderBy("query_id", "rnk").collect()
+    rows.grouped(5).foreach { g =>
+      assert(g.map(_.getInt(2)).toSeq == Seq(1, 2, 3, 4, 5))
+      val cosines = g.map(_.getDouble(3)).toSeq
+      assert(cosines == cosines.sorted.reverse)
+    }
+  }
+
+  test("IVF recall@5 >= 0.6 vs brute force, and is deterministic") {
+    val brute = Similarity.bruteTopK(spark, sf, 5, 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(spark, sf, 5, 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.6, s"IVF recall@5 = $recall")
+    val ivf2 = Similarity.ivfTopK(spark, sf, 5, 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf == ivf2)
+  }
+
+  test("minhash LSH finds exactly the exhaustive high-Jaccard pairs") {
+    val lsh = Dedup.minhashPairs(spark, sf, 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exhaustive check via the blocked-ngram path without lang blocking
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), graft.functions.VecText.shingles3("split(text, ' ')").as("sh"))
+      .filter(size(col("sh")) > 0)
+    val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val exact = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("j", graft.functions.VecText.jaccard("sh_a", "sh_b"))
+      .filter(col("j") >= 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact)
+  }
+
+  test("exact dedup keeps one id per distinct text") {
+    val n = graft.Tables.load(spark, sf, "documents").select("text").distinct().count()
+    assert(Dedup.exact(spark, sf).count() == n)
+  }
+}
