@@ -65,6 +65,11 @@ object SparkEntry {
     // similarity search (north-star extension)
     "q_ann_brute" -> ((s: SparkSession, d: String) => Similarity.bruteTopK(s, d)),
     "q_ann_ivf"   -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
+    // text analysis (north-star extension)
+    "q_text_tokens"      -> TextAnalysis.tokenStats _,
+    "q_text_quality"     -> TextAnalysis.qualityScore _,
+    "q_text_langid"      -> TextAnalysis.langId _,
+    "q_text_fingerprint" -> TextAnalysis.fingerprint _,
   )
 
   // Shared oracle CTE fragments (DuckDB dialect).
@@ -316,6 +321,48 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, neighbor_id, rnk, ROUND(cos_raw, 6) AS cos
         |FROM ranked WHERE rnk <= 5""".stripMargin,
+    "q_text_tokens" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+        |       CAST(len(regexp_extract_all(text, '[a-z]+')) AS INT) AS n_alpha_runs,
+        |       CAST(len(regexp_extract_all(text, '[0-9]')) AS INT) AS n_digits,
+        |       CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS INT) AS n_other,
+        |       CAST(LENGTH(text) AS INT) AS len_chars
+        |FROM documents""".stripMargin,
+    "q_text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |         string_split(text, ' ') AS toks,
+        |         CAST(len(string_split(text, ' ')) AS INT) AS n_toks,
+        |         CAST(len(list_filter(string_split(text, ' '),
+        |           x -> list_contains(['the','a','of','and','in','to','is','der','und','le','la','el','de','et','un'], x))) AS INT) AS n_stop,
+        |         len(regexp_extract_all(text, '[^a-z0-9 ]')) AS n_punct
+        |  FROM documents)
+        |SELECT doc_id, n_toks, n_stop,
+        |       CAST(n_punct AS DOUBLE) / LENGTH(text) AS punct_ratio,
+        |       CAST(n_stop AS DOUBLE) / n_toks AS stop_ratio,
+        |       ROUND(LEAST(1.0, CAST(n_toks AS DOUBLE) / 100) * 0.5
+        |             + (1.0 - LEAST(1.0, CAST(n_punct AS DOUBLE) / LENGTH(text) * 10)) * 0.2
+        |             + LEAST(1.0, CAST(n_stop AS DOUBLE) / n_toks * 5) * 0.3, 6) AS quality
+        |FROM t""".stripMargin,
+    "q_text_langid" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang AS labeled_lang,
+        |         string_split(text, ' ') AS toks FROM documents),
+        |c AS (
+        |  SELECT doc_id, labeled_lang,
+        |         CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','in','to','is'], x))) AS INT) AS n_en,
+        |         CAST(len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','ein'], x))) AS INT) AS n_de,
+        |         CAST(len(list_filter(toks, x -> list_contains(['le','les','et','des','une','dans'], x))) AS INT) AS n_fr,
+        |         CAST(len(list_filter(toks, x -> list_contains(['el','los','y','las','por','como'], x))) AS INT) AS n_es
+        |  FROM t)
+        |SELECT doc_id, labeled_lang, n_en, n_de, n_fr, n_es,
+        |       CASE WHEN n_en >= n_de AND n_en >= n_fr AND n_en >= n_es AND n_en > 0 THEN 'en'
+        |            WHEN n_de >= n_fr AND n_de >= n_es AND n_de > 0 THEN 'de'
+        |            WHEN n_fr >= n_es AND n_fr > 0 THEN 'fr'
+        |            WHEN n_es > 0 THEN 'es'
+        |            ELSE 'und' END AS pred_lang
+        |FROM c""".stripMargin,
   )
 
   /** DuckDB CTE: distinct word-3-gram shingles per document. */

@@ -1,0 +1,104 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents` — the pre-training corpus
+  * toolkit (north-star extension): token statistics, quality scoring,
+  * n-gram-profile language ID, and content fingerprinting.
+  *
+  * Everything is per-document map-side work — no shuffle at all until an
+  * (optional) aggregation, so the operators scale linearly and stay inside
+  * whole-stage codegen (pure `functions._`/`expr` — no UDFs).
+  */
+object TextAnalysis {
+
+  /** Token counting: whitespace tokens + a subword-ish alpha-run count
+    * (the BPE-style proxy: alpha runs + digits + punctuation marks each
+    * count as one token). */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).as("n_ws_tokens"),
+        regexp_count(col("text"), lit("[a-z]+")).as("n_alpha_runs"),
+        regexp_count(col("text"), lit("[0-9]")).as("n_digits"),
+        regexp_count(col("text"), lit("[^a-z0-9 ]")).as("n_other"),
+        length(col("text")).as("len_chars"))
+
+  private val Stopwords = Seq(
+    "the", "a", "of", "and", "in", "to", "is",
+    "der", "und", "le", "la", "el", "de", "et", "un")
+
+  /** Quality scoring: length, punctuation and stopword signals combined
+    * into a deterministic [0,1] score (arithmetic identical in the DuckDB
+    * oracle — same op order). */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val stopArr = Stopwords.map(s => s"'$s'").mkString(", ")
+    Tables.load(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_toks", size(col("toks")))
+      .withColumn("n_stop",
+        expr(s"size(filter(toks, t -> array_contains(array($stopArr), t)))"))
+      .withColumn("n_punct", regexp_count(col("text"), lit("[^a-z0-9 ]")))
+      .select(
+        col("doc_id"),
+        col("n_toks"),
+        col("n_stop"),
+        (col("n_punct").cast("double") / length(col("text"))).as("punct_ratio"),
+        (col("n_stop").cast("double") / col("n_toks")).as("stop_ratio"),
+        round(
+          least(lit(1.0), col("n_toks").cast("double") / 100) * 0.5
+            + (lit(1.0) - least(lit(1.0), col("n_punct").cast("double") / length(col("text")) * 10)) * 0.2
+            + least(lit(1.0), col("n_stop").cast("double") / col("n_toks") * 5) * 0.3,
+          6).as("quality"))
+  }
+
+  private val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "in", "to", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "fr" -> Seq("le", "les", "et", "des", "une", "dans"),
+    "es" -> Seq("el", "los", "y", "las", "por", "como"))
+
+  /** N-gram-heuristic language ID: integer stopword-profile hit counts per
+    * language, argmax with fixed priority (en > de > fr > es), `und` when
+    * no profile matches. Integer-only → bit-exact oracle. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+    val withCounts = LangProfiles.foldLeft(base) { case (df, (lang, words)) =>
+      val arr = words.map(w => s"'$w'").mkString(", ")
+      df.withColumn(s"n_$lang",
+        expr(s"size(filter(toks, t -> array_contains(array($arr), t)))"))
+    }
+    withCounts.select(
+      col("doc_id"), col("lang").as("labeled_lang"),
+      col("n_en"), col("n_de"), col("n_fr"), col("n_es"),
+      when(col("n_en") >= col("n_de") && col("n_en") >= col("n_fr") &&
+          col("n_en") >= col("n_es") && col("n_en") > 0, "en")
+        .when(col("n_de") >= col("n_fr") && col("n_de") >= col("n_es") &&
+          col("n_de") > 0, "de")
+        .when(col("n_fr") >= col("n_es") && col("n_fr") > 0, "fr")
+        .when(col("n_es") > 0, "es")
+        .otherwise("und").as("pred_lang"))
+  }
+
+  /** Content fingerprinting (rows-only — xxhash64 has no oracle analog):
+    *   - `kr_fp`: Karp–Rabin polynomial rolling hash of the token stream;
+    *   - `winnow`: winnowing sketch — min-hash of each 5-wide window over
+    *     token-4-gram rolling hashes (MOSS-style), as a distinct set.
+    * Both are order-sensitive (unlike the MinHash SET signature). */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("th", expr("transform(toks, t -> pmod(xxhash64(t), 2147483647L))"))
+      .withColumn("kr_fp",
+        expr("aggregate(th, CAST(0 AS BIGINT), (acc, h) -> pmod(acc * 1000003L + h, 2147483647L))"))
+      .withColumn("grams4",
+        expr("CASE WHEN size(th) >= 4 THEN transform(sequence(0, size(th) - 4), i -> pmod(((th[i] * 31 + th[i+1]) * 31 + th[i+2]) * 31 + th[i+3], 2147483647L)) ELSE array(CAST(0 AS BIGINT)) END"))
+      .withColumn("winnow",
+        expr("CASE WHEN size(grams4) >= 5 THEN array_distinct(transform(sequence(0, size(grams4) - 5), i -> array_min(slice(grams4, i + 1, 5)))) ELSE array(array_min(grams4)) END"))
+      .select(col("doc_id"), col("kr_fp"), size(col("winnow")).as("sketch_size"),
+        col("winnow"))
+}
