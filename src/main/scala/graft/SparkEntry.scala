@@ -70,6 +70,13 @@ object SparkEntry {
     "q_text_quality"     -> TextAnalysis.qualityScore _,
     "q_text_langid"      -> TextAnalysis.langId _,
     "q_text_fingerprint" -> TextAnalysis.fingerprint _,
+    // multimodal binary columns (north-star extension)
+    "q_multimodal_meta"     -> Multimodal.mediaMeta _,
+    "q_multimodal_features" -> Multimodal.featuresQuery _,
+    "q_multimodal_frames"   -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
+    // structured streaming (north-star extension)
+    "q_stream_hourly"   -> graft.streaming.EventsStream.hourlyCounts _,
+    "q_stream_sessions" -> ((s: SparkSession, d: String) => graft.streaming.EventsStream.sessionize(s, d)),
   )
 
   // Shared oracle CTE fragments (DuckDB dialect).
@@ -363,6 +370,21 @@ object SparkEntry {
         |            WHEN n_es > 0 THEN 'es'
         |            ELSE 'und' END AS pred_lang
         |FROM c""".stripMargin,
+    "q_multimodal_meta" ->
+      """SELECT doc_id AS media_id,
+        |       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |       CAST(OCTET_LENGTH(ENCODE(text)) AS INT) AS n_bytes,
+        |       CAST((doc_id % 8) * 64 + 64 AS INT) AS width,
+        |       CAST(n_chars * 10 AS INT) AS duration_ms,
+        |       'application/x-fake-' ||
+        |         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS mime
+        |FROM documents""".stripMargin,
+    "q_stream_hourly" ->
+      """SELECT CAST(FLOOR(EPOCH(ts) / 3600) * 3600 AS BIGINT) AS bucket_start,
+        |       event_type,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
   )
 
   /** DuckDB CTE: distinct word-3-gram shingles per document. */

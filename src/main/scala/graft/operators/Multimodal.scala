@@ -1,0 +1,150 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata, plus batched decode / feature-extract / resize /
+  * frame-sample operators.
+  *
+  * The container has no media codecs, so the DECODE KERNEL IS A
+  * DETERMINISTIC FAKE (clearly marked below) — but everything Spark-side
+  * is real and tested: the schema (binary payload + metadata struct), the
+  * partition-batched execution shape (`mapPartitions` over fixed-size
+  * batches — the JVM analog of Arrow-batched `mapInPandas`), and the
+  * column plumbing in/out.
+  *
+  * Scale notes: payload bytes never hit a shuffle — decode is map-side;
+  * only the (media_id, feature-vector) rows move. Batching bounds peak
+  * memory at batchSize × payload, the same control `mapInPandas` gets
+  * from `spark.sql.execution.arrow.maxRecordsPerBatch`.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("kind", StringType), // image | audio | video
+    StructField("payload", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sample_rate", IntegerType),
+      StructField("duration_ms", IntegerType),
+      StructField("mime", StringType))))))
+
+  /** Deterministic synthetic media table derived from `documents`: the
+    * UTF-8 bytes of each text stand in for an encoded payload. Real
+    * binary columns, real metadata struct — only the CONTENT is fake. */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(
+        col("doc_id").as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+        encode(col("text"), "UTF-8").as("payload"),
+        struct(
+          (pmod(col("doc_id"), lit(8)) * 64 + 64).cast("int").as("width"),
+          (pmod(col("doc_id"), lit(8)) * 64 + 64).cast("int").as("height"),
+          lit(16000).as("sample_rate"),
+          (col("n_chars") * 10).cast("int").as("duration_ms"),
+          concat(lit("application/x-fake-"),
+            element_at(array(lit("image"), lit("audio"), lit("video")),
+              (pmod(col("doc_id"), lit(3)) + 1).cast("int"))).as("mime")).as("meta"))
+
+  /** ====== DECODE KERNEL — DETERMINISTIC FAKE ======
+    * A real deployment replaces this one function with an actual codec
+    * (e.g. TwelveMonkeys/ImageIO for images, JCodec for video); the
+    * signature bytes→float tensor is the seam. The fake "decodes" a
+    * payload into `dim` floats via byte-bucket averages so results are
+    * stable across runs and partitionings. */
+  private def decodeKernel(payload: Array[Byte], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    if (payload.isEmpty) return out
+    val counts = new Array[Int](dim)
+    var i = 0
+    while (i < payload.length) {
+      val b = payload(i) & 0xff
+      val bucket = b % dim
+      out(bucket) += b.toFloat
+      counts(bucket) += 1
+      i += 1
+    }
+    var j = 0
+    while (j < dim) { if (counts(j) > 0) out(j) /= counts(j); j += 1 }
+    out
+  }
+
+  private val FeatureDim = 16
+  private val BatchSize = 64
+
+  /** Batched decode + feature extraction. Processes fixed-size batches per
+    * partition — the execution shape a vectorized (Arrow) decoder needs —
+    * and returns (media_id, kind, features[16], n_bytes). */
+  def decodeFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val media = mediaTable(spark, dir)
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("kind", StringType),
+      StructField("features", ArrayType(FloatType)),
+      StructField("n_bytes", IntegerType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select("media_id", "kind", "payload").mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        // batch boundary = where a vectorized decoder would process one
+        // Arrow record batch
+        batch.iterator.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          Row(r.getLong(0), r.getString(1),
+            decodeKernel(payload, FeatureDim).toSeq, payload.length)
+        }
+      }
+    }(enc)
+  }
+
+  /** "Resize": average-pool the fake feature tensor 16→4 (the plumbing for
+    * a spatial downsample). Pure column expression — no kernel needed. */
+  def resize(features: DataFrame): DataFrame =
+    features.withColumn("features_4",
+      expr("transform(sequence(0, 3), i -> (features[4*i] + features[4*i+1] + features[4*i+2] + features[4*i+3]) / 4.0F)"))
+
+  /** "Frame sample": stride-sample every `stride`-th byte of the payload —
+    * the shape of video frame sampling (seek + take), in the same batched
+    * kernel style as decode (binary is opaque to SQL subscripting). */
+  def frameSample(spark: SparkSession, dir: String, stride: Int = 10): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("sampled_frames", ArrayType(IntegerType)),
+      StructField("n_frames", IntegerType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    mediaTable(spark, dir)
+      .filter(col("kind") === "video")
+      .select("media_id", "payload")
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.iterator.map { r =>
+            val payload = r.getAs[Array[Byte]]("payload")
+            val frames = payload.indices.by(stride).map(i => payload(i) & 0xff)
+            Row(r.getLong(0), frames, frames.length)
+          }
+        }
+      }(enc)
+  }
+
+  /** Oracle-checkable metadata projection: proves binary round-trip and
+    * struct plumbing with SQL-computable values. */
+  def mediaMeta(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .select(col("media_id"), col("kind"),
+        length(col("payload")).as("n_bytes"),
+        col("meta.width").as("width"),
+        col("meta.duration_ms").as("duration_ms"),
+        col("meta.mime").as("mime"))
+
+  /** Rows-only feature query: full decode → resize pipeline. */
+  def featuresQuery(spark: SparkSession, dir: String): DataFrame =
+    resize(decodeFeatures(spark, dir))
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        col("features"), col("features_4"))
+}

