@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-audit utility: prints the formatted physical plan for the named
+  * queries (or a default audit set) so scan pruning (`PushedFilters`,
+  * `ReadSchema`), join strategies (BroadcastHashJoin vs SortMergeJoin) and
+  * WholeStageCodegen spans can be inspected per query. */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("q_filter_pred", "q_region_revenue", "q_customer_features",
+        "q_topk_customers", "q_dedup_ngram")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      println(s"\n========== $n ==========")
+      SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").explain("formatted")
+    }
+    spark.stop()
+  }
+}

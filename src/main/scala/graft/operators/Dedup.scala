@@ -139,17 +139,30 @@ object Dedup {
 
   // ---- n-gram Jaccard (blocked, oracle-checkable) --------------------
 
-  /** Blocked word-3-gram Jaccard: candidates only within (lang) blocks,
-    * verified exactly. Fully SQL-expressible → DuckDB oracle. */
+  /** Blocked word-3-gram Jaccard via an INVERTED-INDEX join (PPJoin-style):
+    * explode shingles, join postings on (lang, shingle), count common
+    * shingles per pair, then jaccard = c / (|A| + |B| − c). Identical
+    * results to the naive all-pairs intersect, but cost is
+    * Σ_shingle df(s)² instead of O(block²·|sh|) — the only formulation
+    * that survives 100 TB (a pair that shares no shingle never
+    * materializes). Fully SQL-expressible → DuckDB oracle. */
   def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.2): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), shingles3("split(text, ' ')").as("sh"))
       .filter(size(col("sh")) > 0)
-    val a = docs.select(col("lang"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = docs.select(col("lang"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("lang"))
+      .withColumn("sz", size(col("sh")))
+    val postings = docs.select(col("lang"), col("doc_id"), col("sz"),
+      explode(col("sh")).as("shingle"))
+    val a = postings.select(col("lang"), col("shingle"),
+      col("doc_id").as("id_a"), col("sz").as("sz_a"))
+    val b = postings.select(col("lang"), col("shingle"),
+      col("doc_id").as("id_b"), col("sz").as("sz_b"))
+    a.join(b, Seq("lang", "shingle"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("jaccard", jaccard("sh_a", "sh_b"))
+      .groupBy("id_a", "id_b", "sz_a", "sz_b")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("sz_a") + col("sz_b") - col("c")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -160,12 +173,16 @@ object Dedup {
     * the LSH-bucketed scale path lives in [[Similarity]]; this is the
     * oracle-checkable baseline. */
   def embeddingPairs(spark: SparkSession, dir: String, threshold: Double = 0.45): DataFrame = {
+    // Norms are computed ONCE per vector, not per pair (3× fewer array
+    // folds); cos = dot/(na·nb) is bit-identical to the oracle formula.
     val e = Tables.load(spark, dir, "embeddings")
-    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+      .withColumn("emb_d", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("nrm", sqrt(norm2("emb_d")))
+    val a = e.select(col("vec_id").as("id_a"), col("emb_d").as("emb_a"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("emb_d").as("emb_b"), col("nrm").as("nb"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", cosine("emb_a", "emb_b"))
+      .withColumn("cos", dot("emb_a", "emb_b") / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }

@@ -35,16 +35,20 @@ object Similarity {
       .withColumn("unit", expr("transform(emb_d, x -> x / nrm)"))
       .select(col("vec_id"), col("emb_d"), col("unit"))
 
-  /** Exact cosine top-k for probe vectors (vec_id < nProbes). */
+  /** Exact cosine top-k for probe vectors (vec_id < nProbes). Norms are
+    * precomputed per side; cos = dot/(nq·nc) matches the oracle formula
+    * bit-for-bit. */
   def bruteTopK(spark: SparkSession, dir: String, k: Int = 5, nProbes: Int = 10): DataFrame = {
     val e = Tables.load(spark, dir, "embeddings")
+      .withColumn("emb_d", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("nrm", sqrt(norm2("emb_d")))
     val probes = e.filter(col("vec_id") < nProbes)
-      .select(col("vec_id").as("query_id"), col("embedding").as("emb_q"))
-    val corpus = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("emb_c"))
+      .select(col("vec_id").as("query_id"), col("emb_d").as("emb_q"), col("nrm").as("nq"))
+    val corpus = e.select(col("vec_id").as("neighbor_id"), col("emb_d").as("emb_c"), col("nrm").as("nc"))
     val w = Window.partitionBy("query_id").orderBy(col("cos_raw").desc, col("neighbor_id").asc)
     probes.crossJoin(corpus)
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos_raw", cosine("emb_q", "emb_c"))
+      .withColumn("cos_raw", dot("emb_q", "emb_c") / (col("nq") * col("nc")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rnk"),
