@@ -77,6 +77,10 @@ object SparkEntry {
     // structured streaming (north-star extension)
     "q_stream_hourly"   -> graft.streaming.EventsStream.hourlyCounts _,
     "q_stream_sessions" -> ((s: SparkSession, d: String) => graft.streaming.EventsStream.sessionize(s, d)),
+    // SQL-text interface + CSV source/sink parity
+    "q_sql_tpch_q3"   -> SqlInterface.tpchQ3 _,
+    "q_sql_above_avg" -> SqlInterface.aboveNationAvg _,
+    "q_csv_roundtrip" -> CsvIo.roundTrip _,
   )
 
   // Shared oracle CTE fragments (DuckDB dialect).
@@ -385,6 +389,28 @@ object SparkEntry {
         |       COUNT(*) AS n_events,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_sql_tpch_q3" ->
+      """SELECT l_orderkey AS orderkey,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS orderdate_str
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1997-03-15'
+        |  AND l_shipdate > TIMESTAMP '1997-03-15'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, orderkey ASC
+        |LIMIT 10""".stripMargin,
+    "q_sql_above_avg" ->
+      """SELECT c_custkey AS custkey, c_nationkey AS nationkey, c_acctbal AS acctbal
+        |FROM customer c1
+        |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |                   FROM customer c2
+        |                   WHERE c2.c_nationkey = c1.c_nationkey)""".stripMargin,
+    "q_csv_roundtrip" ->
+      s"""WITH $userStatsCte
+         |SELECT custkey, avg_buy, min_buy, max_buy FROM stats""".stripMargin,
   )
 
   /** DuckDB CTE: distinct word-3-gram shingles per document. */
