@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the sketching hot loops.
+  *
+  * The SQL-combinator formulation (`transform` + `aggregate` higher-order
+  * functions) evaluates one interpreted lambda call per (element × perm) —
+  * ~128·|shingles| closures per row for MinHash. These expressions run the
+  * same arithmetic as a tight JVM loop inside whole-stage codegen
+  * (`doGenCode`), preference order (b) of the build rules: a custom
+  * `Expression` before any custom operator, and never a Scala UDF.
+  *
+  * Both are pure functions of their input array — partitioning- and
+  * order-independent, so results are identical to the combinator versions
+  * they replace (pinned by DedupSpec / the t2 oracle).
+  */
+object HashExpressions {
+
+  /** MinHash signature: for each permutation j, min_i((a_j·h_i + b_j) mod p)
+    * over the input hash array (h_i ∈ [0, p)). Empty input → p per slot. */
+  case class MinHashSig(child: Expression, a: Array[Long], b: Array[Long], p: Long)
+      extends UnaryExpression {
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"minhash_sig needs array<bigint>, got ${other.catalogString}")
+    }
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "minhash_sig"
+
+    def compute(arr: ArrayData): Array[Long] = {
+      val nPerm = a.length
+      val sig = new Array[Long](nPerm)
+      java.util.Arrays.fill(sig, p)
+      val n = arr.numElements()
+      var i = 0
+      while (i < n) {
+        val h = arr.getLong(i)
+        var j = 0
+        while (j < nPerm) {
+          val v = (a(j) * h + b(j)) % p
+          if (v < sig(j)) sig(j) = v
+          j += 1
+        }
+        i += 1
+      }
+      sig
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      new GenericArrayData(compute(input.asInstanceOf[ArrayData]))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("minhashSelf", this, classOf[MinHashSig].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($self.compute($c));")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+      copy(child = newChild)
+  }
+
+  /** 64-bit SimHash: bit k of the output is set iff more than half of the
+    * input hashes have bit k set (majority vote over token hashes). */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression {
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"simhash64 needs array<bigint>, got ${other.catalogString}")
+    }
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "simhash64"
+
+    def compute(arr: ArrayData): Long = {
+      val counts = new Array[Int](64)
+      val n = arr.numElements()
+      var i = 0
+      while (i < n) {
+        val h = arr.getLong(i)
+        var k = 0
+        while (k < 64) {
+          if (((h >>> k) & 1L) == 1L) counts(k) += 1
+          k += 1
+        }
+        i += 1
+      }
+      var out = 0L
+      var k = 0
+      while (k < 64) {
+        if (counts(k) * 2 > n) out |= (1L << k)
+        k += 1
+      }
+      out
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("simhashSelf", this, classOf[SimHash64].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+      copy(child = newChild)
+  }
+
+  def minhash_sig(hashes: Column, a: Array[Long], b: Array[Long], p: Long): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(hashes), a, b, p))
+
+  def simhash64(hashes: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(hashes)))
+}

@@ -42,13 +42,12 @@ object Dedup {
      Array.fill(NumPerm)(math.abs(rnd.nextLong()) % P))
   }
 
-  /** 128-wide MinHash signature column over a shingle-hash array column. */
-  private def minhashSig(hsCol: String): Column = {
-    val sigs = (0 until NumPerm).map { j =>
-      s"array_min(transform($hsCol, h -> pmod(${permA(j)}L * h + ${permB(j)}L, ${P}L)))"
-    }
-    expr(s"array(${sigs.mkString(", ")})")
-  }
+  /** 128-wide MinHash signature via the native codegen'd expression
+    * ([[graft.functions.HashExpressions.MinHashSig]]) — same arithmetic as
+    * the `array_min(transform(...))` combinator form (one interpreted
+    * lambda per element × perm), ~10× faster. */
+  private def minhashSig(hsCol: String): Column =
+    graft.functions.HashExpressions.minhash_sig(col(hsCol), permA, permB, P)
 
   /** Docs with their shingle sets (empty-shingle docs dropped — they can't
     * be near-duplicates of anything under Jaccard). */
@@ -95,28 +94,17 @@ object Dedup {
 
   // ---- SimHash -------------------------------------------------------
 
-  /** 64-bit SimHash over distinct tokens: bit i of the fingerprint is the
-    * sign of Σ(±1) across token-hash bits. Pure expression — codegen'd,
-    * no UDF, no driver loop. */
-  private def simhash64(toksCol: String): Column = {
-    val body =
-      s"""aggregate(
-         |  sequence(0, 63),
-         |  CAST(0 AS BIGINT),
-         |  (acc, i) -> acc + IF(
-         |    size(filter(th, h -> ((h >> i) & 1) = 1)) * 2 > size(th),
-         |    shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))""".stripMargin
-    expr(body)
-  }
-
-  /** Per-doc SimHash fingerprints (rows-only check; xxhash64 has no DuckDB
-    * equivalent). */
+  /** Per-doc 64-bit SimHash fingerprints — majority vote per bit across
+    * distinct-token hashes, via the native codegen'd expression
+    * ([[graft.functions.HashExpressions.SimHash64]]). Rows-only check
+    * (xxhash64 has no DuckDB equivalent). */
   def simhashDocs(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
       .select(col("doc_id"),
         expr("transform(array_distinct(split(text, ' ')), t -> xxhash64(t))").as("th"))
       .filter(size(col("th")) > 0)
-      .select(col("doc_id"), simhash64("th").as("simhash"))
+      .select(col("doc_id"),
+        graft.functions.HashExpressions.simhash64(col("th")).as("simhash"))
 
   /** SimHash near-dup pairs at Hamming distance ≤ maxHamming, blocked by
     * 4×16-bit bands (a pair within distance 3 must agree on ≥1 band). */
