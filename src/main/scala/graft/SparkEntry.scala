@@ -81,6 +81,11 @@ object SparkEntry {
     "q_sql_tpch_q3"   -> SqlInterface.tpchQ3 _,
     "q_sql_above_avg" -> SqlInterface.aboveNationAvg _,
     "q_csv_roundtrip" -> CsvIo.roundTrip _,
+    // scale techniques, correctness-checked
+    "q_salted_agg"        -> ((s: SparkSession, d: String) => Scale.saltedEventTotals(s, d)),
+    "q_partitioned_write" -> Scale.partitionedRoundTrip _,
+    "q_analytic_windows"  -> Scale.analyticWindows _,
+    "q_median_balance"    -> Scale.medianBalance _,
   )
 
   // Shared oracle CTE fragments (DuckDB dialect).
@@ -411,6 +416,35 @@ object SparkEntry {
     "q_csv_roundtrip" ->
       s"""WITH $userStatsCte
          |SELECT custkey, avg_buy, min_buy, max_buy FROM stats""".stripMargin,
+    "q_salted_agg" ->
+      """SELECT event_type,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |       COUNT(*) AS n_events
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_partitioned_write" ->
+      """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+        |       COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE EXTRACT(YEAR FROM o_orderdate) = 1997
+        |GROUP BY 1""".stripMargin,
+    "q_analytic_windows" ->
+      """SELECT c_custkey AS custkey, c_nationkey AS nationkey,
+        |       NTILE(4) OVER w AS quartile,
+        |       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+        |       ROUND(CUME_DIST() OVER w, 6) AS cume,
+        |       FIRST_VALUE(c_custkey) OVER w2 AS richest,
+        |       LAST_VALUE(c_custkey) OVER w2 AS poorest
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC),
+        |       w2 AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+    "q_median_balance" ->
+      """SELECT c_mktsegment AS mktsegment,
+        |       ROUND(QUANTILE_CONT(c_acctbal, 0.5), 4) AS median_bal,
+        |       ROUND(QUANTILE_CONT(c_acctbal, 0.9), 4) AS p90_bal,
+        |       COUNT(*) AS n
+        |FROM customer GROUP BY 1""".stripMargin,
   )
 
   /** DuckDB CTE: distinct word-3-gram shingles per document. */

@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Scale-technique operators: the patterns that keep a 100 TB job healthy,
+  * each demonstrated as a correctness-checked query.
+  */
+object Scale {
+
+  /** Salted two-phase aggregation for skewed keys. `event_type` has ~5
+    * values over the whole table — a single-phase groupBy sends ALL rows
+    * for one type to one reducer. Phase 1 aggregates (event_type, salt)
+    * across 16 salt buckets; phase 2 merges the 16 partials per key.
+    * Decimal sums → result identical to the unsalted plan (the oracle). */
+  def saltedEventTotals(spark: SparkSession, dir: String, saltBuckets: Int = 16): DataFrame =
+    Tables.load(spark, dir, "events")
+      .withColumn("salt", pmod(col("event_id"), lit(saltBuckets)))
+      .groupBy("event_type", "salt")
+      .agg(sum(col("value").cast(DecimalType(18, 2))).as("partial_sum"),
+        count(lit(1)).as("partial_n"))
+      .groupBy("event_type")
+      .agg(sum("partial_sum").cast("double").as("total_value"),
+        sum("partial_n").as("n_events"))
+
+  /** Partitioned-parquet sink + partition-pruned re-read: writes orders
+    * partitioned by year, reads back ONLY one partition directory (the
+    * pruning every date-ranged 100 TB scan depends on), returns that
+    * year's aggregate. */
+  def partitionedRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Tables.load(spark, dir, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(s"$tmp/orders_by_year")
+    val back = spark.read.parquet(s"$tmp/orders_by_year")
+      .filter(col("o_year") === 1997) // partition-pruned scan
+    back.groupBy("o_year")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("total"))
+  }
+
+  /** Analytic-window coverage: ntile, percent_rank, cume_dist, first/last
+    * value over per-nation balance ordering (unique-key tiebreak). */
+  def analyticWindows(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").as("custkey"),
+        col("c_nationkey").as("nationkey"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        first(col("c_custkey")).over(wf).as("richest"),
+        last(col("c_custkey")).over(wf).as("poorest"))
+  }
+
+  /** Exact interpolated median per segment (Spark `percentile` ==
+    * DuckDB `quantile_cont`). */
+  def medianBalance(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "customer")
+      .groupBy(col("c_mktsegment").as("mktsegment"))
+      .agg(round(expr("percentile(c_acctbal, 0.5)"), 4).as("median_bal"),
+        round(expr("percentile(c_acctbal, 0.9)"), 4).as("p90_bal"),
+        count(lit(1)).as("n"))
+}
