@@ -86,6 +86,10 @@ object SparkEntry {
     "q_partitioned_write" -> Scale.partitionedRoundTrip _,
     "q_analytic_windows"  -> Scale.analyticWindows _,
     "q_median_balance"    -> Scale.medianBalance _,
+    "q_json_extract"      -> Breadth.jsonExtract _,
+    "q_full_outer"        -> Breadth.fullOuter _,
+    "q_cube"              -> Breadth.cubeAgg _,
+    "q_stream_sliding"    -> graft.streaming.EventsStream.slidingCounts _,
   )
 
   // Shared oracle CTE fragments (DuckDB dialect).
@@ -445,6 +449,36 @@ object SparkEntry {
         |       ROUND(QUANTILE_CONT(c_acctbal, 0.9), 4) AS p90_bal,
         |       COUNT(*) AS n
         |FROM customer GROUP BY 1""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_type,
+        |       SUM(CAST(CAST(props->'$.k' AS VARCHAR) AS BIGINT)) AS sum_k,
+        |       MIN(CAST(CAST(props->'$.k' AS VARCHAR) AS INT)) AS min_k,
+        |       MAX(CAST(CAST(props->'$.k' AS VARCHAR) AS INT)) AS max_k,
+        |       COUNT(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_full_outer" ->
+      """SELECT COALESCE(o.key, e.key) AS key,
+        |       COALESCE(o.n_orders, 0) AS n_orders,
+        |       COALESCE(e.n_events, 0) AS n_events
+        |FROM (SELECT o_custkey AS key, COUNT(*) AS n_orders FROM orders GROUP BY 1) o
+        |FULL OUTER JOIN (SELECT user_id AS key, COUNT(*) AS n_events FROM events GROUP BY 1) e
+        |ON o.key = e.key""".stripMargin,
+    "q_cube" ->
+      """SELECT COALESCE(n_name, 'ALL') AS nation,
+        |       COALESCE(c_mktsegment, 'ALL') AS mktsegment,
+        |       COUNT(*) AS n
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY CUBE (n_name, c_mktsegment)""".stripMargin,
+    "q_stream_sliding" ->
+      """WITH b AS (
+        |  SELECT CAST(FLOOR(EPOCH(ts) / 3600) * 3600 AS BIGINT) AS h, value FROM events),
+        |expanded AS (
+        |  SELECT h AS wstart, value FROM b
+        |  UNION ALL
+        |  SELECT h - 3600 AS wstart, value FROM b)
+        |SELECT wstart, COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM expanded GROUP BY 1""".stripMargin,
   )
 
   /** DuckDB CTE: distinct word-3-gram shingles per document. */

@@ -256,6 +256,40 @@ object Breadth {
         Array(col("avg_buy"), col("min_buy"), col("max_buy")),
         "stat", "value")
 
+  /** JSON scalar extraction from the `props` payload column. */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy("event_type")
+      .agg(sum(col("k").cast("long")).as("sum_k"),
+        min("k").as("min_k"), max("k").as("max_k"),
+        count(lit(1)).as("n"))
+
+  /** FULL OUTER join: per-customer order counts vs per-user event counts —
+    * keys existing on either side survive with nulls coalesced to 0. */
+  def fullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+      .groupBy(col("o_custkey").as("key")).agg(count(lit(1)).as("n_orders"))
+    val e = Tables.load(spark, dir, "events")
+      .groupBy(col("user_id").as("key")).agg(count(lit(1)).as("n_events"))
+    o.join(e, Seq("key"), "full_outer")
+      .select(col("key"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+  }
+
+  /** CUBE over (nation, segment): all 4 grouping-set combinations. */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+    val n = Tables.load(spark, dir, "nation")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .cube(col("n_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+      .select(coalesce(col("n_name"), lit("ALL")).as("nation"),
+        coalesce(col("c_mktsegment"), lit("ALL")).as("mktsegment"), col("n"))
+  }
+
   /** Tumbling 1-hour time buckets over events (epoch-bucket keyed). */
   def eventsHourly(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "events")

@@ -41,6 +41,28 @@ object EventsStream {
     spark.table(name)
   }
 
+  /** Streamed SLIDING-window aggregation (2h window, 1h slide): every event
+    * lands in two windows. The oracle replays the same semantics in SQL as
+    * a union of the two shifted tumbling buckets. */
+  def slidingCounts(spark: SparkSession, dir: String): DataFrame = {
+    val src = spark.readStream
+      .schema(Tables.events)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    val agg = src
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "2 hours", "1 hour"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+      .select(unix_timestamp(col("window.start")).as("wstart"),
+        col("n_events"), col("total_value"))
+    val name = s"stream_sliding_${System.nanoTime()}"
+    val q = agg.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
   final case class Event(user_id: Long, tsMicros: Long, value: Double)
   final case class SessionSummary(user_id: Long, n_sessions: Int, n_events: Int)
 
