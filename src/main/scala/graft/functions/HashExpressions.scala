@@ -117,9 +117,63 @@ object HashExpressions {
       copy(child = newChild)
   }
 
+  /** Sequential-fold dot product of two numeric arrays (float or double
+    * elements), promoted to double per element — bit-identical to
+    * `aggregate(zip_with(a, b, (x,y) -> CAST(x AS DOUBLE)*CAST(y AS DOUBLE)),
+    * 0D, (acc,v) -> acc+v)` and to DuckDB's `list_dot_product`, but a tight
+    * codegen'd loop instead of 2·n interpreted lambda calls. */
+  case class DotProduct(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+    private def elemOk(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (elemOk(left.dataType) && elemOk(right.dataType)) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"dot_product needs array<float|double>, got ${left.dataType.catalogString}, ${right.dataType.catalogString}")
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "dot_product"
+
+    @transient private lazy val leftIsFloat =
+      left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    @transient private lazy val rightIsFloat =
+      right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+    def compute(l: ArrayData, r: ArrayData): Double = {
+      val n = math.min(l.numElements(), r.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (leftIsFloat) l.getFloat(i).toDouble else l.getDouble(i)
+        val y = if (rightIsFloat) r.getFloat(i).toDouble else r.getDouble(i)
+        acc += x * y
+        i += 1
+      }
+      acc
+    }
+
+    override def nullSafeEval(l: Any, r: Any): Any =
+      compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("dotSelf", this, classOf[DotProduct].getName)
+      nullSafeCodeGen(ctx, ev, (l, r) => s"${ev.value} = $self.compute($l, $r);")
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): DotProduct =
+      copy(left = newLeft, right = newRight)
+  }
+
   def minhash_sig(hashes: Column, a: Array[Long], b: Array[Long], p: Long): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(hashes), a, b, p))
 
   def simhash64(hashes: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(hashes)))
+
+  def dot_product(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

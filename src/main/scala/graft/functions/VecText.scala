@@ -11,9 +11,11 @@ object VecText {
 
   /** Sequential-fold dot product over two array columns, computed in
     * double. Mirrors DuckDB's `list_dot_product` evaluation order so the
-    * oracle compare is bit-stable. */
+    * oracle compare is bit-stable. Backed by the native codegen'd
+    * [[HashExpressions.DotProduct]] (identical fp result to the
+    * `aggregate(zip_with(...))` combinator form it replaced). */
   def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+    HashExpressions.dot_product(col(a), col(b))
 
   def norm2(a: String): Column = dot(a, a)
 

@@ -62,7 +62,11 @@ object Dedup {
     * The band join is the scale path: candidates are only pairs sharing a
     * (band_idx, band_hash) bucket — O(n·bands) shuffle, no cross join. */
   def minhashPairs(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
-    val sh = docShingles(spark, dir)
+    // The shingle table feeds the signature AND both sides of the
+    // verification join — materialize it once. (At cluster scale this is
+    // the standard "persist the tokenized corpus" step; it is linear in
+    // the input, never quadratic.)
+    val sh = docShingles(spark, dir).cache()
     val sig = sh
       .withColumn("hs", expr("transform(sh, s -> pmod(xxhash64(s), 2147483647L))"))
       .withColumn("sig", minhashSig("hs"))
@@ -139,14 +143,23 @@ object Dedup {
       .select(col("doc_id"), col("lang"), shingles3("split(text, ' ')").as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sz", size(col("sh")))
+    // Cached: both sides of the self-join read the same materialized
+    // postings instead of re-parsing text + re-exploding shingles.
     val postings = docs.select(col("lang"), col("doc_id"), col("sz"),
       explode(col("sh")).as("shingle"))
+      .withColumn("shingle", xxhash64(col("shingle"))) // 8-byte join key, not a ~20-char string
+      .cache()
     val a = postings.select(col("lang"), col("shingle"),
       col("doc_id").as("id_a"), col("sz").as("sz_a"))
     val b = postings.select(col("lang"), col("shingle"),
       col("doc_id").as("id_b"), col("sz").as("sz_b"))
+    // Size-ratio pruning: J(A,B) ≥ t ⇒ min(|A|,|B|) ≥ t·max(|A|,|B|), so
+    // pairs outside the ratio can be dropped BEFORE aggregation without
+    // changing the result set.
     a.join(b, Seq("lang", "shingle"))
-      .filter(col("id_a") < col("id_b"))
+      .filter(col("id_a") < col("id_b") &&
+        col("sz_a") * threshold <= col("sz_b") &&
+        col("sz_b") * threshold <= col("sz_a"))
       .groupBy("id_a", "id_b", "sz_a", "sz_b")
       .agg(count(lit(1)).as("c"))
       .withColumn("jaccard",
