@@ -90,6 +90,8 @@ object SparkEntry {
     "q_full_outer"        -> Breadth.fullOuter _,
     "q_cube"              -> Breadth.cubeAgg _,
     "q_stream_sliding"    -> graft.streaming.EventsStream.slidingCounts _,
+    "q_stats_moments"     -> Scale.statsMoments _,
+    "q_collect_top"       -> Scale.collectTop _,
   )
 
   // Shared oracle CTE fragments (DuckDB dialect).
@@ -469,6 +471,31 @@ object SparkEntry {
         |       COUNT(*) AS n
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY CUBE (n_name, c_mktsegment)""".stripMargin,
+    "q_stats_moments" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, COUNT(*) AS n_lines FROM lineitem GROUP BY 1),
+        |m AS (
+        |  SELECT COUNT(*)::DOUBLE AS n,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |         CAST(SUM(CAST(n_lines AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(n_lines AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |         CAST(SUM(CAST(n_lines AS DECIMAL(18,2)) * CAST(n_lines AS DECIMAL(18,2))) AS DOUBLE) AS syy
+        |  FROM orders JOIN li ON o_orderkey = l_orderkey)
+        |SELECT CAST(n AS BIGINT) AS n_orders,
+        |       ROUND(SQRT((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_price,
+        |       ROUND((n * sxy - sx * sy)
+        |             / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6) AS corr_price_lines
+        |FROM m""".stripMargin,
+    "q_collect_top" ->
+      """WITH ranked AS (
+        |  SELECT c_nationkey, c_custkey,
+        |         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+        |                            ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+        |  FROM customer)
+        |SELECT c_nationkey AS nationkey,
+        |       STRING_AGG(c_custkey, ',' ORDER BY c_custkey) AS top_customers
+        |FROM ranked WHERE rn <= 3 GROUP BY 1""".stripMargin,
     "q_stream_sliding" ->
       """WITH b AS (
         |  SELECT CAST(FLOOR(EPOCH(ts) / 3600) * 3600 AS BIGINT) AS h, value FROM events),

@@ -58,6 +58,45 @@ object Scale {
         last(col("c_custkey")).over(wf).as("poorest"))
   }
 
+  /** Statistics from EXACT decimal moments: stddev and corr derived from
+    * Σx, Σy, Σxy, Σx², Σy² (all exact decimal sums of exact-decimal
+    * inputs) — the engine's answer to "streaming variance formulas are
+    * accumulation-order dependent". Both engines evaluate the identical
+    * closed-form over identical doubles. x = order total price,
+    * y = line count per order. */
+  def statsMoments(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem").groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_lines"))
+    val o = Tables.load(spark, dir, "orders").select("o_orderkey", "o_totalprice")
+    val m = o.join(li, o("o_orderkey") === li("l_orderkey"))
+      .select(col("o_totalprice").cast(DecimalType(18, 2)).as("x"),
+        col("n_lines").cast(DecimalType(18, 2)).as("y"))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum("x").cast("double").as("sx"),
+        sum("y").cast("double").as("sy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"),
+        sum(col("y") * col("y")).cast("double").as("syy"))
+    m.select(
+      col("n").cast("long").as("n_orders"),
+      round(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)), 6).as("stddev_price"),
+      round(((col("n") * col("sxy") - col("sx") * col("sy"))
+        / (sqrt(col("n") * col("sxx") - col("sx") * col("sx"))
+          * sqrt(col("n") * col("syy") - col("sy") * col("sy")))), 6).as("corr_price_lines"))
+  }
+
+  /** Ordered collect: per-nation sorted list of top customer keys as a
+    * string aggregate (deterministic ORDER BY inside the aggregation). */
+  def collectTop(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    Tables.load(spark, dir, "customer")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(array_join(array_sort(collect_list(col("c_custkey"))), ",").as("top_customers"))
+  }
+
   /** Exact interpolated median per segment (Spark `percentile` ==
     * DuckDB `quantile_cont`). */
   def medianBalance(spark: SparkSession, dir: String): DataFrame =
