@@ -92,6 +92,9 @@ object SparkEntry {
     "q_stream_sliding"    -> graft.streaming.EventsStream.slidingCounts _,
     "q_stats_moments"     -> Scale.statsMoments _,
     "q_collect_top"       -> Scale.collectTop _,
+    // reference report-stage analogs (S7 data transforms; rows-only)
+    "q_report_table" -> graft.ml.Report.reportTable _,
+    "q_best_k"       -> graft.ml.Report.bestK _,
   )
 
   // Shared oracle CTE fragments (DuckDB dialect).
