@@ -95,6 +95,9 @@ object SparkEntry {
     // reference report-stage analogs (S7 data transforms; rows-only)
     "q_report_table" -> graft.ml.Report.reportTable _,
     "q_best_k"       -> graft.ml.Report.bestK _,
+    "q_asof_join"       -> Breadth.asofJoin _,
+    "q_approx_distinct" -> Breadth.approxDistinct _,
+    "q_dedup_embedding_lsh" -> ((s: SparkSession, d: String) => Similarity.lshEmbeddingPairs(s, d)),
   )
 
   // Shared oracle CTE fragments (DuckDB dialect).
@@ -474,6 +477,15 @@ object SparkEntry {
         |       COUNT(*) AS n
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY CUBE (n_name, c_mktsegment)""".stripMargin,
+    "q_asof_join" ->
+      """WITH cand AS (
+        |  SELECT e.event_id, e.user_id, o.o_orderkey,
+        |         ROW_NUMBER() OVER (PARTITION BY e.event_id
+        |                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e
+        |  JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+        |SELECT event_id, user_id, o_orderkey AS orderkey
+        |FROM cand WHERE rn = 1""".stripMargin,
     "q_stats_moments" ->
       """WITH li AS (
         |  SELECT l_orderkey, COUNT(*) AS n_lines FROM lineitem GROUP BY 1),

@@ -256,6 +256,33 @@ object Breadth {
         Array(col("avg_buy"), col("min_buy"), col("max_buy")),
         "stat", "value")
 
+  /** AS-OF join (point-in-time): for each event, the user's most recent
+    * order at or before the event time. Composed from built-ins
+    * (equi-join + inequality + row_number pick — preference (a) of the
+    * custom-operator ladder: Spark's plan for this is a shuffled equi-join
+    * plus a bounded window, no custom SparkPlan needed). Ties on the asof
+    * key break by descending orderkey — fully deterministic. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events").select("event_id", "user_id", "ts")
+    val o = Tables.load(spark, dir, "orders")
+      .select("o_custkey", "o_orderkey", "o_orderdate")
+    val w = Window.partitionBy("event_id")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    e.join(o, e("user_id") === o("o_custkey") && o("o_orderdate") <= e("ts"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"),
+        col("o_orderkey").as("orderkey"))
+  }
+
+  /** HLL approximate distinct + exact baseline (tolerance asserted in
+    * spec; rows-only for the driver — approx values aren't oracle-able). */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+
   /** JSON scalar extraction from the `props` payload column. */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "events")

@@ -55,6 +55,48 @@ object Similarity {
         round(col("cos_raw"), 6).as("cos"))
   }
 
+  /** Random-hyperplane LSH near-dup pair mining — the O(n) scale path
+    * beside [[Dedup.embeddingPairs]]'s exact baseline. Each vector gets a
+    * `nBits`-bit sign signature against fixed seeded hyperplanes; vectors
+    * sharing any of the `nBands` signature bands become candidates, then
+    * exact cosine verifies. Deterministic (fixed planes), rows-only check;
+    * the spec asserts recall vs the exact pairs. */
+  def lshEmbeddingPairs(
+      spark: SparkSession,
+      dir: String,
+      threshold: Double = 0.4,
+      nBits: Int = 16,
+      nBands: Int = 8): DataFrame = {
+    val rnd = new scala.util.Random(7)
+    val dim = 64
+    val planes = Array.fill(nBits, dim)(rnd.nextGaussian())
+    val planesLit = expr(planes.map(p =>
+      s"array(${p.mkString(", ")})").mkString("array(", ", ", ")"))
+    val base = Tables.load(spark, dir, "embeddings")
+      .withColumn("emb_d", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("nrm", sqrt(norm2("emb_d")))
+      .withColumn("planes", planesLit)
+      .withColumn("sigbits", expr(
+        "transform(planes, pl -> IF(aggregate(zip_with(emb_d, pl, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v) >= 0, 1, 0))"))
+      .drop("planes")
+    val rowsPerBand = nBits / nBands
+    val banded = base.withColumn("band", explode(expr(
+        s"transform(sequence(0, ${nBands - 1}), k -> named_struct('band_idx', k, 'band_val', slice(sigbits, k * $rowsPerBand + 1, $rowsPerBand)))")))
+      .select(col("vec_id"), col("emb_d"), col("nrm"),
+        col("band.band_idx"), col("band.band_val"))
+    val a = banded.select(col("band_idx"), col("band_val"),
+      col("vec_id").as("id_a"), col("emb_d").as("emb_a"), col("nrm").as("na"))
+    val b = banded.select(col("band_idx"), col("band_val"),
+      col("vec_id").as("id_b"), col("emb_d").as("emb_b"), col("nrm").as("nb"))
+    a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (dot("emb_a", "emb_b") / (col("na") * col("nb"))).as("cos"))
+      .distinct()
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+
   /** IVF-Flat ANN: nlist-way KMeans coarse quantizer, nprobe-list search.
     * Deterministic under the pinned seed; rows-only check (approximate
     * results are not SQL-expressible). */

@@ -50,6 +50,26 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("hyperplane-LSH near-dup pairs: full recall at sf0.001 vs exact") {
+    val exact = Dedup.embeddingPairs(spark, sf, 0.4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshEmbeddingPairs(spark, sf, 0.4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH must never invent pairs, and should find most of the exact set
+    assert(lsh.subsetOf(exact))
+    val recall = if (exact.isEmpty) 1.0 else (lsh & exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH recall = $recall (${lsh.size}/${exact.size})")
+  }
+
+  test("approx_count_distinct is within 10% of exact") {
+    val rows = graft.operators.Breadth.approxDistinct(spark, sf).collect()
+    rows.foreach { r =>
+      val approx = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact <= 0.10, s"$r")
+    }
+  }
+
   test("exact dedup keeps one id per distinct text") {
     val n = graft.Tables.load(spark, sf, "documents").select("text").distinct().count()
     assert(Dedup.exact(spark, sf).count() == n)
