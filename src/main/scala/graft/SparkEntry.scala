@@ -98,6 +98,7 @@ object SparkEntry {
     "q_asof_join"       -> Breadth.asofJoin _,
     "q_approx_distinct" -> Breadth.approxDistinct _,
     "q_dedup_embedding_lsh" -> ((s: SparkSession, d: String) => Similarity.lshEmbeddingPairs(s, d)),
+    "q_typed_agg"       -> Scale.typedAgg _,
   )
 
   // Shared oracle CTE fragments (DuckDB dialect).
@@ -477,6 +478,10 @@ object SparkEntry {
         |       COUNT(*) AS n
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY CUBE (n_name, c_mktsegment)""".stripMargin,
+    "q_typed_agg" ->
+      """SELECT c_mktsegment AS mktsegment, COUNT(*) AS n_customers,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer GROUP BY 1""".stripMargin,
     "q_asof_join" ->
       """WITH cand AS (
         |  SELECT e.event_id, e.user_id, o.o_orderkey,

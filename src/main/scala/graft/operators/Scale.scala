@@ -11,6 +11,8 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Scale {
 
+  final case class Cust(c_custkey: Long, c_mktsegment: String, c_acctbal: Double)
+
   /** Salted two-phase aggregation for skewed keys. `event_type` has ~5
     * values over the whole table — a single-phase groupBy sends ALL rows
     * for one type to one reducer. Phase 1 aggregates (event_type, salt)
@@ -95,6 +97,25 @@ object Scale {
       .filter(col("rn") <= 3)
       .groupBy(col("c_nationkey").as("nationkey"))
       .agg(array_join(array_sort(collect_list(col("c_custkey"))), ",").as("top_customers"))
+  }
+
+  /** Typed Dataset API coverage: case-class rows, `groupByKey` +
+    * `mapGroups` with exact BigDecimal accumulation (a Scala fold over
+    * doubles would be accumulation-order dependent; BigDecimal of 2-dp
+    * inputs is exact, so the result hash-matches the oracle under any
+    * partitioning). */
+  def typedAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ds = Tables.load(spark, dir, "customer")
+      .select("c_custkey", "c_mktsegment", "c_acctbal").as[Cust]
+    ds.groupByKey(_.c_mktsegment)
+      .mapGroups { (seg, rows) =>
+        var n = 0L
+        var bal = BigDecimal(0)
+        rows.foreach { c => n += 1; bal += BigDecimal(c.c_acctbal) }
+        (seg, n, bal.toDouble)
+      }
+      .toDF("mktsegment", "n_customers", "total_bal")
   }
 
   /** Exact interpolated median per segment (Spark `percentile` ==
