@@ -460,9 +460,9 @@ object SparkEntry {
         |FROM customer GROUP BY 1""".stripMargin,
     "q_json_extract" ->
       """SELECT event_type,
-        |       SUM(CAST(CAST(props->'$.k' AS VARCHAR) AS BIGINT)) AS sum_k,
-        |       MIN(CAST(CAST(props->'$.k' AS VARCHAR) AS INT)) AS min_k,
-        |       MAX(CAST(CAST(props->'$.k' AS VARCHAR) AS INT)) AS max_k,
+        |       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |       MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+        |       MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
         |       COUNT(*) AS n
         |FROM events GROUP BY 1""".stripMargin,
     "q_full_outer" ->
@@ -528,10 +528,13 @@ object SparkEntry {
         |FROM expanded GROUP BY 1""".stripMargin,
   )
 
-  /** DuckDB CTE: distinct word-3-gram shingles per document. */
+  /** DuckDB CTE: distinct word-3-gram shingles per document
+    * (list_transform + lambda — stable across DuckDB versions, unlike
+    * list comprehensions). */
   private val shinglesCte =
     """toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
       |sh AS (SELECT doc_id, lang,
-      |       list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]) AS s
+      |       list_distinct(list_transform(range(1, len(t) - 1),
+      |                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
       |       FROM toks WHERE len(t) >= 3)""".stripMargin
 }
