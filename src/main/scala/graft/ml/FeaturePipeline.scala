@@ -48,9 +48,17 @@ object FeaturePipeline {
   /** Positional feature list — quirk Q3: everything after the 4th column. */
   def featureCols(df: DataFrame): Array[String] = df.columns.drop(dropLeading)
 
+  private val prepared =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   /** Assemble + standard-scale; returns the cached, partition-pinned frame
-    * with `features_unscaled` and `features` vector columns. */
-  def prepareData(spark: SparkSession, dir: String): DataFrame = {
+    * with `features_unscaled` and `features` vector columns. Memoized per
+    * sf dir within the JVM — the scan/assignments/report queries all share
+    * one scaler fit and one Spark cache, like a real pipeline would. */
+  def prepareData(spark: SparkSession, dir: String): DataFrame =
+    prepared.computeIfAbsent(dir, d => prepareDataUncached(spark, d))
+
+  private def prepareDataUncached(spark: SparkSession, dir: String): DataFrame = {
     val table = featureTable(spark, dir).coalesce(4).cache()
     val features = featureCols(table)
     val assembled = new VectorAssembler()

@@ -18,11 +18,9 @@ object Report {
 
   /** Long-form (k, cluster, score, feature, value) table from a k-scan. */
   def reportTable(spark: SparkSession, dir: String): DataFrame = {
-    val data = FeaturePipeline.prepareData(spark, dir)
     val featureNames = FeaturePipeline.featureCols(
       FeaturePipeline.featureTable(spark, dir))
-    val tmp = java.nio.file.Files.createTempDirectory("graft_report").toString
-    val results = KMeansScan.scan(data, 2, 4, tmp)
+    val results = KMeansScan.scanCached(spark, dir).filter(_.k <= 4)
     val frame = KMeansScan.resultsFrame(spark, results, featureNames.toSeq)
     val withCluster = frame.withColumn("cluster",
       row_number().over(Window.partitionBy("k").orderBy(featureNames.map(col): _*)))
@@ -34,9 +32,7 @@ object Report {
 
   /** Best k by silhouette (ties → smaller k), with its centers count. */
   def bestK(spark: SparkSession, dir: String): DataFrame = {
-    val data = FeaturePipeline.prepareData(spark, dir)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_bestk").toString
-    val results = KMeansScan.scan(data, 2, 6, tmp)
+    val results = KMeansScan.scanCached(spark, dir)
     import spark.implicits._
     results.map(r => (r.k, r.silhouette, r.centers.length))
       .toDF("k", "score", "n_centers")

@@ -139,16 +139,17 @@ object Dedup {
     * that survives 100 TB (a pair that shares no shingle never
     * materializes). Fully SQL-expressible → DuckDB oracle. */
   def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.2): DataFrame = {
+    // Cache at the SHINGLE-TABLE level: the shingling expression (an
+    // interpreted higher-order transform, the expensive part) runs exactly
+    // once per doc; size/explode/hash all read the materialized arrays.
     val docs = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), shingles3("split(text, ' ')").as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sz", size(col("sh")))
-    // Cached: both sides of the self-join read the same materialized
-    // postings instead of re-parsing text + re-exploding shingles.
+      .cache()
     val postings = docs.select(col("lang"), col("doc_id"), col("sz"),
       explode(col("sh")).as("shingle"))
       .withColumn("shingle", xxhash64(col("shingle"))) // 8-byte join key, not a ~20-char string
-      .cache()
     val a = postings.select(col("lang"), col("shingle"),
       col("doc_id").as("id_a"), col("sz").as("sz_a"))
     val b = postings.select(col("lang"), col("shingle"),
