@@ -23,8 +23,70 @@ import org.apache.spark.sql.types._
   */
 object HashExpressions {
 
+  /** Distinct hashed word-n-grams of a token-array column, in one tight
+    * loop: per-token xxhash64, then a mixed rolling combine of n
+    * consecutive token hashes, deduplicated preserving first occurrence.
+    * Replaces `array_distinct(transform(sequence(...), i -> concat_ws(...)))`
+    * + a second hashing pass — the interpreted-lambda hot spot of both
+    * dedup paths. 64-bit space ⇒ cross-shingle collision odds ~1e-10 at
+    * 10^5 distinct shingles per corpus block. */
+  case class ShingleHash(child: Expression, n: Int)
+      extends UnaryExpression {
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"shingle_hash needs array<string>, got ${other.catalogString}")
+    }
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "shingle_hash"
+
+    def compute(arr: ArrayData): ArrayData = {
+      val len = arr.numElements()
+      if (len < n) return new GenericArrayData(Array.emptyLongArray)
+      val tok = new Array[Long](len)
+      var i = 0
+      while (i < len) {
+        val s = arr.getUTF8String(i)
+        tok(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        i += 1
+      }
+      val seen = new java.util.LinkedHashSet[java.lang.Long]()
+      i = 0
+      while (i <= len - n) {
+        var h = tok(i)
+        var j = 1
+        while (j < n) {
+          h = java.lang.Long.rotateLeft(h, 27) * -7046029254386353131L + tok(i + j)
+          j += 1
+        }
+        seen.add(h)
+        i += 1
+      }
+      val out = new Array[Long](seen.size())
+      val it = seen.iterator()
+      var k = 0
+      while (it.hasNext) { out(k) = it.next(); k += 1 }
+      new GenericArrayData(out)
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("shingleSelf", this, classOf[ShingleHash].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): ShingleHash =
+      copy(child = newChild)
+  }
+
   /** MinHash signature: for each permutation j, min_i((a_j·h_i + b_j) mod p)
-    * over the input hash array (h_i ∈ [0, p)). Empty input → p per slot. */
+    * over the input hash array (h_i reduced into [0, p) internally).
+    * Empty input → p per slot. */
   case class MinHashSig(child: Expression, a: Array[Long], b: Array[Long], p: Long)
       extends UnaryExpression {
 
@@ -44,7 +106,7 @@ object HashExpressions {
       val n = arr.numElements()
       var i = 0
       while (i < n) {
-        val h = arr.getLong(i)
+        val h = java.lang.Math.floorMod(arr.getLong(i), p) // into [0,p): a*h stays in Long
         var j = 0
         while (j < nPerm) {
           val v = (a(j) * h + b(j)) % p
@@ -176,4 +238,7 @@ object HashExpressions {
 
   def dot_product(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def shingle_hash(tokens: Column, n: Int): Column =
+    ColumnBridge.column(ShingleHash(ColumnBridge.expression(tokens), n))
 }

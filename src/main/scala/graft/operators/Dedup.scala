@@ -49,11 +49,16 @@ object Dedup {
   private def minhashSig(hsCol: String): Column =
     graft.functions.HashExpressions.minhash_sig(col(hsCol), permA, permB, P)
 
-  /** Docs with their shingle sets (empty-shingle docs dropped — they can't
-    * be near-duplicates of anything under Jaccard). */
+  /** Docs with their distinct HASHED shingle sets via the native
+    * [[graft.functions.HashExpressions.ShingleHash]] loop (empty-shingle
+    * docs dropped — they can't be near-duplicates of anything under
+    * Jaccard). Jaccard over 64-bit shingle hashes equals Jaccard over the
+    * string shingles up to ~1e-10 collision odds. */
   private def docShingles(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), shingles3("split(text, ' ')").as("sh"))
+      .select(col("doc_id"), col("lang"),
+        graft.functions.HashExpressions
+          .shingle_hash(split(col("text"), " "), 3).as("sh"))
       .filter(size(col("sh")) > 0)
 
   /** MinHash LSH near-dup pairs: signature → band buckets → candidate
@@ -68,8 +73,7 @@ object Dedup {
     // the input, never quadratic.)
     val sh = docShingles(spark, dir).cache()
     val sig = sh
-      .withColumn("hs", expr("transform(sh, s -> pmod(xxhash64(s), 2147483647L))"))
-      .withColumn("sig", minhashSig("hs"))
+      .withColumn("sig", minhashSig("sh")) // MinHashSig reduces into [0,p) itself
       .select(col("doc_id"), col("sh"), col("sig"))
     val nBands = NumPerm / BandRows
     val bandExprs = (0 until nBands).map { k =>
@@ -139,17 +143,14 @@ object Dedup {
     * that survives 100 TB (a pair that shares no shingle never
     * materializes). Fully SQL-expressible → DuckDB oracle. */
   def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.2): DataFrame = {
-    // Cache at the SHINGLE-TABLE level: the shingling expression (an
-    // interpreted higher-order transform, the expensive part) runs exactly
-    // once per doc; size/explode/hash all read the materialized arrays.
-    val docs = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), col("lang"), shingles3("split(text, ' ')").as("sh"))
-      .filter(size(col("sh")) > 0)
+    // Cache at the SHINGLE-TABLE level: the native shingle-hash loop runs
+    // exactly once per doc; size/explode read the materialized arrays and
+    // the join key is already an 8-byte hash.
+    val docs = docShingles(spark, dir)
       .withColumn("sz", size(col("sh")))
       .cache()
     val postings = docs.select(col("lang"), col("doc_id"), col("sz"),
       explode(col("sh")).as("shingle"))
-      .withColumn("shingle", xxhash64(col("shingle"))) // 8-byte join key, not a ~20-char string
     val a = postings.select(col("lang"), col("shingle"),
       col("doc_id").as("id_a"), col("sz").as("sz_a"))
     val b = postings.select(col("lang"), col("shingle"),
