@@ -217,7 +217,8 @@ object SparkEntry {
       """SELECT l_suppkey AS suppkey, l_orderkey AS orderkey, l_linenumber AS linenumber,
         |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
         |            OVER (PARTITION BY l_suppkey
-        |                  ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |                  ORDER BY l_shipdate, l_orderkey, l_linenumber,
+        |                           CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_rev
         |FROM lineitem""".stripMargin,
     "q_window_lag" ->
@@ -444,8 +445,8 @@ object SparkEntry {
     "q_analytic_windows" ->
       """SELECT c_custkey AS custkey, c_nationkey AS nationkey,
         |       NTILE(4) OVER w AS quartile,
-        |       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
-        |       ROUND(CUME_DIST() OVER w, 6) AS cume,
+        |       PERCENT_RANK() OVER w AS pct_rank,
+        |       CUME_DIST() OVER w AS cume,
         |       FIRST_VALUE(c_custkey) OVER w2 AS richest,
         |       LAST_VALUE(c_custkey) OVER w2 AS poorest
         |FROM customer

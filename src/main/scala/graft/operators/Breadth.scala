@@ -103,16 +103,20 @@ object Breadth {
   }
 
   /** Running decimal sum per supplier (frame: unbounded preceding → current).
-    * Total order inside each partition via (shipdate, orderkey, linenumber)
-    * → exact, partitioning-independent running values. */
+    * `(l_orderkey, l_linenumber)` is NOT unique in the testdata, so the
+    * revenue value itself is the final sort key: rows that still tie are
+    * value-identical and therefore interchangeable in any prefix — the
+    * running sums are a deterministic multiset under any partitioning. */
   def windowRunning(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("l_suppkey")
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("rev"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.load(spark, dir, "lineitem")
+      .withColumn("rev", revDec)
       .select(col("l_suppkey").as("suppkey"), col("l_orderkey").as("orderkey"),
         col("l_linenumber").as("linenumber"),
-        sum(revDec).over(w).cast("double").as("running_rev"))
+        sum(col("rev")).over(w).cast("double").as("running_rev"))
   }
 
   /** lag(): days since the customer's previous order. */

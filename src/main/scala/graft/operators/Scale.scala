@@ -54,8 +54,11 @@ object Scale {
       .select(col("c_custkey").as("custkey"),
         col("c_nationkey").as("nationkey"),
         ntile(4).over(w).as("quartile"),
-        round(percent_rank().over(w), 6).as("pct_rank"),
-        round(cume_dist().over(w), 6).as("cume"),
+        // NOT rounded: percent_rank/cume_dist are exact integer ratios that
+        // both engines compute identically; ROUND would DIVERGE at exact
+        // decimal midpoints (HALF_UP vs engine-native on doubles).
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
         first(col("c_custkey")).over(wf).as("richest"),
         last(col("c_custkey")).over(wf).as("poorest"))
   }
