@@ -99,6 +99,7 @@ object SparkEntry {
     "q_approx_distinct" -> Breadth.approxDistinct _,
     "q_dedup_embedding_lsh" -> ((s: SparkSession, d: String) => Similarity.lshEmbeddingPairs(s, d)),
     "q_typed_agg"       -> Scale.typedAgg _,
+    "q_argmax_order"    -> Scale.argMaxOrder _,
   )
 
   // Shared oracle CTE fragments (DuckDB dialect).
@@ -479,6 +480,12 @@ object SparkEntry {
         |       COUNT(*) AS n
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY CUBE (n_name, c_mktsegment)""".stripMargin,
+    "q_argmax_order" ->
+      """WITH m AS (
+        |  SELECT o_custkey AS custkey,
+        |         MAX(ROW(o_totalprice, o_orderkey)) AS m
+        |  FROM orders GROUP BY 1)
+        |SELECT custkey, m[1] AS best_price, m[2] AS best_orderkey FROM m""".stripMargin,
     "q_typed_agg" ->
       """SELECT c_mktsegment AS mktsegment, COUNT(*) AS n_customers,
         |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal

@@ -102,6 +102,18 @@ object Scale {
       .agg(array_join(array_sort(collect_list(col("c_custkey"))), ",").as("top_customers"))
   }
 
+  /** Argmax aggregation with deterministic ties: the orderkey of each
+    * customer's most expensive order, via lexicographic struct max —
+    * ties on price resolve by the higher orderkey in BOTH engines (unlike
+    * bare max_by/arg_max whose tie choice is unspecified). */
+  def argMaxOrder(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(max(struct(col("o_totalprice"), col("o_orderkey"))).as("m"))
+      .select(col("custkey"),
+        col("m.o_totalprice").as("best_price"),
+        col("m.o_orderkey").as("best_orderkey"))
+
   /** Typed Dataset API coverage: case-class rows, `groupByKey` +
     * `mapGroups` with exact BigDecimal accumulation (a Scala fold over
     * doubles would be accumulation-order dependent; BigDecimal of 2-dp
