@@ -100,6 +100,8 @@ object SparkEntry {
     "q_dedup_embedding_lsh" -> ((s: SparkSession, d: String) => Similarity.lshEmbeddingPairs(s, d)),
     "q_typed_agg"       -> Scale.typedAgg _,
     "q_argmax_order"    -> Scale.argMaxOrder _,
+    "q_explode_tokens"  -> Breadth.explodeTokens _,
+    "q_regexp_extract"  -> Breadth.regexpExtract _,
   )
 
   // Shared oracle CTE fragments (DuckDB dialect).
@@ -480,6 +482,16 @@ object SparkEntry {
         |       COUNT(*) AS n
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY CUBE (n_name, c_mktsegment)""".stripMargin,
+    "q_explode_tokens" ->
+      """SELECT token, COUNT(*) AS freq
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY 1 ORDER BY freq DESC, token ASC LIMIT 20""".stripMargin,
+    "q_regexp_extract" ->
+      """SELECT p_partkey AS partkey,
+        |       regexp_extract(p_type, '^(\w+)', 1) AS type_head,
+        |       regexp_extract(p_name, '(\d+)$', 1) AS name_num,
+        |       regexp_extract(p_brand, '#(\d+)', 1) AS brand_num
+        |FROM part""".stripMargin,
     "q_argmax_order" ->
       """WITH m AS (
         |  SELECT o_custkey AS custkey,

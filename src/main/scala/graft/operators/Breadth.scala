@@ -287,6 +287,25 @@ object Breadth {
       .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
 
+  /** Generator (explode/unnest) coverage: token frequency over documents,
+    * top 20 with deterministic tiebreak. */
+  def explodeTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(20)
+
+  /** Regexp capture groups over part names/types. */
+  def regexpExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "part")
+      .select(
+        col("p_partkey").as("partkey"),
+        regexp_extract(col("p_type"), "^(\\w+)", 1).as("type_head"),
+        regexp_extract(col("p_name"), "(\\d+)$", 1).as("name_num"),
+        regexp_extract(col("p_brand"), "#(\\d+)", 1).as("brand_num"))
+
   /** JSON scalar extraction from the `props` payload column. */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "events")
