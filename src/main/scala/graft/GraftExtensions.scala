@@ -24,3 +24,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => DotProduct(children(0), children(1))))
   }
 }
+
+object GraftExtensions {
+  /** Runtime registration for an ALREADY-RUNNING session (the builder path
+    * above only applies at session construction — `getOrCreate` on an
+    * existing session silently ignores `withExtensions`). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("simhash64",
+      (children: Seq[Expression]) => SimHash64(children.head), "built-in")
+    reg.createOrReplaceTempFunction("dot_product",
+      (children: Seq[Expression]) => DotProduct(children(0), children(1)), "built-in")
+  }
+}

@@ -7,11 +7,18 @@ import org.scalatest.funsuite.AnyFunSuite
   * call the native expressions from SQL text. */
 class ExtensionsSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[2]")
-    .config("spark.ui.enabled", "false")
-    .withExtensions(new GraftExtensions)
-    .getOrCreate()
+  // getOrCreate may return a pre-existing session (other suites share the
+  // JVM), where builder-time withExtensions is silently ignored — use the
+  // runtime registration path, which covers the same injected functions.
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    GraftExtensions.register(s)
+    s
+  }
 
   test("simhash64 and dot_product are callable from SQL text") {
     val r = spark.sql(
