@@ -102,6 +102,9 @@ object SparkEntry {
     "q_argmax_order"    -> Scale.argMaxOrder _,
     "q_explode_tokens"  -> Breadth.explodeTokens _,
     "q_regexp_extract"  -> Breadth.regexpExtract _,
+    "q_window_range"    -> Breadth.windowRange _,
+    "q_union_by_name"   -> Breadth.unionByNameQ _,
+    "q_date_arithmetic" -> Breadth.dateArithmetic _,
   )
 
   // Shared oracle CTE fragments (DuckDB dialect).
@@ -482,6 +485,26 @@ object SparkEntry {
         |       COUNT(*) AS n
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY CUBE (n_name, c_mktsegment)""".stripMargin,
+    "q_window_range" ->
+      """SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |            OVER (PARTITION BY o_custkey
+        |                  ORDER BY CAST(FLOOR(EPOCH(o_orderdate) / 86400) AS BIGINT)
+        |                  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_30d
+        |FROM orders""".stripMargin,
+    "q_union_by_name" ->
+      """SELECT c_custkey AS custkey, c_acctbal AS acctbal
+        |FROM customer WHERE c_acctbal < 0
+        |UNION ALL
+        |SELECT c_custkey AS custkey, c_acctbal AS acctbal
+        |FROM customer WHERE c_acctbal > 9900""".stripMargin,
+    "q_date_arithmetic" ->
+      """SELECT o_orderkey AS orderkey,
+        |       CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE)::VARCHAR AS due_date,
+        |       CAST(DATE_TRUNC('month', o_orderdate) AS DATE)::VARCHAR AS month_start,
+        |       CAST(LAST_DAY(CAST(o_orderdate AS DATE)) AS DATE)::VARCHAR AS month_end,
+        |       CAST(EXTRACT(QUARTER FROM o_orderdate) AS INT) AS qtr
+        |FROM orders""".stripMargin,
     "q_explode_tokens" ->
       """SELECT token, COUNT(*) AS freq
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)

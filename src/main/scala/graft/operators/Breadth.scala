@@ -287,6 +287,42 @@ object Breadth {
       .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
 
+  /** RANGE-frame window: per customer, rolling 30-day order spend — the
+    * frame is value-based (epoch days), so ties need no tiebreak: every
+    * row with the same order date sees the same frame. */
+  def windowRange(spark: SparkSession, dir: String): DataFrame = {
+    val days = (unix_timestamp(col("o_orderdate")) / 86400L).cast("long")
+    val w = Window.partitionBy("o_custkey").orderBy("order_day")
+      .rangeBetween(-30, Window.currentRow)
+    Tables.load(spark, dir, "orders")
+      .withColumn("order_day", days)
+      .select(col("o_custkey").as("custkey"), col("o_orderkey").as("orderkey"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+          .cast("double").as("spend_30d"))
+  }
+
+  /** unionByName: same schema, different column order — positional union
+    * would silently mis-bind; by-name resolution is the API under test. */
+  def unionByNameQ(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+    val low = c.filter(col("c_acctbal") < 0)
+      .select(col("c_custkey").as("custkey"), col("c_acctbal").as("acctbal"))
+    val high = c.filter(col("c_acctbal") > 9900)
+      .select(col("c_acctbal").as("acctbal"), col("c_custkey").as("custkey"))
+    low.unionByName(high)
+  }
+
+  /** Deterministic date arithmetic: add days, month truncation, last day
+    * of month, quarter — all emitted as strings for engine-neutral types. */
+  def dateArithmetic(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .select(
+        col("o_orderkey").as("orderkey"),
+        date_add(col("o_orderdate").cast("date"), 30).cast("string").as("due_date"),
+        trunc(col("o_orderdate"), "month").cast("string").as("month_start"),
+        last_day(col("o_orderdate")).cast("string").as("month_end"),
+        quarter(col("o_orderdate")).as("qtr"))
+
   /** Generator (explode/unnest) coverage: token frequency over documents,
     * top 20 with deterministic tiebreak. */
   def explodeTokens(spark: SparkSession, dir: String): DataFrame =
