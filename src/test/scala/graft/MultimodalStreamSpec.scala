@@ -18,18 +18,19 @@ class MultimodalStreamSpec extends SparkSpec {
   test("batched decode produces 16-dim features, stable across partitionings") {
     val f1 = Multimodal.decodeFeatures(spark, sf)
       .orderBy("media_id").collect()
-    assert(f1.forall(_.getSeq[Float](2).length == 16))
+    assert(f1.forall(_.getSeq[Double](2).length == 16))
     val f2 = Multimodal.decodeFeatures(spark, sf)
       .repartition(7).orderBy("media_id").collect()
-    assert(f1.map(_.getSeq[Float](2)).toSeq == f2.map(_.getSeq[Float](2)).toSeq)
+    assert(f1.map(_.getSeq[Double](2)).toSeq == f2.map(_.getSeq[Double](2)).toSeq)
   }
 
   test("resize pools 16 -> 4 dims; frame sampling strides the payload") {
     val resized = Multimodal.resize(Multimodal.decodeFeatures(spark, sf)).head()
-    assert(resized.getSeq[Float](resized.fieldIndex("features_4")).length == 4)
+    assert(resized.getSeq[Double](resized.fieldIndex("features_4")).length == 4)
     val frames = Multimodal.frameSample(spark, sf, stride = 10)
     val r = frames.head()
-    assert(r.getInt(2) == r.getSeq[Int](1).length && r.getInt(2) > 0)
+    // n_frames > 0 and the checksum is bounded by 255 * n_frames
+    assert(r.getInt(1) > 0 && r.getLong(2) <= 255L * r.getInt(1))
   }
 
   test("streamed hourly agg equals the batch aggregation") {

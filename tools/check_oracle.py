@@ -57,6 +57,14 @@ def main(sf_dir, out_dir):
         ok = True
         for c in s.columns:
             sv, dv = s[c].values, d[c].values
+            # the driver hashes stringified values: int64 99111 vs float64
+            # 99111.0 is a mismatch even when numerically equal
+            s_float = np.issubdtype(s[c].dtype, np.floating)
+            d_float = np.issubdtype(d[c].dtype, np.floating)
+            if s_float != d_float:
+                print(f"  {name}.{c}: DTYPE-KIND-MISMATCH spark={s[c].dtype} duck={d[c].dtype}")
+                ok = False
+                continue
             if np.issubdtype(s[c].dtype, np.floating) or np.issubdtype(d[c].dtype, np.floating):
                 eq = np.allclose(sv.astype(float), dv.astype(float), rtol=0, atol=0, equal_nan=True)
                 exact = eq
