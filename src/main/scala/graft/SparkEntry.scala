@@ -105,6 +105,16 @@ object SparkEntry {
     "q_window_range"    -> Breadth.windowRange _,
     "q_union_by_name"   -> Breadth.unionByNameQ _,
     "q_date_arithmetic" -> Breadth.dateArithmetic _,
+    // round 2: map/array/grouping-set breadth, deterministic sampling,
+    // binned range join, streaming dedup + foreachBatch, PQ ANN
+    "q_map_funcs"          -> Breadth.mapFuncs _,
+    "q_array_funcs"        -> Breadth.arrayFuncs _,
+    "q_grouping_sets"      -> Breadth.groupingSets _,
+    "q_hash_sample"        -> ((s: SparkSession, d: String) => Scale.hashSample(s, d)),
+    "q_bin_range_join"     -> ((s: SparkSession, d: String) => Scale.binnedRangeJoin(s, d)),
+    "q_stream_dedup"       -> graft.streaming.EventsStream.dedupCounts _,
+    "q_stream_foreachbatch" -> graft.streaming.EventsStream.foreachBatchTotals _,
+    "q_ann_pq"             -> ((s: SparkSession, d: String) => Similarity.pqTopK(s, d)),
   )
 
   // Shared oracle CTE fragments (DuckDB dialect).
@@ -627,6 +637,52 @@ object SparkEntry {
         |SELECT wstart, COUNT(*) AS n_events,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM expanded GROUP BY 1""".stripMargin,
+  ) ++ round2Oracles
+
+  /** Round-2 oracles (map/array/grouping-sets/sampling/binning/streaming). */
+  private def round2Oracles: Map[String, String] = Map(
+    "q_map_funcs" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, COUNT(*) AS cnt FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT user_id, CAST(COUNT(*) AS INT) AS n_types FROM c GROUP BY 1)
+        |SELECT c.user_id, t.n_types, c.event_type, c.cnt
+        |FROM c JOIN t USING (user_id)""".stripMargin,
+    "q_array_funcs" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS toks
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(toks) AS INT) AS n_distinct_tokens,
+        |       toks[1] AS first_token,
+        |       array_to_string(toks[1:3], ',') AS top3_tokens,
+        |       CAST(list_contains(toks, 'the') AS INT) AS has_the
+        |FROM t""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT COALESCE(n_name, 'ALL') AS nation,
+        |       COALESCE(c_mktsegment, 'ALL') AS mktsegment,
+        |       CAST(GROUPING(n_name) * 2 + GROUPING(c_mktsegment) AS INT) AS gid,
+        |       COUNT(*) AS n
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())""".stripMargin,
+    "q_hash_sample" ->
+      """SELECT c_custkey AS custkey, c_mktsegment AS mktsegment,
+        |       (c_custkey * 2654435761) % 4294967296 AS hash_val
+        |FROM customer
+        |WHERE (c_custkey * 2654435761) % 4294967296 < 429496720""".stripMargin,
+    "q_bin_range_join" ->
+      """SELECT CAST(FLOOR(value / 50) AS INT) AS band_id,
+        |       CAST(FLOOR(value / 50) * 50 AS DOUBLE) AS lo,
+        |       CAST((FLOOR(value / 50) + 1) * 50 AS DOUBLE) AS hi,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    "q_stream_dedup" ->
+      "SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY 1",
+    "q_stream_foreachbatch" ->
+      """SELECT event_type,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |       COUNT(*) AS n_events
+        |FROM events GROUP BY 1""".stripMargin,
   )
 
   /** DuckDB CTE: distinct word-3-gram shingles per document

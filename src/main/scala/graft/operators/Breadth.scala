@@ -383,4 +383,45 @@ object Breadth {
         col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+
+  /** MapType round-trip: per-user event-type counts packed into a map
+    * column (`map_from_entries`), inspected (`size`/`map_keys`), then
+    * exploded back to rows — the plumbing a feature store needs for
+    * ragged per-entity key-value features. */
+  def mapFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.load(spark, dir, "events")
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt"))
+    counts.groupBy("user_id")
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("event_type"), col("cnt"))))).as("m"))
+      .select(col("user_id"), size(col("m")).as("n_types"),
+        explode(col("m")).as(Seq("event_type", "cnt")))
+  }
+
+  /** Array-function suite over tokenized documents: distinct/sort/slice/
+    * contains on `split()` output, reduced to scalar columns. */
+  def arrayFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .withColumn("toks", array_sort(array_distinct(split(col("text"), " "))))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_distinct_tokens"),
+        element_at(col("toks"), 1).as("first_token"),
+        array_join(slice(col("toks"), 1, 3), ",").as("top3_tokens"),
+        array_contains(col("toks"), "the").cast("int").as("has_the"))
+
+  /** Explicit GROUPING SETS ((nation), (segment), ()) with a grouping-id
+    * derived from `grouping()` bits — finer control than rollup/cube. */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+    val n = Tables.load(spark, dir, "nation")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupingSets(
+        Seq(Seq(col("n_name")), Seq(col("c_mktsegment")), Seq()),
+        col("n_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        (grouping(col("n_name")) * 2 + grouping(col("c_mktsegment"))).as("gid"))
+      .select(coalesce(col("n_name"), lit("ALL")).as("nation"),
+        coalesce(col("c_mktsegment"), lit("ALL")).as("mktsegment"),
+        col("gid").cast("int").as("gid"), col("n"))
+  }
 }

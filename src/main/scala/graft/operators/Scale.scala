@@ -141,4 +141,37 @@ object Scale {
       .agg(round(expr("percentile(c_acctbal, 0.5)"), 4).as("median_bal"),
         round(expr("percentile(c_acctbal, 0.9)"), 4).as("p90_bal"),
         count(lit(1)).as("n"))
+
+  /** Deterministic hash sampling: a ~10% sample selected by a Knuth
+    * multiplicative hash of the key — reproducible across runs, engines,
+    * and partitionings (unlike seeded `sample()`, whose draw depends on
+    * partition layout). At 100 TB this is the only sampling that lets two
+    * independent jobs agree on the same sample without coordination.
+    * Exact-integer arithmetic keeps the oracle bit-identical. */
+  def hashSample(spark: SparkSession, dir: String, pct: Int = 10): DataFrame =
+    Tables.load(spark, dir, "customer")
+      .withColumn("h", pmod(col("c_custkey") * lit(2654435761L), lit(4294967296L)))
+      .filter(col("h") < lit(4294967296L / 100 * pct))
+      .select(col("c_custkey").as("custkey"),
+        col("c_mktsegment").as("mktsegment"), col("h").as("hash_val"))
+
+  /** Range join via binning: classify events into fixed-width value bands.
+    * The naive plan is a non-equi theta-join (every row × every band — a
+    * broadcast nested loop that dies at scale); computing the band key
+    * arithmetically turns it into a map-side equi-join/group-by with no
+    * comparison explosion. The bands table stays a real (broadcast) join
+    * so band metadata lives in data, not code. */
+  def binnedRangeJoin(spark: SparkSession, dir: String, width: Int = 50): DataFrame = {
+    val bands = spark.range(0, 10).select(
+      col("id").cast("int").as("band_id"),
+      (col("id") * width).cast("double").as("lo"),
+      ((col("id") + 1) * width).cast("double").as("hi"))
+    val e = Tables.load(spark, dir, "events")
+      .withColumn("band_id", floor(col("value") / width).cast("int"))
+    e.join(broadcast(bands), "band_id")
+      .groupBy("band_id", "lo", "hi")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+      .select(col("band_id"), col("lo"), col("hi"), col("n_events"), col("total_value"))
+  }
 }

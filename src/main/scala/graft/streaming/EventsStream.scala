@@ -101,4 +101,54 @@ object EventsStream {
     try q.processAllAvailable() finally q.stop()
     spark.table(name)
   }
+
+  /** Streaming deduplication: the source is unioned with itself (every
+    * event arrives twice — the at-least-once delivery a real pipeline
+    * sees), then `dropDuplicatesWithinWatermark` on the event id restores
+    * exactly-once counts. Watermark-scoped state is the 100 TB story:
+    * dedup memory tracks the watermark horizon, not the full history. */
+  def dedupCounts(spark: SparkSession, dir: String): DataFrame = {
+    def src = spark.readStream
+      .schema(Tables.events)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val doubled = src.unionAll(src)
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+    val agg = doubled.groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"))
+    val name = s"stream_dedup_${System.nanoTime()}"
+    val q = agg.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  /** `foreachBatch` sink: each micro-batch is partially aggregated and
+    * written to its own parquet path keyed by batch id (idempotent
+    * overwrite = exactly-once on retry), then the partials are merged.
+    * Decimal partial sums keep the merge order-independent, so the result
+    * equals the all-at-once batch aggregate bit-for-bit. */
+  def foreachBatchTotals(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_fb").toString
+    val src = spark.readStream
+      .schema(Tables.events)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.groupBy("event_type")
+          .agg(sum(col("value").cast(DecimalType(18, 2))).as("partial_sum"),
+            count(lit(1)).as("partial_n"))
+          .write.mode("overwrite").parquet(s"$out/batch_$batchId")
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val batchDirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("batch_")).map(_.getAbsolutePath)
+    spark.read.parquet(batchDirs.toIndexedSeq: _*)
+      .groupBy("event_type")
+      .agg(sum("partial_sum").cast("double").as("total_value"),
+        sum("partial_n").as("n_events"))
+  }
 }

@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.Scale
+import org.apache.spark.sql.functions._
+
+/** Sampling operators. The deterministic hash sample is oracle-checked
+  * (q_hash_sample); Spark's native seeded sampling APIs are covered here
+  * because their draws are engine-specific (not DuckDB-reproducible).
+  */
+class SamplingSpec extends SparkSpec {
+
+  test("hash sample rate is ~10% and stable across partitionings") {
+    val total = Tables.load(spark, sf, "customer").count()
+    val s1 = Scale.hashSample(spark, sf).collect().map(_.getLong(0)).toSet
+    assert(s1.size > total * 0.04 && s1.size < total * 0.2,
+      s"sampled ${s1.size} of $total")
+    val s2 = Scale.hashSample(spark, sf).collect().map(_.getLong(0)).toSet
+    assert(s1 == s2)
+    // repartitioning the input must not change a hash-based sample
+    val s3 = Tables.load(spark, sf, "customer").repartition(7)
+      .withColumn("h", pmod(col("c_custkey") * lit(2654435761L), lit(4294967296L)))
+      .filter(col("h") < lit(429496720L))
+      .collect().map(_.getAs[Long]("c_custkey")).toSet
+    assert(s1 == s3)
+  }
+
+  test("sampleBy draws per-stratum fractions with a fixed seed") {
+    val c = Tables.load(spark, sf, "customer")
+    val fractions = c.select("c_mktsegment").distinct().collect()
+      .map(r => r.getString(0) -> 0.2).toMap
+    val s = c.stat.sampleBy("c_mktsegment", fractions, 42L)
+    val n = s.count()
+    assert(n > 0 && n < c.count())
+    // same seed → same draw
+    assert(c.stat.sampleBy("c_mktsegment", fractions, 42L).count() == n)
+  }
+
+  test("TABLESAMPLE via SQL text parses and bounds the scan") {
+    Tables.load(spark, sf, "customer").createOrReplaceTempView("customer_ts")
+    val n = spark.sql(
+      "SELECT count(*) AS n FROM customer_ts TABLESAMPLE (50 PERCENT) REPEATABLE (7)")
+      .head().getLong(0)
+    val total = Tables.load(spark, sf, "customer").count()
+    assert(n > 0 && n <= total)
+  }
+}

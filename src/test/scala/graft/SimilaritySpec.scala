@@ -34,6 +34,21 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf == ivf2)
   }
 
+  test("PQ recall@5 >= 0.6 vs brute force, and is deterministic") {
+    val brute = Similarity.bruteTopK(spark, sf, 5, 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.pqTopK(spark, sf, 5, 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & pq).size.toDouble / brute.size
+    assert(recall >= 0.6, s"PQ recall@5 = $recall")
+    val pq2 = Similarity.pqTopK(spark, sf, 5, 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pq == pq2)
+  }
+
   test("minhash LSH finds exactly the exhaustive high-Jaccard pairs") {
     val lsh = Dedup.minhashPairs(spark, sf, 0.8)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
