@@ -108,4 +108,20 @@ object Tables {
         .withColumn("ts", timestamp_micros((col("ts_ns") / 1000).cast("long")))
     } else df
   }
+
+  /** Run `body` with `frames` cached, eagerly materialize its result
+    * (localCheckpoint), then unpersist the intermediates before returning.
+    *
+    * This is the session-hygiene seam for multi-use intermediates: a bare
+    * `.cache()` with no unpersist leaks into the shared CacheManager for
+    * the life of the session, and in a long query session (the bench runs
+    * ~80 queries on one SparkSession) the accumulated blocks degrade every
+    * subsequent query. Checkpoint blocks, by contrast, are owned by the
+    * returned frame's RDD and reclaimed by the ContextCleaner once the
+    * caller drops it. */
+  def withCached(frames: DataFrame*)(body: => DataFrame): DataFrame = {
+    frames.foreach(_.cache())
+    try body.localCheckpoint(true)
+    finally frames.foreach(_.unpersist(blocking = false))
+  }
 }

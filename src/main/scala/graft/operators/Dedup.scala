@@ -70,34 +70,37 @@ object Dedup {
     // The shingle table feeds the signature AND both sides of the
     // verification join — materialize it once. (At cluster scale this is
     // the standard "persist the tokenized corpus" step; it is linear in
-    // the input, never quadratic.)
-    val sh = docShingles(spark, dir).cache()
-    val sig = sh
-      .withColumn("sig", minhashSig("sh")) // MinHashSig reduces into [0,p) itself
-      .select(col("doc_id"), col("sh"), col("sig"))
-    val nBands = NumPerm / BandRows
-    val bandExprs = (0 until nBands).map { k =>
-      val rows = (0 until BandRows).map(r => s"sig[${k * BandRows + r}]").mkString(", ")
-      s"named_struct('band_idx', $k, 'band_hash', hash($rows))"
+    // the input, never quadratic.) Cached only for the build, then
+    // unpersisted (Tables.withCached), so nothing leaks into the session.
+    val sh = docShingles(spark, dir)
+    Tables.withCached(sh) {
+      val sig = sh
+        .withColumn("sig", minhashSig("sh")) // MinHashSig reduces into [0,p) itself
+        .select(col("doc_id"), col("sh"), col("sig"))
+      val nBands = NumPerm / BandRows
+      val bandExprs = (0 until nBands).map { k =>
+        val rows = (0 until BandRows).map(r => s"sig[${k * BandRows + r}]").mkString(", ")
+        s"named_struct('band_idx', $k, 'band_hash', hash($rows))"
+      }
+      val banded = sig
+        .withColumn("band", explode(expr(s"array(${bandExprs.mkString(", ")})")))
+        .select(col("doc_id"), col("band.band_idx"), col("band.band_hash"))
+      val a = banded.as("a")
+      val b = banded.as("b")
+      val candidates = a.join(b,
+          col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+      val shA = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val shB = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      candidates
+        .join(shA, "id_a").join(shB, "id_b")
+        .withColumn("jaccard", jaccard("sh_a", "sh_b"))
+        .filter(col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     }
-    val banded = sig
-      .withColumn("band", explode(expr(s"array(${bandExprs.mkString(", ")})")))
-      .select(col("doc_id"), col("band.band_idx"), col("band.band_hash"))
-    val a = banded.as("a")
-    val b = banded.as("b")
-    val candidates = a.join(b,
-        col("a.band_idx") === col("b.band_idx") &&
-        col("a.band_hash") === col("b.band_hash") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
-    val shA = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val shB = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    candidates
-      .join(shA, "id_a").join(shB, "id_b")
-      .withColumn("jaccard", jaccard("sh_a", "sh_b"))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
   }
 
   // ---- SimHash -------------------------------------------------------
@@ -148,26 +151,27 @@ object Dedup {
     // the join key is already an 8-byte hash.
     val docs = docShingles(spark, dir)
       .withColumn("sz", size(col("sh")))
-      .cache()
-    val postings = docs.select(col("lang"), col("doc_id"), col("sz"),
-      explode(col("sh")).as("shingle"))
-    val a = postings.select(col("lang"), col("shingle"),
-      col("doc_id").as("id_a"), col("sz").as("sz_a"))
-    val b = postings.select(col("lang"), col("shingle"),
-      col("doc_id").as("id_b"), col("sz").as("sz_b"))
-    // Size-ratio pruning: J(A,B) ≥ t ⇒ min(|A|,|B|) ≥ t·max(|A|,|B|), so
-    // pairs outside the ratio can be dropped BEFORE aggregation without
-    // changing the result set.
-    a.join(b, Seq("lang", "shingle"))
-      .filter(col("id_a") < col("id_b") &&
-        col("sz_a") * threshold <= col("sz_b") &&
-        col("sz_b") * threshold <= col("sz_a"))
-      .groupBy("id_a", "id_b", "sz_a", "sz_b")
-      .agg(count(lit(1)).as("c"))
-      .withColumn("jaccard",
-        col("c").cast("double") / (col("sz_a") + col("sz_b") - col("c")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    Tables.withCached(docs) {
+      val postings = docs.select(col("lang"), col("doc_id"), col("sz"),
+        explode(col("sh")).as("shingle"))
+      val a = postings.select(col("lang"), col("shingle"),
+        col("doc_id").as("id_a"), col("sz").as("sz_a"))
+      val b = postings.select(col("lang"), col("shingle"),
+        col("doc_id").as("id_b"), col("sz").as("sz_b"))
+      // Size-ratio pruning: J(A,B) ≥ t ⇒ min(|A|,|B|) ≥ t·max(|A|,|B|), so
+      // pairs outside the ratio can be dropped BEFORE aggregation without
+      // changing the result set.
+      a.join(b, Seq("lang", "shingle"))
+        .filter(col("id_a") < col("id_b") &&
+          col("sz_a") * threshold <= col("sz_b") &&
+          col("sz_b") * threshold <= col("sz_a"))
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(count(lit(1)).as("c"))
+        .withColumn("jaccard",
+          col("c").cast("double") / (col("sz_a") + col("sz_b") - col("c")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    }
   }
 
   // ---- embedding near-dup --------------------------------------------

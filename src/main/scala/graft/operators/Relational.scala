@@ -41,14 +41,24 @@ object Relational {
     (col("l_extendedprice") * (lit(1) - col("l_discount")))
       .cast(DecimalType(18, 4))
 
-  /** lineitem ⋈ orders keyed revenue rows, the shared A1 input. */
+  /** lineitem ⋈ orders keyed revenue rows, the shared A1 input.
+    *
+    * The sum is pushed BELOW the join: lineitem collapses to one row per
+    * orderkey first (~4× fewer, narrower rows through the join shuffle),
+    * and the post-join (custkey, orderkey) grouping is then trivially
+    * satisfied because orderkey is already unique. Decimal sums are
+    * order-independent, so results are bit-identical to the join-first
+    * formulation. At 100 TB this is the difference between shuffling the
+    * whole fact table twice and shuffling it once pre-reduced. */
   private def orderRevDec(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.load(spark, dir, "lineitem")
+    val liAgg = Tables.load(spark, dir, "lineitem")
       .select(col("l_orderkey"), revDec.as("rev"))
-    val o = Tables.load(spark, dir, "orders").select("o_orderkey", "o_custkey")
-    li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .groupBy(col("o_custkey").as("custkey"), col("l_orderkey").as("orderkey"))
+      .groupBy("l_orderkey")
       .agg(sum("rev").as("rev_dec"))
+    val o = Tables.load(spark, dir, "orders").select("o_orderkey", "o_custkey")
+    liAgg.join(o, liAgg("l_orderkey") === o("o_orderkey"))
+      .select(col("o_custkey").as("custkey"),
+        col("l_orderkey").as("orderkey"), col("rev_dec"))
   }
 
   /** A1 analog: per-(customer, order) revenue. */

@@ -106,41 +106,47 @@ object Similarity {
       k: Int = 5,
       nProbes: Int = 10,
       nlist: Int = 16,
-      nprobe: Int = 4): DataFrame = {
-    val base = normalized(spark, dir).cache()
-    val vecs = base.withColumn("features", array_to_vector(col("unit")))
-    // Train the coarse quantizer on a seeded sample with few iterations —
-    // quantizer quality needs only the density shape, not convergence, and
-    // at corpus scale full-data training would dominate the build.
-    val trainSample = vecs.sample(withReplacement = false, 0.25, seed = 1L)
-    val km = new KMeans().setK(nlist).setSeed(1L).setMaxIter(8)
-      .setFeaturesCol("features")
-      .setPredictionCol("list_id").fit(trainSample)
-    // Inverted lists: corpus partitioned by coarse cell.
-    val lists = km.transform(vecs)
-      .select(col("vec_id").as("neighbor_id"), col("unit").as("unit_c"), col("list_id"))
-    // Tiny centroid table — broadcast everywhere.
-    val centroids = spark.createDataFrame(
-      km.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }.toSeq)
-      .toDF("list_id", "centroid")
-    val probes = base.filter(col("vec_id") < nProbes)
-      .select(col("vec_id").as("query_id"), col("unit").as("unit_q"))
-    // Rank centroids per probe, keep nprobe closest lists.
-    val wc = Window.partitionBy("query_id").orderBy(col("cdist").desc, col("list_id").asc)
-    val probeLists = probes.crossJoin(broadcast(centroids))
-      .withColumn("cdist", dot("unit_q", "centroid"))
-      .withColumn("crnk", row_number().over(wc))
-      .filter(col("crnk") <= nprobe)
-      .select("query_id", "unit_q", "list_id")
-    // Scan only the selected inverted lists.
-    val w = Window.partitionBy("query_id").orderBy(col("cos_raw").desc, col("neighbor_id").asc)
-    probeLists.join(lists, "list_id")
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos_raw", dot("unit_q", "unit_c"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rnk"),
-        round(col("cos_raw"), 6).as("cos"))
+      nprobe: Int = 6): DataFrame = {
+    val base = normalized(spark, dir)
+    Tables.withCached(base) {
+      val vecs = base.withColumn("features", array_to_vector(col("unit")))
+      // Train the coarse quantizer on a seeded sample with few iterations —
+      // quantizer quality needs only the density shape, not convergence, and
+      // at corpus scale full-data training would dominate the build.
+      val trainSample = vecs.sample(withReplacement = false, 0.5, seed = 1L)
+      val km = new KMeans().setK(nlist).setSeed(1L).setMaxIter(16)
+        .setFeaturesCol("features")
+        .setPredictionCol("list_id").fit(trainSample)
+      // Inverted lists: corpus partitioned by coarse cell.
+      val lists = km.transform(vecs)
+        .select(col("vec_id").as("neighbor_id"), col("unit").as("unit_c"), col("list_id"))
+      // Tiny centroid table — broadcast everywhere.
+      val centroids = spark.createDataFrame(
+        km.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }.toSeq)
+        .toDF("list_id", "centroid")
+      val probes = base.filter(col("vec_id") < nProbes)
+        .select(col("vec_id").as("query_id"), col("unit").as("unit_q"))
+      // Rank centroids per probe by squared Euclidean distance — the same
+      // metric KMeans used to assign corpus vectors to lists. ‖q−c‖² =
+      // ‖q‖² + ‖c‖² − 2·q·c and ‖q‖=1 is constant per probe, so rank by
+      // ‖c‖² − 2·dot ascending. (Raw dot desc is NOT equivalent: centroids
+      // are not unit-norm, and max-dot biases toward large-norm centroids.)
+      val wc = Window.partitionBy("query_id").orderBy(col("cdist").asc, col("list_id").asc)
+      val probeLists = probes.crossJoin(broadcast(centroids))
+        .withColumn("cdist", norm2("centroid") - lit(2.0) * dot("unit_q", "centroid"))
+        .withColumn("crnk", row_number().over(wc))
+        .filter(col("crnk") <= nprobe)
+        .select("query_id", "unit_q", "list_id")
+      // Scan only the selected inverted lists.
+      val w = Window.partitionBy("query_id").orderBy(col("cos_raw").desc, col("neighbor_id").asc)
+      probeLists.join(lists, "list_id")
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos_raw", dot("unit_q", "unit_c"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k)
+        .select(col("query_id"), col("neighbor_id"), col("rnk"),
+          round(col("cos_raw"), 6).as("cos"))
+    }
   }
 
   /** Product-quantization ANN: 64 dims → `nSub` subspaces, each encoded as
@@ -163,89 +169,91 @@ object Similarity {
       nCodes: Int = 16,
       rerank: Int = 32): DataFrame = {
     val subDim = 64 / nSub
-    val base = normalized(spark, dir).cache()
-    // Codebook: subvectors of the first nCodes corpus vectors (key-ordered
-    // deterministic choice; real systems train these with k-means).
-    val codebook: Array[Array[Array[Double]]] = base
-      .filter(col("vec_id") < nCodes).orderBy("vec_id")
-      .select("unit").collect()
-      .map(_.getSeq[Double](0).toArray.grouped(subDim).toArray)
-      .transpose // [nSub][nCodes][subDim]
-    val bcCb = spark.sparkContext.broadcast(codebook)
-    import org.apache.spark.sql.types._
-    val codeSchema = StructType(Seq(
-      StructField("neighbor_id", LongType),
-      StructField("codes", ArrayType(IntegerType))))
-    val codeEnc = org.apache.spark.sql.Encoders.row(codeSchema)
-    // Encode: nSub byte-sized codes per corpus vector (map-side, no shuffle).
-    val codes = base.select(col("vec_id"), col("unit"))
-      .mapPartitions { it =>
-        val cb = bcCb.value
-        it.map { r =>
-          val v = r.getSeq[Double](1).toArray
-          val cs = Array.tabulate(nSub) { s =>
-            var best = 0; var bestD = Double.MaxValue
-            var j = 0
-            while (j < cb(s).length) {
-              var d = 0.0; var i = 0
-              while (i < subDim) {
-                val diff = v(s * subDim + i) - cb(s)(j)(i); d += diff * diff; i += 1
+    val base = normalized(spark, dir)
+    Tables.withCached(base) {
+      // Codebook: subvectors of the first nCodes corpus vectors (key-ordered
+      // deterministic choice; real systems train these with k-means).
+      val codebook: Array[Array[Array[Double]]] = base
+        .filter(col("vec_id") < nCodes).orderBy("vec_id")
+        .select("unit").collect()
+        .map(_.getSeq[Double](0).toArray.grouped(subDim).toArray)
+        .transpose // [nSub][nCodes][subDim]
+      val bcCb = spark.sparkContext.broadcast(codebook)
+      import org.apache.spark.sql.types._
+      val codeSchema = StructType(Seq(
+        StructField("neighbor_id", LongType),
+        StructField("codes", ArrayType(IntegerType))))
+      val codeEnc = org.apache.spark.sql.Encoders.row(codeSchema)
+      // Encode: nSub byte-sized codes per corpus vector (map-side, no shuffle).
+      val codes = base.select(col("vec_id"), col("unit"))
+        .mapPartitions { it =>
+          val cb = bcCb.value
+          it.map { r =>
+            val v = r.getSeq[Double](1).toArray
+            val cs = Array.tabulate(nSub) { s =>
+              var best = 0; var bestD = Double.MaxValue
+              var j = 0
+              while (j < cb(s).length) {
+                var d = 0.0; var i = 0
+                while (i < subDim) {
+                  val diff = v(s * subDim + i) - cb(s)(j)(i); d += diff * diff; i += 1
+                }
+                if (d < bestD) { bestD = d; best = j }
+                j += 1
               }
-              if (d < bestD) { bestD = d; best = j }
-              j += 1
+              best
             }
-            best
+            org.apache.spark.sql.Row(r.getLong(0), cs.toSeq)
           }
-          org.apache.spark.sql.Row(r.getLong(0), cs.toSeq)
-        }
-      }(codeEnc)
-    // Probes score candidates by ADC: sum over subspaces of the exact
-    // distance from the probe's subvector to the candidate's codeword.
-    val probes = base.filter(col("vec_id") < nProbes)
-      .select(col("vec_id").as("query_id"), col("unit").as("unit_q"))
-    val adcSchema = StructType(Seq(
-      StructField("query_id", LongType),
-      StructField("neighbor_id", LongType),
-      StructField("adc", DoubleType)))
-    val adcEnc = org.apache.spark.sql.Encoders.row(adcSchema)
-    val cands = probes.crossJoin(codes)
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .mapPartitions { it =>
-        val cb = bcCb.value
-        var lutFor: (Long, Array[Array[Double]]) = (-1L, null)
-        it.map { r =>
-          val qid = r.getLong(0)
-          val q = r.getSeq[Double](1).toArray
-          if (lutFor._1 != qid) { // rebuild LUT once per probe run
-            val lut = Array.tabulate(nSub, nCodes) { (s, j) =>
-              var d = 0.0; var i = 0
-              while (i < subDim) {
-                val diff = q(s * subDim + i) - cb(s)(j)(i); d += diff * diff; i += 1
+        }(codeEnc)
+      // Probes score candidates by ADC: sum over subspaces of the exact
+      // distance from the probe's subvector to the candidate's codeword.
+      val probes = base.filter(col("vec_id") < nProbes)
+        .select(col("vec_id").as("query_id"), col("unit").as("unit_q"))
+      val adcSchema = StructType(Seq(
+        StructField("query_id", LongType),
+        StructField("neighbor_id", LongType),
+        StructField("adc", DoubleType)))
+      val adcEnc = org.apache.spark.sql.Encoders.row(adcSchema)
+      val cands = probes.crossJoin(codes)
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .mapPartitions { it =>
+          val cb = bcCb.value
+          var lutFor: (Long, Array[Array[Double]]) = (-1L, null)
+          it.map { r =>
+            val qid = r.getLong(0)
+            val q = r.getSeq[Double](1).toArray
+            if (lutFor._1 != qid) { // rebuild LUT once per probe run
+              val lut = Array.tabulate(nSub, nCodes) { (s, j) =>
+                var d = 0.0; var i = 0
+                while (i < subDim) {
+                  val diff = q(s * subDim + i) - cb(s)(j)(i); d += diff * diff; i += 1
+                }
+                d
               }
-              d
+              lutFor = (qid, lut)
             }
-            lutFor = (qid, lut)
+            val cs = r.getSeq[Int](3)
+            var d = 0.0; var s = 0
+            while (s < nSub) { d += lutFor._2(s)(cs(s)); s += 1 }
+            org.apache.spark.sql.Row(qid, r.getLong(2), d)
           }
-          val cs = r.getSeq[Int](3)
-          var d = 0.0; var s = 0
-          while (s < nSub) { d += lutFor._2(s)(cs(s)); s += 1 }
-          org.apache.spark.sql.Row(qid, r.getLong(2), d)
-        }
-      }(adcEnc)
-    val wAdc = Window.partitionBy("query_id").orderBy(col("adc").asc, col("neighbor_id").asc)
-    val finalists = cands.withColumn("arnk", row_number().over(wAdc))
-      .filter(col("arnk") <= rerank)
-      .select("query_id", "neighbor_id")
-    // Exact rerank of the finalists only.
-    val exact = base.select(col("vec_id").as("neighbor_id"), col("unit").as("unit_c"))
-    val w = Window.partitionBy("query_id").orderBy(col("cos_raw").desc, col("neighbor_id").asc)
-    finalists
-      .join(probes, "query_id")
-      .join(exact, "neighbor_id")
-      .withColumn("cos_raw", dot("unit_q", "unit_c"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rnk"),
-        round(col("cos_raw"), 6).as("cos"))
+        }(adcEnc)
+      val wAdc = Window.partitionBy("query_id").orderBy(col("adc").asc, col("neighbor_id").asc)
+      val finalists = cands.withColumn("arnk", row_number().over(wAdc))
+        .filter(col("arnk") <= rerank)
+        .select("query_id", "neighbor_id")
+      // Exact rerank of the finalists only.
+      val exact = base.select(col("vec_id").as("neighbor_id"), col("unit").as("unit_c"))
+      val w = Window.partitionBy("query_id").orderBy(col("cos_raw").desc, col("neighbor_id").asc)
+      finalists
+        .join(probes, "query_id")
+        .join(exact, "neighbor_id")
+        .withColumn("cos_raw", dot("unit_q", "unit_c"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k)
+        .select(col("query_id"), col("neighbor_id"), col("rnk"),
+          round(col("cos_raw"), 6).as("cos"))
+    }
   }
 }

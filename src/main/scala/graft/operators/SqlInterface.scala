@@ -66,7 +66,11 @@ object CsvIo {
     import org.apache.spark.sql.types._
     val stats = Relational.userStats(spark, dir)
     val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
-    stats.coalesce(1).write.mode("overwrite")
+    // repartition(1), NOT coalesce(1): coalesce propagates upstream and
+    // would collapse the whole join+agg pipeline into a single task; the
+    // round-robin exchange keeps upstream parallel and only the final
+    // file write is single-task (the reference's single-CSV contract).
+    stats.repartition(1).write.mode("overwrite")
       .option("header", true).csv(s"$tmp/user_stats")
     val declared = StructType(Seq(
       StructField("custkey", LongType),
