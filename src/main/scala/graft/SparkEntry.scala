@@ -28,9 +28,9 @@ object SparkEntry {
     "q_user_stats"        -> Relational.userStats _,
     "q_accuracy"          -> Relational.accuracy _,
     "q_strengths"         -> Relational.strengths _,
-    "q_age_derivation"    -> Relational.ageDerivation _,
+    "q_age_derivation"    -> ((s: SparkSession, d: String) => Relational.ageDerivation(s, d)),
     "q_log_features"      -> Relational.logFeatures _,
-    "q_customer_features" -> Relational.customerFeatures _,
+    "q_customer_features" -> ((s: SparkSession, d: String) => Relational.customerFeatures(s, d)),
     "q_filter_pred"       -> Breadth.filterPred _,
     "q_pricing_summary"   -> Breadth.pricingSummary _,
     "q_topk_customers"    -> Breadth.topkCustomers _,

@@ -95,20 +95,29 @@ object Relational {
       .dropDuplicates()
   }
 
-  /** P1/F2-F4 analog: derived age column — datediff(to_date(lit), d)/365.
-    * (Oracle-facing variant uses the CORRECT 'yyyy-MM-dd' format; the
-    * reference's 'yyyy-mm-dd' bug Q1 is pinned in QuirkSpec instead.) */
-  def ageDerivation(spark: SparkSession, dir: String): DataFrame =
+  /** The pipeline's "today" anchor. With `referenceQuirks` on, the parse
+    * reproduces reference bug Q1 verbatim: `'yyyy-mm-dd'` uses mm =
+    * MINUTES (`/root/reference/utils/kmeans_utils.py:30`), so the month
+    * field defaults to January and every age shifts by ~5 months. Default
+    * off = the corrected `'yyyy-MM-dd'` (the oracle-facing mode); both
+    * modes are pinned in QuirkSpec. */
+  private def anchorDate(referenceQuirks: Boolean): Column =
+    to_date(lit("2016-06-16"), if (referenceQuirks) "yyyy-mm-dd" else "yyyy-MM-dd")
+
+  /** P1/F2-F4 analog: derived age column — datediff(to_date(lit), d)/365. */
+  def ageDerivation(spark: SparkSession, dir: String,
+      referenceQuirks: Boolean = false): DataFrame =
     Tables.load(spark, dir, "orders")
       .select(col("o_orderkey").as("orderkey"),
-        (datediff(to_date(lit("2016-06-16"), "yyyy-MM-dd"), col("o_orderdate"))
+        (datediff(anchorDate(referenceQuirks), col("o_orderdate"))
           / lit(365)).as("age"))
 
   /** Per-customer age from first order date (dob analog for the pipeline). */
-  def ages(spark: SparkSession, dir: String): DataFrame =
+  def ages(spark: SparkSession, dir: String,
+      referenceQuirks: Boolean = false): DataFrame =
     Tables.load(spark, dir, "orders")
       .groupBy(col("o_custkey").as("custkey"))
-      .agg((datediff(to_date(lit("2016-06-16"), "yyyy-MM-dd"),
+      .agg((datediff(anchorDate(referenceQuirks),
         min("o_orderdate")) / lit(365)).as("age"))
 
   /** P5/F6 analog: natural-log features over the A2 stats. Rounded to 6 dp
@@ -127,8 +136,9 @@ object Relational {
     * ages ⋈ buy-stats ⋈ accuracy, LEFT ⋈ strengths, then na.fill(0) —
     * quirks Q3 (positional features) and Q5 (blanket fill) preserved.
     */
-  def customerFeatures(spark: SparkSession, dir: String): DataFrame = {
-    val joined = ages(spark, dir)
+  def customerFeatures(spark: SparkSession, dir: String,
+      referenceQuirks: Boolean = false): DataFrame = {
+    val joined = ages(spark, dir, referenceQuirks)
       .join(userStats(spark, dir), Seq("custkey"))
       .join(accuracy(spark, dir), Seq("custkey"))
       .join(strengths(spark, dir), Seq("custkey"), "left")

@@ -102,17 +102,22 @@ object EventsStream {
     spark.table(name)
   }
 
-  /** Streaming deduplication: the source is unioned with itself (every
-    * event arrives twice — the at-least-once delivery a real pipeline
-    * sees), then `dropDuplicatesWithinWatermark` on the event id restores
-    * exactly-once counts. Watermark-scoped state is the 100 TB story:
-    * dedup memory tracks the watermark horizon, not the full history. */
+  /** Streaming deduplication: every event is delivered twice (the
+    * at-least-once delivery a real pipeline sees), then
+    * `dropDuplicatesWithinWatermark` on the event id restores
+    * exactly-once counts. The duplicates are synthesized map-side with an
+    * explode over the single source scan — a self-union of two
+    * `readStream`s would read and decode the parquet twice for the same
+    * semantics. Watermark-scoped state is the 100 TB story: dedup memory
+    * tracks the watermark horizon, not the full history. */
   def dedupCounts(spark: SparkSession, dir: String): DataFrame = {
-    def src = spark.readStream
+    val src = spark.readStream
       .schema(Tables.events)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val doubled = src.unionAll(src)
+    val doubled = src
+      .withColumn("delivery", explode(array(lit(0), lit(1))))
+      .drop("delivery")
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
     val agg = doubled.groupBy("event_type")

@@ -1,0 +1,62 @@
+package graft
+
+import graft.ml.Report
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Cross-checks and shape invariants for the queries whose output cannot
+  * be SQL-oracled (xxhash64-based sketches, ML-derived tables) — so fewer
+  * entries ride on a rows-only driver check. */
+class InvariantSpec extends SparkSpec {
+
+  test("simhash distance is consistent with the oracle-checked ngram Jaccard") {
+    // The ngram path is fully oracle-checked; pairs it scores at
+    // Jaccard >= 0.8 are near-exact copies. Two unrelated docs sit at
+    // Hamming distance ~32 ± 4 on a 64-bit simhash, so every high-Jaccard
+    // pair landing at <= 12 (P < 1e-6 per random pair) pins the sketch to
+    // the exact similarity measure. (The q_dedup_simhash query's own
+    // threshold of 3 is deliberately tighter — it targets byte-level
+    // copies, not paraphrase-level 0.8-Jaccard pairs.)
+    val high = Dedup.ngramJaccardPairs(spark, sf, 0.2)
+      .filter(col("jaccard") >= 0.8)
+      .select("id_a", "id_b")
+    assert(high.count() > 0, "fixture should contain near-exact duplicate docs")
+    val docs = Dedup.simhashDocs(spark, sf)
+    val hams = high
+      .join(docs.select(col("doc_id").as("id_a"), col("simhash").as("sa")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("simhash").as("sb")), "id_b")
+      .select(bit_count(col("sa").bitwiseXOR(col("sb"))).as("ham"))
+      .collect().map(_.getInt(0))
+    assert(hams.nonEmpty && hams.forall(_ <= 12),
+      s"simhash distances out of near-dup range: ${hams.mkString(",")}")
+    // (No reverse containment: on short docs, token-level simhash finds
+    // legitimate low-distance pairs that share no word 3-gram, so the
+    // distance-3 query output is NOT a subset of the ngram pairs.)
+  }
+
+  test("report table shape: per-k long-form rows = k x n_features, finite values") {
+    val rt = Report.reportTable(spark, sf).cache()
+    assert(rt.columns.toSeq == Seq("k", "cluster", "score", "feature", "value"))
+    val nFeatures = rt.select("feature").distinct().count()
+    assert(nFeatures > 0)
+    val perK = rt.groupBy("k").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    perK.foreach { case (k, n) =>
+      assert(n == k * nFeatures, s"k=$k rows=$n expected ${k * nFeatures}")
+    }
+    // cluster ids are 1..k within each k
+    val badCluster = rt.filter(col("cluster") < 1 || col("cluster") > col("k")).count()
+    assert(badCluster == 0)
+    assert(rt.filter(col("value").isNull).count() == 0)
+    rt.unpersist()
+  }
+
+  test("best-k shape: one row, k in scan range, silhouette in [-1,1], centers == k") {
+    val rows = Report.bestK(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getInt(0) >= 2 && r.getInt(0) <= 6)
+    assert(r.getDouble(1) >= -1.0 && r.getDouble(1) <= 1.0)
+    assert(r.getInt(2) == r.getInt(0))
+  }
+}

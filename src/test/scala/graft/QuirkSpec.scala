@@ -32,6 +32,28 @@ class QuirkSpec extends SparkSpec {
     assert(math.abs(age - reconstructed) < 1e-12)
   }
 
+  test("Q1 flag: referenceQuirks=true shifts every age by ~5 months, default mode does not") {
+    // Flag ON reproduces the reference's 'yyyy-mm-dd' anchor parse
+    // (2016-06-16 read as 2016-01-16): each age drops by exactly
+    // datediff(2016-06-16, 2016-01-16) = 152 days = 152/365 years.
+    val fixed = graft.operators.Relational.ages(spark, sf)
+      .withColumnRenamed("age", "age_fixed")
+    val quirk = graft.operators.Relational.ages(spark, sf, referenceQuirks = true)
+      .withColumnRenamed("age", "age_quirk")
+    val joined = fixed.join(quirk, "custkey")
+      .select((col("age_fixed") - col("age_quirk")).as("delta")).collect()
+    assert(joined.nonEmpty)
+    assert(joined.forall(r => math.abs(r.getDouble(0) - 152.0 / 365.0) < 1e-9))
+    // and the flag threads through the flagship pipeline
+    val cfQuirk = graft.operators.Relational
+      .customerFeatures(spark, sf, referenceQuirks = true)
+    val cfFixed = graft.operators.Relational.customerFeatures(spark, sf)
+    val d = cfFixed.select(col("custkey"), col("age").as("a1"))
+      .join(cfQuirk.select(col("custkey"), col("age").as("a2")), "custkey")
+      .select((col("a1") - col("a2")).as("delta")).collect()
+    assert(d.forall(r => math.abs(r.getDouble(0) - 152.0 / 365.0) < 1e-9))
+  }
+
   test("Q5: na.fill(0) is blanket — customers absent from strengths get 0.0") {
     val df = graft.operators.Relational.customerFeatures(spark, sf)
     assert(df.schema("strength").dataType.typeName == "double")
