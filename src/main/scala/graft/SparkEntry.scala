@@ -77,12 +77,14 @@ object SparkEntry {
     // structured streaming (north-star extension)
     "q_stream_hourly"   -> graft.streaming.EventsStream.hourlyCounts _,
     "q_stream_sessions" -> ((s: SparkSession, d: String) => graft.streaming.EventsStream.sessionize(s, d)),
+    "q_stream_sessions_tws" -> ((s: SparkSession, d: String) => graft.streaming.EventsStream.sessionizeTws(s, d)),
     // SQL-text interface + CSV source/sink parity
     "q_sql_tpch_q3"   -> SqlInterface.tpchQ3 _,
     "q_sql_above_avg" -> SqlInterface.aboveNationAvg _,
     "q_csv_roundtrip" -> CsvIo.roundTrip _,
     // scale techniques, correctness-checked
     "q_salted_agg"        -> ((s: SparkSession, d: String) => Scale.saltedEventTotals(s, d)),
+    "q_salted_skew_join"  -> ((s: SparkSession, d: String) => Scale.saltedSkewJoin(s, d)),
     "q_partitioned_write" -> Scale.partitionedRoundTrip _,
     "q_analytic_windows"  -> Scale.analyticWindows _,
     "q_median_balance"    -> Scale.medianBalance _,
@@ -124,6 +126,21 @@ object SparkEntry {
       |         SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS rev_dec
       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
       |  GROUP BY 1, 2)""".stripMargin
+
+  // gaps-and-islands replay of the stateful sessionizer (30-min gap);
+  // shared by both stateful-API variants (flatMapGroupsWithState and
+  // transformWithState), which must agree exactly.
+  private val sessionsOracleSql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS tsu FROM events),
+      |g AS (
+      |  SELECT user_id,
+      |         CASE WHEN LAG(tsu) OVER w IS NULL
+      |                OR tsu - LAG(tsu) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu))
+      |SELECT user_id, CAST(SUM(new_s) AS INT) AS n_sessions,
+      |       CAST(COUNT(*) AS INT) AS n_events
+      |FROM g GROUP BY 1""".stripMargin
 
   private val userStatsCte =
     s"""$orderRevCte,
@@ -462,18 +479,8 @@ object SparkEntry {
         |SELECT m.doc_id AS media_id, m.kind, m.n_bytes, 'f4' AS level,
         |       CAST(f.bucket AS INT) AS bucket, f.feat
         |FROM f4 f JOIN meta m USING (doc_id)""".stripMargin,
-    "q_stream_sessions" ->
-      // gaps-and-islands replay of the stateful sessionizer (30-min gap)
-      """WITH e AS (
-        |  SELECT user_id, epoch_us(ts) AS tsu FROM events),
-        |g AS (
-        |  SELECT user_id,
-        |         CASE WHEN LAG(tsu) OVER w IS NULL
-        |                OR tsu - LAG(tsu) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu))
-        |SELECT user_id, CAST(SUM(new_s) AS INT) AS n_sessions,
-        |       CAST(COUNT(*) AS INT) AS n_events
-        |FROM g GROUP BY 1""".stripMargin,
+    "q_stream_sessions" -> sessionsOracleSql,
+    "q_stream_sessions_tws" -> sessionsOracleSql,
     "q_stream_hourly" ->
       """SELECT CAST(FLOOR(EPOCH(ts) / 3600) * 3600 AS BIGINT) AS bucket_start,
         |       event_type,
@@ -507,6 +514,14 @@ object SparkEntry {
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
         |       COUNT(*) AS n_events
         |FROM events GROUP BY 1""".stripMargin,
+    "q_salted_skew_join" ->
+      """WITH ts AS (
+        |  SELECT event_type, MAX(value) AS max_value FROM events GROUP BY 1)
+        |SELECT e.event_type, COUNT(*) AS n_events,
+        |       COUNT(*) FILTER (WHERE e.value >= ts.max_value / 2) AS n_above_half,
+        |       MAX(ts.max_value) AS max_value
+        |FROM events e JOIN ts USING (event_type)
+        |GROUP BY e.event_type""".stripMargin,
     "q_partitioned_write" ->
       """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
         |       COUNT(*) AS n_orders,

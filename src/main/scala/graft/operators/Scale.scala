@@ -28,6 +28,36 @@ object Scale {
       .agg(sum("partial_sum").cast("double").as("total_value"),
         sum("partial_n").as("n_events"))
 
+  /** Salted SKEW JOIN — the join-side counterpart of
+    * [[saltedEventTotals]]. `event_type` has ~5 distinct values, so a
+    * plain shuffle join on it sends every row of a hot type to ONE
+    * reducer. The fix when BOTH sides are too large to broadcast (at
+    * 100 TB a per-key stats table can be billions of rows): salt the
+    * probe side (`pmod(event_id, S)`), replicate the build side ×S with
+    * an explode, and join on (key, salt) — per-key work now spreads over
+    * S reducers. `SHUFFLE_HASH` hint keeps the demo on the shuffle path
+    * (AQE would otherwise just broadcast this small build side).
+    *
+    * Output compares each event to its type's max: `max(value)` is an
+    * exact 2-dp double, `max/2` is an exact halving, so the >= comparison
+    * is engine-stable and the whole result hash-matches the unsalted
+    * oracle join. */
+  def saltedSkewJoin(spark: SparkSession, dir: String, saltBuckets: Int = 16): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val typeStats = e.groupBy("event_type")
+      .agg(max("value").as("max_value"))
+      .withColumn("salt",
+        explode(expr(s"sequence(0, ${saltBuckets - 1})")))
+    val salted = e.withColumn("salt",
+      pmod(col("event_id"), lit(saltBuckets)).cast("int"))
+    salted.hint("shuffle_hash")
+      .join(typeStats, Seq("event_type", "salt"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        count(when(col("value") >= col("max_value") / 2, 1)).as("n_above_half"),
+        max("max_value").as("max_value"))
+  }
+
   /** Partitioned-parquet sink + partition-pruned re-read: writes orders
     * partitioned by year, reads back ONLY one partition directory (the
     * pruning every date-ranged 100 TB scan depends on), returns that

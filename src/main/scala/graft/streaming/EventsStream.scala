@@ -3,7 +3,8 @@ package graft.streaming
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types.DecimalType
 
 /** Structured Streaming over the `events` table (SURVEY.md §7.3: streaming
@@ -127,6 +128,70 @@ object EventsStream {
       .format("memory").queryName(name).start()
     try q.processAllAvailable() finally q.stop()
     spark.table(name)
+  }
+
+  /** [[sessionize]]'s logic on the modern `transformWithState` API
+    * (Spark 4 arbitrary-state v2): explicit named `ValueState` via the
+    * processor handle instead of the single implicit `GroupState`. The
+    * per-batch scan is identical, so output matches the
+    * `q_stream_sessions` oracle row-for-row. */
+  final class SessionProcessor(gapMicros: Long)
+      extends StatefulProcessor[Long, Event, SessionSummary] {
+    @transient private var summary: ValueState[SessionSummary] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      summary = getHandle.getValueState[SessionSummary]("summary",
+        Encoders.product[SessionSummary], TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[SessionSummary] = {
+      val sorted = rows.toSeq.sortBy(_.tsMicros)
+      var sessions = 0
+      var last = Long.MinValue
+      sorted.foreach { e =>
+        if (last == Long.MinValue || e.tsMicros - last > gapMicros) sessions += 1
+        last = e.tsMicros
+      }
+      val prev =
+        if (summary.exists()) summary.get() else SessionSummary(uid, 0, 0)
+      val next = SessionSummary(uid, prev.n_sessions + sessions,
+        prev.n_events + sorted.size)
+      summary.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** Sessionization via `transformWithState` — requires the RocksDB state
+    * store (the API's only supported provider), which is also the provider
+    * a 100 TB stateful job wants: state lives off-heap/on-disk with
+    * changelog checkpointing instead of in executor heap. The conf is
+    * scoped to this query and restored afterwards. */
+  def sessionizeTws(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    val gapMicros = gapMinutes * 60L * 1000000L
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = spark.readStream
+        .schema(Tables.events)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .select(col("user_id"), expr("ts div 1000").as("tsMicros"),
+          col("value"))
+        .as[Event]
+      val out = src.groupByKey(_.user_id)
+        .transformWithState(new SessionProcessor(gapMicros),
+          TimeMode.None(), OutputMode.Update())
+      val name = s"stream_sessions_tws_${System.nanoTime()}"
+      val q = out.toDF().writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(name)
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None    => spark.conf.unset(key)
+    }
   }
 
   /** `foreachBatch` sink: each micro-batch is partially aggregated and
