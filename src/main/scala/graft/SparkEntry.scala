@@ -31,6 +31,7 @@ object SparkEntry {
     "q_age_derivation"    -> ((s: SparkSession, d: String) => Relational.ageDerivation(s, d)),
     "q_log_features"      -> Relational.logFeatures _,
     "q_customer_features" -> ((s: SparkSession, d: String) => Relational.customerFeatures(s, d)),
+    "q_customer_features_multi" -> Relational.customerFeaturesMulti _,
     "q_filter_pred"       -> Breadth.filterPred _,
     "q_pricing_summary"   -> Breadth.pricingSummary _,
     "q_topk_customers"    -> Breadth.topkCustomers _,
@@ -192,6 +193,26 @@ object SparkEntry {
          |  SELECT DISTINCT c_custkey AS custkey,
          |         CAST(n_regionkey AS DOUBLE) AS strength
          |  FROM customer JOIN nation ON c_nationkey = n_nationkey)
+         |SELECT a.custkey, a.age, s.avg_buy, s.min_buy, s.max_buy,
+         |       x.accuracy, COALESCE(st.strength, 0) AS strength
+         |FROM ages a
+         |JOIN stats s USING (custkey)
+         |JOIN acc x USING (custkey)
+         |LEFT JOIN strengths st USING (custkey)""".stripMargin,
+    "q_customer_features_multi" ->
+      s"""WITH $userStatsCte,
+         |ages AS (
+         |  SELECT o_custkey AS custkey,
+         |         DATE_DIFF('day', CAST(MIN(o_orderdate) AS DATE), DATE '2016-06-16') / 365.0 AS age
+         |  FROM orders GROUP BY 1),
+         |acc AS (
+         |  SELECT user_id AS custkey,
+         |         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS accuracy
+         |  FROM events GROUP BY 1),
+         |strengths AS (
+         |  SELECT DISTINCT o_custkey AS custkey,
+         |         CAST(SUBSTR(o_orderpriority, 1, 1) AS DOUBLE) AS strength
+         |  FROM orders)
          |SELECT a.custkey, a.age, s.avg_buy, s.min_buy, s.max_buy,
          |       x.accuracy, COALESCE(st.strength, 0) AS strength
          |FROM ages a

@@ -95,6 +95,31 @@ object Relational {
       .dropDuplicates()
   }
 
+  /** Q6 emulation: multi-valued strengths dim. The reference's
+    * `strengths` dedups on (userId, strength) PAIRS
+    * (`/root/reference/utils/kmeans_utils.py:48`) — a user on several
+    * teams keeps one row per distinct strength, and the later left join
+    * then DUPLICATES that user's feature rows, so K-Means sees them as
+    * distinct weighted points. The customer→nation re-target is 1:1 and
+    * makes that quirk structurally invisible, so this variant rebuilds a
+    * genuinely multi-valued dim from order priorities: a customer
+    * ordering at 3 distinct priorities keeps 3 strength rows. */
+  def strengthsMulti(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .select(col("o_custkey").as("custkey"),
+        substring(col("o_orderpriority"), 1, 1).cast("double").as("strength"))
+      .dropDuplicates()
+
+  /** [[customerFeatures]] against the multi-valued dim — reproduces Q6's
+    * duplicated-feature-row semantics end-to-end (oracle-checked). */
+  def customerFeaturesMulti(spark: SparkSession, dir: String): DataFrame = {
+    val joined = ages(spark, dir)
+      .join(userStats(spark, dir), Seq("custkey"))
+      .join(accuracy(spark, dir), Seq("custkey"))
+      .join(strengthsMulti(spark, dir), Seq("custkey"), "left")
+    joined.na.fill(0)
+  }
+
   /** The pipeline's "today" anchor. With `referenceQuirks` on, the parse
     * reproduces reference bug Q1 verbatim: `'yyyy-mm-dd'` uses mm =
     * MINUTES (`/root/reference/utils/kmeans_utils.py:30`), so the month

@@ -54,6 +54,14 @@ class QuirkSpec extends SparkSpec {
     assert(d.forall(r => math.abs(r.getDouble(0) - 152.0 / 365.0) < 1e-9))
   }
 
+  test("Q6: a multi-valued strengths dim duplicates feature rows through the left join") {
+    val df = graft.operators.Relational.customerFeaturesMulti(spark, sf)
+    val rows = df.count()
+    val users = df.select("custkey").distinct().count()
+    assert(rows > users,
+      s"expected duplicated feature rows (Q6), got rows=$rows users=$users")
+  }
+
   test("Q5: na.fill(0) is blanket — customers absent from strengths get 0.0") {
     val df = graft.operators.Relational.customerFeatures(spark, sf)
     assert(df.schema("strength").dataType.typeName == "double")
