@@ -106,15 +106,17 @@ object Similarity {
       k: Int = 5,
       nProbes: Int = 10,
       nlist: Int = 16,
-      nprobe: Int = 6): DataFrame = {
+      nprobe: Int = 6,
+      trainFraction: Double = 0.25,
+      trainIters: Int = 8): DataFrame = {
     val base = normalized(spark, dir)
     Tables.withCached(base) {
       val vecs = base.withColumn("features", array_to_vector(col("unit")))
       // Train the coarse quantizer on a seeded sample with few iterations —
       // quantizer quality needs only the density shape, not convergence, and
       // at corpus scale full-data training would dominate the build.
-      val trainSample = vecs.sample(withReplacement = false, 0.5, seed = 1L)
-      val km = new KMeans().setK(nlist).setSeed(1L).setMaxIter(16)
+      val trainSample = vecs.sample(withReplacement = false, trainFraction, seed = 1L)
+      val km = new KMeans().setK(nlist).setSeed(1L).setMaxIter(trainIters)
         .setFeaturesCol("features")
         .setPredictionCol("list_id").fit(trainSample)
       // Inverted lists: corpus partitioned by coarse cell.
