@@ -37,7 +37,7 @@ object SparkEntry {
     "q_topk_customers"    -> Breadth.topkCustomers _,
     "q_sort_limit"        -> Breadth.sortLimit _,
     "q_set_ops"           -> Breadth.setOps _,
-    "q_window_rank"       -> Breadth.windowRank _,
+    "q_window_rank"       -> ((s: SparkSession, d: String) => Breadth.windowRank(s, d)),
     "q_window_running"    -> Breadth.windowRunning _,
     "q_window_lag"        -> Breadth.windowLag _,
     "q_semi_join"         -> Breadth.semiJoin _,

@@ -89,14 +89,28 @@ object Breadth {
       .select(col("c_custkey").as("custkey"))
   }
 
-  /** Ranking window functions over a dim-broadcast join. */
-  def windowRank(spark: SparkSession, dir: String): DataFrame = {
+  /** Ranking window functions over a dim-broadcast join, computed as a
+    * TWO-PHASE top-k. A single window partitioned by nation caps
+    * parallelism at 25 partitions (and serializes on the largest nation
+    * at scale), so phase 1 takes a partial top-5 per (nation,
+    * hash-bucket) — parallelism nations × buckets — and phase 2 ranks
+    * only the ≤ nations × buckets × 5 survivors. The ordering key
+    * includes the unique custkey, so the nation top-5 is always a subset
+    * of the per-bucket top-5s and rank() == row_number(): results are
+    * identical to the single-window plan. */
+  def windowRank(spark: SparkSession, dir: String, buckets: Int = 32): DataFrame = {
     val c = Tables.load(spark, dir, "customer")
     val n = Tables.load(spark, dir, "nation")
-    val w = Window.partitionBy("n_name").orderBy(col("c_acctbal").desc, col("c_custkey").asc)
-    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+    val joined = c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .select(col("c_custkey").as("custkey"), col("n_name").as("nation"),
-        col("c_acctbal").as("acctbal"),
+        col("c_acctbal").as("acctbal"))
+    val wb = Window.partitionBy(col("nation"), pmod(col("custkey"), lit(buckets)))
+      .orderBy(col("acctbal").desc, col("custkey").asc)
+    val survivors = joined.withColumn("rn_b", row_number().over(wb))
+      .filter(col("rn_b") <= 5).drop("rn_b")
+    val w = Window.partitionBy("nation")
+      .orderBy(col("acctbal").desc, col("custkey").asc)
+    survivors.select(col("custkey"), col("nation"), col("acctbal"),
         row_number().over(w).as("rn"),
         rank().over(w).as("rnk"))
       .filter(col("rn") <= 5)

@@ -79,22 +79,31 @@ object Similarity {
       .withColumn("sigbits", expr(
         "transform(planes, pl -> IF(aggregate(zip_with(emb_d, pl, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v) >= 0, 1, 0))"))
       .drop("planes")
-    val rowsPerBand = nBits / nBands
-    val banded = base.withColumn("band", explode(expr(
-        s"transform(sequence(0, ${nBands - 1}), k -> named_struct('band_idx', k, 'band_val', slice(sigbits, k * $rowsPerBand + 1, $rowsPerBand)))")))
-      .select(col("vec_id"), col("emb_d"), col("nrm"),
-        col("band.band_idx"), col("band.band_val"))
-    val a = banded.select(col("band_idx"), col("band_val"),
-      col("vec_id").as("id_a"), col("emb_d").as("emb_a"), col("nrm").as("na"))
-    val b = banded.select(col("band_idx"), col("band_val"),
-      col("vec_id").as("id_b"), col("emb_d").as("emb_b"), col("nrm").as("nb"))
-    a.join(b, Seq("band_idx", "band_val"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (dot("emb_a", "emb_b") / (col("na") * col("nb"))).as("cos"))
-      .distinct()
-      .filter(col("cos") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+    Tables.withCached(base) {
+      // Candidate mining is SKINNY: only (band, vec_id) rides the band
+      // join and only (id_a, id_b) is deduped — the 64-dim payloads would
+      // otherwise be shuffled once per shared band (up to nBands copies
+      // per pair). Vectors are fetched by id afterwards, once per unique
+      // candidate pair, and cosine is computed exactly once.
+      val rowsPerBand = nBits / nBands
+      val banded = base.withColumn("band", explode(expr(
+          s"transform(sequence(0, ${nBands - 1}), k -> named_struct('band_idx', k, 'band_val', slice(sigbits, k * $rowsPerBand + 1, $rowsPerBand)))")))
+        .select(col("vec_id"), col("band.band_idx"), col("band.band_val"))
+      val a = banded.select(col("band_idx"), col("band_val"), col("vec_id").as("id_a"))
+      val b = banded.select(col("band_idx"), col("band_val"), col("vec_id").as("id_b"))
+      val cands = a.join(b, Seq("band_idx", "band_val"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+      val embA = base.select(col("vec_id").as("id_a"),
+        col("emb_d").as("emb_a"), col("nrm").as("na"))
+      val embB = base.select(col("vec_id").as("id_b"),
+        col("emb_d").as("emb_b"), col("nrm").as("nb"))
+      cands.join(embA, "id_a").join(embB, "id_b")
+        .withColumn("cos", dot("emb_a", "emb_b") / (col("na") * col("nb")))
+        .filter(col("cos") >= threshold)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+    }
   }
 
   /** IVF-Flat ANN: nlist-way KMeans coarse quantizer, nprobe-list search.
