@@ -86,6 +86,8 @@ object SparkEntry {
     // scale techniques, correctness-checked
     "q_salted_agg"        -> ((s: SparkSession, d: String) => Scale.saltedEventTotals(s, d)),
     "q_salted_skew_join"  -> ((s: SparkSession, d: String) => Scale.saltedSkewJoin(s, d)),
+    "q_stratified_sample" -> Scale.stratifiedSample _,
+    "q_kafka_shape"       -> graft.streaming.KafkaShaped.roundTrip _,
     "q_partitioned_write" -> Scale.partitionedRoundTrip _,
     "q_analytic_windows"  -> Scale.analyticWindows _,
     "q_median_balance"    -> Scale.medianBalance _,
@@ -534,6 +536,23 @@ object SparkEntry {
       """SELECT event_type,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
         |       COUNT(*) AS n_events
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_stratified_sample" ->
+      """SELECT c_mktsegment AS mktsegment, COUNT(*) AS n_sampled
+        |FROM customer
+        |WHERE (c_custkey * 2654435761) % 4294967296 <
+        |      CASE c_mktsegment
+        |        WHEN 'BUILDING'   THEN CAST(214748360 AS BIGINT)
+        |        WHEN 'AUTOMOBILE' THEN CAST(429496720 AS BIGINT)
+        |        WHEN 'MACHINERY'  THEN CAST(858993440 AS BIGINT)
+        |        WHEN 'FURNITURE'  THEN CAST(2147483600 AS BIGINT)
+        |        WHEN 'HOUSEHOLD'  THEN CAST(4294967200 AS BIGINT)
+        |        ELSE CAST(0 AS BIGINT) END
+        |GROUP BY 1""".stripMargin,
+    "q_kafka_shape" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |       MAX(epoch_us(ts)) AS max_ts
         |FROM events GROUP BY 1""".stripMargin,
     "q_salted_skew_join" ->
       """WITH ts AS (

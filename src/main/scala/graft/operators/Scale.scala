@@ -185,6 +185,28 @@ object Scale {
       .select(col("c_custkey").as("custkey"),
         col("c_mktsegment").as("mktsegment"), col("h").as("hash_val"))
 
+  /** Deterministic STRATIFIED sampling — `sampleBy`'s semantics on the
+    * same engine-stable hash as [[hashSample]] (seeded `sampleBy` draws
+    * depend on partition layout, so it can't be reproduced by another
+    * engine or even another run of the same job with different
+    * parallelism). Per-stratum rates: a different keep-fraction per
+    * market segment, e.g. downsampling the dominant segments of a skewed
+    * corpus while keeping all of a rare one — the class-rebalancing step
+    * of a training-data pipeline. Exact integer thresholds → DuckDB
+    * replays it bit-for-bit. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val rates = Map("BUILDING" -> 5L, "AUTOMOBILE" -> 10L, "MACHINERY" -> 20L,
+      "FURNITURE" -> 50L, "HOUSEHOLD" -> 100L) // percent kept per stratum
+    val rateCol = rates.foldLeft(lit(0L)) { case (acc, (seg, pct)) =>
+      when(col("c_mktsegment") === seg, lit(4294967296L / 100 * pct)).otherwise(acc)
+    }
+    Tables.load(spark, dir, "customer")
+      .withColumn("h", pmod(col("c_custkey") * lit(2654435761L), lit(4294967296L)))
+      .filter(col("h") < rateCol)
+      .groupBy(col("c_mktsegment").as("mktsegment"))
+      .agg(count(lit(1)).as("n_sampled"))
+  }
+
   /** Range join via binning: classify events into fixed-width value bands.
     * The naive plan is a non-equi theta-join (every row × every band — a
     * broadcast nested loop that dies at scale); computing the band key
