@@ -214,7 +214,14 @@ object Scale {
     * comparison explosion. The bands table stays a real (broadcast) join
     * so band metadata lives in data, not code. */
   def binnedRangeJoin(spark: SparkSession, dir: String, width: Int = 50): DataFrame = {
-    val bands = spark.range(0, 10).select(
+    // The band dim must cover the data domain or the inner join silently
+    // drops out-of-range rows (bit us at sf0.1: values crossed the old
+    // static 10-band ceiling). One O(n) scalar reduce sizes it — cheap at
+    // any scale, and the dim stays a broadcast table.
+    val maxValue = Tables.load(spark, dir, "events")
+      .agg(max("value")).head().getDouble(0)
+    val nBands = math.floor(maxValue / width).toLong + 1
+    val bands = spark.range(0, nBands).select(
       col("id").cast("int").as("band_id"),
       (col("id") * width).cast("double").as("lo"),
       ((col("id") + 1) * width).cast("double").as("hi"))
