@@ -62,6 +62,7 @@ object SparkEntry {
     "q_dedup_minhash"   -> ((s: SparkSession, d: String) => Dedup.minhashPairs(s, d)),
     "q_dedup_simhash"   -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     "q_dedup_ngram"     -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d)),
+    "q_dedup_ngram_prefix" -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairsPrefix(s, d)),
     "q_dedup_embedding" -> ((s: SparkSession, d: String) => Dedup.embeddingPairs(s, d, 0.4)),
     // similarity search (north-star extension)
     "q_ann_brute" -> ((s: SparkSession, d: String) => Similarity.bruteTopK(s, d)),
@@ -129,6 +130,15 @@ object SparkEntry {
       |         SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS rev_dec
       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
       |  GROUP BY 1, 2)""".stripMargin
+
+  // exhaustive lang-blocked Jaccard; shared by the full inverted-index
+  // formulation and its PPJoin prefix-filtered variant, which must agree.
+  private lazy val ngramOracleSql =
+    s"""WITH $shinglesCte
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |       ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)), 6) AS jaccard
+       |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) >= 0.2""".stripMargin
 
   // gaps-and-islands replay of the stateful sessionizer (30-min gap);
   // shared by both stateful-API variants (flatMapGroupsWithState and
@@ -379,12 +389,8 @@ object SparkEntry {
          |       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) AS jaccard
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) >= 0.8""".stripMargin,
-    "q_dedup_ngram" ->
-      s"""WITH $shinglesCte
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |       ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)), 6) AS jaccard
-         |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) >= 0.2""".stripMargin,
+    "q_dedup_ngram" -> ngramOracleSql,
+    "q_dedup_ngram_prefix" -> ngramOracleSql, // identical output by the prefix-filtering theorem
     "q_dedup_embedding" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |       ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))

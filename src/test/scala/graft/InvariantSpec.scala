@@ -34,6 +34,15 @@ class InvariantSpec extends SparkSpec {
     // distance-3 query output is NOT a subset of the ngram pairs.)
   }
 
+  test("prefix-filtered ngram pairs equal the full inverted-index pairs") {
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = asSet(Dedup.ngramJaccardPairs(spark, sf, 0.2))
+    val pref = asSet(Dedup.ngramJaccardPairsPrefix(spark, sf, 0.2))
+    assert(full.nonEmpty)
+    assert(pref == full, s"missing=${full -- pref} extra=${pref -- full}")
+  }
+
   test("report table shape: per-k long-form rows = k x n_features, finite values") {
     val rt = Report.reportTable(spark, sf).cache()
     assert(rt.columns.toSeq == Seq("k", "cluster", "score", "feature", "value"))
