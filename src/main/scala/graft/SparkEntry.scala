@@ -63,6 +63,7 @@ object SparkEntry {
     "q_dedup_simhash"   -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     "q_dedup_ngram"     -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d)),
     "q_dedup_ngram_prefix" -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairsPrefix(s, d)),
+    "q_dedup_components" -> ((s: SparkSession, d: String) => Dedup.dedupComponents(s, d)),
     "q_dedup_embedding" -> ((s: SparkSession, d: String) => Dedup.embeddingPairs(s, d, 0.4)),
     // similarity search (north-star extension)
     "q_ann_brute" -> ((s: SparkSession, d: String) => Similarity.bruteTopK(s, d)),
@@ -391,6 +392,22 @@ object SparkEntry {
          |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) >= 0.8""".stripMargin,
     "q_dedup_ngram" -> ngramOracleSql,
     "q_dedup_ngram_prefix" -> ngramOracleSql, // identical output by the prefix-filtering theorem
+    "q_dedup_components" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) >= 0.2),
+         |edges AS (
+         |  SELECT id_a AS s, id_b AS d FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(s, d) AS (
+         |  SELECT s, d FROM edges
+         |  UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+         |comp AS (
+         |  SELECT s AS doc_id, LEAST(s, MIN(d)) AS component_id
+         |  FROM reach GROUP BY s)
+         |SELECT doc_id, component_id FROM comp""".stripMargin,
     "q_dedup_embedding" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |       ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))

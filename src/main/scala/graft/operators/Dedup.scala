@@ -224,6 +224,46 @@ object Dedup {
     }
   }
 
+  /** Connected components over the near-dup pair graph — the step that
+    * turns pairwise matches into dedup CLUSTERS with one canonical keeper
+    * (min doc_id) per cluster, so "keep one copy" is well-defined even
+    * when duplicates chain A~B~C without A~C matching directly.
+    *
+    * Min-label propagation: every vertex starts as its own component and
+    * repeatedly takes the minimum label among itself and its neighbors;
+    * convergence in O(graph diameter) rounds, each one distributed
+    * join + aggregate (near-dup components are shallow in practice —
+    * this is the join-formulated version of the large-star/small-star
+    * MapReduce CC algorithm). Lineage is truncated per round
+    * (localCheckpoint), so plans stay flat no matter the round count.
+    * The driver-side loop holds only a changed-row COUNT, never data. */
+  def dedupComponents(spark: SparkSession, dir: String, threshold: Double = 0.2): DataFrame = {
+    val edges = ngramJaccardPairsPrefix(spark, dir, threshold)
+      .select("id_a", "id_b")
+    val adj = edges.unionAll(
+      edges.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .localCheckpoint(true)
+    var labels = adj.select(col("id_a").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 30) {
+      val nbrMin = adj
+        .join(labels.select(col("id").as("id_b"), col("comp").as("nbr_comp")), "id_b")
+        .groupBy(col("id_a").as("id"))
+        .agg(min("nbr_comp").as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("comp"),
+          least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp_next"))
+        .localCheckpoint(true)
+      changed = next.filter(col("comp_next") < col("comp")).count()
+      labels = next.select(col("id"), col("comp_next").as("comp"))
+      rounds += 1
+    }
+    labels.select(col("id").as("doc_id"), col("comp").as("component_id"))
+  }
+
   // ---- embedding near-dup --------------------------------------------
 
   /** Embedding cosine near-dup pairs. Exact all-pairs within the corpus —
