@@ -84,6 +84,36 @@ object TextAnalysis {
         .otherwise("und").as("pred_lang"))
   }
 
+  /** End-to-end corpus CURATION — the composed filter chain a
+    * training-data pipeline runs before tokenization, every stage one of
+    * this engine's oracle-checked operators:
+    *   1. exact dedup: keep the min doc_id per identical text;
+    *   2. quality gate: [[qualityScore]] ≥ 0.5;
+    *   3. language gate: [[langId]] ≠ "und";
+    *   4. near-dup gate: drop any doc with a STRICT near-duplicate of
+    *      smaller id (pairwise keep-first at Jaccard ≥ 0.5 — the simple
+    *      deterministic rule; transitive-closure clustering is
+    *      [[Dedup.dedupComponents]]'s job).
+    * All four run as one declarative plan — Catalyst sees the whole
+    * chain, so column pruning and the semi/anti joins compose instead of
+    * materializing intermediate corpora (the reason curation belongs IN
+    * the engine rather than as four scripted passes over storage). */
+  def curateCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val exactKeep = docs.groupBy("text").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val nearLosers = Dedup.ngramJaccardPairsPrefix(spark, dir, 0.5)
+      .select(col("id_b").as("doc_id")).distinct()
+    docs.select("doc_id")
+      .join(exactKeep, Seq("doc_id"), "left_semi")
+      .join(qualityScore(spark, dir).select("doc_id", "quality"), "doc_id")
+      .filter(col("quality") >= 0.5)
+      .join(langId(spark, dir).select("doc_id", "pred_lang"), "doc_id")
+      .filter(col("pred_lang") =!= "und")
+      .join(nearLosers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("pred_lang"), col("quality"))
+  }
+
   /** Content fingerprinting (rows-only — xxhash64 has no oracle analog):
     *   - `kr_fp`: Karp–Rabin polynomial rolling hash of the token stream;
     *   - `winnow`: winnowing sketch — min-hash of each 5-wide window over
