@@ -90,6 +90,8 @@ object SparkEntry {
     "q_salted_agg"        -> ((s: SparkSession, d: String) => Scale.saltedEventTotals(s, d)),
     "q_salted_skew_join"  -> ((s: SparkSession, d: String) => Scale.saltedSkewJoin(s, d)),
     "q_stratified_sample" -> Scale.stratifiedSample _,
+    "q_typed_udaf"        -> Scale.typedUdaf _,
+    "q_observed_stats"    -> Scale.observedStats _,
     "q_kafka_shape"       -> graft.streaming.KafkaShaped.roundTrip _,
     "q_partitioned_write" -> Scale.partitionedRoundTrip _,
     "q_analytic_windows"  -> Scale.analyticWindows _,
@@ -598,6 +600,16 @@ object SparkEntry {
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
         |       COUNT(*) AS n_events
         |FROM events GROUP BY 1""".stripMargin,
+    "q_typed_udaf" ->
+      """SELECT event_type,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mean_value,
+        |       COUNT(*) AS n_events
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_observed_stats" ->
+      """SELECT COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_high_disc
+        |FROM lineitem""".stripMargin,
     "q_stratified_sample" ->
       """SELECT c_mktsegment AS mktsegment, COUNT(*) AS n_sampled
         |FROM customer

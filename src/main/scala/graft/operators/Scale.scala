@@ -163,6 +163,39 @@ object Scale {
       .toDF("mktsegment", "n_customers", "total_bal")
   }
 
+  /** Custom typed aggregate ([[graft.functions.TypedAggregates.ExactMean]]
+    * via `udaf`) applied per event type — the UDAF extension surface,
+    * exercised through the same decimal-exact discipline as the built-in
+    * aggregates so the oracle hash-matches. */
+  def typedUdaf(spark: SparkSession, dir: String): DataFrame = {
+    val exactMean = udaf(graft.functions.TypedAggregates.ExactMean)
+    Tables.load(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(exactMean(col("value")).as("mean_value"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** Observable metrics (`df.observe`): row-count and decimal-sum
+    * invariants collected DURING the scan by accumulators — the way a
+    * 100 TB job tracks data-quality counters without a second pass over
+    * the input. The observed values are returned as a one-row frame and
+    * hash-match the oracle's direct aggregation. */
+  def observedStats(spark: SparkSession, dir: String): DataFrame = {
+    val obs = new org.apache.spark.sql.Observation()
+    val li = Tables.load(spark, dir, "lineitem")
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).as("qty_dec"),
+        count(when(col("l_discount") > 0.05, 1)).as("n_high_disc"))
+    li.write.mode("overwrite").format("noop").save() // one pass, no output
+    val m = obs.get
+    import spark.implicits._
+    Seq((m("n_rows").asInstanceOf[Long],
+      m("qty_dec").asInstanceOf[java.math.BigDecimal].doubleValue(),
+      m("n_high_disc").asInstanceOf[Long]))
+      .toDF("n_rows", "sum_qty", "n_high_disc")
+  }
+
   /** Exact interpolated median per segment (Spark `percentile` ==
     * DuckDB `quantile_cont`). */
   def medianBalance(spark: SparkSession, dir: String): DataFrame =
