@@ -92,6 +92,7 @@ object SparkEntry {
     "q_stratified_sample" -> Scale.stratifiedSample _,
     "q_typed_udaf"        -> Scale.typedUdaf _,
     "q_observed_stats"    -> Scale.observedStats _,
+    "q_approx_quantiles"  -> Scale.approxQuantiles _,
     "q_kafka_shape"       -> graft.streaming.KafkaShaped.roundTrip _,
     "q_partitioned_write" -> Scale.partitionedRoundTrip _,
     "q_analytic_windows"  -> Scale.analyticWindows _,

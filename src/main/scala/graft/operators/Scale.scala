@@ -205,6 +205,22 @@ object Scale {
         round(expr("percentile(c_acctbal, 0.9)"), 4).as("p90_bal"),
         count(lit(1)).as("n"))
 
+  /** Approximate quantiles (`percentile_approx`, Greenwald-Khanna-style
+    * mergeable sketch) beside their exact counterparts. At 100 TB exact
+    * percentile needs a full sort per group; the sketch is one pass,
+    * mergeable map-side, with bounded error — the spec pins
+    * |approx − exact| against the p90−p10 spread per group. Rows-only
+    * driver check (sketch results aren't cross-engine reproducible). */
+  def approxQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        expr("percentile_approx(value, 0.5, 10000)").as("p50_approx"),
+        expr("percentile(value, 0.5)").as("p50_exact"),
+        expr("percentile_approx(value, 0.9, 10000)").as("p90_approx"),
+        expr("percentile(value, 0.9)").as("p90_exact"),
+        expr("percentile(value, 0.1)").as("p10_exact"))
+
   /** Deterministic hash sampling: a ~10% sample selected by a Knuth
     * multiplicative hash of the key — reproducible across runs, engines,
     * and partitionings (unlike seeded `sample()`, whose draw depends on

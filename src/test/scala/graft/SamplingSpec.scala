@@ -35,6 +35,18 @@ class SamplingSpec extends SparkSpec {
     assert(c.stat.sampleBy("c_mktsegment", fractions, 42L).count() == n)
   }
 
+  test("percentile_approx lands within the p10-p90 spread tolerance of exact") {
+    val rows = graft.operators.Scale.approxQuantiles(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val spread = r.getDouble(4) /* p90_exact */ - r.getDouble(5) /* p10_exact */
+      assert(math.abs(r.getDouble(1) - r.getDouble(2)) <= 0.05 * spread + 1e-9,
+        s"p50 off for ${r.getString(0)}: approx=${r.getDouble(1)} exact=${r.getDouble(2)}")
+      assert(math.abs(r.getDouble(3) - r.getDouble(4)) <= 0.05 * spread + 1e-9,
+        s"p90 off for ${r.getString(0)}")
+    }
+  }
+
   test("TABLESAMPLE via SQL text parses and bounds the scan") {
     Tables.load(spark, sf, "customer").createOrReplaceTempView("customer_ts")
     val n = spark.sql(
