@@ -21,47 +21,67 @@ import org.apache.spark.sql.types.DecimalType
   */
 object EventsStream {
 
+  /** Run `body` with `spark.sql.shuffle.partitions` scoped to `n`,
+    * restoring the session value afterwards. Stateful streaming queries
+    * allocate ONE state store per shuffle partition per operator; the
+    * session default (32, sized for the batch fact tables) would spin 32
+    * stores for streams whose state is a few thousand keys. Sizing the
+    * stream's partitioning to its key cardinality is the same knob a
+    * 100 TB job turns — in the other direction. The conf is read at
+    * query START, so scoping it around start()/processAllAvailable() is
+    * exact. */
+  private def withStreamPartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Streamed tumbling-1h aggregation with a 1-hour watermark; memory-sink
     * complete mode. Matches the batch `q_events_hourly` oracle exactly. */
   def hourlyCounts(spark: SparkSession, dir: String): DataFrame = {
-    val src = spark.readStream
-      .schema(Tables.events)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
-    val agg = src
-      .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
-      .select(unix_timestamp(col("window.start")).as("bucket_start"),
-        col("event_type"), col("n_events"), col("total_value"))
-    val name = s"stream_hourly_${System.nanoTime()}"
-    val q = agg.writeStream.outputMode(OutputMode.Complete())
-      .format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+    withStreamPartitions(spark, 8) {
+      val src = spark.readStream
+        .schema(Tables.events)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      val agg = src
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+        .select(unix_timestamp(col("window.start")).as("bucket_start"),
+          col("event_type"), col("n_events"), col("total_value"))
+      val name = s"stream_hourly_${System.nanoTime()}"
+      val q = agg.writeStream.outputMode(OutputMode.Complete())
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(name)
+  }
   }
 
   /** Streamed SLIDING-window aggregation (2h window, 1h slide): every event
     * lands in two windows. The oracle replays the same semantics in SQL as
     * a union of the two shifted tumbling buckets. */
   def slidingCounts(spark: SparkSession, dir: String): DataFrame = {
-    val src = spark.readStream
-      .schema(Tables.events)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
-    val agg = src
-      .withWatermark("ts", "2 hours")
-      .groupBy(window(col("ts"), "2 hours", "1 hour"))
-      .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
-      .select(unix_timestamp(col("window.start")).as("wstart"),
-        col("n_events"), col("total_value"))
-    val name = s"stream_sliding_${System.nanoTime()}"
-    val q = agg.writeStream.outputMode(OutputMode.Complete())
-      .format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+    withStreamPartitions(spark, 8) {
+      val src = spark.readStream
+        .schema(Tables.events)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      val agg = src
+        .withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "2 hours", "1 hour"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+        .select(unix_timestamp(col("window.start")).as("wstart"),
+          col("n_events"), col("total_value"))
+      val name = s"stream_sliding_${System.nanoTime()}"
+      val q = agg.writeStream.outputMode(OutputMode.Complete())
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(name)
+  }
   }
 
   final case class Event(user_id: Long, tsMicros: Long, value: Double)
@@ -73,6 +93,7 @@ object EventsStream {
   def sessionize(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
     import spark.implicits._
     val gapMicros = gapMinutes * 60L * 1000000L
+    withStreamPartitions(spark, 8) {
     val src = spark.readStream
       .schema(Tables.events)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
@@ -101,6 +122,7 @@ object EventsStream {
       .format("memory").queryName(name).start()
     try q.processAllAvailable() finally q.stop()
     spark.table(name)
+    }
   }
 
   /** Streaming deduplication: every event is delivered twice (the
@@ -112,22 +134,24 @@ object EventsStream {
     * semantics. Watermark-scoped state is the 100 TB story: dedup memory
     * tracks the watermark horizon, not the full history. */
   def dedupCounts(spark: SparkSession, dir: String): DataFrame = {
-    val src = spark.readStream
-      .schema(Tables.events)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val doubled = src
-      .withColumn("delivery", explode(array(lit(0), lit(1))))
-      .drop("delivery")
-      .withWatermark("ts", "2 hours")
-      .dropDuplicatesWithinWatermark("event_id")
-    val agg = doubled.groupBy("event_type")
-      .agg(count(lit(1)).as("n_events"))
-    val name = s"stream_dedup_${System.nanoTime()}"
-    val q = agg.writeStream.outputMode(OutputMode.Complete())
-      .format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+    withStreamPartitions(spark, 8) {
+      val src = spark.readStream
+        .schema(Tables.events)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val doubled = src
+        .withColumn("delivery", explode(array(lit(0), lit(1))))
+        .drop("delivery")
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark("event_id")
+      val agg = doubled.groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"))
+      val name = s"stream_dedup_${System.nanoTime()}"
+      val q = agg.writeStream.outputMode(OutputMode.Complete())
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(name)
+  }
   }
 
   /** [[sessionize]]'s logic on the modern `transformWithState` API
@@ -173,7 +197,7 @@ object EventsStream {
     val prev = spark.conf.getOption(key)
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    try withStreamPartitions(spark, 8) {
       val src = spark.readStream
         .schema(Tables.events)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
@@ -201,6 +225,7 @@ object EventsStream {
     * equals the all-at-once batch aggregate bit-for-bit. */
   def foreachBatchTotals(spark: SparkSession, dir: String): DataFrame = {
     val out = java.nio.file.Files.createTempDirectory("graft_fb").toString
+    withStreamPartitions(spark, 8) {
     val src = spark.readStream
       .schema(Tables.events)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
@@ -220,5 +245,6 @@ object EventsStream {
       .groupBy("event_type")
       .agg(sum("partial_sum").cast("double").as("total_value"),
         sum("partial_n").as("n_events"))
+    }
   }
 }
