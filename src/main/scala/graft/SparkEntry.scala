@@ -93,6 +93,7 @@ object SparkEntry {
     "q_typed_udaf"        -> Scale.typedUdaf _,
     "q_observed_stats"    -> Scale.observedStats _,
     "q_approx_quantiles"  -> Scale.approxQuantiles _,
+    "q_bucketed_join"     -> Scale.bucketedJoin _,
     "q_kafka_shape"       -> graft.streaming.KafkaShaped.roundTrip _,
     "q_partitioned_write" -> Scale.partitionedRoundTrip _,
     "q_analytic_windows"  -> Scale.analyticWindows _,
@@ -601,6 +602,16 @@ object SparkEntry {
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
         |       COUNT(*) AS n_events
         |FROM events GROUP BY 1""".stripMargin,
+    "q_bucketed_join" ->
+      """SELECT o.o_orderpriority AS orderpriority,
+        |       COUNT(*) AS n_orders,
+        |       CAST(SUM(r.rev_dec) AS DOUBLE) AS total_rev
+        |FROM orders o
+        |JOIN (SELECT l_orderkey,
+        |             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS rev_dec
+        |      FROM lineitem GROUP BY 1) r
+        |  ON o.o_orderkey = r.l_orderkey
+        |GROUP BY 1""".stripMargin,
     "q_typed_udaf" ->
       """SELECT event_type,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mean_value,

@@ -74,6 +74,41 @@ object Scale {
         sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("total"))
   }
 
+  /** Bucketed-table co-located join: both fact tables are written
+    * `bucketBy(8, <join key>)` + `sortBy`, so the subsequent join reads
+    * bucket n against bucket n directly — NO shuffle exchange on either
+    * side (asserted on the plan in `BucketedJoinSpec`). This is the
+    * persistent-layout answer to repeated fact⋈fact joins at 100 TB:
+    * pay the partitioning once at write time, never at read time. The
+    * only exchange left in the query is the final small aggregation. */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bucket").toString
+    Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_orderpriority")
+      .write.mode("overwrite")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$tmp/orders_b").saveAsTable("graft_orders_b")
+    Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 4)).as("rev"))
+      .groupBy("l_orderkey").agg(sum("rev").as("rev_dec"))
+      .write.mode("overwrite")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$tmp/lineitem_b").saveAsTable("graft_lineitem_b")
+    bucketedJoinRead(spark)
+  }
+
+  /** The read+join half of [[bucketedJoin]], split out so the spec can
+    * inspect its plan for the absence of shuffle exchanges. */
+  def bucketedJoinRead(spark: SparkSession): DataFrame =
+    spark.table("graft_orders_b")
+      .join(spark.table("graft_lineitem_b"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority").as("orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum("rev_dec").cast("double").as("total_rev"))
+
   /** Analytic-window coverage: ntile, percent_rank, cume_dist, first/last
     * value over per-nation balance ordering (unique-key tiebreak). */
   def analyticWindows(spark: SparkSession, dir: String): DataFrame = {
