@@ -82,6 +82,7 @@ object SparkEntry {
     "q_stream_hourly"   -> graft.streaming.EventsStream.hourlyCounts _,
     "q_stream_sessions" -> ((s: SparkSession, d: String) => graft.streaming.EventsStream.sessionize(s, d)),
     "q_stream_sessions_tws" -> ((s: SparkSession, d: String) => graft.streaming.EventsStream.sessionizeTws(s, d)),
+    "q_stream_static_join"  -> graft.streaming.EventsStream.streamStaticJoin _,
     // SQL-text interface + CSV source/sink parity
     "q_sql_tpch_q3"   -> SqlInterface.tpchQ3 _,
     "q_sql_above_avg" -> SqlInterface.aboveNationAvg _,
@@ -816,6 +817,12 @@ object SparkEntry {
         |       COUNT(*) AS n_events,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    "q_stream_static_join" ->
+      """SELECT c.c_mktsegment AS mktsegment,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1""".stripMargin,
     "q_stream_dedup" ->
       "SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY 1",
     "q_stream_foreachbatch" ->

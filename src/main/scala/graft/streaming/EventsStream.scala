@@ -218,6 +218,32 @@ object EventsStream {
     }
   }
 
+  /** STREAM-STATIC join: the dim-enrichment pattern — each micro-batch of
+    * the event stream joins a static (broadcast) dimension, then feeds a
+    * windowless running aggregation. The static side is re-resolvable per
+    * batch (Spark re-plans it), which at scale is how slowly-changing
+    * dims stay fresh without restarting the query. Matches the batch
+    * join oracle exactly. */
+  def streamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
+    withStreamPartitions(spark, 8) {
+      val src = spark.readStream
+        .schema(Tables.events)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val dim = Tables.load(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val agg = src
+        .join(broadcast(dim), src("user_id") === dim("c_custkey"))
+        .groupBy(col("c_mktsegment").as("mktsegment"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+      val name = s"stream_static_${System.nanoTime()}"
+      val q = agg.writeStream.outputMode(OutputMode.Complete())
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(name)
+    }
+  }
+
   /** `foreachBatch` sink: each micro-batch is partially aggregated and
     * written to its own parquet path keyed by batch id (idempotent
     * overwrite = exactly-once on retry), then the partials are merged.
