@@ -54,6 +54,7 @@ object SparkEntry {
     "q_non_equi_join"     -> Breadth.nonEquiJoin _,
     "q_unpivot_stats"     -> Breadth.unpivotStats _,
     "q_events_hourly"     -> Breadth.eventsHourly _,
+    "q_gapfill_hourly"    -> Breadth.gapFilledHourly _,
     // ML operators (M1-M7) — not SQL-expressible, rows-only checks
     "q_kmeans_scan"        -> graft.ml.KMeansScan.kmeansQuery _,
     "q_kmeans_assignments" -> graft.ml.KMeansScan.assignmentsQuery _,
@@ -817,6 +818,22 @@ object SparkEntry {
         |       COUNT(*) AS n_events,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    "q_gapfill_hourly" ->
+      """WITH h AS (
+        |  SELECT CAST(FLOOR(EPOCH(ts) / 3600) * 3600 AS BIGINT) AS bucket_start,
+        |         COUNT(*) AS n_events,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |  FROM events GROUP BY 1),
+        |b AS (
+        |  SELECT CAST(FLOOR(MIN(EPOCH(ts)) / 3600) * 3600 AS BIGINT) AS lo,
+        |         CAST(FLOOR(MAX(EPOCH(ts)) / 3600) * 3600 AS BIGINT) AS hi
+        |  FROM events),
+        |spine AS (
+        |  SELECT UNNEST(generate_series(b.lo, b.hi, 3600)) AS bucket_start FROM b)
+        |SELECT s.bucket_start,
+        |       COALESCE(h.n_events, 0) AS n_events,
+        |       COALESCE(h.total_value, 0.0) AS total_value
+        |FROM spine s LEFT JOIN h USING (bucket_start)""".stripMargin,
     "q_stream_static_join" ->
       """SELECT c.c_mktsegment AS mktsegment,
         |       COUNT(*) AS n_events,

@@ -398,6 +398,28 @@ object Breadth {
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
 
+  /** GAP-FILLED hourly series: a complete hour spine generated with
+    * `sequence()` (one expression — no driver loop, no range table in
+    * code), left-joined with the observed hourly aggregate, empty hours
+    * filled with zero. The resample/fill step every time-series feature
+    * pipeline needs; spine bounds come from a one-row min/max reduce and
+    * the spine explodes distributed, so nothing here is driver-sized. */
+  def gapFilledHourly(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val hourly = e
+      .groupBy((floor(unix_timestamp(col("ts")) / 3600) * 3600).as("bucket_start"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+    val spine = e
+      .agg((floor(min(unix_timestamp(col("ts"))) / 3600) * 3600).as("lo"),
+        (floor(max(unix_timestamp(col("ts"))) / 3600) * 3600).as("hi"))
+      .select(explode(expr("sequence(lo, hi, 3600)")).as("bucket_start"))
+    spine.join(hourly, Seq("bucket_start"), "left")
+      .na.fill(0, Seq("n_events"))
+      .na.fill(0.0, Seq("total_value"))
+      .select(col("bucket_start"), col("n_events"), col("total_value"))
+  }
+
   /** MapType round-trip: per-user event-type counts packed into a map
     * column (`map_from_entries`), inspected (`size`/`map_keys`), then
     * exploded back to rows — the plumbing a feature store needs for
