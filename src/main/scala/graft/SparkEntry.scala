@@ -65,6 +65,7 @@ object SparkEntry {
     "q_dedup_ngram"     -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d)),
     "q_dedup_ngram_prefix" -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairsPrefix(s, d)),
     "q_dedup_components" -> ((s: SparkSession, d: String) => Dedup.dedupComponents(s, d)),
+    "q_fuzzy_name_match" -> ((s: SparkSession, d: String) => Dedup.fuzzyNameMatch(s, d)),
     "q_dedup_embedding" -> ((s: SparkSession, d: String) => Dedup.embeddingPairs(s, d, 0.4)),
     // similarity search (north-star extension)
     "q_ann_brute" -> ((s: SparkSession, d: String) => Similarity.bruteTopK(s, d)),
@@ -415,6 +416,14 @@ object SparkEntry {
          |  SELECT s AS doc_id, LEAST(s, MIN(d)) AS component_id
          |  FROM reach GROUP BY s)
          |SELECT doc_id, component_id FROM comp""".stripMargin,
+    "q_fuzzy_name_match" ->
+      """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |       a.p_brand AS brand,
+        |       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE ABS(LENGTH(a.p_name) - LENGTH(b.p_name)) <= 2
+        |  AND levenshtein(a.p_name, b.p_name) <= 2""".stripMargin,
     "q_dedup_embedding" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |       ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))

@@ -232,6 +232,27 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Fuzzy ENTITY MATCHING: near-identical part names within edit
+    * distance ≤ `maxDist`, BLOCKED on brand — the classic entity-
+    * resolution shape (candidate blocking → exact verify). Levenshtein
+    * over an un-blocked self-join is O(n²·len²) and dies at scale; the
+    * block key bounds each comparison group, exactly like the LSH band
+    * buckets bound the sketch joins. `levenshtein` has identical
+    * semantics in DuckDB → exact oracle. */
+  def fuzzyNameMatch(spark: SparkSession, dir: String, maxDist: Int = 2): DataFrame = {
+    val p = Tables.load(spark, dir, "part").select("p_partkey", "p_name", "p_brand")
+    val a = p.select(col("p_brand"), col("p_partkey").as("id_a"), col("p_name").as("name_a"))
+    val b = p.select(col("p_brand"), col("p_partkey").as("id_b"), col("p_name").as("name_b"))
+    a.join(b, Seq("p_brand"))
+      .filter(col("id_a") < col("id_b"))
+      // cheap length pre-filter: |len(a) − len(b)| ≤ d is necessary for
+      // edit distance ≤ d and prunes before the quadratic DP runs
+      .filter(abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("p_brand").as("brand"), col("dist"))
+  }
+
   /** Connected components over the near-dup pair graph — the step that
     * turns pairwise matches into dedup CLUSTERS with one canonical keeper
     * (min doc_id) per cluster, so "keep one copy" is well-defined even
