@@ -417,13 +417,11 @@ object SparkEntry {
          |  FROM reach GROUP BY s)
          |SELECT doc_id, component_id FROM comp""".stripMargin,
     "q_fuzzy_name_match" ->
-      """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
-        |       a.p_brand AS brand,
+      """WITH n AS (SELECT DISTINCT p_name FROM part)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
         |       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
-        |FROM part a JOIN part b
-        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
-        |WHERE ABS(LENGTH(a.p_name) - LENGTH(b.p_name)) <= 2
-        |  AND levenshtein(a.p_name, b.p_name) <= 2""".stripMargin,
+        |FROM n a JOIN n b ON a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin,
     "q_dedup_embedding" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |       ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))

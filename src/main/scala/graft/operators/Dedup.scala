@@ -233,24 +233,29 @@ object Dedup {
   }
 
   /** Fuzzy ENTITY MATCHING: near-identical part names within edit
-    * distance ≤ `maxDist`, BLOCKED on brand — the classic entity-
-    * resolution shape (candidate blocking → exact verify). Levenshtein
-    * over an un-blocked self-join is O(n²·len²) and dies at scale; the
-    * block key bounds each comparison group, exactly like the LSH band
-    * buckets bound the sketch joins. `levenshtein` has identical
-    * semantics in DuckDB → exact oracle. */
+    * distance ≤ `maxDist` — the classic entity-resolution shape
+    * (blocking → exact verify), run on the DISTINCT name vocabulary:
+    * matching 20k id-level rows would re-compare the same few dozen
+    * names millions of times, while the vocabulary is the entity set a
+    * canonicalization step actually maps. Blocking: each name explodes
+    * into its `maxDist+1` length-window buckets, so any pair within the
+    * distance bound (which implies length diff ≤ maxDist) shares a
+    * bucket — candidates form by equi-join, never an all-pairs theta
+    * join, and the quadratic DP only runs inside buckets. `levenshtein`
+    * has identical semantics in DuckDB → exact oracle. */
   def fuzzyNameMatch(spark: SparkSession, dir: String, maxDist: Int = 2): DataFrame = {
-    val p = Tables.load(spark, dir, "part").select("p_partkey", "p_name", "p_brand")
-    val a = p.select(col("p_brand"), col("p_partkey").as("id_a"), col("p_name").as("name_a"))
-    val b = p.select(col("p_brand"), col("p_partkey").as("id_b"), col("p_name").as("name_b"))
-    a.join(b, Seq("p_brand"))
-      .filter(col("id_a") < col("id_b"))
-      // cheap length pre-filter: |len(a) − len(b)| ≤ d is necessary for
-      // edit distance ≤ d and prunes before the quadratic DP runs
-      .filter(abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
+    val names = Tables.load(spark, dir, "part")
+      .select("p_name").distinct()
+      .withColumn("len", length(col("p_name")))
+    val banded = names.withColumn("blen",
+      explode(expr(s"sequence(len - $maxDist, len)")))
+    val a = banded.select(col("blen"), col("p_name").as("name_a"))
+    val b = banded.select(col("blen"), col("p_name").as("name_b"))
+    a.join(b, "blen")
+      .filter(col("name_a") < col("name_b"))
+      .select("name_a", "name_b").distinct()
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
       .filter(col("dist") <= maxDist)
-      .select(col("id_a"), col("id_b"), col("p_brand").as("brand"), col("dist"))
   }
 
   /** Connected components over the near-dup pair graph — the step that
