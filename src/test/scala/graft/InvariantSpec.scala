@@ -43,6 +43,21 @@ class InvariantSpec extends SparkSpec {
     assert(pref == full, s"missing=${full -- pref} extra=${pref -- full}")
   }
 
+  test("length-window blocking loses no fuzzy name match vs the unblocked join") {
+    import org.apache.spark.sql.functions._
+    val blocked = Dedup.fuzzyNameMatch(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val names = graft.Tables.load(spark, sf, "part").select("p_name").distinct()
+    val full = names.select(col("p_name").as("name_a"))
+      .crossJoin(names.select(col("p_name").as("name_b")))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(full.nonEmpty)
+    assert(blocked == full, s"missing=${full -- blocked} extra=${blocked -- full}")
+  }
+
   test("report table shape: per-k long-form rows = k x n_features, finite values") {
     val rt = Report.reportTable(spark, sf).cache()
     assert(rt.columns.toSeq == Seq("k", "cluster", "score", "feature", "value"))
