@@ -130,6 +130,11 @@ object SparkEntry {
     "q_stream_dedup"       -> graft.streaming.EventsStream.dedupCounts _,
     "q_stream_foreachbatch" -> graft.streaming.EventsStream.foreachBatchTotals _,
     "q_ann_pq"             -> ((s: SparkSession, d: String) => Similarity.pqTopK(s, d)),
+    // round 5: supplier coverage, labeled kNN, TF-IDF featurization
+    "q_supplier_volume" -> Breadth.localSupplierVolume _,
+    "q_knn_classify"    -> ((s: SparkSession, d: String) => Similarity.knnClassify(s, d)),
+    "q_tfidf_terms"     -> ((s: SparkSession, d: String) => TextAnalysis.tfidfTerms(s, d)),
+    "q_tfidf_features"  -> ((s: SparkSession, d: String) => TextAnalysis.tfidfFeatures(s, d)),
   )
 
   // Shared oracle CTE fragments (DuckDB dialect).
@@ -854,6 +859,60 @@ object SparkEntry {
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
         |       COUNT(*) AS n_events
         |FROM events GROUP BY 1""".stripMargin,
+    // round 5
+    "q_supplier_volume" ->
+      """SELECT n.n_name AS nation,
+        |       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_items
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1""".stripMargin,
+    "q_knn_classify" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, q.label AS true_label,
+        |         c.vec_id AS neighbor_id, c.label AS nbr_label,
+        |         list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+        |         / (SQRT(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+        |            * SQRT(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))) AS cos_raw
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id < 50 AND c.vec_id >= 50),
+        |ranked AS (
+        |  SELECT query_id, true_label, nbr_label,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS rnk
+        |  FROM scored),
+        |votes AS (
+        |  SELECT query_id, true_label, nbr_label, COUNT(*) AS n_votes
+        |  FROM ranked WHERE rnk <= 5 GROUP BY 1, 2, 3),
+        |win AS (
+        |  SELECT query_id, true_label, nbr_label,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY n_votes DESC, nbr_label ASC) AS vr
+        |  FROM votes)
+        |SELECT query_id, nbr_label AS pred_label, true_label,
+        |       CAST(nbr_label = true_label AS INT) AS correct
+        |FROM win WHERE vr = 1""".stripMargin,
+    "q_tfidf_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(*) AS dfc FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.dfc,
+        |         tf.tf * (LN((n.n_docs + 1.0) / (df.dfc + 1.0)) + 1.0) AS tfidf_raw
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (
+        |  SELECT doc_id, term, tf, dfc, tfidf_raw,
+        |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf_raw DESC, term ASC) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, term, CAST(tf AS INT) AS tf, CAST(dfc AS INT) AS doc_freq,
+        |       CAST(rnk AS INT) AS rnk, ROUND(tfidf_raw, 6) AS tfidf
+        |FROM r WHERE rnk <= 5""".stripMargin,
   )
 
   /** DuckDB CTE: distinct word-3-gram shingles per document

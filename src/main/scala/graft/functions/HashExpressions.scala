@@ -230,6 +230,64 @@ object HashExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Random-hyperplane sign signature: bit j of the output is 1 iff
+    * `planes(j) · v >= 0`. The planes ride INSIDE the expression object
+    * (like [[MinHashSig]]'s coefficients) rather than as literal arrays in
+    * the plan — nBits×dim literal expressions would dominate analysis /
+    * codegen time and dwarf the actual per-row work. Output is one packed
+    * Long per `bitsPerWord` bits (wordy enough for 64-bit bands), so the
+    * downstream band join keys on scalar longs, not arrays. */
+  case class SignBits(child: Expression, planes: Array[Array[Double]], bitsPerWord: Int)
+      extends UnaryExpression {
+    require(bitsPerWord > 0 && bitsPerWord <= 64)
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"sign_bits needs array<float|double>, got ${other.catalogString}")
+    }
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "sign_bits"
+
+    @transient private lazy val childIsFloat =
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+    def compute(arr: ArrayData): Array[Long] = {
+      val nBits = planes.length
+      val nWords = (nBits + bitsPerWord - 1) / bitsPerWord
+      val out = new Array[Long](nWords)
+      val dim = math.min(arr.numElements(), if (nBits > 0) planes(0).length else 0)
+      var j = 0
+      while (j < nBits) {
+        val p = planes(j)
+        var acc = 0.0
+        var i = 0
+        while (i < dim) {
+          val x = if (childIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+          acc += x * p(i)
+          i += 1
+        }
+        if (acc >= 0) out(j / bitsPerWord) |= (1L << (j % bitsPerWord))
+        j += 1
+      }
+      out
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      new GenericArrayData(compute(input.asInstanceOf[ArrayData]))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("signBitsSelf", this, classOf[SignBits].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($self.compute($c));")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): SignBits =
+      copy(child = newChild)
+  }
+
   def minhash_sig(hashes: Column, a: Array[Long], b: Array[Long], p: Long): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(hashes), a, b, p))
 
@@ -238,6 +296,9 @@ object HashExpressions {
 
   def dot_product(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def sign_bits(vec: Column, planes: Array[Array[Double]], bitsPerWord: Int): Column =
+    ColumnBridge.column(SignBits(ColumnBridge.expression(vec), planes, bitsPerWord))
 
   def shingle_hash(tokens: Column, n: Int): Column =
     ColumnBridge.column(ShingleHash(ColumnBridge.expression(tokens), n))

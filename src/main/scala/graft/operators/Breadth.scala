@@ -176,6 +176,38 @@ object Breadth {
       .agg(sum("rev").cast("double").as("revenue"), count(lit(1)).as("n_items"))
   }
 
+  /** TPC-H Q5-shaped LOCAL SUPPLIER VOLUME — the query that finally
+    * exercises `supplier`: revenue from lineitems where the supplier and
+    * the ordering customer sit in the same nation, for one region and one
+    * order-date year. Six-table join; the three dims (supplier, nation,
+    * region) broadcast — at 100 TB supplier is the only one that might
+    * outgrow the broadcast threshold, at which point it shuffles on
+    * l_suppkey while nation/region stay broadcast; the date + region
+    * filters push into the scans either way. The customer↔supplier
+    * same-nation predicate rides the supplier join as a second equi-key,
+    * not a post-filter, so Catalyst plans it as one hash join. */
+  def localSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.load(spark, dir, "region").filter(col("r_name") === "ASIA")
+    val n = Tables.load(spark, dir, "nation")
+    val s = Tables.load(spark, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val c = Tables.load(spark, dir, "customer").select("c_custkey", "c_nationkey")
+    val o = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), revDec.as("rev"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(s),
+        li("l_suppkey") === s("s_suppkey") && c("c_nationkey") === s("s_nationkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(sum("rev").cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** DISTINCT over a low-cardinality projection. */
   def distinctSegments(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "customer")

@@ -98,24 +98,31 @@ object Dedup {
       val rows = (0 until BandRows).map(r => s"sig[${k * BandRows + r}]").mkString(", ")
       s"named_struct('band_idx', $k, 'band_hash', hash($rows))"
     }
+    // The band frame feeds BOTH sides of the self-join; without a cache
+    // each side re-evaluates the 128-permutation signature and the 32-band
+    // explode from scratch (2× the dominant cost of the whole query).
+    // Materialize it once — it's skinny (id, band_idx, band_hash) — and
+    // let both join sides read the cached blocks.
     val banded = sig
       .withColumn("band", explode(expr(s"array(${bandExprs.mkString(", ")})")))
       .select(col("doc_id"), col("band.band_idx"), col("band.band_hash"))
-    val a = banded.as("a")
-    val b = banded.as("b")
-    val candidates = a.join(b,
-        col("a.band_idx") === col("b.band_idx") &&
-        col("a.band_hash") === col("b.band_hash") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
-    val shA = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val shB = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    candidates
-      .join(shA, "id_a").join(shB, "id_b")
-      .withColumn("jaccard", jaccard("sh_a", "sh_b"))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    Tables.withCached(banded) {
+      val a = banded.as("a")
+      val b = banded.as("b")
+      val candidates = a.join(b,
+          col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+      val shA = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val shB = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      candidates
+        .join(shA, "id_a").join(shB, "id_b")
+        .withColumn("jaccard", jaccard("sh_a", "sh_b"))
+        .filter(col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    }
   }
 
   // ---- SimHash -------------------------------------------------------

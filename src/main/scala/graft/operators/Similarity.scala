@@ -65,30 +65,32 @@ object Similarity {
       spark: SparkSession,
       dir: String,
       threshold: Double = 0.4,
-      nBits: Int = 16,
-      nBands: Int = 8): DataFrame = {
+      nBits: Int = 96,
+      nBands: Int = 16): DataFrame = {
     val rnd = new scala.util.Random(7)
     val dim = 64
     val planes = Array.fill(nBits, dim)(rnd.nextGaussian())
-    val planesLit = expr(planes.map(p =>
-      s"array(${p.mkString(", ")})").mkString("array(", ", ", ")"))
+    // Native [[graft.functions.HashExpressions.SignBits]]: the planes ride
+    // inside the expression object, so the plan holds ONE expression, not
+    // nBits×dim literals (the literal-array formulation made plan
+    // analysis/codegen the dominant cost), and the per-row work is a tight
+    // loop instead of interpreted lambdas. bitsPerWord = bits-per-band ⇒
+    // each output word IS one band's value, already packed into a scalar
+    // long join key.
+    val rowsPerBand = nBits / nBands
     val base = Tables.load(spark, dir, "embeddings")
       .withColumn("emb_d", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
       .withColumn("nrm", sqrt(norm2("emb_d")))
-      .withColumn("planes", planesLit)
-      .withColumn("sigbits", expr(
-        "transform(planes, pl -> IF(aggregate(zip_with(emb_d, pl, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v) >= 0, 1, 0))"))
-      .drop("planes")
+      .withColumn("bands",
+        graft.functions.HashExpressions.sign_bits(col("emb_d"), planes, rowsPerBand))
     Tables.withCached(base) {
       // Candidate mining is SKINNY: only (band, vec_id) rides the band
       // join and only (id_a, id_b) is deduped — the 64-dim payloads would
       // otherwise be shuffled once per shared band (up to nBands copies
       // per pair). Vectors are fetched by id afterwards, once per unique
       // candidate pair, and cosine is computed exactly once.
-      val rowsPerBand = nBits / nBands
-      val banded = base.withColumn("band", explode(expr(
-          s"transform(sequence(0, ${nBands - 1}), k -> named_struct('band_idx', k, 'band_val', slice(sigbits, k * $rowsPerBand + 1, $rowsPerBand)))")))
-        .select(col("vec_id"), col("band.band_idx"), col("band.band_val"))
+      val banded = base
+        .select(col("vec_id"), posexplode(col("bands")).as(Seq("band_idx", "band_val")))
       val a = banded.select(col("band_idx"), col("band_val"), col("vec_id").as("id_a"))
       val b = banded.select(col("band_idx"), col("band_val"), col("vec_id").as("id_b"))
       val cands = a.join(b, Seq("band_idx", "band_val"))
@@ -104,6 +106,44 @@ object Similarity {
         .filter(col("cos") >= threshold)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
     }
+  }
+
+  /** kNN LABEL CLASSIFICATION over `embeddings.label` — the semantic
+    * quality check on top of the ANN suite: held-out probes (vec_id <
+    * nProbes) are classified by majority vote among their k nearest
+    * train-set neighbors (vec_id >= nProbes), ties broken by smaller
+    * label. Emits per-probe (pred_label, true_label, correct) so accuracy
+    * is one aggregation away.
+    *
+    * This is the exact-scoring baseline (probes × train cross join, same
+    * shape as [[bruteTopK]]) — fully oracle-checkable; at corpus scale the
+    * candidate stage swaps for [[ivfTopK]]'s inverted lists and the vote
+    * logic is unchanged. */
+  def knnClassify(spark: SparkSession, dir: String, k: Int = 5, nProbes: Int = 50): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+      .withColumn("emb_d", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("nrm", sqrt(norm2("emb_d")))
+    val probes = e.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("query_id"), col("emb_d").as("emb_q"),
+        col("nrm").as("nq"), col("label").as("true_label"))
+    val train = e.filter(col("vec_id") >= nProbes)
+      .select(col("vec_id").as("neighbor_id"), col("emb_d").as("emb_c"),
+        col("nrm").as("nc"), col("label").as("nbr_label"))
+    val wTop = Window.partitionBy("query_id")
+      .orderBy(col("cos_raw").desc, col("neighbor_id").asc)
+    val votes = probes.crossJoin(train)
+      .withColumn("cos_raw", dot("emb_q", "emb_c") / (col("nq") * col("nc")))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= k)
+      .groupBy("query_id", "true_label", "nbr_label")
+      .agg(count(lit(1)).as("n_votes"))
+    val wVote = Window.partitionBy("query_id")
+      .orderBy(col("n_votes").desc, col("nbr_label").asc)
+    votes.withColumn("vr", row_number().over(wVote))
+      .filter(col("vr") === 1)
+      .select(col("query_id"), col("nbr_label").as("pred_label"),
+        col("true_label"),
+        (col("nbr_label") === col("true_label")).cast("int").as("correct"))
   }
 
   private final case class IvfIndex(lists: DataFrame, centroids: DataFrame)

@@ -114,6 +114,69 @@ object TextAnalysis {
       .select(col("doc_id"), col("pred_lang"), col("quality"))
   }
 
+  /** Relational TF-IDF — top-`topN` characteristic terms per document,
+    * computed as three declarative aggregations (term frequency per doc,
+    * document frequency per term, corpus size) joined back together:
+    * tfidf = tf · (ln((N+1)/(df+1)) + 1), the smoothed sklearn-style
+    * formulation. The 1-row corpus count broadcasts; the df join keys on
+    * `term` and is left to AQE (a raw-text vocabulary can outgrow the
+    * broadcast threshold at corpus scale — forcing a broadcast here would
+    * be the 100 TB mistake); the big shuffles key on (doc_id, term) —
+    * linear in corpus token count.
+    * Fully SQL-expressible → DuckDB oracle (ln + round(6) per the float
+    * discipline). */
+  def tfidfTerms(spark: SparkSession, dir: String, topN: Int = 5): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfc"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("tfidf_raw").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf_raw",
+        col("tf") * (log((col("n_docs") + lit(1.0)) / (col("dfc") + lit(1.0))) + lit(1.0)))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topN)
+      .select(col("doc_id"), col("term"), col("tf").cast("int").as("tf"),
+        col("dfc").cast("int").as("doc_freq"), col("rnk"),
+        round(col("tfidf_raw"), 6).as("tfidf"))
+  }
+
+  /** MLlib TF-IDF FEATURIZATION — the canonical "featurize corpus"
+    * pipeline stage (SURVEY §7.3): Tokenizer → StopWordsRemover (this
+    * engine's stopword list) → HashingTF(2^10) → IDF, emitting per-doc
+    * scalar summaries of the tf-idf vector (nnz, l2 norm, argmax bucket)
+    * rather than the raw vector so the result is row-comparable.
+    *
+    * Scale posture: HashingTF is stateless map-side work; IDF's fit is one
+    * treeAggregate over the corpus producing a 1024-dim broadcastable
+    * model — nothing here holds state proportional to the corpus. Not
+    * SQL-expressible (hash bucketing) → rows-only + TfidfSpec invariants
+    * cross-checking against [[tfidfTerms]]'s relational formulation. */
+  def tfidfFeatures(spark: SparkSession, dir: String, numFeatures: Int = 1024): DataFrame = {
+    import org.apache.spark.ml.feature.{HashingTF, IDF, StopWordsRemover, Tokenizer}
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    val tok = new Tokenizer().setInputCol("text").setOutputCol("raw_tokens")
+    val stop = new StopWordsRemover().setStopWords(Stopwords.toArray)
+      .setInputCol("raw_tokens").setOutputCol("tokens")
+    val htf = new HashingTF().setNumFeatures(numFeatures)
+      .setInputCol("tokens").setOutputCol("tf_vec")
+    val tfDf = htf.transform(stop.transform(tok.transform(docs)))
+    val idf = new IDF().setInputCol("tf_vec").setOutputCol("tfidf_vec").fit(tfDf)
+    import org.apache.spark.ml.functions.vector_to_array
+    idf.transform(tfDf)
+      .withColumn("arr", vector_to_array(col("tfidf_vec")))
+      .select(
+        col("doc_id"),
+        size(col("tokens")).as("n_tokens"),
+        expr("size(filter(arr, x -> x > 0))").as("nnz"),
+        round(sqrt(expr(
+          "aggregate(arr, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)")), 6).as("l2_norm"),
+        expr("array_position(arr, array_max(arr)) - 1").cast("int").as("argmax_bucket"))
+  }
+
   /** Content fingerprinting (rows-only — xxhash64 has no oracle analog):
     *   - `kr_fp`: Karp–Rabin polynomial rolling hash of the token stream;
     *   - `winnow`: winnowing sketch — min-hash of each 5-wide window over

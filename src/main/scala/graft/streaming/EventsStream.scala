@@ -273,4 +273,35 @@ object EventsStream {
         sum("partial_n").as("n_events"))
     }
   }
+
+  /** RESTARTABLE checkpointed aggregation — the exactly-once-across-
+    * restart surface a production pipeline leans on. Starts (or RESUMES,
+    * if `ckptDir` already holds offsets + state) a file-source stream over
+    * `srcDir`, aggregating per event_type into a complete-mode memory
+    * sink named `sinkName`.
+    *
+    * On restart the file source replays no already-committed file (the
+    * checkpoint's offset log tracks processed files) and the aggregation
+    * state is restored from the state store — so totals after
+    * stop → new-files → restart equal one continuous run's, which is
+    * exactly what CheckpointRecoverySpec pins. The caller owns stop(). */
+  def restartableTotals(
+      spark: SparkSession,
+      srcDir: String,
+      ckptDir: String,
+      sinkName: String): org.apache.spark.sql.streaming.StreamingQuery =
+    withStreamPartitions(spark, 4) {
+      val src = spark.readStream
+        .schema("event_id LONG, event_type STRING, value DOUBLE")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+      src.groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+        .writeStream
+        .outputMode(OutputMode.Complete())
+        .option("checkpointLocation", ckptDir)
+        .format("memory").queryName(sinkName)
+        .start()
+    }
 }
