@@ -135,6 +135,8 @@ object SparkEntry {
     "q_knn_classify"    -> ((s: SparkSession, d: String) => Similarity.knnClassify(s, d)),
     "q_tfidf_terms"     -> ((s: SparkSession, d: String) => TextAnalysis.tfidfTerms(s, d)),
     "q_tfidf_features"  -> ((s: SparkSession, d: String) => TextAnalysis.tfidfFeatures(s, d)),
+    "q_stream_stream_join" -> graft.streaming.EventsStream.clickAttribution _,
+    "q_bloom_join"      -> Scale.bloomPrunedJoin _,
   )
 
   // Shared oracle CTE fragments (DuckDB dialect).
@@ -913,6 +915,21 @@ object SparkEntry {
         |SELECT doc_id, term, CAST(tf AS INT) AS tf, CAST(dfc AS INT) AS doc_freq,
         |       CAST(rnk AS INT) AS rnk, ROUND(tfidf_raw, 6) AS tfidf
         |FROM r WHERE rnk <= 5""".stripMargin,
+    "q_stream_stream_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tsu, event_type FROM events)
+        |SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        |       p.tsu - c.tsu AS lag_us
+        |FROM e c JOIN e p ON c.user_id = p.user_id
+        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND p.tsu >= c.tsu AND p.tsu <= c.tsu + 1800000000""".stripMargin,
+    "q_bloom_join" ->
+      """SELECT o.o_orderpriority, COUNT(*) AS n_items,
+        |       CAST(SUM(l.l_quantity) AS DOUBLE) AS sum_qty,
+        |       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT'
+        |GROUP BY 1""".stripMargin,
   )
 
   /** DuckDB CTE: distinct word-3-gram shingles per document

@@ -105,7 +105,10 @@ object Tables {
     if (name == "events") {
       import org.apache.spark.sql.functions._
       df.withColumn("ts_ns", col("ts"))
-        .withColumn("ts", timestamp_micros((col("ts_ns") / 1000).cast("long")))
+        // integer division: epoch NANOS (~1.7e18) overflow a double's 53-bit
+        // mantissa, so the `/` operator's double path is off by ±1 µs on
+        // some rows; `div` stays in Long and matches DuckDB's epoch_us
+        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
     } else df
   }
 

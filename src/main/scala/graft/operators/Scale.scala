@@ -317,4 +317,68 @@ object Scale {
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
       .select(col("band_id"), col("lo"), col("hi"), col("n_events"), col("total_value"))
   }
+
+  /** Run `body` with the given SQL confs set, restoring previous values
+    * after — the conf-hygiene analog of [[graft.Tables.withCached]]. */
+  private def withConfs[T](spark: SparkSession, confs: (String, String)*)(body: => T): T = {
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  /** RUNTIME BLOOM-FILTER JOIN PRUNING — the row-level runtime-filter
+    * half of the 100 TB toolkit (partition pruning's sibling): a
+    * selective filter on `orders` builds a bloom filter over o_orderkey
+    * that is pushed into the `lineitem` scan side, so most lineitem rows
+    * die BEFORE the join shuffle instead of after it. On a 100 TB fact
+    * table this is the difference between shuffling the full table and
+    * shuffling the ~1% that can possibly match.
+    *
+    * The default thresholds assume cluster-sized inputs, so the demo
+    * scopes them down to fire on the test data; the optimization is
+    * result-invariant (same oracle as the plain join) and
+    * BloomJoinSpec pins `bloom_filter_agg` + `might_contain` in the plan. The
+    * plan is materialized eagerly (localCheckpoint) while the confs are
+    * in scope — optimizer rules run at action time, not build time. */
+  def bloomPrunedJoin(spark: SparkSession, dir: String): DataFrame =
+    withConfs(spark,
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      // At test scale the filtered orders side would broadcast, and the
+      // optimizer (correctly) skips bloom injection for broadcast joins —
+      // the filter only pays when it kills rows BEFORE a shuffle. Forcing
+      // the shuffle join recreates the cluster-scale shape the demo is
+      // about (at 100 TB neither side broadcasts).
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      // AQE folds the tiny local shuffles into one stage, which makes the
+      // injected filter's subquery reuse ambiguous to assert on; the demo
+      // disables it for a stable plan (a cluster run would leave it on).
+      "spark.sql.adaptive.enabled" -> "false") {
+      bloomJoinPlan(spark, dir).localCheckpoint(true)
+    }
+
+  /** The un-materialized bloom-join plan — split out so the spec can
+    * inspect its executedPlan under the same confs. */
+  private[graft] def bloomJoinPlan(spark: SparkSession, dir: String): DataFrame = {
+    val hiPriority = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey", "o_orderpriority")
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 4)).as("rev"))
+    // The join itself is an ordinary shuffled equi-join; the bloom filter
+    // is INJECTED by the optimizer on the lineitem side from the filtered
+    // orders side — nothing in the query text mentions it.
+    li.join(hiPriority, li("l_orderkey") === hiPriority("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum("l_quantity").cast("double").as("sum_qty"),
+        sum("rev").cast("double").as("revenue"))
+  }
 }

@@ -44,7 +44,7 @@ object EventsStream {
       val src = spark.readStream
         .schema(Tables.events)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // exact: see Tables.load
       val agg = src
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -68,7 +68,7 @@ object EventsStream {
       val src = spark.readStream
         .schema(Tables.events)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // exact: see Tables.load
       val agg = src
         .withWatermark("ts", "2 hours")
         .groupBy(window(col("ts"), "2 hours", "1 hour"))
@@ -271,6 +271,44 @@ object EventsStream {
       .groupBy("event_type")
       .agg(sum("partial_sum").cast("double").as("total_value"),
         sum("partial_n").as("n_events"))
+    }
+  }
+
+  /** STREAM-STREAM inner join — click→purchase attribution: every
+    * (click, purchase) pair for the same user with the purchase inside
+    * [click, click + 30 min]. Both sides carry a 1-hour watermark and the
+    * event-time RANGE CONDITION rides in the join predicate itself —
+    * that's what lets Spark bound the join state (a click older than
+    * watermark + 30 min can never match a future purchase and is evicted;
+    * without the range bound, stream-stream state grows forever). Append
+    * mode: inner-join matches emit as soon as both sides arrive.
+    * Timestamps are floor-truncated ns→µs on the Spark side and compared
+    * in epoch µs by the oracle, so the 30-minute boundary is bit-exact. */
+  def clickAttribution(spark: SparkSession, dir: String): DataFrame = {
+    withStreamPartitions(spark, 8) {
+      val src = spark.readStream
+        .schema(Tables.events)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // exact: see Tables.load
+      val clicks = src.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val buys = src.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+          col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = clicks.join(buys,
+          col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+        .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"),
+          (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
+      val name = s"stream_join_${System.nanoTime()}"
+      val q = joined.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(name)
     }
   }
 
