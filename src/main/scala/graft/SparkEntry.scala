@@ -137,6 +137,8 @@ object SparkEntry {
     "q_tfidf_features"  -> ((s: SparkSession, d: String) => TextAnalysis.tfidfFeatures(s, d)),
     "q_stream_stream_join" -> graft.streaming.EventsStream.clickAttribution _,
     "q_bloom_join"      -> Scale.bloomPrunedJoin _,
+    "q_merge_upsert"    -> Scale.mergeUpsert _,
+    "q_hybrid_search"   -> ((s: SparkSession, d: String) => Similarity.hybridSearch(s, d)),
   )
 
   // Shared oracle CTE fragments (DuckDB dialect).
@@ -930,6 +932,67 @@ object SparkEntry {
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |WHERE o.o_orderpriority = '1-URGENT'
         |GROUP BY 1""".stripMargin,
+    "q_merge_upsert" ->
+      """WITH spend AS (
+        |  SELECT o_custkey AS custkey,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS new_bal
+        |  FROM orders GROUP BY 1),
+        |source AS (
+        |  SELECT custkey, new_bal FROM spend
+        |  UNION ALL
+        |  SELECT -custkey AS custkey, new_bal FROM spend WHERE custkey % 100 = 0),
+        |target AS (
+        |  SELECT c_custkey AS custkey, c_acctbal AS old_bal FROM customer)
+        |SELECT COALESCE(t.custkey, s.custkey) AS custkey,
+        |       CASE WHEN t.old_bal IS NOT NULL AND s.new_bal IS NOT NULL THEN 'update'
+        |            WHEN t.old_bal IS NULL THEN 'insert'
+        |            ELSE 'keep' END AS action,
+        |       t.old_bal,
+        |       COALESCE(s.new_bal, t.old_bal) AS merged_bal
+        |FROM target t FULL OUTER JOIN source s ON t.custkey = s.custkey""".stripMargin,
+    "q_hybrid_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(*) AS dfc FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |         tf.tf * (LN((n.n_docs + 1.0) / (df.dfc + 1.0)) + 1.0) AS tfidf_raw
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |probe_term AS (
+        |  SELECT term FROM scored WHERE doc_id = 0
+        |  ORDER BY tfidf_raw DESC, term ASC LIMIT 1),
+        |kw AS (
+        |  SELECT t.doc_id,
+        |         ROW_NUMBER() OVER (ORDER BY t.tf DESC, t.doc_id ASC) AS rk_kw
+        |  FROM tf t JOIN probe_term p ON t.term = p.term
+        |  WHERE t.doc_id <> 0),
+        |kw50 AS (SELECT doc_id, rk_kw FROM kw WHERE rk_kw <= 50),
+        |cosd AS (
+        |  SELECT c.vec_id AS doc_id,
+        |         list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+        |         / (SQRT(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))
+        |            * SQRT(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))) AS cos_raw
+        |  FROM embeddings c JOIN embeddings q ON q.vec_id = 0
+        |  WHERE c.vec_id <> 0),
+        |vec AS (
+        |  SELECT doc_id,
+        |         ROW_NUMBER() OVER (ORDER BY cos_raw DESC, doc_id ASC) AS rk_vec
+        |  FROM cosd),
+        |vec50 AS (SELECT doc_id, rk_vec FROM vec WHERE rk_vec <= 50),
+        |fused AS (
+        |  SELECT COALESCE(k.doc_id, v.doc_id) AS doc_id, k.rk_kw, v.rk_vec,
+        |         COALESCE(1.0 / (60 + k.rk_kw), 0.0)
+        |           + COALESCE(1.0 / (60 + v.rk_vec), 0.0) AS rrf_raw
+        |  FROM kw50 k FULL OUTER JOIN vec50 v ON k.doc_id = v.doc_id),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (ORDER BY rrf_raw DESC, doc_id ASC) AS rank
+        |  FROM fused)
+        |SELECT CAST(rank AS INT) AS rank, doc_id,
+        |       CAST(rk_kw AS INT) AS rk_kw, CAST(rk_vec AS INT) AS rk_vec,
+        |       ROUND(rrf_raw, 6) AS rrf_score
+        |FROM ranked WHERE rank <= 10""".stripMargin,
   )
 
   /** DuckDB CTE: distinct word-3-gram shingles per document

@@ -318,6 +318,39 @@ object Scale {
       .select(col("band_id"), col("lo"), col("hi"), col("n_events"), col("total_value"))
   }
 
+  /** DELTA-STYLE MERGE (upsert) expressed relationally — the
+    * `MERGE INTO target USING source` semantic without a v2 catalog:
+    * a CDC feed (per-customer order spend, plus a deterministic slice of
+    * brand-new customer keys) merges into `customer` via ONE full-outer
+    * join that classifies every row:
+    *   - matched               → UPDATE (balance becomes the fed spend)
+    *   - not matched by source → KEEP   (target row unchanged)
+    *   - not matched by target → INSERT (new key arrives with its spend)
+    * This is exactly the join shape a table format's MERGE compiles to —
+    * one shuffle on the merge key, no row-by-row driver logic — so it
+    * scales like any other co-partitioned join (skew/bucketing tricks
+    * from this file apply unchanged). Fully SQL-expressible → oracle. */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val target = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").as("custkey"), col("c_acctbal").as("old_bal"))
+    val spend = Tables.load(spark, dir, "orders")
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("new_bal"))
+    // the "new customers" slice of the feed: every 100th key re-keyed
+    // outside the target's key space (negated), as a CDC insert batch
+    val source = spend.unionAll(
+      spend.filter(col("custkey") % 100 === 0)
+        .select((-col("custkey")).as("custkey"), col("new_bal")))
+    target.join(source, Seq("custkey"), "full_outer")
+      .select(
+        col("custkey"),
+        when(col("old_bal").isNotNull && col("new_bal").isNotNull, "update")
+          .when(col("old_bal").isNull, "insert")
+          .otherwise("keep").as("action"),
+        col("old_bal"),
+        coalesce(col("new_bal"), col("old_bal")).as("merged_bal"))
+  }
+
   /** Run `body` with the given SQL confs set, restoring previous values
     * after — the conf-hygiene analog of [[graft.Tables.withCached]]. */
   private def withConfs[T](spark: SparkSession, confs: (String, String)*)(body: => T): T = {

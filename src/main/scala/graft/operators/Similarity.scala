@@ -146,6 +146,63 @@ object Similarity {
         (col("nbr_label") === col("true_label")).cast("int").as("correct"))
   }
 
+  /** HYBRID SEARCH — keyword + vector retrieval fused by Reciprocal Rank
+    * Fusion (RRF, the standard hybrid-retrieval combiner):
+    *   - keyword channel: docs containing the probe document's top TF-IDF
+    *     term, ranked by term frequency;
+    *   - vector channel: cosine ranking against the probe's embedding
+    *     (doc_id ↔ vec_id share the id space in the testdata);
+    *   - fusion: score = Σ 1/(60 + rank) over the channels a doc appears
+    *     in (rank cut at `depth` per channel), top `k` by fused score.
+    * Everything is declarative — the probe term is a 1-row frame
+    * cross-joined in, not a driver-side collect — and each channel is
+    * this engine's existing machinery ([[graft.operators.TextAnalysis
+    * .tfidfTerms]] shape, [[bruteTopK]] shape). At corpus scale the
+    * vector channel swaps for [[ivfTopK]] lists and the keyword channel
+    * for an inverted index; the fusion join is unchanged. Deterministic
+    * (id tiebreaks) → DuckDB oracle. */
+  def hybridSearch(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 10,
+      depth: Int = 50,
+      probeId: Long = 0L): DataFrame = {
+    val probeTerm = TextAnalysis.tfidfTerms(spark, dir, topN = 1)
+      .filter(col("doc_id") === probeId)
+      .select(col("term").as("probe_term"))
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val wKw = Window.orderBy(col("tf").desc, col("doc_id").asc)
+    val kwRanked = toks.crossJoin(broadcast(probeTerm))
+      .filter(col("term") === col("probe_term") && col("doc_id") =!= probeId)
+      .withColumn("rk_kw", row_number().over(wKw))
+      .filter(col("rk_kw") <= depth)
+      .select(col("doc_id"), col("rk_kw"))
+    val e = Tables.load(spark, dir, "embeddings")
+      .withColumn("emb_d", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("nrm", sqrt(norm2("emb_d")))
+    val probeVec = e.filter(col("vec_id") === probeId)
+      .select(col("emb_d").as("emb_q"), col("nrm").as("nq"))
+    val wVec = Window.orderBy(col("cos_raw").desc, col("doc_id").asc)
+    val vecRanked = e.crossJoin(broadcast(probeVec))
+      .filter(col("vec_id") =!= probeId)
+      .withColumn("cos_raw", dot("emb_d", "emb_q") / (col("nrm") * col("nq")))
+      .select(col("vec_id").as("doc_id"), col("cos_raw"))
+      .withColumn("rk_vec", row_number().over(wVec))
+      .filter(col("rk_vec") <= depth)
+      .select(col("doc_id"), col("rk_vec"))
+    val wFused = Window.orderBy(col("rrf_raw").desc, col("doc_id").asc)
+    kwRanked.join(vecRanked, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_raw",
+        coalesce(lit(1.0) / (lit(60) + col("rk_kw")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(60) + col("rk_vec")), lit(0.0)))
+      .withColumn("rank", row_number().over(wFused))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("doc_id"), col("rk_kw"), col("rk_vec"),
+        round(col("rrf_raw"), 6).as("rrf_score"))
+  }
+
   private final case class IvfIndex(lists: DataFrame, centroids: DataFrame)
 
   private val ivfMemo =
