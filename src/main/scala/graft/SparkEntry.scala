@@ -139,6 +139,17 @@ object SparkEntry {
     "q_bloom_join"      -> Scale.bloomPrunedJoin _,
     "q_merge_upsert"    -> Scale.mergeUpsert _,
     "q_hybrid_search"   -> ((s: SparkSession, d: String) => Similarity.hybridSearch(s, d)),
+    // DataSource V2 generator source (dir-independent: nothing to scan)
+    "q_gen_source" -> ((s: SparkSession, _: String) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.DecimalType
+      s.read.format("graft.sources.RangeGenSource")
+        .option("rows", "100000").option("slices", "8").load()
+        .filter(col("event_id") >= 10000 && col("event_id") < 60000)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+    }),
   )
 
   // Shared oracle CTE fragments (DuckDB dialect).
@@ -993,6 +1004,12 @@ object SparkEntry {
         |       CAST(rk_kw AS INT) AS rk_kw, CAST(rk_vec AS INT) AS rk_vec,
         |       ROUND(rrf_raw, 6) AS rrf_score
         |FROM ranked WHERE rank <= 10""".stripMargin,
+    "q_gen_source" ->
+      """WITH g AS (SELECT range AS id FROM range(10000, 60000))
+        |SELECT ['click','view','purchase','signup','error'][CAST((id * 31) % 5 AS INT) + 1] AS event_type,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(CAST((id * 2654435761) % 100000 AS DOUBLE) / 100.0 AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM g GROUP BY 1""".stripMargin,
   )
 
   /** DuckDB CTE: distinct word-3-gram shingles per document

@@ -1,0 +1,154 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 GENERATOR source — the "infinite test-data tap" a
+  * 100 TB pipeline uses for load generation, and this engine's proof of
+  * the source-extension tier (SURVEY §7.4: custom sources only where the
+  * built-ins can't express the semantics — a deterministic generated
+  * table has no files to scan, so a custom `TableProvider` is the
+  * genuinely Spark-native formulation, not `spark.range` + maps hidden
+  * in driver code).
+  *
+  * Every row is a pure function of its id, so the source is:
+  *   - PARALLEL: `slices` independent `InputPartition`s, each generating
+  *     its own id range — the exact layout of a distributed generator
+  *     (no shared state, no skew);
+  *   - PRUNABLE: `SupportsPushDownFilters` narrows the generated id
+  *     range from `event_id` range predicates — the generator analog of
+  *     partition pruning (a filtered read COMPUTES less, not just
+  *     returns less), visible as `pushed=[lo,hi)` in the scan
+  *     description;
+  *   - SKINNY: `SupportsPushDownRequiredColumns` prunes generated
+  *     columns, so `select(one column)` materializes one column;
+  *   - ORACLE-CHECKABLE: the id→column arithmetic is mirrored in DuckDB
+  *     SQL over `range()` (bit-exact integer ops + one exact /100.0).
+  *
+  * Options: `rows` (default 100000), `slices` (default 8).
+  */
+class RangeGenSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    RangeGenSource.schema
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new RangeGenTable(
+      Option(properties.get("rows")).map(_.toLong).getOrElse(100000L),
+      Option(properties.get("slices")).map(_.toInt).getOrElse(8))
+}
+
+object RangeGenSource {
+  val schema: StructType = StructType(Seq(
+    StructField("event_id", LongType, nullable = false),
+    StructField("user_id", LongType, nullable = false),
+    StructField("event_type", StringType, nullable = false),
+    StructField("value", DoubleType, nullable = false)))
+
+  val EventTypes: Array[String] =
+    Array("click", "view", "purchase", "signup", "error")
+
+  /** The id→row arithmetic — one place, mirrored verbatim by the DuckDB
+    * oracle (`q_gen_source`). Knuth multiplicative constant keeps `value`
+    * well-mixed while staying in exact-integer range for any id < 2^32. */
+  def userId(id: Long): Long = id % 97
+  def eventType(id: Long): String = EventTypes(((id * 31) % 5).toInt)
+  def value(id: Long): Double = ((id * 2654435761L) % 100000L) / 100.0
+}
+
+final class RangeGenTable(rows: Long, slices: Int)
+    extends Table with SupportsRead {
+  override def name(): String = s"range_gen($rows)"
+  override def schema(): StructType = RangeGenSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new RangeGenScanBuilder(rows, slices)
+}
+
+final class RangeGenScanBuilder(rows: Long, slices: Int)
+    extends ScanBuilder
+    with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var lo = 0L
+  private var hi = rows
+  private var pushed = Array.empty[Filter]
+  private var required = RangeGenSource.schema
+
+  /** Range predicates on the id column shrink the GENERATED range —
+    * compute-side pruning. Everything else stays with Spark. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rest) = filters.partition {
+      case GreaterThan("event_id", v: Long) => lo = math.max(lo, v + 1); true
+      case GreaterThanOrEqual("event_id", v: Long) => lo = math.max(lo, v); true
+      case LessThan("event_id", v: Long) => hi = math.min(hi, v); true
+      case LessThanOrEqual("event_id", v: Long) => hi = math.min(hi, v + 1); true
+      case EqualTo("event_id", v: Long) =>
+        lo = math.max(lo, v); hi = math.min(hi, v + 1); true
+      case IsNotNull(_) => true // nothing here is ever null
+      case _ => false
+    }
+    pushed = accepted
+    rest
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new RangeGenScan(lo, math.max(lo, hi), slices, required)
+}
+
+final case class RangeGenPartition(start: Long, end: Long, fields: Array[String])
+    extends InputPartition
+
+final class RangeGenScan(lo: Long, hi: Long, slices: Int, required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"RangeGen(pushed=[$lo,$hi), cols=${required.fieldNames.mkString(",")})"
+
+  /** Even id-range slices; empty slices are dropped. At cluster scale
+    * this is one generator task per executor core with zero coordination. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = hi - lo
+    val per = math.max(1L, (n + slices - 1) / slices)
+    (lo until hi by per).map { s =>
+      RangeGenPartition(s, math.min(s + per, hi), required.fieldNames)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new RangeGenReader(p.asInstanceOf[RangeGenPartition])
+    }
+}
+
+final class RangeGenReader(p: RangeGenPartition)
+    extends PartitionReader[InternalRow] {
+  private var id = p.start - 1
+  override def next(): Boolean = { id += 1; id < p.end }
+  override def get(): InternalRow = {
+    val vals = p.fields.map {
+      case "event_id" => java.lang.Long.valueOf(id)
+      case "user_id" => java.lang.Long.valueOf(RangeGenSource.userId(id))
+      case "event_type" => UTF8String.fromString(RangeGenSource.eventType(id))
+      case "value" => java.lang.Double.valueOf(RangeGenSource.value(id))
+    }
+    new GenericInternalRow(vals.asInstanceOf[Array[Any]])
+  }
+  override def close(): Unit = ()
+}
