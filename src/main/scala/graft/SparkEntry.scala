@@ -139,6 +139,17 @@ object SparkEntry {
     "q_bloom_join"      -> Scale.bloomPrunedJoin _,
     "q_merge_upsert"    -> Scale.mergeUpsert _,
     "q_hybrid_search"   -> ((s: SparkSession, d: String) => Similarity.hybridSearch(s, d)),
+    // custom LogicalPlan + SparkStrategy tier: native sorted-merge as-of
+    // (same oracle as the composed window formulation — must agree)
+    "q_asof_join_native" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions.col
+      val e = Tables.load(s, d, "events").select("event_id", "user_id", "ts")
+      val o = Tables.load(s, d, "orders")
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+      graft.plans.AsOfJoin
+        .asof(e, o, "user_id", "o_custkey", "ts", "o_orderdate", "o_orderkey")
+        .select(col("event_id"), col("user_id"), col("o_orderkey").as("orderkey"))
+    }),
     // DataSource V2 generator source (dir-independent: nothing to scan)
     "q_gen_source" -> ((s: SparkSession, _: String) => {
       import org.apache.spark.sql.functions._
@@ -763,6 +774,15 @@ object SparkEntry {
         |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
         |FROM customer GROUP BY 1""".stripMargin,
     "q_asof_join" ->
+      """WITH cand AS (
+        |  SELECT e.event_id, e.user_id, o.o_orderkey,
+        |         ROW_NUMBER() OVER (PARTITION BY e.event_id
+        |                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e
+        |  JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+        |SELECT event_id, user_id, o_orderkey AS orderkey
+        |FROM cand WHERE rn = 1""".stripMargin,
+    "q_asof_join_native" ->
       """WITH cand AS (
         |  SELECT e.event_id, e.user_id, o.o_orderkey,
         |         ROW_NUMBER() OVER (PARTITION BY e.event_id

@@ -1,0 +1,170 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.graft.ColumnBridge
+
+/** Native AS-OF JOIN — the custom-operator tier of the build rules
+  * (SURVEY §7.4c): a whole-operator semantic Spark's built-ins only
+  * express as join-explosion + window ([[graft.operators.Breadth
+  * .asofJoin]]: every event × ALL its earlier orders, then row_number
+  * = 1), re-planned as a `LogicalPlan` + `SparkStrategy` + physical
+  * sorted-merge that touches each row ONCE.
+  *
+  * Semantics (inner as-of): for every left row, the single right row
+  * with the same key and the greatest right-time <= left-time
+  * (ties on right-time broken by greatest tie-break column); left rows
+  * with no match are dropped.
+  *
+  * Scale story: both sides hash-cluster on the key and sort within
+  * partitions — the same layout a sort-merge join pays — but the merge
+  * emits at most ONE row per left row with O(1) state (the current
+  * candidate), instead of materializing the quadratic
+  * every-event×every-earlier-order intermediate the window formulation
+  * buffers and then throws away. On a 100 TB fact⋈fact as-of, that
+  * intermediate IS the bottleneck.
+  */
+final case class AsOfJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKey: Expression,
+    rightKey: Expression,
+    leftTime: Expression,
+    rightTime: Expression,
+    rightTieBreak: Expression)
+    extends BinaryNode {
+  override def output: Seq[Attribute] = left.output ++ right.output
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner rule: one physical candidate, [[AsOfJoinExec]]. Injected via
+  * `SparkSessionExtensions.injectPlannerStrategy` (the cluster plugin
+  * path) or `spark.experimental.extraStrategies` (running session). */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical sorted-merge as-of join.
+  *
+  * Requires children clustered on their keys (EnsureRequirements inserts
+  * compatible hash exchanges, exactly as for a sort-merge join) and
+  * sorted by (key, time[, tie-break]) — so the merge is a single
+  * forward pass per partition: for each left row, right rows are
+  * consumed while they are still <= the left time, the last one seen
+  * for the current key being the as-of candidate. No per-key buffering,
+  * no window state — O(1) memory beyond the two iterators. */
+final case class AsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKey: Expression,
+    rightKey: Expression,
+    leftTime: Expression,
+    rightTime: Expression,
+    rightTieBreak: Expression)
+    extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending),
+      SortOrder(rightTieBreak, Ascending)))
+
+  override def outputPartitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lKeyB = BindReferences.bindReference(leftKey, left.output)
+    val lTimeB = BindReferences.bindReference(leftTime, left.output)
+    val rKeyB = BindReferences.bindReference(rightKey, right.output)
+    val rTimeB = BindReferences.bindReference(rightTime, right.output)
+    val outAttrs = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val rBuf = rIter.buffered
+      val joined = new JoinedRow
+      val proj = UnsafeProjection.create(outAttrs, outAttrs)
+      // key/time columns are long-backed (bigint / timestamp-micros);
+      // nulls never match, per SQL join semantics
+      def num(v: Any): Long = v.asInstanceOf[Number].longValue
+      var candidate: InternalRow = null
+      var candidateKey = 0L
+      lIter.flatMap { lRow =>
+        val lk = lKeyB.eval(lRow)
+        val lt = lTimeB.eval(lRow)
+        if (lk == null || lt == null) Iterator.empty
+        else {
+          val lKey = num(lk); val lTime = num(lt)
+          // consume right rows that can no longer matter (smaller key) or
+          // that become the newest valid candidate (same key, time <= lt)
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val peek = rBuf.head
+            val rk = rKeyB.eval(peek)
+            val rt = rTimeB.eval(peek)
+            if (rk == null || rt == null) { rBuf.next() } // never matches
+            else {
+              val rKey = num(rk)
+              if (rKey < lKey) rBuf.next() // bypassed key: drop
+              else if (rKey == lKey && num(rt) <= lTime) {
+                candidate = rBuf.next().copy() // newest valid so far wins
+                candidateKey = rKey
+              } else advancing = false // right is ahead: stop
+            }
+          }
+          if (candidate != null && candidateKey == lKey)
+            Iterator.single(proj(joined(lRow, candidate)))
+          else Iterator.empty
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoin {
+  /** Public entry: as-of join two frames on string column names. The
+    * strategy self-registers in the session (idempotent), so callers
+    * need no session-construction cooperation. Column names must be
+    * unambiguous per side; left/right must not share lineage (use
+    * aliased copies for self-joins). */
+  def asof(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      rightTieBreak: String): DataFrame = {
+    val spark: SparkSession = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $n not in ${p.output.map(_.name).mkString(", ")}"))
+    ColumnBridge.ofRows(spark, AsOfJoinPlan(lPlan, rPlan,
+      attr(lPlan, leftKey), attr(rPlan, rightKey),
+      attr(lPlan, leftTime), attr(rPlan, rightTime), attr(rPlan, rightTieBreak)))
+  }
+}
