@@ -173,11 +173,16 @@ object Similarity {
     val toks = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // orderBy+limit plans as TakeOrderedAndProject (per-partition top-N →
+    // driver merge of N-row heads); the global row_number then runs over
+    // only `depth` rows. An un-partitioned window over the full candidate
+    // set would funnel the corpus through ONE partition — the shape that
+    // dies at scale.
     val wKw = Window.orderBy(col("tf").desc, col("doc_id").asc)
     val kwRanked = toks.crossJoin(broadcast(probeTerm))
       .filter(col("term") === col("probe_term") && col("doc_id") =!= probeId)
+      .orderBy(col("tf").desc, col("doc_id").asc).limit(depth)
       .withColumn("rk_kw", row_number().over(wKw))
-      .filter(col("rk_kw") <= depth)
       .select(col("doc_id"), col("rk_kw"))
     val e = Tables.load(spark, dir, "embeddings")
       .withColumn("emb_d", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
@@ -189,8 +194,8 @@ object Similarity {
       .filter(col("vec_id") =!= probeId)
       .withColumn("cos_raw", dot("emb_d", "emb_q") / (col("nrm") * col("nq")))
       .select(col("vec_id").as("doc_id"), col("cos_raw"))
+      .orderBy(col("cos_raw").desc, col("doc_id").asc).limit(depth)
       .withColumn("rk_vec", row_number().over(wVec))
-      .filter(col("rk_vec") <= depth)
       .select(col("doc_id"), col("rk_vec"))
     val wFused = Window.orderBy(col("rrf_raw").desc, col("doc_id").asc)
     kwRanked.join(vecRanked, Seq("doc_id"), "full_outer")
