@@ -161,6 +161,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
     }),
+    // the same generator through its MicroBatchStream face: five
+    // admission-controlled batches drain the range under AvailableNow
+    "q_gen_stream" -> ((s: SparkSession, _: String) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+      import org.apache.spark.sql.types.DecimalType
+      val stream = s.readStream.format("graft.sources.RangeGenSource")
+        .option("rows", "100000").option("batchRows", "20000").load()
+      val agg = stream.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+      val name = s"gen_stream_${System.nanoTime()}"
+      val q = agg.writeStream.outputMode(OutputMode.Complete())
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(name)
+    }),
   )
 
   // Shared oracle CTE fragments (DuckDB dialect).
@@ -1026,6 +1044,12 @@ object SparkEntry {
         |FROM ranked WHERE rank <= 10""".stripMargin,
     "q_gen_source" ->
       """WITH g AS (SELECT range AS id FROM range(10000, 60000))
+        |SELECT ['click','view','purchase','signup','error'][CAST((id * 31) % 5 AS INT) + 1] AS event_type,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(CAST((id * 2654435761) % 100000 AS DOUBLE) / 100.0 AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM g GROUP BY 1""".stripMargin,
+    "q_gen_stream" ->
+      """WITH g AS (SELECT range AS id FROM range(0, 100000))
         |SELECT ['click','view','purchase','signup','error'][CAST((id * 31) % 5 AS INT) + 1] AS event_type,
         |       COUNT(*) AS n,
         |       CAST(SUM(CAST(CAST((id * 2654435761) % 100000 AS DOUBLE) / 100.0 AS DECIMAL(18,2))) AS DOUBLE) AS total_value

@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -45,7 +46,8 @@ class RangeGenSource extends TableProvider {
       properties: util.Map[String, String]): Table =
     new RangeGenTable(
       Option(properties.get("rows")).map(_.toLong).getOrElse(100000L),
-      Option(properties.get("slices")).map(_.toInt).getOrElse(8))
+      Option(properties.get("slices")).map(_.toInt).getOrElse(8),
+      Option(properties.get("batchRows")).map(_.toLong).getOrElse(10000L))
 }
 
 object RangeGenSource {
@@ -66,17 +68,17 @@ object RangeGenSource {
   def value(id: Long): Double = ((id * 2654435761L) % 100000L) / 100.0
 }
 
-final class RangeGenTable(rows: Long, slices: Int)
+final class RangeGenTable(rows: Long, slices: Int, batchRows: Long)
     extends Table with SupportsRead {
   override def name(): String = s"range_gen($rows)"
   override def schema(): StructType = RangeGenSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new RangeGenScanBuilder(rows, slices)
+    new RangeGenScanBuilder(rows, slices, batchRows)
 }
 
-final class RangeGenScanBuilder(rows: Long, slices: Int)
+final class RangeGenScanBuilder(rows: Long, slices: Int, batchRows: Long)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
@@ -107,13 +109,15 @@ final class RangeGenScanBuilder(rows: Long, slices: Int)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new RangeGenScan(lo, math.max(lo, hi), slices, required)
+  override def build(): Scan =
+    new RangeGenScan(lo, math.max(lo, hi), slices, batchRows, required)
 }
 
 final case class RangeGenPartition(start: Long, end: Long, fields: Array[String])
     extends InputPartition
 
-final class RangeGenScan(lo: Long, hi: Long, slices: Int, required: StructType)
+final class RangeGenScan(lo: Long, hi: Long, slices: Int, batchRows: Long,
+    required: StructType)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -131,10 +135,72 @@ final class RangeGenScan(lo: Long, hi: Long, slices: Int, required: StructType)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PartitionReaderFactory {
-      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-        new RangeGenReader(p.asInstanceOf[RangeGenPartition])
+    RangeGenReaderFactory
+
+  /** Micro-batch face of the same generator: offsets are plain id
+    * watermarks, each trigger admits `batchRows` more ids, and a batch's
+    * partitions are the same per-slice ranges the batch scan plans — so
+    * the streaming source shares ALL row-production code with the batch
+    * one, and exactly-once restart falls out of the offset log for free
+    * (the generator is a pure function of the id range). */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new RangeGenMicroBatchStream(lo, hi, slices, batchRows, required.fieldNames)
+}
+
+object RangeGenReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new RangeGenReader(p.asInstanceOf[RangeGenPartition])
+}
+
+final case class GenOffset(id: Long) extends Offset {
+  override def json(): String = id.toString
+}
+
+final class RangeGenMicroBatchStream(
+    lo: Long, hi: Long, slices: Int, batchRows: Long, fields: Array[String])
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  /** The generated range is static, so Trigger.AvailableNow's "snapshot
+    * the end, then drain in admission-controlled batches" needs no
+    * preparation — `reportLatestOffset` already returns the fixed end. */
+  override def prepareForTriggerAvailableNow(): Unit = ()
+
+  override def initialOffset(): Offset = GenOffset(lo)
+  override def deserializeOffset(json: String): Offset = GenOffset(json.toLong)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(batchRows)
+
+  /** Admission control: each trigger advances the id watermark by the
+    * read limit, never past the configured end. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[GenOffset].id
+    val step = limit match {
+      case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+        r.maxRows()
+      case _ => batchRows
     }
+    GenOffset(math.min(hi, s + step))
+  }
+  override def reportLatestOffset(): Offset = GenOffset(hi)
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is used (SupportsAdmissionControl)")
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GenOffset].id
+    val e = end.asInstanceOf[GenOffset].id
+    val n = e - s
+    if (n <= 0) return Array.empty
+    val per = math.max(1L, (n + slices - 1) / slices)
+    (s until e by per).map { p =>
+      RangeGenPartition(p, math.min(p + per, e), fields)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = RangeGenReaderFactory
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 final class RangeGenReader(p: RangeGenPartition)
