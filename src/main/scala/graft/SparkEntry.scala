@@ -89,6 +89,7 @@ object SparkEntry {
     "q_sql_tpch_q3"   -> SqlInterface.tpchQ3 _,
     "q_sql_above_avg" -> SqlInterface.aboveNationAvg _,
     "q_csv_roundtrip" -> CsvIo.roundTrip _,
+    "q_format_roundtrip" -> CsvIo.formatRoundTrip _,
     // scale techniques, correctness-checked
     "q_salted_agg"        -> ((s: SparkSession, d: String) => Scale.saltedEventTotals(s, d)),
     "q_salted_skew_join"  -> ((s: SparkSession, d: String) => Scale.saltedSkewJoin(s, d)),
@@ -653,6 +654,9 @@ object SparkEntry {
         |                   FROM customer c2
         |                   WHERE c2.c_nationkey = c1.c_nationkey)""".stripMargin,
     "q_csv_roundtrip" ->
+      s"""WITH $userStatsCte
+         |SELECT custkey, avg_buy, min_buy, max_buy FROM stats""".stripMargin,
+    "q_format_roundtrip" ->
       s"""WITH $userStatsCte
          |SELECT custkey, avg_buy, min_buy, max_buy FROM stats""".stripMargin,
     "q_salted_agg" ->

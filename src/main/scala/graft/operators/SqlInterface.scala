@@ -87,4 +87,27 @@ object CsvIo {
     // inner join on all columns: row count == original ⇔ lossless round-trip
     s1.join(s2, Seq("custkey", "avg_buy", "min_buy", "max_buy"))
   }
+
+  /** JSON-lines + ORC sink/source round trip — the rest of Spark's
+    * built-in format matrix beside CSV ([[roundTrip]]) and parquet
+    * (every other query). Doubles survive JSON via shortest-round-trip
+    * printing; ORC is binary-lossless. The all-columns inner join of the
+    * two re-reads proves both formats preserved every row bit-exactly
+    * (row count == original ⇔ lossless), and the shared oracle pins the
+    * values. */
+  def formatRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val stats = Relational.userStats(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fmt").toString
+    stats.write.mode("overwrite").json(s"$tmp/stats_json")
+    stats.write.mode("overwrite").orc(s"$tmp/stats_orc")
+    val declared = StructType(Seq(
+      StructField("custkey", LongType),
+      StructField("avg_buy", DoubleType),
+      StructField("min_buy", DoubleType),
+      StructField("max_buy", DoubleType)))
+    val j = spark.read.schema(declared).json(s"$tmp/stats_json")
+    val o = spark.read.schema(declared).orc(s"$tmp/stats_orc")
+    j.join(o, Seq("custkey", "avg_buy", "min_buy", "max_buy"))
+  }
 }
