@@ -229,8 +229,21 @@ object Similarity {
         // iterations — quantizer quality needs only the density shape,
         // not convergence, and at corpus scale full-data training would
         // dominate the build.
-        val trainSample = vecs.sample(withReplacement = false, trainFraction, seed = 1L)
+        // The sample is tiny relative to the corpus (quantizer training
+        // needs density shape, not volume); collapse it to a few
+        // partitions so the fit's per-iteration jobs don't pay
+        // full-corpus-width task scheduling — at ANY corpus scale the
+        // trained sample is bounded, so this coalesce is constant-cost.
+        val trainSample = vecs
+          .sample(withReplacement = false, trainFraction, seed = 1L)
+          .coalesce(4)
+        // Random (seeded) init, not kmeans||: the parallel init runs
+        // several distributed passes to seed centers "well", which a
+        // coarse quantizer doesn't need — list assignment only has to
+        // partition the space roughly, and the recall spec pins that it
+        // does. Halves the build's job count.
         val km = new KMeans().setK(nlist).setSeed(1L).setMaxIter(trainIters)
+          .setInitMode("random")
           .setFeaturesCol("features")
           .setPredictionCol("list_id").fit(trainSample)
         // Inverted lists: corpus partitioned by coarse cell, materialized
@@ -258,7 +271,7 @@ object Similarity {
       nlist: Int = 16,
       nprobe: Int = 6,
       trainFraction: Double = 0.25,
-      trainIters: Int = 8): DataFrame = {
+      trainIters: Int = 5): DataFrame = {
     val idx = ivfIndex(spark, dir, nlist, trainFraction, trainIters)
     val lists = idx.lists
     val centroids = idx.centroids
