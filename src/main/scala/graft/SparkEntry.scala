@@ -655,7 +655,8 @@ object SparkEntry {
         |                   WHERE c2.c_nationkey = c1.c_nationkey)""".stripMargin,
     "q_csv_roundtrip" ->
       s"""WITH $userStatsCte
-         |SELECT custkey, avg_buy, min_buy, max_buy FROM stats""".stripMargin,
+         |SELECT custkey, avg_buy, min_buy, max_buy,
+         |       1100000000 + custkey AS last_seen FROM stats""".stripMargin,
     "q_format_roundtrip" ->
       s"""WITH $userStatsCte
          |SELECT custkey, avg_buy, min_buy, max_buy FROM stats""".stripMargin,

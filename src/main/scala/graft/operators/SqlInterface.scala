@@ -52,6 +52,34 @@ object SqlInterface {
   }
 }
 
+/** Driver-local scratch for sink/source round-trips: one fixed root under
+  * java.io.tmpdir so repeated bench runs reuse (never leak) disk; callers
+  * delete their subdir once the round-trip result is materialized (the
+  * eager localCheckpoint of the join makes deletion safe).
+  */
+private[operators] object Scratch {
+  private val root =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_scratch")
+
+  def dir(name: String): String = {
+    val p = root.resolve(name)
+    java.nio.file.Files.createDirectories(p)
+    p.toString
+  }
+
+  def delete(path: String): Unit = {
+    import java.nio.file._
+    val p = Paths.get(path)
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      } finally walk.close()
+    }
+  }
+}
+
 /** CSV source/sink parity (reference S1/S2/S5 —
   * `/root/reference/utils/kmeans_utils.py:28-46,112-130`): declared-schema
   * CSV read, inferred-schema CSV read, and a CSV round-trip through a sink.
@@ -59,33 +87,52 @@ object SqlInterface {
   */
 object CsvIo {
 
+  /** The reference's CSV timestamp contract: every inferred read passes
+    * `timestampFormat="yyyy-MM-dd HH:mm:ss"`
+    * (`/root/reference/utils/kmeans_utils.py:34,40,44,46`). */
+  val TsFmt = "yyyy-MM-dd HH:mm:ss"
+
   /** Write a small result as CSV (S5 sink), read it back BOTH ways the
-    * reference reads CSVs — declared schema (S1) and inferSchema (S2) —
-    * and return the inner join proving identical content. */
+    * reference reads CSVs — declared schema (S1) and inferSchema (S2),
+    * both with the reference's `timestampFormat` — and return the inner
+    * join proving identical content. The `last_seen` column (distinct
+    * second-precision timestamp per row) exercises the timestampFormat
+    * option on the write and on both read paths; it is surfaced as epoch
+    * seconds so the oracle compare is timezone-free. */
   def roundTrip(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
     val stats = Relational.userStats(spark, dir)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+      .withColumn("last_seen",
+        timestamp_seconds(lit(1100000000L) + col("custkey")))
+    val tmp = Scratch.dir("csv")
     // repartition(1), NOT coalesce(1): coalesce propagates upstream and
     // would collapse the whole join+agg pipeline into a single task; the
     // round-robin exchange keeps upstream parallel and only the final
     // file write is single-task (the reference's single-CSV contract).
     stats.repartition(1).write.mode("overwrite")
-      .option("header", true).csv(s"$tmp/user_stats")
+      .option("header", true).option("timestampFormat", TsFmt)
+      .csv(s"$tmp/user_stats")
     val declared = StructType(Seq(
       StructField("custkey", LongType),
       StructField("avg_buy", DoubleType),
       StructField("min_buy", DoubleType),
-      StructField("max_buy", DoubleType)))
+      StructField("max_buy", DoubleType),
+      StructField("last_seen", TimestampType)))
     val s1 = spark.read.schema(declared).option("header", true)
-      .csv(s"$tmp/user_stats")
+      .option("timestampFormat", TsFmt).csv(s"$tmp/user_stats")
     val s2 = spark.read.option("inferSchema", true).option("header", true)
-      .csv(s"$tmp/user_stats")
+      .option("timestampFormat", TsFmt).csv(s"$tmp/user_stats")
       .select(col("custkey").cast("long").as("custkey"),
         col("avg_buy").cast("double"), col("min_buy").cast("double"),
-        col("max_buy").cast("double"))
+        col("max_buy").cast("double"),
+        col("last_seen").cast("timestamp").as("last_seen"))
     // inner join on all columns: row count == original ⇔ lossless round-trip
-    s1.join(s2, Seq("custkey", "avg_buy", "min_buy", "max_buy"))
+    val joined = s1
+      .join(s2, Seq("custkey", "avg_buy", "min_buy", "max_buy", "last_seen"))
+      .withColumn("last_seen", unix_timestamp(col("last_seen")))
+      .localCheckpoint(true)
+    Scratch.delete(tmp)
+    joined
   }
 
   /** JSON-lines + ORC sink/source round trip — the rest of Spark's
@@ -98,16 +145,23 @@ object CsvIo {
   def formatRoundTrip(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
     val stats = Relational.userStats(spark, dir)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_fmt").toString
-    stats.write.mode("overwrite").json(s"$tmp/stats_json")
-    stats.write.mode("overwrite").orc(s"$tmp/stats_orc")
-    val declared = StructType(Seq(
-      StructField("custkey", LongType),
-      StructField("avg_buy", DoubleType),
-      StructField("min_buy", DoubleType),
-      StructField("max_buy", DoubleType)))
-    val j = spark.read.schema(declared).json(s"$tmp/stats_json")
-    val o = spark.read.schema(declared).orc(s"$tmp/stats_orc")
-    j.join(o, Seq("custkey", "avg_buy", "min_buy", "max_buy"))
+    val tmp = Scratch.dir("fmt")
+    // Cache once: without it the agg pipeline re-runs per sink (two full
+    // recomputes); repartition(1) keeps each sink to one file so the
+    // re-reads list one object instead of 32 shuffle-partition files.
+    val out = Tables.withCached(stats) {
+      stats.repartition(1).write.mode("overwrite").json(s"$tmp/stats_json")
+      stats.repartition(1).write.mode("overwrite").orc(s"$tmp/stats_orc")
+      val declared = StructType(Seq(
+        StructField("custkey", LongType),
+        StructField("avg_buy", DoubleType),
+        StructField("min_buy", DoubleType),
+        StructField("max_buy", DoubleType)))
+      val j = spark.read.schema(declared).json(s"$tmp/stats_json")
+      val o = spark.read.schema(declared).orc(s"$tmp/stats_orc")
+      j.join(o, Seq("custkey", "avg_buy", "min_buy", "max_buy"))
+    }
+    Scratch.delete(tmp)
+    out
   }
 }
