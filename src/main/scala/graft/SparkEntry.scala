@@ -133,6 +133,8 @@ object SparkEntry {
     "q_ann_pq"             -> ((s: SparkSession, d: String) => Similarity.pqTopK(s, d)),
     // round 5: supplier coverage, labeled kNN, TF-IDF featurization
     "q_supplier_volume" -> Breadth.localSupplierVolume _,
+    // round 7: TPC-H Q2-shaped argmin over (part, supplier)
+    "q_min_cost_supplier" -> Relational.minCostSupplier _,
     "q_knn_classify"    -> ((s: SparkSession, d: String) => Similarity.knnClassify(s, d)),
     "q_tfidf_terms"     -> ((s: SparkSession, d: String) => TextAnalysis.tfidfTerms(s, d)),
     "q_tfidf_features"  -> ((s: SparkSession, d: String) => TextAnalysis.tfidfFeatures(s, d)),
@@ -149,6 +151,17 @@ object SparkEntry {
         .select("o_custkey", "o_orderkey", "o_orderdate")
       graft.plans.AsOfJoin
         .asof(e, o, "user_id", "o_custkey", "ts", "o_orderdate", "o_orderkey")
+        .select(col("event_id"), col("user_id"), col("o_orderkey").as("orderkey"))
+    }),
+    // left-outer native as-of: unmatched events survive with null orderkey
+    "q_asof_join_left" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions.col
+      val e = Tables.load(s, d, "events").select("event_id", "user_id", "ts")
+      val o = Tables.load(s, d, "orders")
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+      graft.plans.AsOfJoin
+        .asof(e, o, "user_id", "o_custkey", "ts", "o_orderdate", "o_orderkey",
+          "left_outer")
         .select(col("event_id"), col("user_id"), col("o_orderkey").as("orderkey"))
     }),
     // DataSource V2 generator source (dir-independent: nothing to scan)
@@ -814,6 +827,15 @@ object SparkEntry {
         |  JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
         |SELECT event_id, user_id, o_orderkey AS orderkey
         |FROM cand WHERE rn = 1""".stripMargin,
+    "q_asof_join_left" ->
+      """WITH cand AS (
+        |  SELECT e.event_id, e.user_id, o.o_orderkey,
+        |         ROW_NUMBER() OVER (PARTITION BY e.event_id
+        |                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e
+        |  LEFT JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+        |SELECT event_id, user_id, o_orderkey AS orderkey
+        |FROM cand WHERE rn = 1""".stripMargin,
     "q_stats_moments" ->
       """WITH li AS (
         |  SELECT l_orderkey, COUNT(*) AS n_lines FROM lineitem GROUP BY 1),
@@ -932,6 +954,21 @@ object SparkEntry {
         |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY 1""".stripMargin,
+    "q_min_cost_supplier" ->
+      """WITH uc AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         MIN(l_extendedprice / l_quantity) AS unit_cost
+        |  FROM lineitem GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT uc.l_partkey AS p_partkey, s.s_name, s.s_acctbal, uc.unit_cost,
+        |         ROW_NUMBER() OVER (PARTITION BY uc.l_partkey
+        |                            ORDER BY uc.unit_cost, s.s_acctbal DESC, s.s_suppkey) AS rn
+        |  FROM uc JOIN supplier s ON uc.l_suppkey = s.s_suppkey)
+        |SELECT p.p_partkey, p.p_name, p.p_size, p.p_retailprice,
+        |       r.s_name, r.s_acctbal, r.unit_cost
+        |FROM ranked r
+        |JOIN part p ON r.p_partkey = p.p_partkey
+        |WHERE r.rn = 1 AND p.p_size BETWEEN 10 AND 25""".stripMargin,
     "q_knn_classify" ->
       """WITH scored AS (
         |  SELECT q.vec_id AS query_id, q.label AS true_label,

@@ -169,4 +169,46 @@ object Relational {
       .join(strengths(spark, dir), Seq("custkey"), "left")
     joined.na.fill(0)
   }
+
+  /** TPC-H Q2-shaped min-cost supplier: for each mid-size part, the
+    * supplier offering the lowest observed unit price (ties broken by
+    * richest supplier, then lowest suppkey — Q2's ORDER BY s_acctbal DESC
+    * shape). There is no partsupp table in the testdata, so observed unit
+    * cost comes from lineitem: min(l_extendedprice / l_quantity) per
+    * (part, supplier).
+    *
+    * Scale shape: the only big shuffle is the lineitem pre-aggregation on
+    * (l_partkey, l_suppkey) — map-side partial min keeps it small.
+    * `supplier` and `part` are dims and explicitly broadcast, so the
+    * aggregated (part, supplier) frame never re-shuffles for either join.
+    * The per-part argmin is one more keyed shuffle of the already-tiny
+    * aggregate via min(struct(...)) — no window, no join-back on a double
+    * equality. Unit cost is a single IEEE division of exact inputs, so it
+    * is bit-identical across engines and needs no rounding.
+    */
+  def minCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val unitCost = Tables.load(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"),
+        (col("l_extendedprice") / col("l_quantity")).as("cost"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min("cost").as("unit_cost"))
+    val sup = Tables.load(spark, dir, "supplier")
+      .select("s_suppkey", "s_name", "s_acctbal")
+    val prt = Tables.load(spark, dir, "part")
+      .filter(col("p_size").between(10, 25))
+      .select("p_partkey", "p_name", "p_size", "p_retailprice")
+    // argmin per part: struct ordering = (unit_cost asc, acctbal desc,
+    // suppkey asc); carried fields after the tiebreak are just cargo
+    val best = unitCost
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey").as("p_partkey"))
+      .agg(min(struct(col("unit_cost"), (-col("s_acctbal")).as("neg_bal"),
+        col("s_suppkey"), col("s_name"), col("s_acctbal"))).as("pick"))
+    best
+      .join(broadcast(prt), Seq("p_partkey"))
+      .select(col("p_partkey"), col("p_name"), col("p_size"),
+        col("p_retailprice"), col("pick.s_name").as("s_name"),
+        col("pick.s_acctbal").as("s_acctbal"),
+        col("pick.unit_cost").as("unit_cost"))
+  }
 }

@@ -3,9 +3,10 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.graft.ColumnBridge
 
@@ -36,9 +37,14 @@ final case class AsOfJoinPlan(
     rightKey: Expression,
     leftTime: Expression,
     rightTime: Expression,
-    rightTieBreak: Expression)
+    rightTieBreak: Expression,
+    isOuter: Boolean = false)
     extends BinaryNode {
-  override def output: Seq[Attribute] = left.output ++ right.output
+  // Left-outer keeps unmatched left rows, so every right column may be
+  // null in the output regardless of its source nullability.
+  override def output: Seq[Attribute] =
+    if (isOuter) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
     copy(left = newLeft, right = newRight)
@@ -49,8 +55,8 @@ final case class AsOfJoinPlan(
   * path) or `spark.experimental.extraStrategies` (running session). */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb, outer) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb, outer) :: Nil
     case _ => Nil
   }
 }
@@ -71,10 +77,19 @@ final case class AsOfJoinExec(
     rightKey: Expression,
     leftTime: Expression,
     rightTime: Expression,
-    rightTieBreak: Expression)
+    rightTieBreak: Expression,
+    isOuter: Boolean = false)
     extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" ->
+      SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatchedRows" ->
+      SQLMetrics.createMetric(sparkContext, "number of matched left rows"))
+
+  override def output: Seq[Attribute] =
+    if (isOuter) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
 
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
@@ -94,10 +109,15 @@ final case class AsOfJoinExec(
     val rKeyB = BindReferences.bindReference(rightKey, right.output)
     val rTimeB = BindReferences.bindReference(rightTime, right.output)
     val outAttrs = output
+    val outer = isOuter
+    val rightWidth = right.output.size
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatchedRows = longMetric("numMatchedRows")
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val rBuf = rIter.buffered
       val joined = new JoinedRow
       val proj = UnsafeProjection.create(outAttrs, outAttrs)
+      val nullRight: InternalRow = new GenericInternalRow(rightWidth)
       // key/time columns are long-backed (bigint / timestamp-micros);
       // nulls never match, per SQL join semantics
       def num(v: Any): Long = v.asInstanceOf[Number].longValue
@@ -106,8 +126,13 @@ final case class AsOfJoinExec(
       lIter.flatMap { lRow =>
         val lk = lKeyB.eval(lRow)
         val lt = lTimeB.eval(lRow)
-        if (lk == null || lt == null) Iterator.empty
-        else {
+        if (lk == null || lt == null) {
+          // null key/time never matches; outer still keeps the left row
+          if (outer) {
+            numOutputRows += 1
+            Iterator.single(proj(joined(lRow, nullRight)))
+          } else Iterator.empty
+        } else {
           val lKey = num(lk); val lTime = num(lt)
           // consume right rows that can no longer matter (smaller key) or
           // that become the newest valid candidate (same key, time <= lt)
@@ -126,9 +151,13 @@ final case class AsOfJoinExec(
               } else advancing = false // right is ahead: stop
             }
           }
-          if (candidate != null && candidateKey == lKey)
+          if (candidate != null && candidateKey == lKey) {
+            numOutputRows += 1; numMatchedRows += 1
             Iterator.single(proj(joined(lRow, candidate)))
-          else Iterator.empty
+          } else if (outer) {
+            numOutputRows += 1
+            Iterator.single(proj(joined(lRow, nullRight)))
+          } else Iterator.empty
         }
       }
     }
@@ -152,7 +181,14 @@ object AsOfJoin {
       rightKey: String,
       leftTime: String,
       rightTime: String,
-      rightTieBreak: String): DataFrame = {
+      rightTieBreak: String,
+      joinType: String = "inner"): DataFrame = {
+    val isOuter = joinType match {
+      case "inner" => false
+      case "left" | "left_outer" => true
+      case other => throw new IllegalArgumentException(
+        s"as-of joinType must be inner or left_outer, got $other")
+    }
     val spark: SparkSession = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
@@ -165,6 +201,7 @@ object AsOfJoin {
           s"column $n not in ${p.output.map(_.name).mkString(", ")}"))
     ColumnBridge.ofRows(spark, AsOfJoinPlan(lPlan, rPlan,
       attr(lPlan, leftKey), attr(rPlan, rightKey),
-      attr(lPlan, leftTime), attr(rPlan, rightTime), attr(rPlan, rightTieBreak)))
+      attr(lPlan, leftTime), attr(rPlan, rightTime), attr(rPlan, rightTieBreak),
+      isOuter))
   }
 }
