@@ -76,6 +76,7 @@ object SparkEntry {
     "q_text_langid"      -> TextAnalysis.langId _,
     "q_text_fingerprint" -> TextAnalysis.fingerprint _,
     "q_corpus_curation"  -> TextAnalysis.curateCorpus _,
+    "q_curation_by_source" -> TextAnalysis.curationBySource _,
     // multimodal binary columns (north-star extension)
     "q_multimodal_meta"     -> Multimodal.mediaMeta _,
     "q_multimodal_features" -> Multimodal.featuresQuery _,
@@ -102,6 +103,7 @@ object SparkEntry {
     "q_partitioned_write" -> Scale.partitionedRoundTrip _,
     "q_analytic_windows"  -> Scale.analyticWindows _,
     "q_median_balance"    -> Scale.medianBalance _,
+    "q_exact_quantiles"   -> Scale.exactQuantiles _,
     "q_json_extract"      -> Breadth.jsonExtract _,
     "q_full_outer"        -> Breadth.fullOuter _,
     "q_cube"              -> Breadth.cubeAgg _,
@@ -136,6 +138,7 @@ object SparkEntry {
     // round 7: TPC-H Q2-shaped argmin over (part, supplier)
     "q_min_cost_supplier" -> Relational.minCostSupplier _,
     "q_knn_classify"    -> ((s: SparkSession, d: String) => Similarity.knnClassify(s, d)),
+    "q_knn_classify_ivf" -> ((s: SparkSession, d: String) => Similarity.knnClassifyIvf(s, d)),
     "q_tfidf_terms"     -> ((s: SparkSession, d: String) => TextAnalysis.tfidfTerms(s, d)),
     "q_tfidf_features"  -> ((s: SparkSession, d: String) => TextAnalysis.tfidfFeatures(s, d)),
     "q_stream_stream_join" -> graft.streaming.EventsStream.clickAttribution _,
@@ -568,6 +571,54 @@ object SparkEntry {
          |JOIN l USING (doc_id)
          |WHERE q.quality >= 0.5 AND l.pred_lang != 'und'
          |  AND d.doc_id NOT IN (SELECT doc_id FROM nl)""".stripMargin,
+    "q_curation_by_source" ->
+      s"""WITH $shinglesCte,
+         |q AS (
+         |  SELECT doc_id,
+         |         ROUND(LEAST(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100) * 0.5
+         |               + (1.0 - LEAST(1.0, CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE) / LENGTH(text) * 10)) * 0.2
+         |               + LEAST(1.0, CAST(len(list_filter(string_split(text, ' '),
+         |                   x -> list_contains(['the','a','of','and','in','to','is','der','und','le','la','el','de','et','un'], x))) AS DOUBLE)
+         |                 / len(string_split(text, ' ')) * 5) * 0.3, 6) AS quality
+         |  FROM documents),
+         |lc AS (
+         |  SELECT doc_id,
+         |         CAST(len(list_filter(string_split(text, ' '), x -> list_contains(['the','a','of','and','in','to','is'], x))) AS INT) AS n_en,
+         |         CAST(len(list_filter(string_split(text, ' '), x -> list_contains(['der','die','das','und','ist','ein'], x))) AS INT) AS n_de,
+         |         CAST(len(list_filter(string_split(text, ' '), x -> list_contains(['le','les','et','des','une','dans'], x))) AS INT) AS n_fr,
+         |         CAST(len(list_filter(string_split(text, ' '), x -> list_contains(['el','los','y','las','por','como'], x))) AS INT) AS n_es
+         |  FROM documents),
+         |l AS (
+         |  SELECT doc_id,
+         |         CASE WHEN n_en >= n_de AND n_en >= n_fr AND n_en >= n_es AND n_en > 0 THEN 'en'
+         |              WHEN n_de >= n_fr AND n_de >= n_es AND n_de > 0 THEN 'de'
+         |              WHEN n_fr >= n_es AND n_fr > 0 THEN 'fr'
+         |              WHEN n_es > 0 THEN 'es'
+         |              ELSE 'und' END AS pred_lang
+         |  FROM lc),
+         |ek AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+         |nl AS (
+         |  SELECT DISTINCT b.doc_id
+         |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) >= 0.5),
+         |kept AS (
+         |  SELECT d.doc_id, q.quality
+         |  FROM documents d
+         |  JOIN ek USING (doc_id)
+         |  JOIN q USING (doc_id)
+         |  JOIN l USING (doc_id)
+         |  WHERE q.quality >= 0.5 AND l.pred_lang != 'und'
+         |    AND d.doc_id NOT IN (SELECT doc_id FROM nl))
+         |SELECT d.source,
+         |       COUNT(*) AS n_docs,
+         |       COUNT(k.quality) AS n_kept,
+         |       COUNT(*) - COUNT(k.quality) AS n_dropped,
+         |       CAST(COUNT(k.quality) AS DOUBLE) / COUNT(*) AS kept_rate,
+         |       MIN(k.quality) AS min_quality,
+         |       MAX(k.quality) AS max_quality
+         |FROM documents d
+         |LEFT JOIN kept k USING (doc_id)
+         |GROUP BY 1""".stripMargin,
     "q_text_langid" ->
       """WITH t AS (
         |  SELECT doc_id, lang AS labeled_lang,
@@ -747,6 +798,13 @@ object SparkEntry {
         |       ROUND(QUANTILE_CONT(c_acctbal, 0.9), 4) AS p90_bal,
         |       COUNT(*) AS n
         |FROM customer GROUP BY 1""".stripMargin,
+    "q_exact_quantiles" ->
+      """SELECT event_type,
+        |       ROUND(QUANTILE_CONT(value, 0.1), 4) AS p10_exact,
+        |       ROUND(QUANTILE_CONT(value, 0.5), 4) AS p50_exact,
+        |       ROUND(QUANTILE_CONT(value, 0.9), 4) AS p90_exact,
+        |       COUNT(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
     "q_json_extract" ->
       // CAST the SUM back to BIGINT: DuckDB SUM(BIGINT) yields HUGEINT,
       // which lands as float64 in the comparer and breaks the hash.

@@ -256,6 +256,18 @@ object Scale {
         expr("percentile(value, 0.9)").as("p90_exact"),
         expr("percentile(value, 0.1)").as("p10_exact"))
 
+  /** The exact half of [[approxQuantiles]], split out so it joins the
+    * oracled set (Spark `percentile` == DuckDB `quantile_cont`, same
+    * interpolation); the sketch half stays rows-only beside it. */
+  def exactQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.1)"), 4).as("p10_exact"),
+        round(expr("percentile(value, 0.5)"), 4).as("p50_exact"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90_exact"),
+        count(lit(1)).as("n"))
+
   /** Deterministic hash sampling: a ~10% sample selected by a Knuth
     * multiplicative hash of the key — reproducible across runs, engines,
     * and partitionings (unlike seeded `sample()`, whose draw depends on

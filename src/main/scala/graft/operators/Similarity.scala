@@ -146,6 +146,63 @@ object Similarity {
         (col("nbr_label") === col("true_label")).cast("int").as("correct"))
   }
 
+  /** [[knnClassify]] with the exact cross-join candidate stage swapped
+    * for the IVF inverted-list scan — the promised scale path, in code:
+    * probes rank the broadcast centroids, scan only `nprobe` lists, and
+    * the vote logic downstream is IDENTICAL to the exact variant (same
+    * top-k window, same majority vote, same tiebreaks). Labels attach
+    * AFTER the top-k cut, so the label join touches nProbes×k rows, not
+    * the corpus. Rows-only check; `SimilaritySpec` pins ≥0.9 prediction
+    * agreement with the exact classifier. */
+  def knnClassifyIvf(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 5,
+      nProbes: Int = 50,
+      nlist: Int = 16,
+      nprobe: Int = 6,
+      trainFraction: Double = 0.25,
+      trainIters: Int = 5): DataFrame = {
+    val idx = ivfIndex(spark, dir, nlist, trainFraction, trainIters)
+    val lists = idx.lists
+    val centroids = idx.centroids
+    val labels = Tables.load(spark, dir, "embeddings").select("vec_id", "label")
+    val probes = lists.filter(col("neighbor_id") < nProbes)
+      .select(col("neighbor_id").as("query_id"), col("unit_c").as("unit_q"))
+    // rank centroids per probe by squared Euclidean, same as ivfTopK
+    val wc = Window.partitionBy("query_id")
+      .orderBy(col("cdist").asc, col("list_id").asc)
+    val probeLists = probes.crossJoin(broadcast(centroids))
+      .withColumn("cdist", norm2("centroid") - lit(2.0) * dot("unit_q", "centroid"))
+      .withColumn("crnk", row_number().over(wc))
+      .filter(col("crnk") <= nprobe)
+      .select("query_id", "unit_q", "list_id")
+    // candidate stage: selected inverted lists only, train vectors only
+    val wTop = Window.partitionBy("query_id")
+      .orderBy(col("cos_raw").desc, col("neighbor_id").asc)
+    val topk = probeLists
+      .join(lists.filter(col("neighbor_id") >= nProbes), "list_id")
+      .withColumn("cos_raw", dot("unit_q", "unit_c"))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id")
+    // labels for the tiny frames only: nProbes×k candidates + nProbes queries
+    val votes = topk
+      .join(labels.withColumnRenamed("vec_id", "neighbor_id")
+        .withColumnRenamed("label", "nbr_label"), Seq("neighbor_id"))
+      .groupBy("query_id", "nbr_label")
+      .agg(count(lit(1)).as("n_votes"))
+    val wVote = Window.partitionBy("query_id")
+      .orderBy(col("n_votes").desc, col("nbr_label").asc)
+    votes.withColumn("vr", row_number().over(wVote))
+      .filter(col("vr") === 1)
+      .join(labels.withColumnRenamed("vec_id", "query_id")
+        .withColumnRenamed("label", "true_label"), Seq("query_id"))
+      .select(col("query_id"), col("nbr_label").as("pred_label"),
+        col("true_label"),
+        (col("nbr_label") === col("true_label")).cast("int").as("correct"))
+  }
+
   /** HYBRID SEARCH — keyword + vector retrieval fused by Reciprocal Rank
     * Fusion (RRF, the standard hybrid-retrieval combiner):
     *   - keyword channel: docs containing the probe document's top TF-IDF

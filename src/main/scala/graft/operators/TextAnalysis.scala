@@ -114,6 +114,28 @@ object TextAnalysis {
       .select(col("doc_id"), col("pred_lang"), col("quality"))
   }
 
+  /** Provenance rollup over [[curateCorpus]] — the per-source cut every
+    * corpus pipeline reports: how many documents each source contributed,
+    * how many survived curation, and the kept-rate. One broadcast-sized
+    * left join (kept set is a projection of the curated frame) followed
+    * by a keyed aggregation on `source` — the whole curation chain stays
+    * one declarative plan below it. kept_rate is an exact integer ratio
+    * and min/max pick already-rounded quality values, so every output
+    * column is bit-stable across engines. */
+  def curationBySource(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "source")
+    val kept = curateCorpus(spark, dir).select("doc_id", "quality")
+    docs.join(kept, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(col("quality")).as("n_kept"),
+        (count(lit(1)) - count(col("quality"))).as("n_dropped"),
+        (count(col("quality")).cast("double") / count(lit(1))).as("kept_rate"),
+        min(col("quality")).as("min_quality"),
+        max(col("quality")).as("max_quality"))
+  }
+
   /** Relational TF-IDF — top-`topN` characteristic terms per document,
     * computed as three declarative aggregations (term frequency per doc,
     * document frequency per term, corpus size) joined back together:

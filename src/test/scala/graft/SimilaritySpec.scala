@@ -89,4 +89,21 @@ class SimilaritySpec extends SparkSpec {
     val n = graft.Tables.load(spark, sf, "documents").select("text").distinct().count()
     assert(Dedup.exact(spark, sf).count() == n)
   }
+
+  test("kNN over IVF lists agrees with exact kNN on >= 90% of probes") {
+    val exact = Similarity.knnClassify(spark, sf)
+      .select("query_id", "pred_label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // nprobe is the recall knob: at 12/16 lists the candidate sets are
+    // near-exhaustive and the vote must reproduce the exact classifier
+    val ivf = Similarity.knnClassifyIvf(spark, sf, nprobe = 12)
+      .select("query_id", "pred_label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // the IVF variant must classify every probe the exact variant does
+    assert(ivf.keySet == exact.keySet,
+      s"probe coverage ${ivf.size} vs ${exact.size}")
+    val agree = exact.count { case (q, p) => ivf(q) == p }
+    val rate = agree.toDouble / exact.size
+    assert(rate >= 0.9, s"IVF/exact prediction agreement = $rate")
+  }
 }
