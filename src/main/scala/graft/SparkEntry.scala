@@ -77,6 +77,10 @@ object SparkEntry {
     "q_text_fingerprint" -> TextAnalysis.fingerprint _,
     "q_corpus_curation"  -> TextAnalysis.curateCorpus _,
     "q_curation_by_source" -> TextAnalysis.curationBySource _,
+    // round 7: training-pipeline operators
+    "q_repetition_signals" -> TextAnalysis.repetitionSignals _,
+    "q_decontaminate"      -> ((s: SparkSession, d: String) => TextAnalysis.decontaminate(s, d)),
+    "q_pack_sequences"     -> ((s: SparkSession, d: String) => TextAnalysis.packSequences(s, d)),
     // multimodal binary columns (north-star extension)
     "q_multimodal_meta"     -> Multimodal.mediaMeta _,
     "q_multimodal_features" -> Multimodal.featuresQuery _,
@@ -961,6 +965,51 @@ object SparkEntry {
         |       (c_custkey * 2654435761) % 4294967296 AS hash_val
         |FROM customer
         |WHERE (c_custkey * 2654435761) % 4294967296 < 429496720""".stripMargin,
+    "q_repetition_signals" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |base AS (SELECT doc_id, len(t) AS n_tokens,
+        |                len(list_distinct(t)) AS n_distinct FROM t),
+        |bgc AS (
+        |  SELECT doc_id,
+        |         UNNEST(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+        |  FROM t WHERE len(t) >= 2),
+        |cnt AS (SELECT doc_id, bigram, COUNT(*) AS n FROM bgc GROUP BY 1, 2),
+        |top AS (SELECT doc_id, bigram, n,
+        |        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, bigram) AS rn
+        |        FROM cnt)
+        |SELECT b.doc_id, b.n_tokens, b.n_distinct,
+        |       1.0 - CAST(b.n_distinct AS DOUBLE) / b.n_tokens AS dup_token_frac,
+        |       t2.bigram AS top_bigram, t2.n AS top_bigram_n,
+        |       CAST(t2.n AS DOUBLE) / (b.n_tokens - 1) AS top_bigram_frac
+        |FROM base b JOIN top t2 ON b.doc_id = t2.doc_id AND t2.rn = 1""".stripMargin,
+    "q_decontaminate" ->
+      s"""WITH $shinglesCte,
+         |ev AS (SELECT DISTINCT s FROM (
+         |  SELECT UNNEST(sh2.s) AS s
+         |  FROM sh sh2 JOIN documents d USING (doc_id)
+         |  WHERE d.source = 'src0')),
+         |tr AS (
+         |  SELECT sh3.doc_id, len(sh3.s) AS n_shingles, UNNEST(sh3.s) AS s
+         |  FROM sh sh3 JOIN documents d USING (doc_id)
+         |  WHERE d.source != 'src0')
+         |SELECT tr2.doc_id, COUNT(*) AS n_shared, tr2.n_shingles,
+         |       CAST(COUNT(*) AS DOUBLE) / tr2.n_shingles AS contamination
+         |FROM tr tr2 JOIN ev USING (s)
+         |GROUP BY tr2.doc_id, tr2.n_shingles""".stripMargin,
+    "q_pack_sequences" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, doc_id % 8 AS shard,
+        |         len(string_split(text, ' ')) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, shard, n_tok,
+        |         CAST(SUM(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM d)
+        |SELECT lang, shard, (cum - n_tok) // 512 AS bin,
+        |       COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM c GROUP BY 1, 2, 3""".stripMargin,
     "q_bin_range_join" ->
       """SELECT CAST(FLOOR(value / 50) AS INT) AS band_id,
         |       CAST(FLOOR(value / 50) * 50 AS DOUBLE) AS lo,

@@ -221,4 +221,90 @@ object TextAnalysis {
         array_max(col("winnow")).as("winnow_max"),
         expr("aggregate(winnow, CAST(0 AS BIGINT), (acc, h) -> pmod(acc + h, 9007199254740881L))")
           .as("winnow_digest"))
+
+  /** Gopher-style REPETITION signals — the quality cut that catches
+    * boilerplate and degenerate generations: per-doc duplicate-token
+    * fraction and most-frequent-bigram mass. Everything up to the
+    * per-doc bigram top-1 is map-side array work inside codegen; the only
+    * shuffle keys on (doc_id, bigram) and is linear in corpus token
+    * count. Output values are integer ratios — bit-exact cross-engine. */
+  def repetitionSignals(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    val base = t.select(col("doc_id"), size(col("t")).as("n_tokens"),
+      size(array_distinct(col("t"))).as("n_distinct"))
+    val bg = t.filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(
+        expr("transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i+1]))"))
+        .as("bigram"))
+    val bgc = bg.groupBy("doc_id", "bigram").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("n").desc, col("bigram").asc)
+    val top = bgc.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    base.join(top, "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        (lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"))
+          .as("dup_token_frac"),
+        col("bigram").as("top_bigram"), col("n").as("top_bigram_n"),
+        (col("n").cast("double") / (col("n_tokens") - 1)).as("top_bigram_frac"))
+  }
+
+  /** DECONTAMINATION — flag training documents sharing any 3-gram shingle
+    * with the eval set (stood in by one `source` partition, the
+    * provenance cut a real pipeline would hold out). Shingles are the
+    * same 64-bit-hashed distinct sets the dedup suite uses (count over
+    * hashes == count over strings up to ~1e-10 collision odds), so the
+    * DuckDB oracle's string shingles produce identical counts.
+    *
+    * Scale shape: the join keys on the shingle value; the eval side is a
+    * distinct shingle set orders of magnitude smaller than the corpus —
+    * AQE broadcasts it, and at 100 TB the same frame feeds a bloom filter
+    * on the train side so non-overlapping docs die in the scan. */
+  def decontaminate(spark: SparkSession, dir: String,
+      evalSource: String = "src0"): DataFrame = {
+    val sh = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        graft.functions.HashExpressions
+          .shingle_hash(split(col("text"), " "), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val evalSh = sh.filter(col("source") === evalSource)
+      .select(explode(col("sh")).as("s")).distinct()
+    val train = sh.filter(col("source") =!= evalSource)
+      .select(col("doc_id"), size(col("sh")).as("n_shingles"),
+        explode(col("sh")).as("s"))
+    train.join(evalSh, "s")
+      .groupBy("doc_id", "n_shingles")
+      .agg(count(lit(1)).as("n_shared")) // per-doc shingles are distinct
+      .select(col("doc_id"), col("n_shared"), col("n_shingles"),
+        (col("n_shared").cast("double") / col("n_shingles")).as("contamination"))
+  }
+
+  /** SEQUENCE PACKING — assign documents to fixed-token-budget training
+    * bins by cumulative token count, the deterministic first-fit packing
+    * a pre-training dataloader runs. Documents stream in doc_id order
+    * within a (lang, shard) packing lane; a doc starts in the bin its
+    * cumulative start offset falls into (docs longer than the remaining
+    * budget spill into the next bin — simple offset packing, no
+    * re-ordering).
+    *
+    * Scale shape: the running sum partitions by (lang, shard) — shard =
+    * doc_id mod `shards` keeps every lane bounded, so no single-reducer
+    * window at any corpus size (more shards = more parallelism, same
+    * semantics per lane). The rollup is one keyed aggregation. All
+    * integers — bit-exact. */
+  def packSequences(spark: SparkSession, dir: String,
+      budget: Int = 512, shards: Int = 8): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang", "shard").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        pmod(col("doc_id"), lit(shards)).as("shard"),
+        size(split(col("text"), " ")).as("n_tok"))
+      .withColumn("cum", sum("n_tok").over(w))
+      .withColumn("bin", expr(s"(cum - n_tok) div $budget"))
+      .groupBy("lang", "shard", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+  }
 }
