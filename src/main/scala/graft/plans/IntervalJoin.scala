@@ -1,0 +1,165 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, JoinedRow, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, Distribution, IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
+import org.apache.spark.sql.graft.ColumnBridge
+
+/** Native POINT-IN-INTERVAL JOIN — the second custom-operator-tier plan
+  * (SURVEY §7.4c, beside [[AsOfJoinPlan]]): left rows carry a numeric
+  * point, right rows carry `[lo, hi)` intervals (arbitrary — irregular
+  * widths, overlaps, gaps), and the join emits every (point, interval)
+  * containment pair.
+  *
+  * Spark's built-in plan for a non-equi theta join is
+  * BroadcastNestedLoopJoin: every left row compares against EVERY
+  * interval — O(n·m) comparisons. When intervals are regular, arithmetic
+  * binning turns it into an equi-join ([[graft.operators.Scale
+  * .binnedRangeJoin]]); this operator covers the irregular case the
+  * binning trick can't: the broadcast intervals are sorted by `lo` once
+  * per partition, each point binary-searches its candidate window, and a
+  * running-max-of-`hi` prefix bounds the backward scan — O(n log m + out)
+  * instead of O(n·m).
+  *
+  * Scale story: the left (point) side streams with NO shuffle at all —
+  * any partitioning works, there is no required distribution — and the
+  * interval side is a broadcast dim, exactly the regime (big fact,
+  * small-but-irregular dim) where the nested loop hurts most.
+  */
+final case class IntervalJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    point: Expression,
+    lo: Expression,
+    hi: Expression)
+    extends BinaryNode {
+  override def output: Seq[Attribute] = left.output ++ right.output
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): IntervalJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+object IntervalJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case IntervalJoinPlan(l, r, p, lo, hi) =>
+      IntervalJoinExec(planLater(l), planLater(r), p, lo, hi) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical broadcast interval join: EnsureRequirements wraps the right
+  * child in an identity-mode BroadcastExchange; each left partition sorts
+  * the (small) interval array by `lo` once, then probes per point. */
+final case class IntervalJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    point: Expression,
+    lo: Expression,
+    hi: Expression)
+    extends BinaryExecNode {
+
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" ->
+      SQLMetrics.createMetric(sparkContext, "number of output rows"))
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    UnspecifiedDistribution :: BroadcastDistribution(IdentityBroadcastMode) :: Nil
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val pointB = BindReferences.bindReference(point, left.output)
+    val loB = BindReferences.bindReference(lo, right.output)
+    val hiB = BindReferences.bindReference(hi, right.output)
+    val outAttrs = output
+    val bcast = right.executeBroadcast[Array[InternalRow]]()
+    val numOutputRows = longMetric("numOutputRows")
+    left.execute().mapPartitions { lIter =>
+      // per-partition index build over the broadcast dim: sort by lo,
+      // running max of hi bounds the backward scan under overlaps
+      val triples = bcast.value.flatMap { r =>
+        val lv = loB.eval(r); val hv = hiB.eval(r)
+        if (lv == null || hv == null) None // null bounds never match
+        else Some((lv.asInstanceOf[Number].doubleValue,
+          hv.asInstanceOf[Number].doubleValue, r))
+      }.sortBy(_._1)
+      val n = triples.length
+      val los = new Array[Double](n)
+      val his = new Array[Double](n)
+      val prefMaxHi = new Array[Double](n)
+      var m = Double.NegativeInfinity
+      var i = 0
+      while (i < n) {
+        los(i) = triples(i)._1; his(i) = triples(i)._2
+        m = math.max(m, his(i)); prefMaxHi(i) = m
+        i += 1
+      }
+      val joined = new JoinedRow
+      val proj = UnsafeProjection.create(outAttrs, outAttrs)
+      // first index with los(idx) > v  (los is sorted ascending)
+      def upperBound(v: Double): Int = {
+        var a = 0; var b = n
+        while (a < b) {
+          val mid = (a + b) >>> 1
+          if (los(mid) <= v) a = mid + 1 else b = mid
+        }
+        a
+      }
+      lIter.flatMap { lRow =>
+        val pv = pointB.eval(lRow)
+        if (pv == null || n == 0) Iterator.empty
+        else {
+          val v = pv.asInstanceOf[Number].doubleValue
+          val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+          var idx = upperBound(v) - 1
+          // candidates have lo <= v by construction; stop as soon as no
+          // interval at or below idx can still reach past v
+          while (idx >= 0 && prefMaxHi(idx) > v) {
+            if (his(idx) > v) {
+              numOutputRows += 1
+              out += proj(joined(lRow, triples(idx)._3)).copy()
+            }
+            idx -= 1
+          }
+          out.iterator
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): IntervalJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+object IntervalJoin {
+  /** Public entry: join `left` points into `right` `[lo, hi)` intervals
+    * by column name. Strategy self-registers in the session
+    * (idempotent). */
+  def pointInInterval(
+      left: DataFrame,
+      right: DataFrame,
+      pointCol: String,
+      loCol: String,
+      hiCol: String): DataFrame = {
+    val spark: SparkSession = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(IntervalJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ IntervalJoinStrategy
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $n not in ${p.output.map(_.name).mkString(", ")}"))
+    ColumnBridge.ofRows(spark, IntervalJoinPlan(lPlan, rPlan,
+      attr(lPlan, pointCol), attr(rPlan, loCol), attr(rPlan, hiCol)))
+  }
+}
