@@ -41,7 +41,19 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The driver records only the LAST ~2.1 KB of stdout; with 115+
+    // queries the line exceeds that, so the headline fields go LAST
+    // (the tail survives, the front of the queries map is what gets
+    // cut) and the complete line is also written to a repo file so no
+    // per-query timing is ever lost.
+    val line =
+      s"""{"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec","value":${f3(total)}}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(sys.env.getOrElse(
+        "SPARK_GRAFT_BENCH_FULL", "/root/repo/BENCH_FULL.json")),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] full-dump failed: $e") }
+    println(line)
     spark.stop()
   }
 }

@@ -23,9 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))))
     // the custom-operator tier rides the same plugin: sessions built with
-    // spark.sql.extensions=graft.GraftExtensions can plan AsOfJoinPlan
-    // without touching spark.experimental
+    // spark.sql.extensions=graft.GraftExtensions can plan AsOfJoinPlan /
+    // IntervalJoinPlan without touching spark.experimental
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectPlannerStrategy(_ => graft.plans.IntervalJoinStrategy)
   }
 }
 

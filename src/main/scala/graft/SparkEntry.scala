@@ -200,6 +200,10 @@ object SparkEntry {
       try q.processAllAvailable() finally q.stop()
       s.table(name)
     }),
+    // round 8: native point-in-interval join — irregular numeric bands +
+    // time validity windows (same custom plan, two domains)
+    "q_interval_join"      -> ((s: SparkSession, d: String) => Scale.intervalJoinBands(s, d)),
+    "q_interval_join_time" -> ((s: SparkSession, d: String) => Scale.intervalJoinWindows(s, d)),
   )
 
   // Shared oracle CTE fragments (DuckDB dialect).
@@ -1203,6 +1207,27 @@ object SparkEntry {
         |       COUNT(*) AS n,
         |       CAST(SUM(CAST(CAST((id * 2654435761) % 100000 AS DOUBLE) / 100.0 AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM g GROUP BY 1""".stripMargin,
+    "q_interval_join" ->
+      """WITH bands AS (
+        |  SELECT p_partkey AS band_id,
+        |         CAST((p_partkey % 44) * 11 + (p_size % 9) AS DOUBLE) AS lo,
+        |         CAST((p_partkey % 44) * 11 + (p_size % 9) + p_size AS DOUBLE) AS hi
+        |  FROM part WHERE p_partkey % 29 = 0)
+        |SELECT b.band_id, b.lo, b.hi, COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q_interval_join_time" ->
+      """WITH wins AS (
+        |  SELECT o_orderkey AS win_id,
+        |         1704067200.0 + (o_orderkey % 30) * 86400.0 + (o_orderkey % 7) * 3600.0 AS lo,
+        |         1704067200.0 + (o_orderkey % 30) * 86400.0 + (o_orderkey % 7) * 3600.0
+        |           + (o_orderkey % 45 + 2) * 3600.0 AS hi
+        |  FROM orders WHERE o_orderkey % 701 = 0)
+        |SELECT w.win_id, w.lo, w.hi, COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events e JOIN wins w ON EPOCH(e.ts) >= w.lo AND EPOCH(e.ts) < w.hi
+        |GROUP BY 1, 2, 3""".stripMargin,
   )
 
   /** DuckDB CTE: distinct word-3-gram shingles per document

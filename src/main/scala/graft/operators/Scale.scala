@@ -330,6 +330,56 @@ object Scale {
       .select(col("band_id"), col("lo"), col("hi"), col("n_events"), col("total_value"))
   }
 
+  /** NATIVE POINT-IN-INTERVAL JOIN over an IRREGULAR band dim — the case
+    * [[binnedRangeJoin]]'s arithmetic binning CANNOT express: band widths
+    * and starts vary per band (derived from part sizes), bands overlap,
+    * and the domain has gaps. Planned by [[graft.plans.IntervalJoin]]:
+    * the dim broadcasts, each executor builds one lo-sorted index, and
+    * every point binary-searches + prefix-max-prunes its containing
+    * intervals — O(n log m + out), where Spark's own plan for the same
+    * predicate is BroadcastNestedLoopJoin at O(n·m). The fact side
+    * streams with NO shuffle; the one shuffle below is the final tiny
+    * per-band aggregate. */
+  def intervalJoinBands(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events").select("event_id", "value")
+    // irregular interval spine: ~1/29th of part, start from the key,
+    // width = p_size (1..50) — overlapping, gapped, non-arithmetic
+    val start = (col("p_partkey") % 44) * 11 + (col("p_size") % 9)
+    val bands = Tables.load(spark, dir, "part")
+      .filter(col("p_partkey") % 29 === 0)
+      .select(col("p_partkey").as("band_id"),
+        start.cast("double").as("lo"),
+        (start + col("p_size")).cast("double").as("hi"))
+    graft.plans.IntervalJoin.pointInInterval(e, bands, "value", "lo", "hi")
+      .groupBy("band_id", "lo", "hi")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+  }
+
+  /** The same native interval join over TIME validity windows — proof the
+    * operator generalizes beyond numeric bands: events (points = epoch
+    * seconds, fractional) land in irregular promotional windows inside
+    * the events month (starts and widths keyed off order keys; order
+    * dates themselves predate the events table). Every window bound is
+    * an integer-valued double, so the arithmetic is bit-identical in the
+    * DuckDB oracle. */
+  def intervalJoinWindows(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("ts").cast("double").as("t"), col("value"))
+    val jan1 = lit(1704067200.0) // 2024-01-01 UTC, the events month
+    val lo = jan1 + (col("o_orderkey") % 30) * 86400.0 +
+      (col("o_orderkey") % 7) * 3600.0
+    val wins = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderkey") % 701 === 0)
+      .select(col("o_orderkey").as("win_id"),
+        lo.as("lo"),
+        (lo + (col("o_orderkey") % 45 + 2) * 3600.0).as("hi"))
+    graft.plans.IntervalJoin.pointInInterval(e, wins, "t", "lo", "hi")
+      .groupBy("win_id", "lo", "hi")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+  }
+
   /** DELTA-STYLE MERGE (upsert) expressed relationally — the
     * `MERGE INTO target USING source` semantic without a v2 catalog:
     * a CDC feed (per-customer order spend, plus a deterministic slice of

@@ -173,7 +173,17 @@ object AsOfJoin {
     * strategy self-registers in the session (idempotent), so callers
     * need no session-construction cooperation. Column names must be
     * unambiguous per side; left/right must not share lineage (use
-    * aliased copies for self-joins). */
+    * aliased copies for self-joins).
+    *
+    * `salt > 1` is the SKEW mitigation: the exec clusters on the raw
+    * key, so one hot key lands on one reducer at 100 TB. Salting hashes
+    * each left row into one of `salt` lanes and replicates the right
+    * side into every lane — the hot key's merge work spreads over
+    * `salt` reducers at the cost of a ×salt right-side shuffle (the
+    * classic trade; use when left ≫ right). Output is IDENTICAL to the
+    * unsalted join: each left row still sees the full right set for its
+    * key. Keys must fit in a long after ×salt (lane id is packed
+    * arithmetically so the merge stays a single long comparison). */
   def asof(
       left: DataFrame,
       right: DataFrame,
@@ -182,7 +192,23 @@ object AsOfJoin {
       leftTime: String,
       rightTime: String,
       rightTieBreak: String,
-      joinType: String = "inner"): DataFrame = {
+      joinType: String = "inner",
+      salt: Int = 1): DataFrame = {
+    require(salt >= 1, s"salt must be >= 1, got $salt")
+    if (salt > 1) {
+      import org.apache.spark.sql.functions.{array, col, explode, lit, pmod, xxhash64}
+      val l2 = left
+        .withColumn("__lane",
+          pmod(xxhash64(col(leftKey), col(leftTime)), lit(salt.toLong)))
+        .withColumn("__skey", col(leftKey) * salt + col("__lane"))
+      val r2 = right
+        .withColumn("__rep",
+          explode(array((0 until salt).map(i => lit(i.toLong)): _*)))
+        .withColumn("__skey", col(rightKey) * salt + col("__rep"))
+      return asof(l2, r2, "__skey", "__skey", leftTime, rightTime,
+        rightTieBreak, joinType)
+        .drop("__lane", "__rep", "__skey")
+    }
     val isOuter = joinType match {
       case "inner" => false
       case "left" | "left_outer" => true

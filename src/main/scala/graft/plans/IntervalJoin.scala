@@ -80,27 +80,38 @@ final case class IntervalJoinExec(
     val hiB = BindReferences.bindReference(hi, right.output)
     val outAttrs = output
     val bcast = right.executeBroadcast[Array[InternalRow]]()
+    // index memoization key: same broadcast + same bound expressions →
+    // same sorted index; computed on the driver so the closure carries
+    // only primitives
+    val cacheKey = (bcast.id, lo.semanticHash(), hi.semanticHash())
     val numOutputRows = longMetric("numOutputRows")
     left.execute().mapPartitions { lIter =>
-      // per-partition index build over the broadcast dim: sort by lo,
-      // running max of hi bounds the backward scan under overlaps
-      val triples = bcast.value.flatMap { r =>
-        val lv = loB.eval(r); val hv = hiB.eval(r)
-        if (lv == null || hv == null) None // null bounds never match
-        else Some((lv.asInstanceOf[Number].doubleValue,
-          hv.asInstanceOf[Number].doubleValue, r))
-      }.sortBy(_._1)
-      val n = triples.length
-      val los = new Array[Double](n)
-      val his = new Array[Double](n)
-      val prefMaxHi = new Array[Double](n)
-      var m = Double.NegativeInfinity
-      var i = 0
-      while (i < n) {
-        los(i) = triples(i)._1; his(i) = triples(i)._2
-        m = math.max(m, his(i)); prefMaxHi(i) = m
-        i += 1
-      }
+      // the sorted index over the broadcast dim (lo-sorted arrays +
+      // running-max-of-hi prefix) is built ONCE per executor and shared
+      // by every left partition — not rebuilt per partition
+      val index = IntervalJoinExec.cachedIndex(cacheKey, () => {
+        val triples = bcast.value.flatMap { r =>
+          val lv = loB.eval(r); val hv = hiB.eval(r)
+          if (lv == null || hv == null) None // null bounds never match
+          else Some((lv.asInstanceOf[Number].doubleValue,
+            hv.asInstanceOf[Number].doubleValue, r))
+        }.sortBy(_._1)
+        val n = triples.length
+        val los = new Array[Double](n)
+        val his = new Array[Double](n)
+        val prefMaxHi = new Array[Double](n)
+        val rows = new Array[InternalRow](n)
+        var m = Double.NegativeInfinity
+        var i = 0
+        while (i < n) {
+          los(i) = triples(i)._1; his(i) = triples(i)._2
+          rows(i) = triples(i)._3
+          m = math.max(m, his(i)); prefMaxHi(i) = m
+          i += 1
+        }
+        new SortedIntervals(los, his, prefMaxHi, rows)
+      })
+      val n = index.los.length
       val joined = new JoinedRow
       val proj = UnsafeProjection.create(outAttrs, outAttrs)
       // first index with los(idx) > v  (los is sorted ascending)
@@ -108,7 +119,7 @@ final case class IntervalJoinExec(
         var a = 0; var b = n
         while (a < b) {
           val mid = (a + b) >>> 1
-          if (los(mid) <= v) a = mid + 1 else b = mid
+          if (index.los(mid) <= v) a = mid + 1 else b = mid
         }
         a
       }
@@ -121,10 +132,10 @@ final case class IntervalJoinExec(
           var idx = upperBound(v) - 1
           // candidates have lo <= v by construction; stop as soon as no
           // interval at or below idx can still reach past v
-          while (idx >= 0 && prefMaxHi(idx) > v) {
-            if (his(idx) > v) {
+          while (idx >= 0 && index.prefMaxHi(idx) > v) {
+            if (index.his(idx) > v) {
               numOutputRows += 1
-              out += proj(joined(lRow, triples(idx)._3)).copy()
+              out += proj(joined(lRow, index.rows(idx))).copy()
             }
             idx -= 1
           }
@@ -137,6 +148,28 @@ final case class IntervalJoinExec(
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): IntervalJoinExec =
     copy(left = newLeft, right = newRight)
+}
+
+/** lo-sorted interval index shared across the left partitions of one
+  * executor: parallel arrays (cache-friendly probe loop) plus the
+  * original broadcast rows for output assembly. */
+final private[plans] class SortedIntervals(
+    val los: Array[Double],
+    val his: Array[Double],
+    val prefMaxHi: Array[Double],
+    val rows: Array[InternalRow])
+
+object IntervalJoinExec {
+  // per-executor memo of built indexes; a broadcast dim is small by
+  // contract, and the guard bounds worst-case growth across many
+  // distinct interval joins in one long-lived executor
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int), SortedIntervals]
+  private[plans] def cachedIndex(
+      key: (Long, Int, Int), build: () => SortedIntervals): SortedIntervals = {
+    if (cache.size > 64) cache.clear()
+    cache.computeIfAbsent(key, _ => build())
+  }
 }
 
 object IntervalJoin {

@@ -216,6 +216,8 @@ final class RangeGenReader(p: RangeGenPartition)
     case "user_id" => (i: Long) => java.lang.Long.valueOf(RangeGenSource.userId(i))
     case "event_type" => (i: Long) => UTF8String.fromString(RangeGenSource.eventType(i))
     case "value" => (i: Long) => java.lang.Double.valueOf(RangeGenSource.value(i))
+    case other => throw new IllegalArgumentException(
+      s"RangeGenSource has no column '$other' (schema: event_id, user_id, event_type, value)")
   }
   override def next(): Boolean = { id += 1; id < p.end }
   override def get(): InternalRow = {

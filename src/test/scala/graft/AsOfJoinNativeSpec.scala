@@ -89,6 +89,24 @@ class AsOfJoinNativeSpec extends SparkSpec {
       s"metric ${exec.get.metrics("numOutputRows").value} != $n rows")
   }
 
+  test("salted as-of (skew mitigation) output is identical to unsalted") {
+    val e = Tables.load(spark, sf, "events").select("event_id", "user_id", "ts")
+    val o = Tables.load(spark, sf, "orders")
+      .select("o_custkey", "o_orderkey", "o_orderdate")
+    def run(salt: Int, joinType: String) = graft.plans.AsOfJoin
+      .asof(e, o, "user_id", "o_custkey", "ts", "o_orderdate", "o_orderkey",
+        joinType, salt)
+      .select(col("event_id"), col("o_orderkey"))
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    val innerBase = run(1, "inner")
+    assert(run(8, "inner") == innerBase)
+    assert(innerBase.nonEmpty)
+    val outerBase = run(1, "left_outer")
+    assert(run(8, "left_outer") == outerBase)
+    assert(outerBase.size.toLong == Tables.load(spark, sf, "events").count())
+  }
+
   test("native as-of is deterministic under repartitioning") {
     val e = Tables.load(spark, sf, "events")
       .select("event_id", "user_id", "ts").repartition(7)
