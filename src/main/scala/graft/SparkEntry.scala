@@ -182,14 +182,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
     }),
-    // the same generator through its MicroBatchStream face: five
-    // admission-controlled batches drain the range under AvailableNow
+    // the same generator through its MicroBatchStream face: admission-
+    // controlled batches drain the range under AvailableNow. Two fat
+    // batches, not five: per-batch planning dominates a complete-mode
+    // memory sink, so fatter batches cut fixed cost while still
+    // exercising the multi-batch path (GenStreamSpec drives 8- and
+    // 5-batch runs through the same source).
     "q_gen_stream" -> ((s: SparkSession, _: String) => {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.streaming.{OutputMode, Trigger}
       import org.apache.spark.sql.types.DecimalType
       val stream = s.readStream.format("graft.sources.RangeGenSource")
-        .option("rows", "100000").option("batchRows", "20000").load()
+        .option("rows", "100000").option("batchRows", "50000").load()
       val agg = stream.groupBy("event_type")
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
@@ -1207,6 +1211,34 @@ object SparkEntry {
         |       COUNT(*) AS n,
         |       CAST(SUM(CAST(CAST((id * 2654435761) % 100000 AS DOUBLE) / 100.0 AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM g GROUP BY 1""".stripMargin,
+    // full replica of the Karp-Rabin + winnowing pipeline: base-31 char
+    // polynomial token hashes, 4-gram rolling hashes, 5-window winnow
+    // mins, additive digest — integer arithmetic end to end
+    "q_text_fingerprint" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |th AS (SELECT doc_id,
+        |  list_transform(t, tok ->
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT), [CAST(ascii(tok[i]) AS BIGINT) for i in range(1, len(tok)+1)]),
+        |      (a, c) -> (a * 31 + c) % 2147483647)) AS h
+        |  FROM toks),
+        |kr AS (SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), h), (a, x) -> (a * 1000003 + x) % 2147483647) AS kr_fp,
+        |  CASE WHEN len(h) >= 4 THEN
+        |    [(((h[i] * 31 + h[i+1]) * 31 + h[i+2]) * 31 + h[i+3]) % 2147483647 for i in range(1, len(h) - 2)]
+        |  ELSE [CAST(0 AS BIGINT)] END AS g
+        |  FROM th),
+        |w AS (SELECT doc_id, kr_fp,
+        |  CASE WHEN len(g) >= 5 THEN
+        |    list_distinct([list_min(g[i:i+4]) for i in range(1, len(g) - 3)])
+        |  ELSE [list_min(g)] END AS wn
+        |  FROM kr)
+        |SELECT doc_id, kr_fp,
+        |       CAST(len(wn) AS INT) AS sketch_size,
+        |       list_min(wn) AS winnow_min, list_max(wn) AS winnow_max,
+        |       list_reduce(list_prepend(CAST(0 AS BIGINT), wn),
+        |                   (a, x) -> (a + x) % 9007199254740881) AS winnow_digest
+        |FROM w""".stripMargin,
     "q_interval_join" ->
       """WITH bands AS (
         |  SELECT p_partkey AS band_id,

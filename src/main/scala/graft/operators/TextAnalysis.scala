@@ -199,15 +199,21 @@ object TextAnalysis {
         expr("array_position(arr, array_max(arr)) - 1").cast("int").as("argmax_bucket"))
   }
 
-  /** Content fingerprinting (rows-only — xxhash64 has no oracle analog):
+  /** Content fingerprinting (fully oracle-checked):
     *   - `kr_fp`: Karp–Rabin polynomial rolling hash of the token stream;
     *   - `winnow`: winnowing sketch — min-hash of each 5-wide window over
     *     token-4-gram rolling hashes (MOSS-style), as a distinct set.
-    * Both are order-sensitive (unlike the MinHash SET signature). */
+    * Both are order-sensitive (unlike the MinHash SET signature). Token
+    * hashes are the classic base-31 character polynomial mod 2^31-1 —
+    * pure integer arithmetic, so the whole pipeline (hashes, 4-grams,
+    * winnow windows, digest) is bit-replicable in the DuckDB oracle,
+    * unlike an engine-specific xxhash64 basis. All intermediates stay
+    * under 2^52, so no step overflows a long in either engine. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
       .withColumn("toks", split(col("text"), " "))
-      .withColumn("th", expr("transform(toks, t -> pmod(xxhash64(t), 2147483647L))"))
+      .withColumn("th",
+        expr("transform(toks, t -> aggregate(split(t, ''), CAST(0 AS BIGINT), (a, c) -> pmod(a * 31 + ascii(c), 2147483647L)))"))
       .withColumn("kr_fp",
         expr("aggregate(th, CAST(0 AS BIGINT), (acc, h) -> pmod(acc * 1000003L + h, 2147483647L))"))
       .withColumn("grams4",

@@ -106,4 +106,15 @@ class SimilaritySpec extends SparkSpec {
     val rate = agree.toDouble / exact.size
     assert(rate >= 0.9, s"IVF/exact prediction agreement = $rate")
   }
+
+  test("IVF kNN at DEFAULT nprobe drops no probes") {
+    // the registered query runs with the defaults; a probe whose nprobe
+    // lists hold no train vectors would silently vanish from the output
+    // (inner joins all the way down), so pin full coverage exactly where
+    // the rows-only bench check can't see it
+    val got = Similarity.knnClassifyIvf(spark, sf)
+      .select("query_id").collect().map(_.getLong(0)).toSet
+    assert(got == (0L until 50L).toSet,
+      s"probe coverage ${got.size}/50 at default nprobe")
+  }
 }
