@@ -547,80 +547,10 @@ object SparkEntry {
         |             + LEAST(1.0, CAST(n_stop AS DOUBLE) / n_toks * 5) * 0.3, 6) AS quality
         |FROM t""".stripMargin,
     "q_corpus_curation" ->
-      s"""WITH $shinglesCte,
-         |q AS (
-         |  SELECT doc_id,
-         |         ROUND(LEAST(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100) * 0.5
-         |               + (1.0 - LEAST(1.0, CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE) / LENGTH(text) * 10)) * 0.2
-         |               + LEAST(1.0, CAST(len(list_filter(string_split(text, ' '),
-         |                   x -> list_contains(['the','a','of','and','in','to','is','der','und','le','la','el','de','et','un'], x))) AS DOUBLE)
-         |                 / len(string_split(text, ' ')) * 5) * 0.3, 6) AS quality
-         |  FROM documents),
-         |lc AS (
-         |  SELECT doc_id,
-         |         CAST(len(list_filter(string_split(text, ' '), x -> list_contains(['the','a','of','and','in','to','is'], x))) AS INT) AS n_en,
-         |         CAST(len(list_filter(string_split(text, ' '), x -> list_contains(['der','die','das','und','ist','ein'], x))) AS INT) AS n_de,
-         |         CAST(len(list_filter(string_split(text, ' '), x -> list_contains(['le','les','et','des','une','dans'], x))) AS INT) AS n_fr,
-         |         CAST(len(list_filter(string_split(text, ' '), x -> list_contains(['el','los','y','las','por','como'], x))) AS INT) AS n_es
-         |  FROM documents),
-         |l AS (
-         |  SELECT doc_id,
-         |         CASE WHEN n_en >= n_de AND n_en >= n_fr AND n_en >= n_es AND n_en > 0 THEN 'en'
-         |              WHEN n_de >= n_fr AND n_de >= n_es AND n_de > 0 THEN 'de'
-         |              WHEN n_fr >= n_es AND n_fr > 0 THEN 'fr'
-         |              WHEN n_es > 0 THEN 'es'
-         |              ELSE 'und' END AS pred_lang
-         |  FROM lc),
-         |ek AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
-         |nl AS (
-         |  SELECT DISTINCT b.doc_id
-         |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) >= 0.5)
-         |SELECT d.doc_id, l.pred_lang, q.quality
-         |FROM documents d
-         |JOIN ek USING (doc_id)
-         |JOIN q USING (doc_id)
-         |JOIN l USING (doc_id)
-         |WHERE q.quality >= 0.5 AND l.pred_lang != 'und'
-         |  AND d.doc_id NOT IN (SELECT doc_id FROM nl)""".stripMargin,
+      s"""WITH $curationCtes
+         |SELECT doc_id, pred_lang, quality FROM kept""".stripMargin,
     "q_curation_by_source" ->
-      s"""WITH $shinglesCte,
-         |q AS (
-         |  SELECT doc_id,
-         |         ROUND(LEAST(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100) * 0.5
-         |               + (1.0 - LEAST(1.0, CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE) / LENGTH(text) * 10)) * 0.2
-         |               + LEAST(1.0, CAST(len(list_filter(string_split(text, ' '),
-         |                   x -> list_contains(['the','a','of','and','in','to','is','der','und','le','la','el','de','et','un'], x))) AS DOUBLE)
-         |                 / len(string_split(text, ' ')) * 5) * 0.3, 6) AS quality
-         |  FROM documents),
-         |lc AS (
-         |  SELECT doc_id,
-         |         CAST(len(list_filter(string_split(text, ' '), x -> list_contains(['the','a','of','and','in','to','is'], x))) AS INT) AS n_en,
-         |         CAST(len(list_filter(string_split(text, ' '), x -> list_contains(['der','die','das','und','ist','ein'], x))) AS INT) AS n_de,
-         |         CAST(len(list_filter(string_split(text, ' '), x -> list_contains(['le','les','et','des','une','dans'], x))) AS INT) AS n_fr,
-         |         CAST(len(list_filter(string_split(text, ' '), x -> list_contains(['el','los','y','las','por','como'], x))) AS INT) AS n_es
-         |  FROM documents),
-         |l AS (
-         |  SELECT doc_id,
-         |         CASE WHEN n_en >= n_de AND n_en >= n_fr AND n_en >= n_es AND n_en > 0 THEN 'en'
-         |              WHEN n_de >= n_fr AND n_de >= n_es AND n_de > 0 THEN 'de'
-         |              WHEN n_fr >= n_es AND n_fr > 0 THEN 'fr'
-         |              WHEN n_es > 0 THEN 'es'
-         |              ELSE 'und' END AS pred_lang
-         |  FROM lc),
-         |ek AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
-         |nl AS (
-         |  SELECT DISTINCT b.doc_id
-         |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) >= 0.5),
-         |kept AS (
-         |  SELECT d.doc_id, q.quality
-         |  FROM documents d
-         |  JOIN ek USING (doc_id)
-         |  JOIN q USING (doc_id)
-         |  JOIN l USING (doc_id)
-         |  WHERE q.quality >= 0.5 AND l.pred_lang != 'und'
-         |    AND d.doc_id NOT IN (SELECT doc_id FROM nl))
+      s"""WITH $curationCtes
          |SELECT d.source,
          |       COUNT(*) AS n_docs,
          |       COUNT(k.quality) AS n_kept,
@@ -1271,4 +1201,47 @@ object SparkEntry {
       |       list_distinct(list_transform(range(1, len(t) - 1),
       |                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
       |       FROM toks WHERE len(t) >= 3)""".stripMargin
+
+  /** DuckDB CTE chain: the FULL curation ruleset (quality score, langid
+    * word lists, exact dedup keeper, shingle near-dup losers, final
+    * `kept` cut) — shared by the corpus and per-source oracles so a rule
+    * change can never drift between them. */
+  private val curationCtes =
+    s"""$shinglesCte,
+       |q AS (
+       |  SELECT doc_id,
+       |         ROUND(LEAST(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100) * 0.5
+       |               + (1.0 - LEAST(1.0, CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE) / LENGTH(text) * 10)) * 0.2
+       |               + LEAST(1.0, CAST(len(list_filter(string_split(text, ' '),
+       |                   x -> list_contains(['the','a','of','and','in','to','is','der','und','le','la','el','de','et','un'], x))) AS DOUBLE)
+       |                 / len(string_split(text, ' ')) * 5) * 0.3, 6) AS quality
+       |  FROM documents),
+       |lc AS (
+       |  SELECT doc_id,
+       |         CAST(len(list_filter(string_split(text, ' '), x -> list_contains(['the','a','of','and','in','to','is'], x))) AS INT) AS n_en,
+       |         CAST(len(list_filter(string_split(text, ' '), x -> list_contains(['der','die','das','und','ist','ein'], x))) AS INT) AS n_de,
+       |         CAST(len(list_filter(string_split(text, ' '), x -> list_contains(['le','les','et','des','une','dans'], x))) AS INT) AS n_fr,
+       |         CAST(len(list_filter(string_split(text, ' '), x -> list_contains(['el','los','y','las','por','como'], x))) AS INT) AS n_es
+       |  FROM documents),
+       |l AS (
+       |  SELECT doc_id,
+       |         CASE WHEN n_en >= n_de AND n_en >= n_fr AND n_en >= n_es AND n_en > 0 THEN 'en'
+       |              WHEN n_de >= n_fr AND n_de >= n_es AND n_de > 0 THEN 'de'
+       |              WHEN n_fr >= n_es AND n_fr > 0 THEN 'fr'
+       |              WHEN n_es > 0 THEN 'es'
+       |              ELSE 'und' END AS pred_lang
+       |  FROM lc),
+       |ek AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+       |nl AS (
+       |  SELECT DISTINCT b.doc_id
+       |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) >= 0.5),
+       |kept AS (
+       |  SELECT d.doc_id, l.pred_lang, q.quality
+       |  FROM documents d
+       |  JOIN ek USING (doc_id)
+       |  JOIN q USING (doc_id)
+       |  JOIN l USING (doc_id)
+       |  WHERE q.quality >= 0.5 AND l.pred_lang != 'und'
+       |    AND d.doc_id NOT IN (SELECT doc_id FROM nl))""".stripMargin
 }
