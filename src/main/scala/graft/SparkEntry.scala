@@ -208,6 +208,10 @@ object SparkEntry {
     // time validity windows (same custom plan, two domains)
     "q_interval_join"      -> ((s: SparkSession, d: String) => Scale.intervalJoinBands(s, d)),
     "q_interval_join_time" -> ((s: SparkSession, d: String) => Scale.intervalJoinWindows(s, d)),
+    "q_zorder_layout"      -> Scale.zorderRoundTrip _,
+    "q_pagerank"           -> ((s: SparkSession, d: String) => Graph.pageRank(s, d)),
+    "q_ewma_user"          -> Breadth.ewmaUser _,
+    "q_source_mixing"      -> TextAnalysis.sourceMixing _,
   )
 
   // Shared oracle CTE fragments (DuckDB dialect).
@@ -1190,6 +1194,46 @@ object SparkEntry {
         |       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events e JOIN wins w ON EPOCH(e.ts) >= w.lo AND EPOCH(e.ts) < w.hi
         |GROUP BY 1, 2, 3""".stripMargin,
+    // layout must never change answers: the z-ordered copy's filtered
+    // aggregate == the same aggregate off the raw table
+    "q_zorder_layout" ->
+      """SELECT COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |       MIN(event_id) AS first_event, MAX(event_id) AS last_event
+        |FROM events
+        |WHERE user_id BETWEEN 3 AND 9 AND value BETWEEN 50.0 AND 100.0""".stripMargin,
+    // fixed-point PageRank: integer arithmetic end to end, so the oracle
+    // hash-matches with no float discipline at all (see Graph.pageRank)
+    "q_pagerank" ->
+      """WITH edges AS (
+        |  SELECT DISTINCT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b FROM lineitem),
+        |und AS (SELECT a AS src, b AS dst FROM edges
+        |        UNION ALL SELECT b AS src, a AS dst FROM edges),
+        |deg AS (SELECT src, COUNT(*) AS d FROM und GROUP BY 1),
+        |r0 AS (SELECT src AS node, CAST(1000000000 AS BIGINT) AS r FROM deg),
+        |c1 AS (SELECT u.dst AS node, CAST(SUM(r.r // d.d) AS BIGINT) AS csum
+        |       FROM und u JOIN r0 r ON u.src = r.node JOIN deg d ON u.src = d.src GROUP BY 1),
+        |r1 AS (SELECT node, 150000000 + 85 * csum // 100 AS r FROM c1),
+        |c2 AS (SELECT u.dst AS node, CAST(SUM(r.r // d.d) AS BIGINT) AS csum
+        |       FROM und u JOIN r1 r ON u.src = r.node JOIN deg d ON u.src = d.src GROUP BY 1),
+        |r2 AS (SELECT node, 150000000 + 85 * csum // 100 AS r FROM c2),
+        |c3 AS (SELECT u.dst AS node, CAST(SUM(r.r // d.d) AS BIGINT) AS csum
+        |       FROM und u JOIN r2 r ON u.src = r.node JOIN deg d ON u.src = d.src GROUP BY 1),
+        |r3 AS (SELECT node, 150000000 + 85 * csum // 100 AS r FROM c3)
+        |SELECT node, r AS rank_fp, CAST(node % 2 = 0 AS INT) AS is_part FROM r3""".stripMargin,
+    "q_ewma_user" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |       ROUND(list_reduce(
+        |         list_prepend(CAST(0.0 AS DOUBLE), list(value ORDER BY ts, event_id)),
+        |         (acc, v) -> acc * 0.875 + v * 0.125), 6) AS ewma
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_source_mixing" ->
+      """WITH s AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+        |t AS (SELECT SUM(SQRT(CAST(n_docs AS DOUBLE))) AS tot FROM s)
+        |SELECT s.source, s.n_docs,
+        |       ROUND(SQRT(CAST(s.n_docs AS DOUBLE)) / t.tot, 6) AS mix_weight,
+        |       CAST(FLOOR(SQRT(CAST(s.n_docs AS DOUBLE)) / t.tot * 100000) AS BIGINT) AS docs_per_100k
+        |FROM s CROSS JOIN t""".stripMargin,
   )
 
   /** DuckDB CTE: distinct word-3-gram shingles per document

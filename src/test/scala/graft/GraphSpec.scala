@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Fixed-point PageRank invariants (the values themselves are fully
+  * oracle-checked; these pin the graph semantics). */
+class GraphSpec extends SparkSpec {
+
+  test("pagerank conserves rank mass up to integer truncation") {
+    val r = graft.operators.Graph.pageRank(spark, sf)
+    val n = r.count()
+    val total = r.agg(sum("rank_fp")).head().getLong(0)
+    val full = n * 1000000000L
+    // each div truncates at most 1 unit per edge per iteration; mass can
+    // only leak DOWN, and only by ppm-scale amounts
+    assert(total <= full, s"rank mass grew: $total > $full")
+    assert(total >= full * 999L / 1000L, s"rank mass leaked: $total vs $full")
+  }
+
+  test("high-degree suppliers outrank parts on average (bipartite shape)") {
+    val r = graft.operators.Graph.pageRank(spark, sf)
+    val avg = r.groupBy("is_part").agg(
+      (sum("rank_fp") / count(lit(1))).as("avg_rank"))
+      .collect().map(x => x.getInt(0) -> x.getDouble(1)).toMap
+    // far fewer suppliers than parts share the same edge set, so each
+    // supplier accumulates much more rank
+    assert(avg(0) > avg(1) * 2, s"supplier avg ${avg(0)} vs part avg ${avg(1)}")
+  }
+}
