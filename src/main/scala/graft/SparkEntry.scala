@@ -212,6 +212,9 @@ object SparkEntry {
     "q_pagerank"           -> ((s: SparkSession, d: String) => Graph.pageRank(s, d)),
     "q_ewma_user"          -> Breadth.ewmaUser _,
     "q_source_mixing"      -> TextAnalysis.sourceMixing _,
+    "q_lateral_topn"       -> SqlInterface.lateralTopN _,
+    "q_recursive_cte"      -> SqlInterface.recursiveMonths _,
+    "q_variant_extract"    -> Breadth.variantExtract _,
   )
 
   // Shared oracle CTE fragments (DuckDB dialect).
@@ -1234,6 +1237,37 @@ object SparkEntry {
         |       ROUND(SQRT(CAST(s.n_docs AS DOUBLE)) / t.tot, 6) AS mix_weight,
         |       CAST(FLOOR(SQRT(CAST(s.n_docs AS DOUBLE)) / t.tot * 100000) AS BIGINT) AS docs_per_100k
         |FROM s CROSS JOIN t""".stripMargin,
+    "q_lateral_topn" ->
+      """SELECT r.r_name AS region, t.custkey, t.acctbal
+        |FROM region r,
+        |LATERAL (
+        |  SELECT c.c_custkey AS custkey, c.c_acctbal AS acctbal
+        |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  WHERE n.n_regionkey = r.r_regionkey
+        |  ORDER BY c.c_acctbal DESC, c.c_custkey ASC
+        |  LIMIT 2) t""".stripMargin,
+    "q_recursive_cte" ->
+      """WITH RECURSIVE months(m) AS (
+        |  SELECT DATE '1995-01-01'
+        |  UNION ALL
+        |  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+        |  WHERE m < DATE '2001-07-01')
+        |SELECT CAST(m AS VARCHAR) AS month_start,
+        |       COUNT(o.o_orderkey) AS n_orders,
+        |       CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_price
+        |FROM months LEFT JOIN orders o
+        |  ON CAST(date_trunc('month', o.o_orderdate) AS DATE) = m
+        |GROUP BY m""".stripMargin,
+    "q_variant_extract" ->
+      """WITH x AS (
+        |  SELECT event_type,
+        |         CAST(json_extract_string(props, '$.k') AS INT) AS k,
+        |         CAST(json_extract_string(props, '$.missing') AS INT) AS m
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS n_high,
+        |       CAST(SUM(CAST(k AS BIGINT)) AS BIGINT) AS sum_high,
+        |       COUNT(m) AS n_missing_hits
+        |FROM x WHERE k >= 50 GROUP BY 1""".stripMargin,
   )
 
   /** DuckDB CTE: distinct word-3-gram shingles per document
