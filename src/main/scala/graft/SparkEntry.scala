@@ -215,6 +215,8 @@ object SparkEntry {
     "q_lateral_topn"       -> SqlInterface.lateralTopN _,
     "q_recursive_cte"      -> SqlInterface.recursiveMonths _,
     "q_variant_extract"    -> Breadth.variantExtract _,
+    "q_sessionize_batch"   -> ((s: SparkSession, d: String) => Breadth.sessionizeBatch(s, d)),
+    "q_scd2_apply"         -> Scale.scd2Apply _,
   )
 
   // Shared oracle CTE fragments (DuckDB dialect).
@@ -1268,6 +1270,53 @@ object SparkEntry {
         |       CAST(SUM(CAST(k AS BIGINT)) AS BIGINT) AS sum_high,
         |       COUNT(m) AS n_missing_hits
         |FROM x WHERE k >= 50 GROUP BY 1""".stripMargin,
+    "q_sessionize_batch" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, value, epoch_us(ts) AS tsu,
+        |         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_tsu
+        |  FROM events),
+        |b AS (
+        |  SELECT user_id, event_id, value, tsu,
+        |         CASE WHEN prev_tsu IS NULL OR tsu - prev_tsu > 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM t),
+        |s AS (
+        |  SELECT user_id, event_id, value, tsu,
+        |         CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM b)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |       MAX(tsu) - MIN(tsu) AS duration_us,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |       MIN(event_id) AS first_event
+        |FROM s GROUP BY 1, 2""".stripMargin,
+    "q_scd2_apply" ->
+      """WITH spend AS (
+        |  SELECT o_custkey AS custkey,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS new_bal
+        |  FROM orders GROUP BY 1),
+        |updates AS (
+        |  SELECT custkey, new_bal FROM spend
+        |  UNION ALL
+        |  SELECT -custkey AS custkey, new_bal FROM spend WHERE custkey % 100 = 0),
+        |dim AS (SELECT c_custkey AS custkey, c_acctbal AS bal FROM customer),
+        |j AS (
+        |  SELECT COALESCE(d.custkey, u.custkey) AS custkey, d.bal, u.new_bal
+        |  FROM dim d FULL OUTER JOIN updates u ON d.custkey = u.custkey)
+        |SELECT custkey, bal AS acctbal, '1990-01-01' AS valid_from,
+        |       '2024-02-01' AS valid_to, 0 AS is_current
+        |FROM j WHERE bal IS NOT NULL AND new_bal IS NOT NULL AND bal <> new_bal
+        |UNION ALL
+        |SELECT custkey, new_bal AS acctbal, '2024-02-01' AS valid_from,
+        |       NULL AS valid_to, 1 AS is_current
+        |FROM j WHERE bal IS NOT NULL AND new_bal IS NOT NULL AND bal <> new_bal
+        |UNION ALL
+        |SELECT custkey, bal AS acctbal, '1990-01-01' AS valid_from,
+        |       NULL AS valid_to, 1 AS is_current
+        |FROM j WHERE bal IS NOT NULL AND (new_bal IS NULL OR bal = new_bal)
+        |UNION ALL
+        |SELECT custkey, new_bal AS acctbal, '2024-02-01' AS valid_from,
+        |       NULL AS valid_to, 1 AS is_current
+        |FROM j WHERE bal IS NULL""".stripMargin,
   )
 
   /** DuckDB CTE: distinct word-3-gram shingles per document

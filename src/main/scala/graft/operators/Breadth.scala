@@ -416,6 +416,28 @@ object Breadth {
         sum(col("k").cast("long")).as("sum_high"),
         count(col("m")).as("n_missing_hits"))
 
+  /** BATCH SESSIONIZATION — the lag + running-sum idiom (the batch twin
+    * of the streaming `sessionize` pair in [[graft.streaming
+    * .EventsStream]]): a session breaks where the per-user gap exceeds
+    * 30 minutes; the running sum of break flags numbers sessions within
+    * each user. Times stay in integer MICROSECONDS end to end (epoch
+    * doubles would round differently across engines). One shuffle on
+    * user_id serves both windows and the final aggregate. */
+  def sessionizeBatch(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    Tables.load(spark, dir, "events")
+      .withColumn("tsu", expr("unix_micros(ts)"))
+      .withColumn("prev_tsu", lag("tsu", 1).over(w))
+      .withColumn("brk", when(col("prev_tsu").isNull ||
+        col("tsu") - col("prev_tsu") > gapMinutes * 60L * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_id", sum("brk").over(w))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        (max("tsu") - min("tsu")).as("duration_us"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"),
+        min("event_id").as("first_event"))
+  }
+
   /** FULL OUTER join: per-customer order counts vs per-user event counts —
     * keys existing on either side survive with nulls coalesced to 0. */
   def fullOuter(spark: SparkSession, dir: String): DataFrame = {

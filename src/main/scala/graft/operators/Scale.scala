@@ -419,6 +419,54 @@ object Scale {
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
   }
 
+  /** SCD TYPE-2 APPLY — the dimension-history twin of [[mergeUpsert]]:
+    * the same CDC feed (per-customer spend + a slice of brand-new keys)
+    * lands on `customer` as slowly-changing-dimension version rows
+    * instead of in-place updates:
+    *   - changed key   → old version CLOSED (valid_to = effective date)
+    *                     + new version OPENED (valid_to = null)
+    *   - unchanged key → open version survives untouched
+    *   - new key       → first version opened at the effective date
+    * ONE full-outer shuffle on the key classifies everything; the four
+    * row classes are cheap re-reads of that cached join, and at 100 TB
+    * the open/closed split writes naturally into separate partitions so
+    * current-state readers never scan history. */
+  def scd2Apply(spark: SparkSession, dir: String): DataFrame = {
+    val eff = "2024-02-01"
+    val dim = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").as("custkey"), col("c_acctbal").as("bal"))
+    val spend = Tables.load(spark, dir, "orders")
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+        .cast("double").as("new_bal"))
+    val updates = spend.unionAll(
+      spend.filter(col("custkey") % 100 === 0)
+        .select((-col("custkey")).as("custkey"), col("new_bal")))
+    val joined = dim.join(updates, Seq("custkey"), "full_outer")
+    Tables.withCached(joined) {
+      val isChange = col("bal").isNotNull && col("new_bal").isNotNull &&
+        col("bal") =!= col("new_bal")
+      val nullTo = lit(null).cast("string")
+      val closed = joined.filter(isChange).select(col("custkey"),
+        col("bal").as("acctbal"), lit("1990-01-01").as("valid_from"),
+        lit(eff).as("valid_to"), lit(0).as("is_current"))
+      val opened = joined.filter(isChange).select(col("custkey"),
+        col("new_bal").as("acctbal"), lit(eff).as("valid_from"),
+        nullTo.as("valid_to"), lit(1).as("is_current"))
+      val unchanged = joined
+        .filter(col("bal").isNotNull &&
+          (col("new_bal").isNull || col("bal") === col("new_bal")))
+        .select(col("custkey"), col("bal").as("acctbal"),
+          lit("1990-01-01").as("valid_from"), nullTo.as("valid_to"),
+          lit(1).as("is_current"))
+      val inserted = joined.filter(col("bal").isNull)
+        .select(col("custkey"), col("new_bal").as("acctbal"),
+          lit(eff).as("valid_from"), nullTo.as("valid_to"),
+          lit(1).as("is_current"))
+      closed.unionAll(opened).unionAll(unchanged).unionAll(inserted)
+    }
+  }
+
   /** DELTA-STYLE MERGE (upsert) expressed relationally — the
     * `MERGE INTO target USING source` semantic without a v2 catalog:
     * a CDC feed (per-customer order spend, plus a deterministic slice of
