@@ -81,6 +81,15 @@ object SparkEntry {
     "q_repetition_signals" -> TextAnalysis.repetitionSignals _,
     "q_decontaminate"      -> ((s: SparkSession, d: String) => TextAnalysis.decontaminate(s, d)),
     "q_pack_sequences"     -> ((s: SparkSession, d: String) => TextAnalysis.packSequences(s, d)),
+    // round 8: corpus preparation operators
+    "q_blocklist_scrub" -> ((s: SparkSession, d: String) => TextAnalysis.scrubBlocklist(s, d)),
+    "q_pii_redact"      -> TextAnalysis.redactNumbers _,
+    "q_doc_chunks"      -> ((s: SparkSession, d: String) => TextAnalysis.chunkDocuments(s, d)),
+    "q_bigram_lm"       -> ((s: SparkSession, d: String) => TextAnalysis.bigramLm(s, d)),
+    "q_bm25_rank"       -> ((s: SparkSession, d: String) => TextAnalysis.bm25Rank(s, d)),
+    "q_token_budget"    -> ((s: SparkSession, d: String) => TextAnalysis.tokenBudget(s, d)),
+    "q_dedup_rep"       -> ((s: SparkSession, d: String) => Dedup.dedupRepresentative(s, d)),
+    "q_embedding_stats" -> Similarity.embeddingStats _,
     // multimodal binary columns (north-star extension)
     "q_multimodal_meta"     -> Multimodal.mediaMeta _,
     "q_multimodal_features" -> Multimodal.featuresQuery _,
@@ -489,20 +498,22 @@ object SparkEntry {
     "q_dedup_ngram_prefix" -> ngramOracleSql, // identical output by the prefix-filtering theorem
     "q_dedup_components" ->
       s"""WITH RECURSIVE $shinglesCte,
-         |pairs AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) >= 0.2),
-         |edges AS (
-         |  SELECT id_a AS s, id_b AS d FROM pairs
-         |  UNION SELECT id_b, id_a FROM pairs),
-         |reach(s, d) AS (
-         |  SELECT s, d FROM edges
-         |  UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
-         |comp AS (
-         |  SELECT s AS doc_id, LEAST(s, MIN(d)) AS component_id
-         |  FROM reach GROUP BY s)
+         |$componentsCtes
          |SELECT doc_id, component_id FROM comp""".stripMargin,
+    "q_dedup_rep" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         |$componentsCtes,
+         |q AS (SELECT doc_id, $qualityExprSql AS quality FROM documents),
+         |r AS (
+         |  SELECT comp.component_id, comp.doc_id, q.quality,
+         |         ROW_NUMBER() OVER (PARTITION BY comp.component_id
+         |                            ORDER BY q.quality DESC, comp.doc_id ASC) AS rn,
+         |         COUNT(*) OVER (PARTITION BY comp.component_id) AS n_members
+         |  FROM comp JOIN q USING (doc_id))
+         |SELECT component_id, CAST(n_members AS BIGINT) AS n_members,
+         |       doc_id AS rep_doc, quality AS rep_quality,
+         |       CAST(n_members - 1 AS BIGINT) AS n_dropped
+         |FROM r WHERE rn = 1""".stripMargin,
     "q_fuzzy_name_match" ->
       """WITH n AS (SELECT DISTINCT p_name FROM part)
         |SELECT a.p_name AS name_a, b.p_name AS name_b,
@@ -957,6 +968,104 @@ object SparkEntry {
         |       COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
         |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM c GROUP BY 1, 2, 3""".stripMargin,
+    "q_blocklist_scrub" ->
+      """SELECT doc_id,
+        |       CAST(len(list_filter(string_split(text, ' '),
+        |           t -> list_contains(['customer','user','key'], t))) AS INT) AS n_masked,
+        |       array_to_string(list_transform(string_split(text, ' '),
+        |           t -> CASE WHEN list_contains(['customer','user','key'], t)
+        |                     THEN '<MASKED>' ELSE t END), ' ') AS scrubbed
+        |FROM documents""".stripMargin,
+    "q_pii_redact" ->
+      """SELECT event_id,
+        |       CAST(len(regexp_extract_all(props, '[0-9]+')) AS INT) AS n_redacted,
+        |       regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS redacted
+        |FROM events""".stripMargin,
+    "q_doc_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         CAST(len(string_split(text, ' ')) AS INT) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |         CASE WHEN n <= 32 THEN 1
+        |              ELSE CAST(ceil((n - 32) / CAST(24 AS DOUBLE)) AS INT) + 1 END AS nch
+        |  FROM t),
+        |e AS (
+        |  SELECT doc_id, toks,
+        |         CAST(UNNEST(generate_series(0, nch - 1)) AS INT) AS chunk_id
+        |  FROM c)
+        |SELECT doc_id, chunk_id, chunk_id * 24 AS start_tok,
+        |       CAST(len(list_slice(toks, chunk_id * 24 + 1, chunk_id * 24 + 32)) AS INT) AS n_chunk_toks,
+        |       array_to_string(list_slice(toks, chunk_id * 24 + 1, chunk_id * 24 + 32), ' ') AS chunk_text
+        |FROM e""".stripMargin,
+    "q_bigram_lm" ->
+      """WITH t AS (
+        |  SELECT string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (
+        |  SELECT UNNEST(list_transform(range(1, len(t)),
+        |                i -> {'w1': t[i], 'w2': t[i+1]})) AS p
+        |  FROM t),
+        |c AS (SELECT p.w1 AS w1, p.w2 AS w2, COUNT(*) AS n FROM bg GROUP BY 1, 2),
+        |r AS (
+        |  SELECT w1, w2, n,
+        |         CAST(SUM(n) OVER (PARTITION BY w1) AS BIGINT) AS w1_total,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY w1 ORDER BY n DESC, w2 ASC) AS INT) AS rnk
+        |  FROM c)
+        |SELECT w1, w2, n, w1_total, rnk,
+        |       ROUND(CAST(n AS DOUBLE) / w1_total, 6) AS prob
+        |FROM r WHERE rnk <= 3 AND w1_total >= 50""".stripMargin,
+    "q_bm25_rank" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         CAST(len(string_split(text, ' ')) AS INT) AS dl
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, dl,
+        |         CAST(len(list_filter(toks, x -> x = 'spark')) AS INT) AS tf_spark,
+        |         CAST(len(list_filter(toks, x -> x = 'merge')) AS INT) AS tf_merge,
+        |         CAST(len(list_filter(toks, x -> x = 'window')) AS INT) AS tf_window
+        |  FROM d),
+        |s AS (
+        |  SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl,
+        |         SUM(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS df_spark,
+        |         SUM(CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END) AS df_merge,
+        |         SUM(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS df_window
+        |  FROM tf)
+        |SELECT doc_id, dl, tf_spark, tf_merge, tf_window,
+        |       ROUND(
+        |         ln(1.0 + (n_docs - df_spark + 0.5) / (df_spark + 0.5)) * tf_spark * 2.2
+        |           / (tf_spark + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |       + ln(1.0 + (n_docs - df_merge + 0.5) / (df_merge + 0.5)) * tf_merge * 2.2
+        |           / (tf_merge + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |       + ln(1.0 + (n_docs - df_window + 0.5) / (df_window + 0.5)) * tf_window * 2.2
+        |           / (tf_window + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6) AS score
+        |FROM tf, s
+        |WHERE tf_spark + tf_merge + tf_window > 0""".stripMargin,
+    "q_token_budget" ->
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |         CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
+         |         CAST(floor((1.0 - $qualityExprSql) * 20) AS INT) AS band
+         |  FROM documents),
+         |w AS (
+         |  SELECT doc_id, band, n_tok,
+         |         CAST(SUM(n_tok) OVER (ORDER BY band, doc_id
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_end
+         |  FROM base),
+         |b AS (SELECT CAST(floor(SUM(n_tok) * 0.5) AS BIGINT) AS budget FROM base)
+         |SELECT doc_id, band, n_tok, cum_end
+         |FROM w, b WHERE cum_end <= budget""".stripMargin,
+    "q_embedding_stats" ->
+      """WITH n AS (
+        |  SELECT label,
+        |         ROUND(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+        |               x -> x * x))), 6) AS nrm
+        |  FROM embeddings)
+        |SELECT label, COUNT(*) AS n_vecs, MIN(nrm) AS min_norm,
+        |       MAX(nrm) AS max_norm, ROUND(AVG(nrm), 6) AS avg_norm
+        |FROM n GROUP BY label""".stripMargin,
     "q_bin_range_join" ->
       """SELECT CAST(FLOOR(value / 50) AS INT) AS band_id,
         |       CAST(FLOOR(value / 50) * 50 AS DOUBLE) AS lo,
@@ -1329,6 +1438,36 @@ object SparkEntry {
       |                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
       |       FROM toks WHERE len(t) >= 3)""".stripMargin
 
+  /** The quality-score expression over a `documents` row (`text` in
+    * scope) — shared by the quality, curation, and token-budget oracles
+    * so the formula can never drift between them. Mirrors
+    * [[graft.operators.TextAnalysis.qualityScore]] op-for-op. */
+  private val qualityExprSql =
+    """ROUND(LEAST(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100) * 0.5
+      |      + (1.0 - LEAST(1.0, CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE) / LENGTH(text) * 10)) * 0.2
+      |      + LEAST(1.0, CAST(len(list_filter(string_split(text, ' '),
+      |          x -> list_contains(['the','a','of','and','in','to','is','der','und','le','la','el','de','et','un'], x))) AS DOUBLE)
+      |        / len(string_split(text, ' ')) * 5) * 0.3, 6)""".stripMargin
+
+  /** DuckDB CTE chain for near-dup connected components at Jaccard ≥ 0.2
+    * (`comp(doc_id, component_id)`) — shared by the components and
+    * representative-selection oracles. Requires WITH RECURSIVE and
+    * [[shinglesCte]] ahead of it. */
+  private val componentsCtes =
+    """pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) >= 0.2),
+      |edges AS (
+      |  SELECT id_a AS s, id_b AS d FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs),
+      |reach(s, d) AS (
+      |  SELECT s, d FROM edges
+      |  UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+      |comp AS (
+      |  SELECT s AS doc_id, LEAST(s, MIN(d)) AS component_id
+      |  FROM reach GROUP BY s)""".stripMargin
+
   /** DuckDB CTE chain: the FULL curation ruleset (quality score, langid
     * word lists, exact dedup keeper, shingle near-dup losers, final
     * `kept` cut) — shared by the corpus and per-source oracles so a rule
@@ -1336,12 +1475,7 @@ object SparkEntry {
   private val curationCtes =
     s"""$shinglesCte,
        |q AS (
-       |  SELECT doc_id,
-       |         ROUND(LEAST(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100) * 0.5
-       |               + (1.0 - LEAST(1.0, CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE) / LENGTH(text) * 10)) * 0.2
-       |               + LEAST(1.0, CAST(len(list_filter(string_split(text, ' '),
-       |                   x -> list_contains(['the','a','of','and','in','to','is','der','und','le','la','el','de','et','un'], x))) AS DOUBLE)
-       |                 / len(string_split(text, ' ')) * 5) * 0.3, 6) AS quality
+       |  SELECT doc_id, $qualityExprSql AS quality
        |  FROM documents),
        |lc AS (
        |  SELECT doc_id,

@@ -305,6 +305,30 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("comp").as("component_id"))
   }
 
+  /** CLUSTER REPRESENTATIVE SELECTION — for every near-dup component
+    * from [[dedupComponents]], keep the best document (highest
+    * [[TextAnalysis.qualityScore]], smallest doc_id on ties) and report
+    * the cluster size: the "which copy survives dedup" decision a
+    * curation pipeline makes after clustering.
+    *
+    * The argmax is ONE keyed aggregation — `min(struct(-quality, doc_id,
+    * quality))` rides map-side partial aggregation, so no per-component
+    * sort window and no shuffle of anything but (component, 24-byte
+    * struct) pairs. */
+  def dedupRepresentative(spark: SparkSession, dir: String,
+      threshold: Double = 0.2): DataFrame = {
+    val comp = dedupComponents(spark, dir, threshold)
+    val q = TextAnalysis.qualityScore(spark, dir).select("doc_id", "quality")
+    comp.join(q, "doc_id")
+      .withColumn("k",
+        struct((-col("quality")).as("nq"), col("doc_id"), col("quality")))
+      .groupBy("component_id")
+      .agg(count(lit(1)).as("n_members"), min("k").as("k"))
+      .select(col("component_id"), col("n_members"),
+        col("k.doc_id").as("rep_doc"), col("k.quality").as("rep_quality"),
+        (col("n_members") - 1).cast("long").as("n_dropped"))
+  }
+
   // ---- embedding near-dup --------------------------------------------
 
   /** Embedding cosine near-dup pairs. Exact all-pairs within the corpus —

@@ -465,4 +465,22 @@ object Similarity {
           round(col("cos_raw"), 6).as("cos"))
     }
   }
+
+  /** EMBEDDING CORPUS STATS — per-label vector-norm profile (count, L2
+    * norm min/max/mean), the sanity pass run before any ANN index build:
+    * degenerate (near-zero-norm) or exploding embeddings surface here
+    * long before they poison a recall metric. Per-vector norms round to
+    * 6 dp BEFORE the rollup so both engines aggregate identical inputs;
+    * one keyed aggregation with map-side partials — no other shuffle.
+    * Float elements cast to double element-wise first, so the fold is
+    * the same IEEE double sum in both engines. */
+  def embeddingStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+      .withColumn("emb_d", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("nrm", round(sqrt(norm2("emb_d")), 6))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        min("nrm").as("min_norm"),
+        max("nrm").as("max_norm"),
+        round(avg("nrm"), 6).as("avg_norm"))
 }

@@ -306,6 +306,127 @@ object TextAnalysis {
         (col("n_shared").cast("double") / col("n_shingles")).as("contamination"))
   }
 
+  /** BLOCKLIST SCRUBBING — mask every token on a blocklist (the PII /
+    * unwanted-term scrub a corpus pipeline runs before tokenization),
+    * emitting the masked text and a per-doc mask count. Pure map-side
+    * higher-order-function work (`filter`/`transform`/`array_join`) —
+    * codegen'd, no shuffle, linear in corpus size; the blocklist is a
+    * compile-time array literal here and would broadcast as a set at a
+    * realistic list size. */
+  def scrubBlocklist(spark: SparkSession, dir: String,
+      blocklist: Seq[String] = Seq("customer", "user", "key")): DataFrame = {
+    val arr = blocklist.map(w => s"'$w'").mkString(", ")
+    Tables.load(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        expr(s"size(filter(toks, t -> array_contains(array($arr), t)))")
+          .as("n_masked"),
+        expr(s"array_join(transform(toks, t -> CASE WHEN array_contains(array($arr), t) THEN '<MASKED>' ELSE t END), ' ')")
+          .as("scrubbed"))
+  }
+
+  /** REGEX REDACTION — mask digit runs in the semi-structured `props`
+    * payload (the numeric-identifier scrub of a PII pass; emails/phones
+    * are the same `regexp_replace` shape with a different pattern).
+    * Map-side regex work on every row — no shuffle, and the pattern
+    * compiles once per task, not per row. */
+  def redactNumbers(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .select(
+        col("event_id"),
+        regexp_count(col("props"), lit("[0-9]+")).as("n_redacted"),
+        regexp_replace(col("props"), "[0-9]+", "<NUM>").as("redacted"))
+
+  /** DOCUMENT CHUNKING with overlap — split each document into
+    * fixed-size token windows (`window` tokens, `stride` step, so
+    * consecutive chunks overlap by `window - stride`), the
+    * context-window preparation step ahead of tokenization. A doc of n
+    * tokens yields 1 chunk when n ≤ window, else ceil((n-window)/stride)+1,
+    * so the final chunk always reaches the last token. All map-side
+    * array arithmetic (`sequence` → `explode` → `slice`) — the explode
+    * multiplies rows ~n/stride× but shuffles nothing. */
+  def chunkDocuments(spark: SparkSession, dir: String,
+      window: Int = 32, stride: Int = 24): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_toks", size(col("toks")))
+      .withColumn("n_chunks",
+        expr(s"CASE WHEN n_toks <= $window THEN 1 ELSE CAST(ceil((n_toks - $window) / CAST($stride AS DOUBLE)) AS INT) + 1 END"))
+      .withColumn("chunk_id", explode(expr("sequence(0, n_chunks - 1)")))
+      .select(
+        col("doc_id"),
+        col("chunk_id"),
+        (col("chunk_id") * stride).as("start_tok"),
+        expr(s"size(slice(toks, chunk_id * $stride + 1, $window))").as("n_chunk_toks"),
+        expr(s"array_join(slice(toks, chunk_id * $stride + 1, $window), ' ')").as("chunk_text"))
+
+  /** Count-based BIGRAM LANGUAGE MODEL — corpus-wide conditional
+    * continuation probabilities P(w2|w1), keeping the top-`topK`
+    * continuations of every prefix token with at least `minCount`
+    * corpus occurrences (the classic n-gram LM estimation pass, and the
+    * profile a decontamination or synthetic-text detector reads).
+    * One (w1, w2)-keyed count with map-side partials, a prefix-total
+    * window partitioned by w1 (vocabulary-wide parallelism — no global
+    * window), integer ratios rounded at 6 dp. */
+  def bigramLm(spark: SparkSession, dir: String,
+      minCount: Int = 50, topK: Int = 3): DataFrame = {
+    val bg = Tables.load(spark, dir, "documents")
+      .select(split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(
+        expr("transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i+1] AS w2))"))
+        .as("bg"))
+      .select(col("bg.w1"), col("bg.w2"))
+    val counts = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("w1")
+    val rnk = org.apache.spark.sql.expressions.Window
+      .partitionBy("w1").orderBy(col("n").desc, col("w2").asc)
+    counts
+      .withColumn("w1_total", sum("n").over(w))
+      .withColumn("rnk", row_number().over(rnk))
+      .filter(col("rnk") <= topK && col("w1_total") >= minCount)
+      .select(col("w1"), col("w2"), col("n"), col("w1_total"), col("rnk"),
+        round(col("n").cast("double") / col("w1_total"), 6).as("prob"))
+  }
+
+  /** BM25 RANKING — the full-text relevance score for a fixed query
+    * term set (k1 = 1.2, b = 0.75, the Robertson/Sparck-Jones idf with
+    * +1 smoothing), emitting every document matching ≥1 term.
+    *
+    * Scale shape: per-term tf is a map-side `size(filter(...))` per doc
+    * (NO token explode — the query is small, so counting per term beats
+    * inverting the corpus); N, avgdl and every per-term df come out of
+    * ONE 1-row aggregate that broadcasts back over the corpus; the score
+    * is then pure map-side arithmetic. Zero data-sized shuffles. */
+  def bm25Rank(spark: SparkSession, dir: String,
+      terms: Seq[String] = Seq("spark", "merge", "window"),
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("dl", size(col("toks")))
+    val withTf = terms.foldLeft(docs) { (df, t) =>
+      df.withColumn(s"tf_$t", expr(s"size(filter(toks, x -> x = '$t'))"))
+    }
+    val statAggs =
+      Seq(count(lit(1)).as("n_docs"), avg(col("dl").cast("double")).as("avgdl")) ++
+      terms.map(t => sum(when(col(s"tf_$t") > 0, 1).otherwise(0)).as(s"df_$t"))
+    val stats = withTf.agg(statAggs.head, statAggs.tail: _*)
+    val score = terms.map { t =>
+      val idf = log(lit(1.0) +
+        (col("n_docs") - col(s"df_$t") + lit(0.5)) / (col(s"df_$t") + lit(0.5)))
+      val tf = col(s"tf_$t").cast("double")
+      idf * tf * (k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    withTf.crossJoin(broadcast(stats))
+      .withColumn("score", round(score, 6))
+      // membership test on integer tf counts, not the rounded float score
+      .filter(terms.map(t => col(s"tf_$t")).reduce(_ + _) > 0)
+      .select(Seq(col("doc_id"), col("dl")) ++
+        terms.map(t => col(s"tf_$t")) :+ col("score"): _*)
+  }
+
   /** SEQUENCE PACKING — assign documents to fixed-token-budget training
     * bins by cumulative token count, the deterministic first-fit packing
     * a pre-training dataloader runs. Documents stream in doc_id order
@@ -319,6 +440,43 @@ object TextAnalysis {
     * window at any corpus size (more shards = more parallelism, same
     * semantics per lane). The rollup is one keyed aggregation. All
     * integers — bit-exact. */
+  /** TOKEN-BUDGET CORPUS CUT — keep the best-quality documents until a
+    * token budget (half the corpus here) is exhausted: the "train on the
+    * top-N tokens" selection every data-constrained run makes. Ordering
+    * is (quality-band, doc_id); the cumulative token count is a TWO-PHASE
+    * distributed prefix sum — per-band running sums (windows partitioned
+    * by band, parallel across bands) plus broadcast per-band offsets from
+    * a band-count-sized rollup — because a single global
+    * `ORDER BY quality` window would serialize the corpus through one
+    * reducer at 100 TB. Integer token math end-to-end → bit-exact oracle
+    * (the oracle can afford the single global window at test scale). */
+  def tokenBudget(spark: SparkSession, dir: String,
+      fraction: Double = 0.5): DataFrame = {
+    val base = qualityScore(spark, dir)
+      .select(col("doc_id"), col("n_toks").as("n_tok"),
+        floor((lit(1.0) - col("quality")) * 20).cast("int").as("band"))
+    val inBand = org.apache.spark.sql.expressions.Window
+      .partitionBy("band").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val bandTotals = base.groupBy("band").agg(sum("n_tok").as("band_tok"))
+    val bandOrder = org.apache.spark.sql.expressions.Window
+      .orderBy("band")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    // offsets: one row per band (≤21 rows) — the only un-partitioned
+    // window runs over that tiny frame, then broadcasts back.
+    val offsets = bandTotals
+      .withColumn("band_offset", coalesce(sum("band_tok").over(bandOrder), lit(0L)))
+      .select("band", "band_offset")
+    val budget = base.agg(floor(sum("n_tok") * fraction).cast("long").as("budget"))
+    base
+      .withColumn("band_cum", sum("n_tok").over(inBand))
+      .join(broadcast(offsets), "band")
+      .crossJoin(broadcast(budget))
+      .withColumn("cum_end", col("band_offset") + col("band_cum"))
+      .filter(col("cum_end") <= col("budget"))
+      .select(col("doc_id"), col("band"), col("n_tok"), col("cum_end"))
+  }
+
   def packSequences(spark: SparkSession, dir: String,
       budget: Int = 512, shards: Int = 8): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

@@ -1,0 +1,130 @@
+package graft
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Invariants for the round-8 corpus-preparation operators (scrubbing,
+  * redaction, chunking, bigram LM, BM25, token budget, dedup
+  * representatives, embedding stats) beyond their DuckDB oracles. */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("scrubBlocklist removes every blocklisted token, preserves token count") {
+    val out = TextAnalysis.scrubBlocklist(spark, sf).cache()
+    val leaked = out.filter(
+      expr("exists(split(scrubbed, ' '), t -> t IN ('customer', 'user', 'key'))"))
+    assert(leaked.count() === 0)
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_orig"))
+    val mismatched = out
+      .withColumn("n_scrubbed", size(split(col("scrubbed"), " ")))
+      .join(docs, "doc_id")
+      .filter(col("n_scrubbed") =!= col("n_orig"))
+    assert(mismatched.count() === 0)
+    assert(out.agg(sum("n_masked")).as[Long].head() > 0, "blocklist never fired")
+    out.unpersist()
+  }
+
+  test("redactNumbers leaves no digits and counts each masked run") {
+    val out = TextAnalysis.redactNumbers(spark, sf).cache()
+    assert(out.filter(col("redacted").rlike("[0-9]")).count() === 0)
+    // masked-marker count equals the per-row redaction count
+    val bad = out.filter(
+      expr("size(regexp_extract_all(redacted, '<NUM>', 0))") =!= col("n_redacted"))
+    assert(bad.count() === 0)
+    assert(out.agg(sum("n_redacted")).as[Long].head() > 0)
+    out.unpersist()
+  }
+
+  test("chunkDocuments covers every token: chunk 0 at 0, last chunk ends at n-1, counts match formula") {
+    val chunks = TextAnalysis.chunkDocuments(spark, sf).cache()
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_toks"))
+    val per = chunks.groupBy("doc_id").agg(
+      min("chunk_id").as("first_chunk"),
+      max(col("start_tok") + col("n_chunk_toks")).as("max_end"),
+      count(lit(1)).as("n_chunks")).join(docs, "doc_id").cache()
+    assert(per.filter(col("first_chunk") =!= 0).count() === 0)
+    assert(per.filter(col("max_end") =!= col("n_toks")).count() === 0)
+    val badCount = per.filter(col("n_chunks") =!=
+      expr("CASE WHEN n_toks <= 32 THEN 1 ELSE CAST(ceil((n_toks - 32) / 24.0) AS INT) + 1 END"))
+    assert(badCount.count() === 0)
+    // every chunk is non-empty and at most `window` wide
+    assert(chunks.filter(col("n_chunk_toks") < 1 || col("n_chunk_toks") > 32).count() === 0)
+    per.unpersist(); chunks.unpersist()
+  }
+
+  test("bigramLm: ranks are 1..topK and top-3 mass per prefix is a valid sub-distribution") {
+    val lm = TextAnalysis.bigramLm(spark, sf, minCount = 10).cache()
+    assert(lm.filter(col("rnk") < 1 || col("rnk") > 3).count() === 0)
+    assert(lm.filter(col("prob") <= 0 || col("prob") > 1).count() === 0)
+    val massBad = lm.groupBy("w1").agg(sum("prob").as("mass"))
+      .filter(col("mass") > 1.000001)
+    assert(massBad.count() === 0)
+    // rank 1 within each w1 has the max count
+    val r1 = lm.filter(col("rnk") === 1).select(col("w1"), col("n").as("n1"))
+    assert(lm.join(r1, "w1").filter(col("n") > col("n1")).count() === 0)
+    lm.unpersist()
+  }
+
+  test("bm25Rank scores exactly the docs containing a query term, all positive") {
+    val out = TextAnalysis.bm25Rank(spark, sf).cache()
+    val expected = Tables.load(spark, sf, "documents")
+      .filter(expr("exists(split(text, ' '), x -> x IN ('spark', 'merge', 'window'))"))
+      .count()
+    assert(out.count() === expected)
+    assert(out.filter(col("score") <= 0).count() === 0)
+    out.unpersist()
+  }
+
+  test("tokenBudget keeps a (band, doc_id)-prefix that fills but never exceeds the budget") {
+    val out = TextAnalysis.tokenBudget(spark, sf).cache()
+    val base = TextAnalysis.qualityScore(spark, sf)
+      .select(col("doc_id"), col("n_toks").as("n_tok"),
+        floor((lit(1.0) - col("quality")) * 20).cast("int").as("band"))
+    val budget = base.agg(floor(sum("n_tok") * 0.5)).as[Long].head()
+    val total = out.agg(sum("n_tok")).as[Long].head()
+    assert(total <= budget, s"kept $total > budget $budget")
+    // prefix property: every dropped doc sorts after every kept doc in
+    // (band, doc_id) order, and the first dropped doc would overflow.
+    val dropped = base.join(out.select("doc_id"), Seq("doc_id"), "left_anti")
+    val maxKept = out.orderBy(col("band").desc, col("doc_id").desc)
+      .select("band", "doc_id").as[(Int, Long)].head()
+    val minDropped = dropped.orderBy(col("band").asc, col("doc_id").asc)
+      .select("band", "doc_id").as[(Int, Long)].head()
+    assert(minDropped._1 > maxKept._1 ||
+      (minDropped._1 == maxKept._1 && minDropped._2 > maxKept._2))
+    val firstDroppedTok = dropped.orderBy(col("band").asc, col("doc_id").asc)
+      .select("n_tok").as[Int].head()
+    assert(total + firstDroppedTok > budget, "budget not filled greedily")
+    out.unpersist()
+  }
+
+  test("dedupRepresentative picks the max-quality (min doc_id) member of every component") {
+    val reps = Dedup.dedupRepresentative(spark, sf).cache()
+    val comp = Dedup.dedupComponents(spark, sf)
+    val q = TextAnalysis.qualityScore(spark, sf).select("doc_id", "quality")
+    val members = comp.join(q, "doc_id").cache()
+    // component count and membership totals line up
+    assert(reps.count() === members.select("component_id").distinct().count())
+    assert(reps.agg(sum("n_members")).as[Long].head() === members.count())
+    // no member strictly beats its representative
+    val beaten = members.join(
+        reps.select(col("component_id"), col("rep_doc"), col("rep_quality")),
+        "component_id")
+      .filter(col("quality") > col("rep_quality") ||
+        (col("quality") === col("rep_quality") && col("doc_id") < col("rep_doc")))
+    assert(beaten.count() === 0)
+    members.unpersist(); reps.unpersist()
+  }
+
+  test("embeddingStats: per-label counts total the corpus and min <= avg <= max") {
+    val st = Similarity.embeddingStats(spark, sf).cache()
+    val n = Tables.load(spark, sf, "embeddings").count()
+    assert(st.agg(sum("n_vecs")).as[Long].head() === n)
+    assert(st.filter(col("min_norm") > col("avg_norm") ||
+      col("avg_norm") > col("max_norm")).count() === 0)
+    assert(st.filter(col("min_norm") <= 0).count() === 0, "degenerate zero-norm label")
+    st.unpersist()
+  }
+}
