@@ -90,6 +90,8 @@ object SparkEntry {
     "q_token_budget"    -> ((s: SparkSession, d: String) => TextAnalysis.tokenBudget(s, d)),
     "q_dedup_rep"       -> ((s: SparkSession, d: String) => Dedup.dedupRepresentative(s, d)),
     "q_embedding_stats" -> Similarity.embeddingStats _,
+    "q_dup_spans"       -> ((s: SparkSession, d: String) => Dedup.duplicatedSpans(s, d)),
+    "q_hard_negatives"  -> ((s: SparkSession, d: String) => Similarity.hardNegatives(s, d)),
     // multimodal binary columns (north-star extension)
     "q_multimodal_meta"     -> Multimodal.mediaMeta _,
     "q_multimodal_features" -> Multimodal.featuresQuery _,
@@ -1057,6 +1059,38 @@ object SparkEntry {
          |b AS (SELECT CAST(floor(SUM(n_tok) * 0.5) AS BIGINT) AS budget FROM base)
          |SELECT doc_id, band, n_tok, cum_end
          |FROM w, b WHERE cum_end <= budget""".stripMargin,
+    "q_dup_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 8),
+        |g AS (
+        |  SELECT doc_id,
+        |         UNNEST(list_transform(range(1, len(tk) - 6),
+        |                i -> array_to_string(tk[i:i+7], ' '))) AS g
+        |  FROM t),
+        |c AS (SELECT g, COUNT(*) AS cnt FROM g GROUP BY g)
+        |SELECT g2.doc_id, COUNT(*) AS n_windows,
+        |       CAST(SUM(CASE WHEN c.cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |       CAST(SUM(CASE WHEN c.cnt >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_frac
+        |FROM g g2 JOIN c USING (g)
+        |GROUP BY g2.doc_id""".stripMargin,
+    "q_hard_negatives" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, q.label AS true_label,
+        |         c.vec_id AS neighbor_id, c.label AS nbr_label,
+        |         list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+        |         / (SQRT(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+        |            * SQRT(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))) AS cos_raw
+        |  FROM embeddings q JOIN embeddings c
+        |    ON q.vec_id < 50 AND c.vec_id >= 50 AND q.label != c.label),
+        |ranked AS (
+        |  SELECT query_id, true_label, neighbor_id, nbr_label, cos_raw,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id
+        |                            ORDER BY cos_raw DESC, neighbor_id ASC) AS rnk
+        |  FROM scored)
+        |SELECT query_id, true_label, neighbor_id, nbr_label,
+        |       ROUND(cos_raw, 6) AS cos
+        |FROM ranked WHERE rnk = 1""".stripMargin,
     "q_embedding_stats" ->
       """WITH n AS (
         |  SELECT label,

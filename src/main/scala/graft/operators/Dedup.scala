@@ -305,6 +305,35 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("comp").as("component_id"))
   }
 
+  /** DUPLICATED-SPAN DETECTION — per-document fraction of exact
+    * `width`-token windows that recur anywhere in the corpus (including
+    * within the same document), the Lee-et-al-style exact-substring
+    * duplication signal that catches boilerplate headers/footers and
+    * templated spans that whole-document dedup misses.
+    *
+    * Windows are POSITIONAL (every offset, not a distinct set — a doc
+    * that repeats its own span counts it twice, which is the signal).
+    * The only shuffle keys on the span: count occurrences, join back,
+    * per-doc rollup — linear in corpus token count. Spans travel as
+    * strings here so the DuckDB oracle is exact; at 100 TB the span key
+    * would be the 64-bit rolling hash from [[TextAnalysis.fingerprint]]
+    * (8 bytes instead of ~50 — same plan shape, collision odds ~1e-10). */
+  def duplicatedSpans(spark: SparkSession, dir: String, width: Int = 8): DataFrame = {
+    val g = Tables.load(spark, dir, "documents")
+      .withColumn("tk", split(col("text"), " "))
+      .filter(size(col("tk")) >= width)
+      .select(col("doc_id"), explode(
+        expr(s"transform(sequence(0, size(tk) - $width), i -> array_join(slice(tk, i + 1, $width), ' '))"))
+        .as("g"))
+    val counts = g.groupBy("g").agg(count(lit(1)).as("cnt"))
+    g.join(counts, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("cnt") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup"),
+        (col("n_dup").cast("double") / col("n_windows")).as("dup_frac"))
+  }
+
   /** CLUSTER REPRESENTATIVE SELECTION — for every near-dup component
     * from [[dedupComponents]], keep the best document (highest
     * [[TextAnalysis.qualityScore]], smallest doc_id on ties) and report

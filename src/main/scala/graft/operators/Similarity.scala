@@ -466,6 +466,34 @@ object Similarity {
     }
   }
 
+  /** HARD-NEGATIVE MINING — for every probe, the single most similar
+    * corpus vector carrying a DIFFERENT label: the contrastive-training
+    * pair a retrieval/embedding fine-tune mines after each epoch. Exact
+    * formulation (the IVF candidate stage swaps in unchanged, as in
+    * [[knnClassifyIvf]]); the different-label filter runs BEFORE the
+    * top-1 window so the rank is over negatives only. */
+  def hardNegatives(spark: SparkSession, dir: String, nProbes: Int = 50): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+      .withColumn("emb_d", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("nrm", sqrt(norm2("emb_d")))
+    val probes = e.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("query_id"), col("emb_d").as("emb_q"),
+        col("nrm").as("nq"), col("label").as("true_label"))
+    val train = e.filter(col("vec_id") >= nProbes)
+      .select(col("vec_id").as("neighbor_id"), col("emb_d").as("emb_c"),
+        col("nrm").as("nc"), col("label").as("nbr_label"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_raw").desc, col("neighbor_id").asc)
+    probes.crossJoin(train)
+      .filter(col("nbr_label") =!= col("true_label"))
+      .withColumn("cos_raw", dot("emb_q", "emb_c") / (col("nq") * col("nc")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("query_id"), col("true_label"),
+        col("neighbor_id"), col("nbr_label"),
+        round(col("cos_raw"), 6).as("cos"))
+  }
+
   /** EMBEDDING CORPUS STATS — per-label vector-norm profile (count, L2
     * norm min/max/mean), the sanity pass run before any ANN index build:
     * degenerate (near-zero-norm) or exploding embeddings surface here

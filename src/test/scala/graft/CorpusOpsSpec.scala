@@ -118,6 +118,41 @@ class CorpusOpsSpec extends SparkSpec {
     members.unpersist(); reps.unpersist()
   }
 
+  test("duplicatedSpans: exact-duplicate docs score dup_frac 1, bounds hold") {
+    val spans = Dedup.duplicatedSpans(spark, sf).cache()
+    assert(spans.filter(col("n_dup") > col("n_windows")).count() === 0)
+    assert(spans.filter(col("dup_frac") < 0 || col("dup_frac") > 1).count() === 0)
+    // every doc whose full text appears verbatim elsewhere must have
+    // every window duplicated
+    val docs = Tables.load(spark, sf, "documents")
+    val dupTexts = docs.groupBy("text").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("text")
+    val dupIds = docs.join(dupTexts, "text").select("doc_id")
+    val notFull = spans.join(dupIds, "doc_id").filter(col("dup_frac") =!= 1.0)
+    assert(notFull.count() === 0, "verbatim-duplicated doc with dup_frac < 1")
+    assert(spans.count() === docs.filter(size(split(col("text"), " ")) >= 8).count())
+    spans.unpersist()
+  }
+
+  test("hardNegatives: one row per probe, labels always differ, cos bounded by brute top-1") {
+    val hn = Similarity.hardNegatives(spark, sf).cache()
+    val e = Tables.load(spark, sf, "embeddings")
+    val nProbes = e.filter(col("vec_id") < 50).count()
+    assert(hn.count() === nProbes) // 10 labels × 50 probes → negatives always exist
+    assert(hn.filter(col("true_label") === col("nbr_label")).count() === 0)
+    // the hardest negative can never beat the unconstrained nearest
+    // neighbor from the same candidate pool
+    // (probes whose global top-1 is another probe drop out of the inner
+    // join — the bound only applies where the pools coincide)
+    val brute = Similarity.bruteTopK(spark, sf, k = 1, nProbes = 50)
+      .filter(col("neighbor_id") >= 50)
+      .select(col("query_id"), col("cos").as("best_cos"))
+    val violations = hn.join(brute, "query_id")
+      .filter(col("cos") > col("best_cos") + 1e-9)
+    assert(violations.count() === 0)
+    hn.unpersist()
+  }
+
   test("embeddingStats: per-label counts total the corpus and min <= avg <= max") {
     val st = Similarity.embeddingStats(spark, sf).cache()
     val n = Tables.load(spark, sf, "embeddings").count()

@@ -22,4 +22,41 @@ class PlanShapeSpec extends SparkSpec {
     // and the final answer is non-trivial
     assert(df.count() > 0)
   }
+
+  test("blocklist scrub and chunking are shuffle-free map plans") {
+    for (df <- Seq(
+        graft.operators.TextAnalysis.scrubBlocklist(spark, sf),
+        graft.operators.TextAnalysis.chunkDocuments(spark, sf),
+        graft.operators.TextAnalysis.redactNumbers(spark, sf))) {
+      val physical = df.queryExecution.executedPlan.toString
+      assert(!physical.contains("Exchange"),
+        s"map-side operator shuffles:\n$physical")
+    }
+  }
+
+  test("bm25 broadcasts the 1-row stats frame — no sort-merge join, no data-sized shuffle") {
+    val df = graft.operators.TextAnalysis.bm25Rank(spark, sf)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("Broadcast"), s"stats not broadcast:\n$physical")
+    assert(!physical.contains("SortMergeJoin"), s"sort-merge join crept in:\n$physical")
+    assert(df.count() > 0)
+  }
+
+  test("token budget windows partition by band — no corpus-sized global window") {
+    // the only un-partitioned window may run over the ≤21-row band
+    // rollup; every corpus-sized window must carry a partition spec
+    val df = graft.operators.TextAnalysis.tokenBudget(spark, sf)
+    val optimized = df.queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow, Aggregate}
+    val globalWindows = optimized.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    // each global window must sit above an Aggregate (the band rollup),
+    // never directly over the documents scan
+    globalWindows.foreach { w =>
+      assert(w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+        s"global window over non-aggregated input:\n$w")
+    }
+    assert(df.count() > 0)
+  }
 }
