@@ -92,6 +92,8 @@ object SparkEntry {
     "q_embedding_stats" -> Similarity.embeddingStats _,
     "q_dup_spans"       -> ((s: SparkSession, d: String) => Dedup.duplicatedSpans(s, d)),
     "q_hard_negatives"  -> ((s: SparkSession, d: String) => Similarity.hardNegatives(s, d)),
+    "q_locf_fill"       -> Breadth.locfFill _,
+    "q_quality_model"   -> graft.ml.QualityModel.trainScore _,
     // multimodal binary columns (north-star extension)
     "q_multimodal_meta"     -> Multimodal.mediaMeta _,
     "q_multimodal_features" -> Multimodal.featuresQuery _,
@@ -1059,6 +1061,13 @@ object SparkEntry {
          |b AS (SELECT CAST(floor(SUM(n_tok) * 0.5) AS BIGINT) AS budget FROM base)
          |SELECT doc_id, band, n_tok, cum_end
          |FROM w, b WHERE cum_end <= budget""".stripMargin,
+    "q_locf_fill" ->
+      """SELECT event_id, user_id,
+        |       CASE WHEN event_type IN ('view', 'click') THEN NULL ELSE value END AS v,
+        |       LAST_VALUE(CASE WHEN event_type IN ('view', 'click') THEN NULL ELSE value END IGNORE NULLS)
+        |         OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+        |FROM events""".stripMargin,
     "q_dup_spans" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents

@@ -554,4 +554,23 @@ object Breadth {
         "aggregate(seq, CAST(0.0 AS DOUBLE), (acc, x) -> acc * 0.875D + x.value * 0.125D)"),
         6))
       .select(col("user_id"), col("n_events"), col("ewma"))
+
+  /** LAST-OBSERVATION-CARRIED-FORWARD gap fill — per-user forward fill
+    * of a sparsely-observed measure (here `value`, nulled out on 'view'
+    * events to stand in for a sensor that doesn't report on every row):
+    * the standard time-series cleaning pass before feature windows.
+    * `last(_, ignoreNulls)` over a user-partitioned running frame —
+    * user-wide parallelism, no global window, values pass through
+    * untouched (no float arithmetic → hash-exact oracle). */
+  def locfFill(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.load(spark, dir, "events")
+      .withColumn("v",
+        when(col("event_type").isin("view", "click"), lit(null))
+          .otherwise(col("value")))
+      .select(col("event_id"), col("user_id"), col("v"),
+        last("v", ignoreNulls = true).over(w).as("v_filled"))
+  }
 }

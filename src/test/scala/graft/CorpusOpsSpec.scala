@@ -153,6 +153,37 @@ class CorpusOpsSpec extends SparkSpec {
     hn.unpersist()
   }
 
+  test("locfFill carries the last non-null value forward, never backward") {
+    val out = operators.Breadth.locfFill(spark, sf).cache()
+    // filled value equals observed value wherever one is present
+    assert(out.filter(col("v").isNotNull && col("v_filled") =!= col("v")).count() === 0)
+    // rows before a user's first observation (in (ts, event_id) order)
+    // stay null; at or after it, never null
+    val withTs = out.join(
+      Tables.load(spark, sf, "events").select("event_id", "ts"), "event_id")
+    val firstObs = withTs.filter(col("v").isNotNull)
+      .groupBy("user_id")
+      .agg(min(struct(col("ts"), col("event_id"))).as("f"))
+    val joined = withTs.join(firstObs, Seq("user_id"), "left")
+    assert(joined.filter(struct(col("ts"), col("event_id")) >= col("f") &&
+      col("v_filled").isNull).count() === 0)
+    assert(joined.filter(struct(col("ts"), col("event_id")) < col("f") &&
+      col("v_filled").isNotNull).count() === 0)
+    assert(out.filter(col("v_filled").isNull).count() > 0, "no leading gaps exercised")
+    out.unpersist()
+  }
+
+  test("quality model reproduces the rule-based gate with >= 0.95 agreement") {
+    val scored = ml.QualityModel.trainScore(spark, sf).cache()
+    val n = scored.count()
+    val agree = scored.agg(sum("correct")).as[Long].head()
+    assert(n > 0)
+    assert(agree.toDouble / n >= 0.95, s"agreement ${agree.toDouble / n}")
+    // both classes must actually occur, or the fit is degenerate
+    assert(scored.select("label").distinct().count() === 2)
+    scored.unpersist()
+  }
+
   test("embeddingStats: per-label counts total the corpus and min <= avg <= max") {
     val st = Similarity.embeddingStats(spark, sf).cache()
     val n = Tables.load(spark, sf, "embeddings").count()
