@@ -278,7 +278,20 @@ object Dedup {
     * MapReduce CC algorithm). Lineage is truncated per round
     * (localCheckpoint), so plans stay flat no matter the round count.
     * The driver-side loop holds only a changed-row COUNT, never data. */
-  def dedupComponents(spark: SparkSession, dir: String, threshold: Double = 0.2): DataFrame = {
+  private val componentsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Memoized per (dir, threshold): the iterative label propagation runs
+    * once per session even when several consumers (the components query,
+    * [[dedupRepresentative]]) ask for the same graph — the final labels
+    * frame is localCheckpoint'd, so the cached result is data, not a
+    * recomputation recipe. */
+  def dedupComponents(spark: SparkSession, dir: String, threshold: Double = 0.2): DataFrame =
+    componentsMemo.computeIfAbsent(s"$dir|$threshold", { _ =>
+      dedupComponentsUncached(spark, dir, threshold)
+    })
+
+  private def dedupComponentsUncached(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
     val edges = ngramJaccardPairsPrefix(spark, dir, threshold)
       .select("id_a", "id_b")
     val adj = edges.unionAll(
