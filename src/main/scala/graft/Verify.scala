@@ -18,13 +18,26 @@ object Verify {
     // Iteration aid (mirrors Bench): run only the named queries.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // A thrown query must never be mistaken for a 0-row success: every
+    // failure is recorded in errors.json AND as a <name>_FAILED sentinel
+    // next to where the parquet would have been, so the compare step can
+    // report "threw" instead of "empty".
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getName}: ${String.valueOf(e.getMessage)}"
+        System.err.println(s"[verify] $name failed: $msg")
+        errors(name) = msg
+        // full trace in the sentinel — a failure seen only in the full
+        // sweep (not isolated) is undiagnosable from the message alone
+        val sw = new java.io.StringWriter()
+        e.printStackTrace(new java.io.PrintWriter(sw))
+        try Files.writeString(Paths.get(s"$outDir/${name}_FAILED"), sw.toString)
+        catch { case _: Throwable => }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -42,6 +55,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Always written (empty object when clean) so its absence vs emptiness
+    // is never ambiguous to the consumer.
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
     spark.stop()
   }
 }

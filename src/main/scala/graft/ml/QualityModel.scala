@@ -29,19 +29,43 @@ object QualityModel {
         (col("quality") >= 0.5).cast("double").as("label"))
 
   /** Fit + score in one pass; returns (doc_id, label, prediction,
-    * correct). */
+    * correct).
+    *
+    * The assembled feature frame is cached for the duration of the fit
+    * (LBFGS makes one treeAggregate pass per iteration — uncached, each
+    * pass would re-read parquet and re-tokenize, ~50× redundant work at
+    * 100 TB); [[graft.Tables.withCached]] checkpoints the scored output
+    * and unpersists the intermediate before returning.
+    *
+    * Scoring is the decision rule written as COLUMN ARITHMETIC on the
+    * fitted coefficients (margin > 0 ⇔ P(1) > 0.5, Spark's default
+    * threshold), NOT `model.transform`: the three coefficients travel as
+    * plan literals inside whole-stage codegen — the "broadcastable
+    * coefficient vector" promise made literal — whereas the transform
+    * UDF closure captures the model object, whose training summary pins
+    * the driver's SparkSession and fails task serialization outright
+    * (NotSerializableException: ObservationManager) once the shared
+    * session has been touched by other queries — the root cause of the
+    * round-8 0-row record, reproducible only in full-sweep runs. */
   def trainScore(spark: SparkSession, dir: String): DataFrame = {
     val df = features(spark, dir)
     val assembled = new VectorAssembler()
       .setInputCols(Array("f_len", "f_punct", "f_stop"))
       .setOutputCol("features")
       .transform(df)
-    val model = new LogisticRegression()
-      .setMaxIter(50)
-      .setRegParam(0.0)
-      .fit(assembled)
-    model.transform(assembled)
-      .select(col("doc_id"), col("label"), col("prediction"),
-        (col("label") === col("prediction")).cast("int").as("correct"))
+    graft.Tables.withCached(assembled) {
+      val model = new LogisticRegression()
+        .setMaxIter(50)
+        .setRegParam(0.0)
+        .fit(assembled)
+      val w = model.coefficients.toArray // 3 values, driver-side
+      val margin = lit(model.intercept) +
+        col("f_len") * w(0) + col("f_punct") * w(1) + col("f_stop") * w(2)
+      assembled
+        .select(col("doc_id"), col("label"),
+          when(margin > 0d, 1.0).otherwise(0.0).as("prediction"))
+        .withColumn("correct",
+          (col("label") === col("prediction")).cast("int"))
+    }
   }
 }
