@@ -33,10 +33,18 @@ object Graph {
       .select((col("l_partkey") * 2).as("a"),
         (col("l_suppkey") * 2 + 1).as("b"))
       .distinct()
-    // undirected: both directions carry contributions
+    // undirected: both directions carry contributions.
+    // Materialized ONCE (localCheckpoint) before the loop: `und`/`deg`
+    // appear in every iteration's lineage, so as plain frames the final
+    // plan would re-scan and re-distinct lineitem ~2 per iteration — 6
+    // redundant full-fact shuffles at 3 iterations, a scale-killer at
+    // 100 TB. Checkpoint blocks are owned by the frames' RDDs and
+    // reclaimed by the ContextCleaner when the result is dropped.
     val und = edges.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(true)
     val deg = und.groupBy("src").agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
     var ranks = deg.select(col("src").as("node"), lit(scale).as("r"))
     for (_ <- 1 to iters) {
       val contribs = und

@@ -17,6 +17,16 @@ class GraphSpec extends SparkSpec {
     assert(total >= full * 999L / 1000L, s"rank mass leaked: $total vs $full")
   }
 
+  test("pagerank loop lineage holds the checkpointed edges, not lineitem") {
+    // und/deg are materialized once before the loop; a regression back to
+    // plain frames would re-scan parquet ~2x per iteration and show up
+    // here as FileScan nodes in the final plan.
+    val r = graft.operators.Graph.pageRank(spark, sf)
+    val plan = r.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Scan parquet"),
+      s"pagerank plan re-scans parquet instead of the checkpointed edges:\n$plan")
+  }
+
   test("high-degree suppliers outrank parts on average (bipartite shape)") {
     val r = graft.operators.Graph.pageRank(spark, sf)
     val avg = r.groupBy("is_part").agg(
