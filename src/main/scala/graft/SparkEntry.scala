@@ -80,6 +80,7 @@ object SparkEntry {
     // round 7: training-pipeline operators
     "q_repetition_signals" -> TextAnalysis.repetitionSignals _,
     "q_decontaminate"      -> ((s: SparkSession, d: String) => TextAnalysis.decontaminate(s, d)),
+    "q_decontaminate_bloom" -> ((s: SparkSession, d: String) => TextAnalysis.decontaminateBloom(s, d)),
     "q_pack_sequences"     -> ((s: SparkSession, d: String) => TextAnalysis.packSequences(s, d)),
     // round 8: corpus preparation operators
     "q_blocklist_scrub" -> ((s: SparkSession, d: String) => TextAnalysis.scrubBlocklist(s, d)),
@@ -220,6 +221,7 @@ object SparkEntry {
     // round 8: native point-in-interval join — irregular numeric bands +
     // time validity windows (same custom plan, two domains)
     "q_interval_join"      -> ((s: SparkSession, d: String) => Scale.intervalJoinBands(s, d)),
+    "q_interval_join_salted" -> ((s: SparkSession, d: String) => Scale.intervalJoinBandsSalted(s, d)),
     "q_interval_join_time" -> ((s: SparkSession, d: String) => Scale.intervalJoinWindows(s, d)),
     "q_zorder_layout"      -> Scale.zorderRoundTrip _,
     "q_pagerank"           -> ((s: SparkSession, d: String) => Graph.pageRank(s, d)),
@@ -500,6 +502,32 @@ object SparkEntry {
          |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) >= 0.8""".stripMargin,
     "q_dedup_ngram" -> ngramOracleSql,
     "q_dedup_ngram_prefix" -> ngramOracleSql, // identical output by the prefix-filtering theorem
+    // Full bit-replica of the simhash pipeline: 60-bit md5-prefix token
+    // hashes (15 hex chars folded base-16), strict-majority per-bit vote
+    // (bits 0..62; 60+ are structurally 0), exhaustive Hamming ≤ 3 pairs
+    // — exactly the banded result by the pigeonhole losslessness of 4×16
+    // banding at distance 3.
+    "q_dedup_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents),
+        |th AS (SELECT doc_id,
+        |  [list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |     [CAST(strpos('0123456789abcdef', md5(tok)[i]) - 1 AS BIGINT)
+        |      for i in range(1, 16)]),
+        |     (a, c) -> a * 16 + c)
+        |   for tok in t] AS h
+        |  FROM toks WHERE len(t) > 0),
+        |sh AS (SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    [CASE WHEN 2 * list_sum([(x >> k) & 1 for x in h]) > len(h)
+        |          THEN (CAST(1 AS BIGINT) << k) ELSE CAST(0 AS BIGINT) END
+        |     for k in range(0, 63)]),
+        |    (a, b) -> a | b) AS simhash
+        |  FROM th)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
     "q_dedup_components" ->
       s"""WITH RECURSIVE $shinglesCte,
          |$componentsCtes
@@ -958,6 +986,22 @@ object SparkEntry {
          |       CAST(COUNT(*) AS DOUBLE) / tr2.n_shingles AS contamination
          |FROM tr tr2 JOIN ev USING (s)
          |GROUP BY tr2.doc_id, tr2.n_shingles""".stripMargin,
+    // bloom prefilter is result-invariant (false positives die in the
+    // exact join) → same oracle as q_decontaminate
+    "q_decontaminate_bloom" ->
+      s"""WITH $shinglesCte,
+         |ev AS (SELECT DISTINCT s FROM (
+         |  SELECT UNNEST(sh2.s) AS s
+         |  FROM sh sh2 JOIN documents d USING (doc_id)
+         |  WHERE d.source = 'src0')),
+         |tr AS (
+         |  SELECT sh3.doc_id, len(sh3.s) AS n_shingles, UNNEST(sh3.s) AS s
+         |  FROM sh sh3 JOIN documents d USING (doc_id)
+         |  WHERE d.source != 'src0')
+         |SELECT tr2.doc_id, COUNT(*) AS n_shared, tr2.n_shingles,
+         |       CAST(COUNT(*) AS DOUBLE) / tr2.n_shingles AS contamination
+         |FROM tr tr2 JOIN ev USING (s)
+         |GROUP BY tr2.doc_id, tr2.n_shingles""".stripMargin,
     "q_pack_sequences" ->
       """WITH d AS (
         |  SELECT doc_id, lang, doc_id % 8 AS shard,
@@ -1331,6 +1375,18 @@ object SparkEntry {
         |                   (a, x) -> (a + x) % 9007199254740881) AS winnow_digest
         |FROM w""".stripMargin,
     "q_interval_join" ->
+      """WITH bands AS (
+        |  SELECT p_partkey AS band_id,
+        |         CAST((p_partkey % 44) * 11 + (p_size % 9) AS DOUBLE) AS lo,
+        |         CAST((p_partkey % 44) * 11 + (p_size % 9) + p_size AS DOUBLE) AS hi
+        |  FROM part WHERE p_partkey % 29 = 0)
+        |SELECT b.band_id, b.lo, b.hi, COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+        |GROUP BY 1, 2, 3""".stripMargin,
+    // salting is result-invariant (decimal partials) → same oracle as
+    // q_interval_join
+    "q_interval_join_salted" ->
       """WITH bands AS (
         |  SELECT p_partkey AS band_id,
         |         CAST((p_partkey % 44) * 11 + (p_size % 9) AS DOUBLE) AS lo,

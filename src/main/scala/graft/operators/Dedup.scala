@@ -62,22 +62,21 @@ object Dedup {
           .shingle_hash(split(col("text"), " "), 3).as("sh"))
       .filter(size(col("sh")) > 0)
 
-  private val shingleMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val shingleMemo = new graft.SessionMemo[DataFrame]()
 
-  /** The tokenized corpus, built ONCE per sf dir and shared by every
-    * shingle-based query (minhash, ngram ×2, components, curation) — the
-    * "persist the tokenized corpus" step of a dedup pipeline, amortized
-    * across its consumers exactly as a production run would. Bounded and
-    * deliberate (one linear-size table per dir, checkpoint blocks owned
-    * by the memoized frame), unlike the per-query cache leaks this
-    * replaces. */
+  /** The tokenized corpus, built ONCE per (session, sf dir) and shared by
+    * every shingle-based query (minhash, ngram ×2, components, curation)
+    * — the "persist the tokenized corpus" step of a dedup pipeline,
+    * amortized across its consumers exactly as a production run would.
+    * Bounded and deliberate (one linear-size table per dir, checkpoint
+    * blocks owned by the memoized frame), unlike the per-query cache
+    * leaks this replaces. */
   private def docShinglesShared(spark: SparkSession, dir: String): DataFrame =
-    shingleMemo.computeIfAbsent(dir, { d =>
-      docShingles(spark, d)
+    shingleMemo.getOrCompute(spark, dir) {
+      docShingles(spark, dir)
         .withColumn("sz", size(col("sh")))
         .localCheckpoint(true)
-    })
+    }
 
   /** MinHash LSH near-dup pairs: signature → band buckets → candidate
     * pairs → exact-Jaccard verification at `threshold`.
@@ -129,18 +128,33 @@ object Dedup {
 
   /** Per-doc 64-bit SimHash fingerprints — majority vote per bit across
     * distinct-token hashes, via the native codegen'd expression
-    * ([[graft.functions.HashExpressions.SimHash64]]). Rows-only check
-    * (xxhash64 has no DuckDB equivalent). */
+    * ([[graft.functions.HashExpressions.SimHash64]]).
+    *
+    * Token hashes are the first 60 bits of md5 (15 hex chars →
+    * `conv(_, 16, 10)`): cryptographically mixed — every vote bit is a
+    * fair coin, unlike a character polynomial whose high bits stay 0 for
+    * short tokens and collapse the fingerprint — AND exactly computable
+    * in DuckDB, so the ENTIRE simhash pipeline (token hashes, per-bit
+    * votes, banding, Hamming) is bit-replicable in the oracle, unlike
+    * the engine-specific xxhash64 basis it replaces. Bits 60..63 are
+    * structurally 0: 60 effective vote bits, random-pair Hamming ~30 —
+    * an order of magnitude above the near-dup threshold. (A production
+    * run would swap xxhash64 back in for speed; the pipeline is
+    * basis-agnostic.) */
   def simhashDocs(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
       .select(col("doc_id"),
-        expr("transform(array_distinct(split(text, ' ')), t -> xxhash64(t))").as("th"))
+        expr("""transform(array_distinct(split(text, ' ')), t ->
+          CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT))""").as("th"))
       .filter(size(col("th")) > 0)
       .select(col("doc_id"),
         graft.functions.HashExpressions.simhash64(col("th")).as("simhash"))
 
   /** SimHash near-dup pairs at Hamming distance ≤ maxHamming, blocked by
-    * 4×16-bit bands (a pair within distance 3 must agree on ≥1 band). */
+    * 4×16-bit bands. At maxHamming ≤ 3 the blocking is LOSSLESS by
+    * pigeonhole — 3 differing bits can dirty at most 3 of the 4 bands —
+    * so the exhaustive all-pairs Hamming filter is the exact DuckDB
+    * oracle, not just a recall floor. */
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
     val docs = simhashDocs(spark, dir)
     val banded = docs.withColumn("band",
@@ -278,18 +292,18 @@ object Dedup {
     * MapReduce CC algorithm). Lineage is truncated per round
     * (localCheckpoint), so plans stay flat no matter the round count.
     * The driver-side loop holds only a changed-row COUNT, never data. */
-  private val componentsMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val componentsMemo = new graft.SessionMemo[DataFrame]()
 
-  /** Memoized per (dir, threshold): the iterative label propagation runs
-    * once per session even when several consumers (the components query,
-    * [[dedupRepresentative]]) ask for the same graph — the final labels
-    * frame is localCheckpoint'd, so the cached result is data, not a
-    * recomputation recipe. */
+  /** Memoized per (session, dir, threshold): the iterative label
+    * propagation runs once per session even when several consumers (the
+    * components query, [[dedupRepresentative]]) ask for the same graph —
+    * the final labels frame is localCheckpoint'd, so the cached result
+    * is data, not a recomputation recipe. Session-scoping and
+    * lock-discipline per [[graft.SessionMemo]]. */
   def dedupComponents(spark: SparkSession, dir: String, threshold: Double = 0.2): DataFrame =
-    componentsMemo.computeIfAbsent(s"$dir|$threshold", { _ =>
+    componentsMemo.getOrCompute(spark, s"$dir|$threshold") {
       dedupComponentsUncached(spark, dir, threshold)
-    })
+    }
 
   private def dedupComponentsUncached(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
     val edges = ngramJaccardPairsPrefix(spark, dir, threshold)

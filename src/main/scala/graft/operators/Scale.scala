@@ -395,6 +395,36 @@ object Scale {
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
   }
 
+  /** [[intervalJoinBands]] with a SALTED final aggregate — the skew
+    * option for the one shuffle the native interval join leaves behind.
+    * `pointInInterval` broadcasts the dim so the fact side never
+    * shuffles, but the downstream `groupBy(band_id, lo, hi)` can still
+    * hot-spot ONE reducer when one band catches most points (a wide
+    * validity window over a hot value range at 100 TB). Same two-phase
+    * shape as [[saltedEventTotals]]: phase 1 aggregates
+    * (band, salt) partials across `saltBuckets` reducers, phase 2
+    * merges the bounded partials per band. Decimal partial sums →
+    * bit-identical to the unsalted plan (same oracle;
+    * IntervalJoinSpec pins frame equality). */
+  def intervalJoinBandsSalted(spark: SparkSession, dir: String,
+      saltBuckets: Int = 16): DataFrame = {
+    val e = Tables.load(spark, dir, "events").select("event_id", "value")
+    val start = (col("p_partkey") % 44) * 11 + (col("p_size") % 9)
+    val bands = Tables.load(spark, dir, "part")
+      .filter(col("p_partkey") % 29 === 0)
+      .select(col("p_partkey").as("band_id"),
+        start.cast("double").as("lo"),
+        (start + col("p_size")).cast("double").as("hi"))
+    graft.plans.IntervalJoin.pointInInterval(e, bands, "value", "lo", "hi")
+      .withColumn("salt", pmod(col("event_id"), lit(saltBuckets)))
+      .groupBy("band_id", "lo", "hi", "salt")
+      .agg(count(lit(1)).as("partial_n"),
+        sum(col("value").cast(DecimalType(18, 2))).as("partial_sum"))
+      .groupBy("band_id", "lo", "hi")
+      .agg(sum("partial_n").as("n_events"),
+        sum("partial_sum").cast("double").as("total_value"))
+  }
+
   /** The same native interval join over TIME validity windows — proof the
     * operator generalizes beyond numeric bands: events (points = epoch
     * seconds, fractional) land in irregular promotional windows inside

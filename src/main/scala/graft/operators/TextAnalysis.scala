@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over `documents` — the pre-training corpus
@@ -306,6 +306,53 @@ object TextAnalysis {
         (col("n_shared").cast("double") / col("n_shingles")).as("contamination"))
   }
 
+  /** DECONTAMINATION, BLOOM-PREFILTERED — the 100 TB variant the
+    * [[decontaminate]] scale notes promise: instead of shuffling every
+    * exploded train shingle into the join, build a bounded bloom sketch
+    * over the eval shingle set (one aggregate job; ~1.2 MB at the
+    * default 1M-item sizing) and kill non-matching train shingles
+    * MAP-SIDE with a codegen'd `might_contain` probe before the exact
+    * join. Bloom false positives only admit extra candidates — the
+    * exact join against the eval set removes them — so the output is
+    * IDENTICAL to [[decontaminate]] (same oracle;
+    * CorpusOpsSpec pins frame equality).
+    *
+    * The sketch is collected to the driver once and embedded as a
+    * binary literal — the same bounded-state shape as Spark's own
+    * InjectRuntimeFilter (which materializes the build side in a scalar
+    * subquery) and the repo's PQ codebook: O(sketch), never O(data).
+    * At 100 TB the probe prunes the fact-side shuffle down to the
+    * contaminated ~% instead of every (doc, shingle) pair. */
+  def decontaminateBloom(spark: SparkSession, dir: String,
+      evalSource: String = "src0"): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+    val sh = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        graft.functions.HashExpressions
+          .shingle_hash(split(col("text"), " "), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val evalSh = sh.filter(col("source") === evalSource)
+      .select(explode(col("sh")).as("s")).distinct()
+    val bloomAgg = ColumnBridge.column(
+      new BloomFilterAggregate(ColumnBridge.expression(col("s")))
+        .toAggregateExpression())
+    val bloomBytes = evalSh.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+    val mightContain = ColumnBridge.column(BloomFilterMightContain(
+      Literal(bloomBytes, BinaryType), ColumnBridge.expression(col("s"))))
+    val train = sh.filter(col("source") =!= evalSource)
+      .select(col("doc_id"), size(col("sh")).as("n_shingles"),
+        explode(col("sh")).as("s"))
+      .filter(mightContain)
+    train.join(evalSh, "s")
+      .groupBy("doc_id", "n_shingles")
+      .agg(count(lit(1)).as("n_shared"))
+      .select(col("doc_id"), col("n_shared"), col("n_shingles"),
+        (col("n_shared").cast("double") / col("n_shingles")).as("contamination"))
+  }
+
   /** BLOCKLIST SCRUBBING — mask every token on a blocklist (the PII /
     * unwanted-term scrub a corpus pipeline runs before tokenization),
     * emitting the masked text and a per-doc mask count. Pure map-side
@@ -315,14 +362,18 @@ object TextAnalysis {
     * realistic list size. */
   def scrubBlocklist(spark: SparkSession, dir: String,
       blocklist: Seq[String] = Seq("customer", "user", "key")): DataFrame = {
-    val arr = blocklist.map(w => s"'$w'").mkString(", ")
+    // typed array literal, not string interpolation into expr() — a
+    // blocklist entry containing a quote must stay a value, never SQL text
+    val blockArr = array(blocklist.map(lit): _*)
+    val isBlocked = (t: Column) => array_contains(blockArr, t)
     Tables.load(spark, dir, "documents")
       .withColumn("toks", split(col("text"), " "))
       .select(
         col("doc_id"),
-        expr(s"size(filter(toks, t -> array_contains(array($arr), t)))")
+        size(org.apache.spark.sql.functions.filter(col("toks"), isBlocked))
           .as("n_masked"),
-        expr(s"array_join(transform(toks, t -> CASE WHEN array_contains(array($arr), t) THEN '<MASKED>' ELSE t END), ' ')")
+        array_join(transform(col("toks"),
+            t => when(isBlocked(t), lit("<MASKED>")).otherwise(t)), " ")
           .as("scrubbed"))
   }
 
@@ -364,8 +415,10 @@ object TextAnalysis {
   /** Count-based BIGRAM LANGUAGE MODEL — corpus-wide conditional
     * continuation probabilities P(w2|w1), keeping the top-`topK`
     * continuations of every prefix token with at least `minCount`
-    * corpus occurrences (the classic n-gram LM estimation pass, and the
-    * profile a decontamination or synthetic-text detector reads).
+    * occurrences AS A BIGRAM PREFIX — `w1_total` sums bigram counts, so
+    * a word's document-final occurrences don't count toward the floor
+    * (the classic n-gram LM estimation pass, and the profile a
+    * decontamination or synthetic-text detector reads).
     * One (w1, w2)-keyed count with map-side partials, a prefix-total
     * window partitioned by w1 (vocabulary-wide parallelism — no global
     * window), integer ratios rounded at 6 dp. */
@@ -405,8 +458,12 @@ object TextAnalysis {
     val docs = Tables.load(spark, dir, "documents")
       .withColumn("toks", split(col("text"), " "))
       .withColumn("dl", size(col("toks")))
+    // typed HOF, not string interpolation into expr() — a term containing
+    // a quote must stay a value, never become SQL text
     val withTf = terms.foldLeft(docs) { (df, t) =>
-      df.withColumn(s"tf_$t", expr(s"size(filter(toks, x -> x = '$t'))"))
+      df.withColumn(s"tf_$t",
+        size(org.apache.spark.sql.functions.filter(
+          col("toks"), x => x === lit(t))))
     }
     val statAggs =
       Seq(count(lit(1)).as("n_docs"), avg(col("dl").cast("double")).as("avgdl")) ++

@@ -25,6 +25,17 @@ class CorpusOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("decontaminateBloom output is identical to the broadcast-exact variant") {
+    // bloom false positives only admit candidates the exact join then
+    // removes — a divergence here means the prefilter dropped a TRUE match
+    val exact = TextAnalysis.decontaminate(spark, sf)
+      .orderBy("doc_id").collect()
+    val bloom = TextAnalysis.decontaminateBloom(spark, sf)
+      .orderBy("doc_id").collect()
+    assert(exact.length > 0, "decontamination never fired on sf0.001")
+    assert(bloom.toSeq === exact.toSeq)
+  }
+
   test("redactNumbers leaves no digits and counts each masked run") {
     val out = TextAnalysis.redactNumbers(spark, sf).cache()
     assert(out.filter(col("redacted").rlike("[0-9]")).count() === 0)

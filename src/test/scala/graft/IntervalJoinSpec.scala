@@ -101,6 +101,17 @@ class IntervalJoinSpec extends SparkSpec {
     assert(got == expected, s"got $got")
   }
 
+  test("salted band aggregate is identical to the unsalted plan") {
+    // the skew option must be result-invariant: decimal partial sums
+    // merge to the same totals regardless of salt bucketing
+    val plain = graft.operators.Scale.intervalJoinBands(spark, sf)
+      .orderBy("band_id").collect()
+    val salted = graft.operators.Scale.intervalJoinBandsSalted(spark, sf)
+      .orderBy("band_id").collect()
+    assert(plain.nonEmpty)
+    assert(salted.toSeq === plain.toSeq)
+  }
+
   test("time-window variant == nested-loop formulation and is non-trivial") {
     val e = Tables.load(spark, sf, "events")
       .select(col("event_id"), col("ts").cast("double").as("t"), col("value"))
