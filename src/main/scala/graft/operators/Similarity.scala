@@ -267,18 +267,18 @@ object Similarity {
 
   private final case class IvfIndex(lists: DataFrame, centroids: DataFrame)
 
-  private val ivfMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, IvfIndex]()
+  private val ivfMemo = new graft.SessionMemo[IvfIndex]()
 
   /** Build (or fetch) the IVF index for a corpus dir — quantizer training
-    * + inverted-list assignment happen ONCE per dir, exactly as a real
-    * ANN index is built once and queried many times; only the per-probe
-    * search below is per-query work. The materialized lists are linear in
-    * the corpus (id, unit vector, list id). */
+    * + inverted-list assignment happen ONCE per (session, dir), exactly
+    * as a real ANN index is built once and queried many times; only the
+    * per-probe search below is per-query work. The materialized lists are
+    * linear in the corpus (id, unit vector, list id). Session-scoping and
+    * lock-discipline per [[graft.SessionMemo]]. */
   private def ivfIndex(
       spark: SparkSession, dir: String, nlist: Int,
       trainFraction: Double, trainIters: Int): IvfIndex =
-    ivfMemo.computeIfAbsent(s"$dir|$nlist|$trainFraction|$trainIters", { _ =>
+    ivfMemo.getOrCompute(spark, s"$dir|$nlist|$trainFraction|$trainIters") {
       val base = normalized(spark, dir).cache()
       try {
         val vecs = base.withColumn("features", array_to_vector(col("unit")))
@@ -315,7 +315,7 @@ object Similarity {
           .toDF("list_id", "centroid")
         IvfIndex(lists, centroids)
       } finally base.unpersist(blocking = false)
-    })
+    }
 
   /** IVF-Flat ANN: nlist-way KMeans coarse quantizer, nprobe-list search.
     * Deterministic under the pinned seed; rows-only check (approximate
@@ -471,7 +471,14 @@ object Similarity {
     * pair a retrieval/embedding fine-tune mines after each epoch. Exact
     * formulation (the IVF candidate stage swaps in unchanged, as in
     * [[knnClassifyIvf]]); the different-label filter runs BEFORE the
-    * top-1 window so the rank is over negatives only. */
+    * top-1 window so the rank is over negatives only.
+    *
+    * NOTE: the `q_hard_negatives` DuckDB oracle hardcodes the default
+    * `nProbes = 50` (`vec_id < 50` probe cut) — oracle parity holds ONLY
+    * at the defaults; a non-default call still computes correctly but is
+    * not what the oracle replays. The same holds for every
+    * parameterized-with-defaults query (`bm25Rank` terms/k1/b,
+    * `scrubBlocklist` blocklist, ...). */
   def hardNegatives(spark: SparkSession, dir: String, nProbes: Int = 50): DataFrame = {
     val e = Tables.load(spark, dir, "embeddings")
       .withColumn("emb_d", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))

@@ -11,6 +11,12 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** The session's unique id (`private[sql]` on classic SparkSession) —
+    * the cache key that distinguishes one session's checkpointed frames
+    * from another's in [[graft.SessionMemo]]. */
+  def sessionUUID(spark: org.apache.spark.sql.SparkSession): String =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionUUID
+
   /** Build a DataFrame from a custom LogicalPlan (`Dataset.ofRows` is
     * `private[sql]`) — needed to surface custom logical operators like
     * [[graft.plans.AsOfJoinPlan]] through the public Dataset API. */

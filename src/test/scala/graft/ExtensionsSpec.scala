@@ -29,4 +29,69 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getLong(0) == 5L) // singleton simhash == the hash itself
     assert(r.getDouble(1) == 11.0)
   }
+
+  test("extensions class loads by name, as spark.sql.extensions would load it") {
+    // the cluster path (`spark.sql.extensions=graft.GraftExtensions`)
+    // instantiates the class reflectively: it must be public, no-arg,
+    // and of type SparkSessionExtensions => Unit
+    val inst = Class.forName("graft.GraftExtensions")
+      .getDeclaredConstructor().newInstance()
+      .asInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit]
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    inst(ext) // must inject without throwing
+  }
+
+  test("an extensions-built session plans both custom operators with no session-local registration") {
+    // Force a genuinely NEW session (same SparkContext) so builder-time
+    // withExtensions actually applies — this is the deployment shape of
+    // spark.sql.extensions on a cluster, where no code ever touches
+    // spark.experimental.extraStrategies.
+    spark.sparkContext // ensure a context exists before clearing handles
+    val prevActive = SparkSession.getActiveSession
+    val prevDefault = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val ext = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      assert(ext.experimental.extraStrategies.isEmpty,
+        "session-local strategies present — test would not prove the extensions path")
+      import org.apache.spark.sql.graft.ColumnBridge
+      // interval join: points 0..99 into [10k, 10k+5) intervals
+      val pts = ext.range(0, 100).selectExpr("id AS pid", "CAST(id AS DOUBLE) AS p")
+      val ivs = ext.range(0, 10).selectExpr("id AS iid",
+        "CAST(id * 10 AS DOUBLE) AS lo", "CAST(id * 10 + 5 AS DOUBLE) AS hi")
+      val lp = pts.queryExecution.analyzed
+      val rp = ivs.queryExecution.analyzed
+      def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+        p.output.find(_.name == n).get
+      val ij = ColumnBridge.ofRows(ext, graft.plans.IntervalJoinPlan(
+        lp, rp, attr(lp, "p"), attr(rp, "lo"), attr(rp, "hi")))
+      assert(ij.count() === 50) // 5 of every 10 points land in an interval
+      assert(ij.queryExecution.executedPlan.toString.contains("IntervalJoin"),
+        s"extensions did not plan IntervalJoinExec:\n${ij.queryExecution.executedPlan}")
+      // as-of join: each left row matches the latest right row at/before t
+      val l = ext.range(0, 20).selectExpr("id % 2 AS k", "CAST(id AS DOUBLE) AS t")
+      val r = ext.range(0, 4).selectExpr("id % 2 AS k",
+        "CAST(id * 5 AS DOUBLE) AS rt", "id AS v")
+      val lp2 = l.queryExecution.analyzed
+      val rp2 = r.queryExecution.analyzed
+      val aj = ColumnBridge.ofRows(ext, graft.plans.AsOfJoinPlan(
+        lp2, rp2, attr(lp2, "k"), attr(rp2, "k"),
+        attr(lp2, "t"), attr(rp2, "rt"), attr(rp2, "v"), isOuter = false))
+      assert(aj.count() > 0)
+      assert(aj.queryExecution.executedPlan.toString.contains("AsOfJoin"),
+        s"extensions did not plan AsOfJoinExec:\n${aj.queryExecution.executedPlan}")
+      assert(ext.experimental.extraStrategies.isEmpty,
+        "planning must not have fallen back to session-local registration")
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
 }
