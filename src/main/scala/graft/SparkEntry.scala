@@ -81,6 +81,8 @@ object SparkEntry {
     "q_repetition_signals" -> TextAnalysis.repetitionSignals _,
     "q_decontaminate"      -> ((s: SparkSession, d: String) => TextAnalysis.decontaminate(s, d)),
     "q_decontaminate_bloom" -> ((s: SparkSession, d: String) => TextAnalysis.decontaminateBloom(s, d)),
+    "q_lm_novelty"         -> ((s: SparkSession, d: String) => TextAnalysis.lmNovelty(s, d)),
+    "q_bpe_merge"          -> ((s: SparkSession, d: String) => TextAnalysis.bpeMergeCandidates(s, d)),
     "q_pack_sequences"     -> ((s: SparkSession, d: String) => TextAnalysis.packSequences(s, d)),
     // round 8: corpus preparation operators
     "q_blocklist_scrub" -> ((s: SparkSession, d: String) => TextAnalysis.scrubBlocklist(s, d)),
@@ -1002,6 +1004,36 @@ object SparkEntry {
          |       CAST(COUNT(*) AS DOUBLE) / tr2.n_shingles AS contamination
          |FROM tr tr2 JOIN ev USING (s)
          |GROUP BY tr2.doc_id, tr2.n_shingles""".stripMargin,
+    "q_lm_novelty" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (
+        |  SELECT doc_id, UNNEST([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bigram
+        |  FROM t),
+        |known AS (
+        |  SELECT bigram FROM bg GROUP BY 1 HAVING COUNT(*) >= 50),
+        |hits AS (
+        |  SELECT bg.doc_id, COUNT(*) AS n_known
+        |  FROM bg JOIN known USING (bigram) GROUP BY 1)
+        |SELECT t.doc_id,
+        |       CAST(len(t.t) - 1 AS INT) AS n_bigrams,
+        |       COALESCE(hits.n_known, 0) AS n_known,
+        |       CAST(COALESCE(hits.n_known, 0) AS DOUBLE) / (len(t.t) - 1) AS known_rate
+        |FROM t LEFT JOIN hits USING (doc_id)""".stripMargin,
+    "q_bpe_merge" ->
+      """WITH vocab AS (
+        |  SELECT tok, COUNT(*) AS freq FROM (
+        |    SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY 1),
+        |pairs AS (
+        |  SELECT pair, SUM(freq) AS n FROM (
+        |    SELECT freq, UNNEST([substring(tok, i, 2) for i in range(1, len(tok))]) AS pair
+        |    FROM vocab WHERE len(tok) >= 2)
+        |  GROUP BY 1)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, pair ASC) AS INT) AS rank,
+        |       pair, CAST(n AS BIGINT) AS n
+        |FROM pairs ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin,
     "q_pack_sequences" ->
       """WITH d AS (
         |  SELECT doc_id, lang, doc_id % 8 AS shard,

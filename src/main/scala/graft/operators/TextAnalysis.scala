@@ -443,6 +443,68 @@ object TextAnalysis {
         round(col("n").cast("double") / col("w1_total"), 6).as("prob"))
   }
 
+  /** LM NOVELTY SCORING — per-document fraction of adjacent bigrams that
+    * are "known" to the corpus bigram LM (≥ `minCount` corpus
+    * occurrences): the CCNet-style LM-filtering cut that separates
+    * in-distribution text (high known-rate) from noise, boilerplate
+    * mutations, and synthetic junk (low known-rate), without carrying
+    * float log-probabilities — hit fractions are integer ratios, so the
+    * whole query is bit-exact cross-engine.
+    *
+    * Scale shape: the known-bigram table is vocabulary-scale after the
+    * `minCount` cut — orders of magnitude smaller than the corpus — so
+    * AQE broadcasts it under the doc-side explode join; per-doc totals
+    * are map-side arithmetic. One linear explode, one bounded join, one
+    * keyed agg. */
+  def lmNovelty(spark: SparkSession, dir: String, minCount: Int = 50): DataFrame = {
+    val t = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+    val bg = t.select(col("doc_id"), explode(
+      expr("transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i+1]))"))
+      .as("bigram"))
+    val known = bg.groupBy("bigram").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .select("bigram")
+    val hits = bg.join(known, Seq("bigram"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_known"))
+    t.select(col("doc_id"), (size(col("t")) - 1).as("n_bigrams"))
+      .join(hits, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_known"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_known"),
+        (col("n_known").cast("double") / col("n_bigrams")).as("known_rate"))
+  }
+
+  /** BPE MERGE CANDIDATES — the first step of byte-pair-encoding
+    * tokenizer training at corpus scale: corpus-weighted counts of
+    * adjacent character pairs inside tokens, ranked; the top pair is the
+    * merge a BPE trainer would apply next. (Iterating this map-reduce
+    * step IS BPE training — each round re-counts over the merged
+    * vocabulary.)
+    *
+    * Scale shape: pair counting runs over the VOCABULARY (token,
+    * frequency) table, not the corpus — the token groupBy collapses
+    * 100 TB of text to vocabulary scale first with map-side combine, and
+    * the per-token character explode is linear in vocabulary size. The
+    * final top-N is a bounded sort. Integer counts, deterministic
+    * (count DESC, pair ASC) tie-break — bit-exact oracle. */
+  def bpeMergeCandidates(spark: SparkSession, dir: String, topN: Int = 20): DataFrame = {
+    val vocab = Tables.load(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+    val pairs = vocab.filter(length(col("tok")) >= 2)
+      .select(col("freq"), explode(
+        expr("transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum("freq").as("n"))
+    // rank window runs over topN rows only (bounded single reducer)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("pair").asc)
+    pairs.orderBy(col("n").desc, col("pair").asc).limit(topN)
+      .withColumn("rank", row_number().over(w))
+      .select("rank", "pair", "n")
+  }
+
   /** BM25 RANKING — the full-text relevance score for a fixed query
     * term set (k1 = 1.2, b = 0.75, the Robertson/Sparck-Jones idf with
     * +1 smoothing), emitting every document matching ≥1 term.

@@ -36,6 +36,28 @@ class CorpusOpsSpec extends SparkSpec {
     assert(bloom.toSeq === exact.toSeq)
   }
 
+  test("lmNovelty rates are valid fractions and hits never exceed totals") {
+    val out = TextAnalysis.lmNovelty(spark, sf).cache()
+    assert(out.filter(col("n_known") > col("n_bigrams")).count() === 0)
+    assert(out.filter(col("known_rate") < 0 || col("known_rate") > 1).count() === 0)
+    // the synthetic corpus repeats template bigrams heavily: the LM must
+    // actually recognize some text (non-degenerate fixture)
+    assert(out.agg(sum("n_known")).as[Long].head() > 0, "LM never fired")
+    out.unpersist()
+  }
+
+  test("bpeMergeCandidates emits 2-char pairs in strict (count, pair) rank order") {
+    val rows = TextAnalysis.bpeMergeCandidates(spark, sf)
+      .orderBy("rank").collect()
+    assert(rows.length === 20)
+    assert(rows.forall(_.getString(1).length === 2))
+    val ranked = rows.map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    ranked.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 > b._3 || (a._3 == b._3 && a._2 < b._2),
+        s"rank order violated: $a then $b")
+    }
+  }
+
   test("redactNumbers leaves no digits and counts each masked run") {
     val out = TextAnalysis.redactNumbers(spark, sf).cache()
     assert(out.filter(col("redacted").rlike("[0-9]")).count() === 0)
