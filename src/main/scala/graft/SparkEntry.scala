@@ -67,6 +67,7 @@ object SparkEntry {
     "q_dedup_components" -> ((s: SparkSession, d: String) => Dedup.dedupComponents(s, d)),
     "q_fuzzy_name_match" -> ((s: SparkSession, d: String) => Dedup.fuzzyNameMatch(s, d)),
     "q_dedup_embedding" -> ((s: SparkSession, d: String) => Dedup.embeddingPairs(s, d, 0.4)),
+    "q_dedup_embedding_clusters" -> ((s: SparkSession, d: String) => Dedup.embeddingClusters(s, d, 0.4)),
     // similarity search (north-star extension)
     "q_ann_brute" -> ((s: SparkSession, d: String) => Similarity.bruteTopK(s, d)),
     "q_ann_ivf"   -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
@@ -563,6 +564,29 @@ object SparkEntry {
         |WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
         |      / (SQRT(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
         |         * SQRT(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.4""".stripMargin,
+    // same recursive min-reachability shape as the text components oracle,
+    // over the exact-cosine pair graph
+    "q_dedup_embedding_clusters" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+        |        / (SQRT(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+        |           * SQRT(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.4),
+        |edges AS (
+        |  SELECT id_a AS s, id_b AS d FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(s, d) AS (
+        |  SELECT s, d FROM edges
+        |  UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+        |comp AS (
+        |  SELECT s AS vec_id, LEAST(s, MIN(d)) AS component_id
+        |  FROM reach GROUP BY s)
+        |SELECT comp.component_id, COUNT(*) AS n_members,
+        |       COUNT(DISTINCT e.label) AS n_labels,
+        |       CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+        |FROM comp JOIN embeddings e USING (vec_id)
+        |GROUP BY 1""".stripMargin,
     "q_ann_brute" ->
       """WITH scored AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

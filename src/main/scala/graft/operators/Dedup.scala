@@ -305,9 +305,19 @@ object Dedup {
       dedupComponentsUncached(spark, dir, threshold)
     }
 
-  private def dedupComponentsUncached(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
-    val edges = ngramJaccardPairsPrefix(spark, dir, threshold)
-      .select("id_a", "id_b")
+  private def dedupComponentsUncached(spark: SparkSession, dir: String, threshold: Double): DataFrame =
+    minLabelComponents(
+      ngramJaccardPairsPrefix(spark, dir, threshold).select("id_a", "id_b"))
+      .select(col("id").as("doc_id"), col("comp").as("component_id"))
+
+  /** Min-label propagation over an undirected pair list `(id_a, id_b)` →
+    * `(id, comp)` where comp = min id reachable. Shared by the text
+    * ([[dedupComponents]]) and embedding ([[embeddingClusters]]) cluster
+    * paths. Convergence in O(graph diameter) rounds, each one
+    * distributed join + keyed min; lineage truncated per round
+    * (localCheckpoint) so plans stay flat; the driver loop holds only a
+    * changed-row COUNT, never data. */
+  private def minLabelComponents(edges: DataFrame): DataFrame = {
     val adj = edges.unionAll(
       edges.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .localCheckpoint(true)
@@ -329,7 +339,7 @@ object Dedup {
       labels = next.select(col("id"), col("comp_next").as("comp"))
       rounds += 1
     }
-    labels.select(col("id").as("doc_id"), col("comp").as("component_id"))
+    labels
   }
 
   /** DUPLICATED-SPAN DETECTION — per-document fraction of exact
@@ -403,5 +413,27 @@ object Dedup {
       .withColumn("cos", dot("emb_a", "emb_b") / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** SEMANTIC-DEDUP CLUSTERS — the SemDeDup-style end of the embedding
+    * near-dup path: connected components over the cosine pair graph
+    * ([[embeddingPairs]]), rolled up per cluster with member count,
+    * dropped count (keep-one semantics), and distinct-label count (a
+    * purity signal: a cluster spanning several labels marks embeddings
+    * that collapse classes — exactly what a curation pass inspects
+    * before deleting). Exact pairs are the oracle baseline; the
+    * hyperplane-LSH candidate path in [[Similarity]] swaps in at corpus
+    * scale, and the component step is the same bounded-round propagation
+    * the text path uses. */
+  def embeddingClusters(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+    val comp = minLabelComponents(
+      embeddingPairs(spark, dir, threshold).select("id_a", "id_b"))
+    comp.join(
+        Tables.load(spark, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("label")), "id")
+      .groupBy(col("comp").as("component_id"))
+      .agg(count(lit(1)).as("n_members"),
+        countDistinct("label").as("n_labels"))
+      .withColumn("n_dropped", (col("n_members") - 1).cast("long"))
   }
 }

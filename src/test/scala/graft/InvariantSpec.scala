@@ -38,6 +38,23 @@ class InvariantSpec extends SparkSpec {
     // distance-3 query output is NOT a subset of the ngram pairs.)
   }
 
+  test("embedding clusters are consistent with the oracle-checked pair graph") {
+    val pairs = Dedup.embeddingPairs(spark, sf, 0.4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = Dedup.embeddingClusters(spark, sf, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap // component_id -> n_members
+    assert(pairs.nonEmpty && clusters.nonEmpty)
+    // every cluster has >= 2 members (only paired vertices enter the graph)
+    assert(clusters.values.forall(_ >= 2), s"singleton cluster: $clusters")
+    // total membership equals the number of distinct paired vertices
+    val vertices = pairs.flatMap(p => Seq(p._1, p._2)).distinct.length
+    assert(clusters.values.sum === vertices.toLong,
+      s"cluster membership ${clusters.values.sum} != paired vertices $vertices")
+    // component ids are members of their own cluster (min-label property)
+    assert(clusters.keySet.subsetOf(
+      pairs.flatMap(p => Seq(p._1, p._2)).toSet))
+  }
+
   test("prefix-filtered ngram pairs equal the full inverted-index pairs") {
     def asSet(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
