@@ -227,6 +227,8 @@ object SparkEntry {
     "q_interval_join_salted" -> ((s: SparkSession, d: String) => Scale.intervalJoinBandsSalted(s, d)),
     "q_interval_join_time" -> ((s: SparkSession, d: String) => Scale.intervalJoinWindows(s, d)),
     "q_zorder_layout"      -> Scale.zorderRoundTrip _,
+    "q_compaction"         -> Scale.compactionRoundTrip _,
+    "q_schema_evolution"   -> Scale.schemaEvolutionRead _,
     "q_pagerank"           -> ((s: SparkSession, d: String) => Graph.pageRank(s, d)),
     "q_ewma_user"          -> Breadth.ewmaUser _,
     "q_source_mixing"      -> TextAnalysis.sourceMixing _,
@@ -1463,6 +1465,21 @@ object SparkEntry {
         |       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events e JOIN wins w ON EPOCH(e.ts) >= w.lo AND EPOCH(e.ts) < w.hi
         |GROUP BY 1, 2, 3""".stripMargin,
+    // compaction is result-invariant: the rewritten copy's aggregate ==
+    // the same aggregate off the raw table
+    "q_compaction" ->
+      """SELECT COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |       MIN(event_id) AS first_event, MAX(event_id) AS last_event
+        |FROM events""".stripMargin,
+    // schema merge null-fills the pre-evolution files: replay as a CASE
+    // over the raw table
+    "q_schema_evolution" ->
+      """SELECT COALESCE(CASE WHEN year(o_orderdate) < 1998 THEN NULL
+        |                     ELSE o_orderpriority END, 'PRE-SCHEMA') AS priority,
+        |       COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1""".stripMargin,
     // layout must never change answers: the z-ordered copy's filtered
     // aggregate == the same aggregate off the raw table
     "q_zorder_layout" ->

@@ -74,6 +74,57 @@ object Scale {
         sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("total"))
   }
 
+  /** SMALL-FILE COMPACTION — the lake-hygiene rewrite every 100 TB table
+    * needs: a fragmented landing zone (simulated here as a 64-file
+    * write) is rewritten into few bounded-size files
+    * (`repartition(4)` + `maxRecordsPerFile`), and the compacted copy
+    * must answer queries identically. At 100 TB small files are the #1
+    * silent scan killer (per-file open cost, tiny row groups, starved
+    * vectorized readers); compaction is result-invariant, so the oracle
+    * is the same aggregate over the raw table. CompactionSpec pins the
+    * mechanics: the compacted directory holds ≤ an eighth as many data
+    * files as the fragmented one. */
+  def compactionRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    Tables.load(spark, dir, "events")
+      .select("event_id", "event_type", "value")
+      .repartition(64) // fragmented landing zone
+      .write.mode("overwrite").parquet(s"$tmp/small")
+    spark.read.parquet(s"$tmp/small")
+      .repartition(4)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", 2000000)
+      .parquet(s"$tmp/compact")
+    spark.read.parquet(s"$tmp/compact")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"),
+        min("event_id").as("first_event"), max("event_id").as("last_event"))
+  }
+
+  /** SCHEMA-EVOLUTION READ — the mergeSchema contract a long-lived lake
+    * table depends on: an early partition written WITHOUT a column and a
+    * later partition written WITH it read back as ONE table, the missing
+    * column null-filled for old files. The cut is by order year (pre-1998
+    * files predate the `o_orderpriority` column); the oracle replays the
+    * same evolution as a CASE over the raw table. Schema-merge itself is
+    * a footer-only operation — no data rewrite — which is exactly why
+    * it's the right evolution mechanism at 100 TB. */
+  def schemaEvolutionRead(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_evo").toString
+    val o = Tables.load(spark, dir, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+    o.filter(col("o_year") < 1998)
+      .select("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$tmp/evo/batch=v1")
+    o.filter(col("o_year") >= 1998)
+      .select("o_orderkey", "o_totalprice", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$tmp/evo/batch=v2")
+    spark.read.option("mergeSchema", "true").parquet(s"$tmp/evo")
+      .groupBy(coalesce(col("o_orderpriority"), lit("PRE-SCHEMA")).as("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("total"))
+  }
+
   /** Morton (Z-order) interleave of two 16-bit dims: bit i of `x` lands
     * at position 2i, bit i of `y` at 2i+1, so a sort by the result
     * clusters rows that are close in BOTH dims. Pure bitwise Columns —
