@@ -66,7 +66,7 @@ object SparkEntry {
     "q_dedup_ngram_prefix" -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairsPrefix(s, d)),
     "q_dedup_components" -> ((s: SparkSession, d: String) => Dedup.dedupComponents(s, d)),
     "q_fuzzy_name_match" -> ((s: SparkSession, d: String) => Dedup.fuzzyNameMatch(s, d)),
-    "q_dedup_embedding" -> ((s: SparkSession, d: String) => Dedup.embeddingPairs(s, d, 0.4)),
+    "q_dedup_embedding" -> ((s: SparkSession, d: String) => Dedup.embeddingPairsShared(s, d, 0.4)),
     "q_dedup_embedding_clusters" -> ((s: SparkSession, d: String) => Dedup.embeddingClusters(s, d, 0.4)),
     // similarity search (north-star extension)
     "q_ann_brute" -> ((s: SparkSession, d: String) => Similarity.bruteTopK(s, d)),

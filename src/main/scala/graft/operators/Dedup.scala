@@ -415,6 +415,18 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
 
+  private val embPairsMemo = new graft.SessionMemo[DataFrame]()
+
+  /** The cosine pair graph, built ONCE per (session, dir, threshold) and
+    * shared by the pair query and [[embeddingClusters]] — the "compute
+    * the similarity graph once" step of a semantic-dedup pipeline; the
+    * materialized frame holds only the thresholded pairs, not the
+    * all-pairs cross. */
+  def embeddingPairsShared(spark: SparkSession, dir: String, threshold: Double): DataFrame =
+    embPairsMemo.getOrCompute(spark, s"$dir|$threshold") {
+      embeddingPairs(spark, dir, threshold).localCheckpoint(true)
+    }
+
   /** SEMANTIC-DEDUP CLUSTERS — the SemDeDup-style end of the embedding
     * near-dup path: connected components over the cosine pair graph
     * ([[embeddingPairs]]), rolled up per cluster with member count,
@@ -427,7 +439,7 @@ object Dedup {
     * the text path uses. */
   def embeddingClusters(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
     val comp = minLabelComponents(
-      embeddingPairs(spark, dir, threshold).select("id_a", "id_b"))
+      embeddingPairsShared(spark, dir, threshold).select("id_a", "id_b"))
     comp.join(
         Tables.load(spark, dir, "embeddings")
           .select(col("vec_id").as("id"), col("label")), "id")
