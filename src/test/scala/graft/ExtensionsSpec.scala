@@ -30,6 +30,20 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getDouble(1) == 11.0)
   }
 
+  test("SessionMemo hits within a session and recomputes across sessions") {
+    val m = new SessionMemo[java.lang.Integer]
+    var calls = 0
+    def body: java.lang.Integer = { calls += 1; Integer.valueOf(calls) }
+    val a = m.getOrCompute(spark, "k")(body)
+    val b = m.getOrCompute(spark, "k")(body)
+    assert((a eq b) && calls == 1, "same session must hit the memo")
+    // a cached checkpointed frame is bound to its session — a different
+    // session must recompute, never receive the other session's value
+    val s2 = spark.newSession()
+    val c = m.getOrCompute(s2, "k")(body)
+    assert(calls == 2 && c.intValue == 2, "different session must recompute")
+  }
+
   test("extensions class loads by name, as spark.sql.extensions would load it") {
     // the cluster path (`spark.sql.extensions=graft.GraftExtensions`)
     // instantiates the class reflectively: it must be public, no-arg,
