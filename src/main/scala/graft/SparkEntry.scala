@@ -66,6 +66,7 @@ object SparkEntry {
     "q_dedup_ngram_prefix" -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairsPrefix(s, d)),
     "q_dedup_components" -> ((s: SparkSession, d: String) => Dedup.dedupComponents(s, d)),
     "q_fuzzy_name_match" -> ((s: SparkSession, d: String) => Dedup.fuzzyNameMatch(s, d)),
+    "q_dedup_incremental" -> ((s: SparkSession, d: String) => Dedup.dedupIncremental(s, d)),
     "q_dedup_embedding" -> ((s: SparkSession, d: String) => Dedup.embeddingPairsShared(s, d, 0.4)),
     "q_dedup_embedding_clusters" -> ((s: SparkSession, d: String) => Dedup.embeddingClusters(s, d, 0.4)),
     // similarity search (north-star extension)
@@ -507,6 +508,29 @@ object SparkEntry {
          |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) >= 0.8""".stripMargin,
     "q_dedup_ngram" -> ngramOracleSql,
     "q_dedup_ngram_prefix" -> ngramOracleSql, // identical output by the prefix-filtering theorem
+    // exhaustive cross-source replay of the asymmetric incremental check;
+    // one verdict row per new-batch doc, zero-match keepers included
+    "q_dedup_incremental" ->
+      s"""WITH $shinglesCte,
+         |src AS (SELECT doc_id, source FROM documents),
+         |n AS (SELECT sh.* FROM sh JOIN src USING (doc_id) WHERE src.source = 'src1'),
+         |o AS (SELECT sh.* FROM sh JOIN src USING (doc_id) WHERE src.source != 'src1'),
+         |pairs AS (
+         |  SELECT n.doc_id AS new_id,
+         |         CAST(len(list_intersect(n.s, o.s)) AS DOUBLE)
+         |           / len(list_distinct(n.s || o.s)) AS j
+         |  FROM n JOIN o ON n.lang = o.lang
+         |  WHERE CAST(len(list_intersect(n.s, o.s)) AS DOUBLE)
+         |          / len(list_distinct(n.s || o.s)) >= 0.2),
+         |m AS (
+         |  SELECT new_id AS doc_id, COUNT(*) AS n_matches,
+         |         ROUND(MAX(j), 6) AS best_jaccard
+         |  FROM pairs GROUP BY 1)
+         |SELECT n.doc_id,
+         |       COALESCE(m.n_matches, 0) AS n_matches,
+         |       m.best_jaccard,
+         |       CAST(m.n_matches IS NOT NULL AS INT) AS is_dup
+         |FROM n LEFT JOIN m USING (doc_id)""".stripMargin,
     // Full bit-replica of the simhash pipeline: 60-bit md5-prefix token
     // hashes (15 hex chars folded base-16), strict-majority per-bit vote
     // (bits 0..62; 60+ are structurally 0), exhaustive Hamming ≤ 3 pairs

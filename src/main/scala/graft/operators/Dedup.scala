@@ -279,6 +279,46 @@ object Dedup {
       .filter(col("dist") <= maxDist)
   }
 
+  /** INCREMENTAL DEDUP — the production dedup shape: a NEW batch (one
+    * `source` partition, standing in for today's crawl) checked against
+    * the EXISTING corpus, per new document: how many historical near-dups
+    * it has and the best Jaccard among them. Unlike the all-pairs
+    * queries, candidate generation is the ASYMMETRIC inverted-index join
+    * new-postings ⋈ old-postings — cost is linear in the new batch's
+    * posting lists times historical df, and a new doc sharing no shingle
+    * with history never materializes a candidate. At 100 TB the old side
+    * is the persisted posting index a nightly pipeline maintains; the
+    * new side is the day's arrivals. Output is the per-arrival VERDICT —
+    * one row per new document, zero-match docs included (the keep list),
+    * `is_dup` for the drops. Integer intersection counts → exact Jaccard
+    * ratios → bit-exact oracle. */
+  def dedupIncremental(spark: SparkSession, dir: String,
+      newSource: String = "src1", threshold: Double = 0.2): DataFrame = {
+    val src = Tables.load(spark, dir, "documents").select("doc_id", "source")
+    val docs = docShinglesShared(spark, dir).join(src, "doc_id")
+    val newP = docs.filter(col("source") === newSource)
+      .select(col("lang"), col("doc_id").as("new_id"),
+        col("sz").as("sz_n"), explode(col("sh")).as("shingle"))
+    val oldP = docs.filter(col("source") =!= newSource)
+      .select(col("lang"), col("doc_id").as("old_id"),
+        col("sz").as("sz_o"), explode(col("sh")).as("shingle"))
+    val matches = newP.join(oldP, Seq("lang", "shingle"))
+      .groupBy("new_id", "old_id", "sz_n", "sz_o")
+      .agg(count(lit(1)).as("c")) // per-doc shingles are distinct
+      .withColumn("j",
+        col("c").cast("double") / (col("sz_n") + col("sz_o") - col("c")))
+      .filter(col("j") >= threshold)
+      .groupBy(col("new_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        round(max("j"), 6).as("best_jaccard"))
+    docs.filter(col("source") === newSource).select("doc_id")
+      .join(matches, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        col("best_jaccard"),
+        col("n_matches").isNotNull.cast("int").as("is_dup"))
+  }
+
   /** Connected components over the near-dup pair graph — the step that
     * turns pairwise matches into dedup CLUSTERS with one canonical keeper
     * (min doc_id) per cluster, so "keep one copy" is well-defined even

@@ -55,6 +55,30 @@ class InvariantSpec extends SparkSpec {
       pairs.flatMap(p => Seq(p._1, p._2)).toSet))
   }
 
+  test("incremental dedup verdicts agree with the all-pairs ngram graph") {
+    val srcOf = Tables.load(spark, sf, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // cross-source near-dup docs of src1, derived from the oracle-checked
+    // symmetric pair query
+    val expectedDups = Dedup.ngramJaccardPairs(spark, sf, 0.2)
+      .select("id_a", "id_b").collect()
+      .flatMap { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        Seq(a -> b, b -> a)
+      }
+      .collect { case (x, y) if srcOf(x) == "src1" && srcOf(y) != "src1" => x }
+      .toSet
+    val got = Dedup.dedupIncremental(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(3))).toMap
+    assert(got.nonEmpty)
+    assert(got.count(_._2 == 1) === expectedDups.size,
+      s"dup count mismatch: ${got.filter(_._2 == 1).keys} vs $expectedDups")
+    assert(got.filter(_._2 == 1).keySet === expectedDups)
+    // every src1 doc got a verdict
+    assert(got.keySet === srcOf.collect { case (id, "src1") => id }.toSet)
+  }
+
   test("prefix-filtered ngram pairs equal the full inverted-index pairs") {
     def asSet(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
