@@ -84,6 +84,7 @@ object SparkEntry {
     "q_decontaminate"      -> ((s: SparkSession, d: String) => TextAnalysis.decontaminate(s, d)),
     "q_decontaminate_bloom" -> ((s: SparkSession, d: String) => TextAnalysis.decontaminateBloom(s, d)),
     "q_lm_novelty"         -> ((s: SparkSession, d: String) => TextAnalysis.lmNovelty(s, d)),
+    "q_normalize_dedup"    -> ((s: SparkSession, d: String) => TextAnalysis.normalizeDedup(s, d)),
     "q_bpe_merge"          -> ((s: SparkSession, d: String) => TextAnalysis.bpeMergeCandidates(s, d)),
     "q_pack_sequences"     -> ((s: SparkSession, d: String) => TextAnalysis.packSequences(s, d)),
     // round 8: corpus preparation operators
@@ -1071,6 +1072,21 @@ object SparkEntry {
         |       COALESCE(hits.n_known, 0) AS n_known,
         |       CAST(COALESCE(hits.n_known, 0) AS DOUBLE) / (len(t.t) - 1) AS known_rate
         |FROM t LEFT JOIN hits USING (doc_id)""".stripMargin,
+    "q_normalize_dedup" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, upper(text) || ' !!' FROM documents),
+        |d AS (
+        |  SELECT doc_id, text,
+        |         trim(regexp_replace(regexp_replace(lower(text),
+        |              '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+        |  FROM all_docs)
+        |SELECT doc_id,
+        |       CAST(text != norm AS INT) AS changed,
+        |       COUNT(*) OVER (PARTITION BY md5(text)) AS n_raw_dups,
+        |       COUNT(*) OVER (PARTITION BY md5(norm)) AS n_norm_dups
+        |FROM d""".stripMargin,
     "q_bpe_merge" ->
       """WITH vocab AS (
         |  SELECT tok, COUNT(*) AS freq FROM (

@@ -443,6 +443,43 @@ object TextAnalysis {
         round(col("n").cast("double") / col("w1_total"), 6).as("prob"))
   }
 
+  /** NORMALIZATION + DUP DELTA — the canonicalization pass that runs
+    * before exact dedup: lowercase, strip non-alphanumerics, collapse
+    * spaces; then per document, the exact-duplicate group size under the
+    * RAW text vs under the NORMALIZED text. `n_norm_dups > n_raw_dups`
+    * rows are the duplicates that case/punctuation noise was hiding —
+    * the reason every production dedup normalizes first.
+    *
+    * The fixture corpus is pre-canonicalized (all lowercase alphanumeric
+    * + single spaces), so the dirty side of the ingest is injected
+    * deterministically: every document also arrives as an uppercased,
+    * punctuation-suffixed copy at doc_id + 10⁷ — the case/punct noise a
+    * real crawl carries. Normalization must map each noisy copy back
+    * onto its clean twin's group (n_norm_dups ≥ 2 for every row) while
+    * the raw fingerprints keep them apart.
+    *
+    * Scale shape: both group counts shuffle md5 fingerprints (16 bytes),
+    * never text — the same never-shuffle-the-payload discipline as exact
+    * dedup; the normalization itself is map-side regex work. md5 keeps
+    * the fingerprints oracle-replicable. */
+  def normalizeDedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val noisy = base.select((col("doc_id") + 10000000L).as("doc_id"),
+      concat(upper(col("text")), lit(" !!")).as("text"))
+    val d = base.unionAll(noisy)
+      .withColumn("norm", trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")))
+      .withColumn("raw_fp", md5(col("text")))
+      .withColumn("norm_fp", md5(col("norm")))
+    val wRaw = org.apache.spark.sql.expressions.Window.partitionBy("raw_fp")
+    val wNorm = org.apache.spark.sql.expressions.Window.partitionBy("norm_fp")
+    d.select(col("doc_id"),
+      (col("text") =!= col("norm")).cast("int").as("changed"),
+      count(lit(1)).over(wRaw).as("n_raw_dups"),
+      count(lit(1)).over(wNorm).as("n_norm_dups"))
+  }
+
   /** LM NOVELTY SCORING — per-document fraction of adjacent bigrams that
     * are "known" to the corpus bigram LM (≥ `minCount` corpus
     * occurrences): the CCNet-style LM-filtering cut that separates

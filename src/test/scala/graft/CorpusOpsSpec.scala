@@ -36,6 +36,19 @@ class CorpusOpsSpec extends SparkSpec {
     assert(bloom.toSeq === exact.toSeq)
   }
 
+  test("normalization merges every noisy copy back onto its clean twin") {
+    val out = TextAnalysis.normalizeDedup(spark, sf).cache()
+    // a raw-identical pair is also norm-identical, so group sizes can
+    // only grow under normalization
+    assert(out.filter(col("n_norm_dups") < col("n_raw_dups")).count() === 0)
+    assert(out.agg(sum("changed")).as[Long].head() > 0,
+      "normalization never changed any document")
+    // the injected noisy copy must land in its clean twin's norm group
+    assert(out.filter(col("n_norm_dups") < 2).count() === 0,
+      "a noisy copy failed to rejoin its twin")
+    out.unpersist()
+  }
+
   test("lmNovelty rates are valid fractions and hits never exceed totals") {
     val out = TextAnalysis.lmNovelty(spark, sf).cache()
     assert(out.filter(col("n_known") > col("n_bigrams")).count() === 0)
