@@ -85,6 +85,7 @@ object SparkEntry {
     "q_decontaminate_bloom" -> ((s: SparkSession, d: String) => TextAnalysis.decontaminateBloom(s, d)),
     "q_lm_novelty"         -> ((s: SparkSession, d: String) => TextAnalysis.lmNovelty(s, d)),
     "q_normalize_dedup"    -> ((s: SparkSession, d: String) => TextAnalysis.normalizeDedup(s, d)),
+    "q_quality_calibrated" -> ((s: SparkSession, d: String) => TextAnalysis.qualityCalibrated(s, d)),
     "q_bpe_merge"          -> ((s: SparkSession, d: String) => TextAnalysis.bpeMergeCandidates(s, d)),
     "q_pack_sequences"     -> ((s: SparkSession, d: String) => TextAnalysis.packSequences(s, d)),
     // round 8: corpus preparation operators
@@ -1072,6 +1073,26 @@ object SparkEntry {
         |       COALESCE(hits.n_known, 0) AS n_known,
         |       CAST(COALESCE(hits.n_known, 0) AS DOUBLE) / (len(t.t) - 1) AS known_rate
         |FROM t LEFT JOIN hits USING (doc_id)""".stripMargin,
+    // per-language moments as exact decimal sums → bit-identical mu/sigma;
+    // z arithmetic mirrors the Spark expression op-for-op
+    "q_quality_calibrated" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, lang, $qualityExprSql AS quality FROM documents),
+         |st AS (
+         |  SELECT lang, COUNT(*) AS n,
+         |         SUM(CAST(quality AS DECIMAL(18,6))) AS s,
+         |         SUM(CAST(quality AS DECIMAL(18,6)) * CAST(quality AS DECIMAL(18,6))) AS ss
+         |  FROM q GROUP BY 1),
+         |m AS (
+         |  SELECT lang,
+         |         CAST(s AS DOUBLE) / n AS mu,
+         |         sqrt(GREATEST(CAST(ss AS DOUBLE) / n
+         |              - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n), 0.0)) AS sigma
+         |  FROM st)
+         |SELECT q.doc_id, q.lang, q.quality,
+         |       ROUND(CASE WHEN sigma > 0 THEN (q.quality - mu) / sigma ELSE 0.0 END, 6) AS z,
+         |       CAST((CASE WHEN sigma > 0 THEN (q.quality - mu) / sigma ELSE 0.0 END) >= -1.0 AS INT) AS keep
+         |FROM q JOIN m USING (lang)""".stripMargin,
     "q_normalize_dedup" ->
       """WITH all_docs AS (
         |  SELECT doc_id, text FROM documents

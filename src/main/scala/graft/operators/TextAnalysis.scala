@@ -55,6 +55,43 @@ object TextAnalysis {
           6).as("quality"))
   }
 
+  /** PER-LANGUAGE QUALITY CALIBRATION — standardize the quality score
+    * against each language's own distribution (z-score) and keep docs
+    * within one sigma of their language mean: the per-language-threshold
+    * cut a multilingual curation pass needs, because one absolute
+    * quality bar over-filters the languages the heuristic scores low.
+    *
+    * Float discipline for an exact oracle: per-language moments are
+    * EXACT decimal sums (quality is a 6-dp value → DECIMAL(18,6) and its
+    * square → 12-dp decimal, both sum exactly), converted to double once
+    * — so mean/sigma are bit-identical across engines and partitionings;
+    * the z arithmetic then mirrors the oracle expression op-for-op
+    * (`GREATEST(var, 0)` guards the zero-variance sqrt). Scale shape:
+    * one language-keyed rollup (a handful of rows) broadcast back over
+    * the corpus — no window, no second corpus shuffle. */
+  def qualityCalibrated(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val q = qualityScore(spark, dir).select("doc_id", "quality")
+      .join(Tables.load(spark, dir, "documents").select("doc_id", "lang"), "doc_id")
+      .withColumn("q_dec", col("quality").cast(DecimalType(18, 6)))
+    val stats = q.groupBy("lang").agg(
+        count(lit(1)).as("n"),
+        sum("q_dec").as("s"),
+        sum(col("q_dec") * col("q_dec")).as("ss"))
+      .select(col("lang"),
+        (col("s").cast("double") / col("n")).as("mu"),
+        sqrt(greatest(
+          col("ss").cast("double") / col("n") -
+            (col("s").cast("double") / col("n")) * (col("s").cast("double") / col("n")),
+          lit(0.0))).as("sigma"))
+    val z = when(col("sigma") > 0,
+      (col("quality") - col("mu")) / col("sigma")).otherwise(0.0)
+    q.join(broadcast(stats), "lang")
+      .select(col("doc_id"), col("lang"), col("quality"),
+        round(z, 6).as("z"),
+        (z >= -1.0).cast("int").as("keep"))
+  }
+
   private val LangProfiles: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "in", "to", "is"),
     "de" -> Seq("der", "die", "das", "und", "ist", "ein"),

@@ -49,6 +49,16 @@ class CorpusOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("calibrated quality z-scores center on zero per language") {
+    val out = TextAnalysis.qualityCalibrated(spark, sf).cache()
+    val mz = out.groupBy("lang").agg(avg("z").as("mz")).collect()
+    mz.foreach(r => assert(math.abs(r.getDouble(1)) < 0.01,
+      s"lang ${r.getString(0)} mean z = ${r.getDouble(1)}"))
+    // a one-sigma floor keeps the bulk of every distribution
+    assert(out.filter(col("keep") === 1).count() > out.count() / 2)
+    out.unpersist()
+  }
+
   test("lmNovelty rates are valid fractions and hits never exceed totals") {
     val out = TextAnalysis.lmNovelty(spark, sf).cache()
     assert(out.filter(col("n_known") > col("n_bigrams")).count() === 0)
