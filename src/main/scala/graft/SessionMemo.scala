@@ -11,12 +11,21 @@ import org.apache.spark.sql.SparkSession
   * The compute runs OUTSIDE the map lock (`computeIfAbsent` would hold
   * the bin lock across a full Spark job, serializing unrelated callers
   * that hash to the same bin); a concurrent duplicate compute is benign
-  * — `putIfAbsent` keeps the first, both values are valid. Entries for
-  * stopped sessions are never returned (their key is never asked for
-  * again) and hold bounded frames — residue reclaimed at JVM exit.
+  * — `putIfAbsent` keeps the first, both values are valid.
+  *
+  * EVICTION: each owning session is tracked by a WeakReference; every
+  * insert sweeps sessions that are dead (context stopped) or no longer
+  * reachable (ref cleared by GC) and drops all their entries. A
+  * long-lived multi-session deployment (Thrift / Connect server) thus
+  * holds entries only for live sessions — the one-session bench JVM
+  * behaves exactly as before (its session never evicts while running).
+  * The sweep is O(sessions + stale entries), amortized over inserts,
+  * and never touches the hit path.
   */
 final class SessionMemo[V <: AnyRef] {
   private val m = new java.util.concurrent.ConcurrentHashMap[String, V]()
+  private[graft] val owners =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.ref.WeakReference[SparkSession]]()
 
   def getOrCompute(spark: SparkSession, key: String)(body: => V): V = {
     val sid = org.apache.spark.sql.graft.ColumnBridge.sessionUUID(spark)
@@ -24,9 +33,31 @@ final class SessionMemo[V <: AnyRef] {
     val hit = m.get(full)
     if (hit != null) hit
     else {
+      evictStale()
+      owners.putIfAbsent(sid, new java.lang.ref.WeakReference(spark))
       val computed = body
       val prev = m.putIfAbsent(full, computed)
       if (prev != null) prev else computed
     }
   }
+
+  /** Drop every entry owned by a session that is stopped or GC'd.
+    * Values are plain references (checkpoint blocks are owned by the
+    * frames' RDDs and reclaimed by the ContextCleaner once unreferenced)
+    * — removal from the map is all eviction needs to do. */
+  private[graft] def evictStale(): Unit = {
+    val it = owners.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val s = e.getValue.get()
+      if (s == null || s.sparkContext.isStopped) {
+        val prefix = e.getKey + "|"
+        val keys = m.keySet().iterator()
+        while (keys.hasNext) if (keys.next().startsWith(prefix)) keys.remove()
+        it.remove()
+      }
+    }
+  }
+
+  private[graft] def size: Int = m.size()
 }

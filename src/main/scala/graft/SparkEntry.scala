@@ -230,7 +230,7 @@ object SparkEntry {
     "q_interval_join_salted" -> ((s: SparkSession, d: String) => Scale.intervalJoinBandsSalted(s, d)),
     "q_interval_join_time" -> ((s: SparkSession, d: String) => Scale.intervalJoinWindows(s, d)),
     "q_zorder_layout"      -> Scale.zorderRoundTrip _,
-    "q_compaction"         -> Scale.compactionRoundTrip _,
+    "q_compaction"         -> ((s: SparkSession, d: String) => Scale.compactionRoundTrip(s, d)),
     "q_schema_evolution"   -> Scale.schemaEvolutionRead _,
     "q_pagerank"           -> ((s: SparkSession, d: String) => Graph.pageRank(s, d)),
     "q_ewma_user"          -> Breadth.ewmaUser _,

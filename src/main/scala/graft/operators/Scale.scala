@@ -13,6 +13,32 @@ object Scale {
 
   final case class Cust(c_custkey: Long, c_mktsegment: String, c_acctbal: Double)
 
+  /** Scratch directory for the layout-rewrite operators, registered for
+    * recursive deletion at JVM exit — repeated verify/bench runs used to
+    * leak a full table copy per invocation (each `createTempDirectory`
+    * held events/orders duplicates until the OS cleaned /tmp). One
+    * shutdown hook drains a shared list, so registration is O(1) per
+    * call and deletion order is irrelevant (paths are independent). */
+  private val scratchDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      scratchDirs.forEach { p =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount) // children before parents
+            .foreach(f => java.nio.file.Files.deleteIfExists(f))
+        } catch { case _: Throwable => } // best-effort: exit cleanup only
+      }
+    }))
+  }
+
+  private[graft] def scratchDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    scratchDirs.add(p)
+    p.toString
+  }
+
   /** Salted two-phase aggregation for skewed keys. `event_type` has ~5
     * values over the whole table — a single-phase groupBy sends ALL rows
     * for one type to one reducer. Phase 1 aggregates (event_type, salt)
@@ -63,7 +89,7 @@ object Scale {
     * pruning every date-ranged 100 TB scan depends on), returns that
     * year's aggregate. */
   def partitionedRoundTrip(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val tmp = scratchDir("graft_part")
     Tables.load(spark, dir, "orders")
       .withColumn("o_year", year(col("o_orderdate")))
       .write.mode("overwrite").partitionBy("o_year").parquet(s"$tmp/orders_by_year")
@@ -82,10 +108,14 @@ object Scale {
     * silent scan killer (per-file open cost, tiny row groups, starved
     * vectorized readers); compaction is result-invariant, so the oracle
     * is the same aggregate over the raw table. CompactionSpec pins the
-    * mechanics: the compacted directory holds ≤ an eighth as many data
-    * files as the fragmented one. */
-  def compactionRoundTrip(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    * mechanics on THIS method's own writes (the `out` root is a
+    * parameter precisely so the spec observes the operator's layout,
+    * not a re-implementation): the compacted directory `$out/compact`
+    * holds ≤ an eighth as many data files as the fragmented
+    * `$out/small`. */
+  def compactionRoundTrip(spark: SparkSession, dir: String,
+      out: String = scratchDir("graft_compact")): DataFrame = {
+    val tmp = out
     Tables.load(spark, dir, "events")
       .select("event_id", "event_type", "value")
       .repartition(64) // fragmented landing zone
@@ -110,7 +140,7 @@ object Scale {
     * a footer-only operation — no data rewrite — which is exactly why
     * it's the right evolution mechanism at 100 TB. */
   def schemaEvolutionRead(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_evo").toString
+    val tmp = scratchDir("graft_evo")
     val o = Tables.load(spark, dir, "orders")
       .withColumn("o_year", year(col("o_orderdate")))
     o.filter(col("o_year") < 1998)
@@ -146,7 +176,7 @@ object Scale {
     * aggregate is oracle-checked against the raw table (layout must
     * never change answers). */
   def zorderRoundTrip(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val tmp = scratchDir("graft_zorder")
     val e = Tables.load(spark, dir, "events")
       .select("event_id", "user_id", "event_type", "value")
     e.withColumn("z", morton16(
@@ -172,7 +202,7 @@ object Scale {
     * pay the partitioning once at write time, never at read time. The
     * only exchange left in the query is the final small aggregation. */
   def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_bucket").toString
+    val tmp = scratchDir("graft_bucket")
     Tables.load(spark, dir, "orders")
       .select("o_orderkey", "o_orderpriority")
       .write.mode("overwrite")

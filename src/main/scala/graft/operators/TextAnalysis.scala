@@ -33,14 +33,16 @@ object TextAnalysis {
 
   /** Quality scoring: length, punctuation and stopword signals combined
     * into a deterministic [0,1] score (arithmetic identical in the DuckDB
-    * oracle — same op order). */
+    * oracle — same op order). The stopword list rides as a typed array
+    * Column (`typedlit`), not SQL-string interpolation — same discipline
+    * as [[scrubBlocklist]]/[[bm25Rank]]. */
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
-    val stopArr = Stopwords.map(s => s"'$s'").mkString(", ")
+    val stopArr = typedlit(Stopwords)
     Tables.load(spark, dir, "documents")
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n_toks", size(col("toks")))
       .withColumn("n_stop",
-        expr(s"size(filter(toks, t -> array_contains(array($stopArr), t)))"))
+        size(filter(col("toks"), t => array_contains(stopArr, t))))
       .withColumn("n_punct", regexp_count(col("text"), lit("[^a-z0-9 ]")))
       .select(
         col("doc_id"),
@@ -105,9 +107,9 @@ object TextAnalysis {
     val base = Tables.load(spark, dir, "documents")
       .withColumn("toks", split(col("text"), " "))
     val withCounts = LangProfiles.foldLeft(base) { case (df, (lang, words)) =>
-      val arr = words.map(w => s"'$w'").mkString(", ")
+      val arr = typedlit(words)
       df.withColumn(s"n_$lang",
-        expr(s"size(filter(toks, t -> array_contains(array($arr), t)))"))
+        size(filter(col("toks"), t => array_contains(arr, t))))
     }
     withCounts.select(
       col("doc_id"), col("lang").as("labeled_lang"),
@@ -396,7 +398,12 @@ object TextAnalysis {
     * higher-order-function work (`filter`/`transform`/`array_join`) —
     * codegen'd, no shuffle, linear in corpus size; the blocklist is a
     * compile-time array literal here and would broadcast as a set at a
-    * realistic list size. */
+    * realistic list size.
+    *
+    * NOTE: the `q_scrub_blocklist` DuckDB oracle is generated for the
+    * DEFAULT `blocklist` — oracle parity holds only at the defaults; a
+    * non-default call still computes correctly but is not what the
+    * oracle replays. */
   def scrubBlocklist(spark: SparkSession, dir: String,
       blocklist: Seq[String] = Seq("customer", "user", "key")): DataFrame = {
     // typed array literal, not string interpolation into expr() — a
@@ -587,7 +594,12 @@ object TextAnalysis {
     * (NO token explode — the query is small, so counting per term beats
     * inverting the corpus); N, avgdl and every per-term df come out of
     * ONE 1-row aggregate that broadcasts back over the corpus; the score
-    * is then pure map-side arithmetic. Zero data-sized shuffles. */
+    * is then pure map-side arithmetic. Zero data-sized shuffles.
+    *
+    * NOTE: the `q_bm25_rank` DuckDB oracle is generated for the DEFAULT
+    * `terms`/`k1`/`b` — oracle parity holds only at the defaults; a
+    * non-default call still computes correctly but is not what the
+    * oracle replays. */
   def bm25Rank(spark: SparkSession, dir: String,
       terms: Seq[String] = Seq("spark", "merge", "window"),
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {

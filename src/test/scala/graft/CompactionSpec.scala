@@ -11,20 +11,18 @@ class CompactionSpec extends SparkSpec {
       .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
 
   test("compaction collapses the fragmented layout and preserves the aggregate") {
-    // re-run the operator's two writes explicitly so the file counts are
-    // observable, then hold its result invariant against the raw table
+    // run the OPERATOR with an observable output root, so a future change
+    // to its repartition/maxRecordsPerFile settings is caught here — the
+    // file counts below are the operator's own writes, not a re-creation
     val tmp = java.nio.file.Files.createTempDirectory("graft_compact_spec").toString
-    val e = Tables.load(spark, sf, "events")
-      .select("event_id", "event_type", "value")
-    e.repartition(64).write.mode("overwrite").parquet(s"$tmp/small")
-    spark.read.parquet(s"$tmp/small").repartition(4)
-      .write.mode("overwrite").option("maxRecordsPerFile", 2000000)
-      .parquet(s"$tmp/compact")
+    val result = Scale.compactionRoundTrip(spark, sf, tmp).collect()
     val nSmall = dataFiles(s"$tmp/small")
     val nCompact = dataFiles(s"$tmp/compact")
     assert(nSmall === 64)
     assert(nCompact <= nSmall / 8, s"compaction left $nCompact files of $nSmall")
-    val raw = e.count()
+    // result invariance against the raw table
+    val raw = Tables.load(spark, sf, "events").count()
+    assert(result.head.getLong(0) === raw)
     val back = spark.read.parquet(s"$tmp/compact").count()
     assert(back === raw)
   }

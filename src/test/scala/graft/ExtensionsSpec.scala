@@ -44,6 +44,24 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(calls == 2 && c.intValue == 2, "different session must recompute")
   }
 
+  test("SessionMemo evicts entries of unreachable sessions on insert") {
+    val m = new SessionMemo[java.lang.Integer]
+    val s2 = spark.newSession()
+    m.getOrCompute(s2, "k")(Integer.valueOf(1))
+    assert(m.size == 1)
+    // simulate s2 becoming unreachable (what GC does to a dropped
+    // session): clear its weak owner ref, then trigger the sweep with an
+    // insert from the live session — s2's entries must be gone, the live
+    // session's entry must survive
+    val sid2 = org.apache.spark.sql.graft.ColumnBridge.sessionUUID(s2)
+    m.owners.get(sid2).clear()
+    m.getOrCompute(spark, "k")(Integer.valueOf(2))
+    assert(m.size == 1, "stale session's entry must be evicted")
+    // and the surviving entry is the live session's (memo hit, no recompute)
+    val v = m.getOrCompute(spark, "k")(Integer.valueOf(99))
+    assert(v.intValue == 2)
+  }
+
   test("extensions class loads by name, as spark.sql.extensions would load it") {
     // the cluster path (`spark.sql.extensions=graft.GraftExtensions`)
     // instantiates the class reflectively: it must be public, no-arg,
