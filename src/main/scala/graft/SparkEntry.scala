@@ -99,6 +99,7 @@ object SparkEntry {
     "q_embedding_stats" -> Similarity.embeddingStats _,
     "q_dup_spans"       -> ((s: SparkSession, d: String) => Dedup.duplicatedSpans(s, d)),
     "q_hard_negatives"  -> ((s: SparkSession, d: String) => Similarity.hardNegatives(s, d)),
+    "q_hard_negatives_ivf" -> ((s: SparkSession, d: String) => Similarity.hardNegativesIvf(s, d)),
     "q_locf_fill"       -> Breadth.locfFill _,
     "q_quality_model"   -> graft.ml.QualityModel.trainScore _,
     // multimodal binary columns (north-star extension)
@@ -511,7 +512,10 @@ object SparkEntry {
     "q_dedup_ngram" -> ngramOracleSql,
     "q_dedup_ngram_prefix" -> ngramOracleSql, // identical output by the prefix-filtering theorem
     // exhaustive cross-source replay of the asymmetric incremental check;
-    // one verdict row per new-batch doc, zero-match keepers included
+    // one verdict row per new-batch doc — zero-match keepers AND
+    // sub-shingle-length (< 3 token) docs included, per the keep-list
+    // contract (the left join runs from ALL src1 docs, not the
+    // shingleable subset)
     "q_dedup_incremental" ->
       s"""WITH $shinglesCte,
          |src AS (SELECT doc_id, source FROM documents),
@@ -527,12 +531,13 @@ object SparkEntry {
          |m AS (
          |  SELECT new_id AS doc_id, COUNT(*) AS n_matches,
          |         ROUND(MAX(j), 6) AS best_jaccard
-         |  FROM pairs GROUP BY 1)
-         |SELECT n.doc_id,
+         |  FROM pairs GROUP BY 1),
+         |nn AS (SELECT doc_id FROM documents WHERE source = 'src1')
+         |SELECT nn.doc_id,
          |       COALESCE(m.n_matches, 0) AS n_matches,
          |       m.best_jaccard,
          |       CAST(m.n_matches IS NOT NULL AS INT) AS is_dup
-         |FROM n LEFT JOIN m USING (doc_id)""".stripMargin,
+         |FROM nn LEFT JOIN m USING (doc_id)""".stripMargin,
     // Full bit-replica of the simhash pipeline: 60-bit md5-prefix token
     // hashes (15 hex chars folded base-16), strict-majority per-bit vote
     // (bits 0..62; 60+ are structurally 0), exhaustive Hamming ≤ 3 pairs

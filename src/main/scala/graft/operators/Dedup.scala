@@ -258,25 +258,68 @@ object Dedup {
     * (blocking → exact verify), run on the DISTINCT name vocabulary:
     * matching 20k id-level rows would re-compare the same few dozen
     * names millions of times, while the vocabulary is the entity set a
-    * canonicalization step actually maps. Blocking: each name explodes
-    * into its `maxDist+1` length-window buckets, so any pair within the
-    * distance bound (which implies length diff ≤ maxDist) shares a
-    * bucket — candidates form by equi-join, never an all-pairs theta
-    * join, and the quadratic DP only runs inside buckets. `levenshtein`
-    * has identical semantics in DuckDB → exact oracle. */
-  def fuzzyNameMatch(spark: SparkSession, dir: String, maxDist: Int = 2): DataFrame = {
+    * canonicalization step actually maps.
+    *
+    * Blocking is Ed-Join-style Q-GRAM PREFIX FILTERING (the PPJoin
+    * prefix trick of [[ngramJaccardPairsPrefix]], carried to edit
+    * distance): one edit disturbs at most `q` of a string's q-grams, so
+    * strings within `maxDist` edits share all but ≤ `maxDist·q` grams —
+    * order each name's distinct 3-grams by ascending global frequency
+    * and any qualifying pair MUST collide inside the first
+    * `maxDist·q + 1` (= 7) of them. Candidates therefore form by
+    * equi-join on the RAREST grams only (df² there is tiny), plus the
+    * length filter |len_a − len_b| ≤ maxDist; the quadratic DP runs
+    * per candidate pair, never per length band — the previous
+    * length-window blocking made EVERY same-length pair a candidate,
+    * O(k²) per band once distinct names scale. Names short enough that
+    * the count filter can't guarantee a shared gram
+    * (len ≤ q−1+maxDist·q = 8; none exist in TPC-H p_name) fall back to
+    * the length-window join, so the candidate set provably loses no
+    * pair. `levenshtein` has identical semantics in DuckDB → exact
+    * oracle; `InvariantSpec` pins output identity against the unblocked
+    * cross join and sub-quadratic candidate counts. */
+  def fuzzyNameMatch(spark: SparkSession, dir: String, maxDist: Int = 2): DataFrame =
+    fuzzyNameCandidates(spark, dir, maxDist)
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+
+  /** Candidate stage of [[fuzzyNameMatch]], exposed so the spec can
+    * assert the blocking is sub-quadratic (not just correct). */
+  private[graft] def fuzzyNameCandidates(
+      spark: SparkSession, dir: String, maxDist: Int): DataFrame = {
+    val q = 3
+    val prefLen = maxDist * q + 1
     val names = Tables.load(spark, dir, "part")
       .select("p_name").distinct()
       .withColumn("len", length(col("p_name")))
-    val banded = names.withColumn("blen",
+    val grams = names.withColumn("gram",
+      explode(expr(
+        s"array_distinct(transform(sequence(1, greatest(len - ${q - 1}, 1)), i -> substring(p_name, i, $q)))")))
+    val dfreq = grams.groupBy("gram").agg(count(lit(1)).as("dfreq"))
+    val wName = Window.partitionBy("p_name")
+      .orderBy(col("dfreq").asc, col("gram").asc)
+    val prefix = grams.join(dfreq, "gram")
+      .withColumn("rk", row_number().over(wName))
+      .filter(col("rk") <= prefLen)
+      .select("gram", "p_name", "len")
+    val a = prefix.select(col("gram"), col("p_name").as("name_a"), col("len").as("len_a"))
+    val b = prefix.select(col("gram"), col("p_name").as("name_b"), col("len").as("len_b"))
+    val candLong = a.join(b, "gram")
+      .filter(col("name_a") < col("name_b") &&
+        abs(col("len_a") - col("len_b")) <= maxDist)
+      .select("name_a", "name_b")
+    // Completeness fallback: the q-gram count filter only forces a shared
+    // gram when max(len) > q − 1 + maxDist·q; shorter names (none in the
+    // test corpus, but the bound must not depend on data) keep the
+    // original length-window blocking over their (tiny) subset.
+    val short = names.filter(col("len") <= q - 1 + maxDist * q)
+    val bandedShort = short.withColumn("blen",
       explode(expr(s"sequence(len - $maxDist, len)")))
-    val a = banded.select(col("blen"), col("p_name").as("name_a"))
-    val b = banded.select(col("blen"), col("p_name").as("name_b"))
-    a.join(b, "blen")
+    val candShort = bandedShort.select(col("blen"), col("p_name").as("name_a"))
+      .join(bandedShort.select(col("blen"), col("p_name").as("name_b")), "blen")
       .filter(col("name_a") < col("name_b"))
-      .select("name_a", "name_b").distinct()
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-      .filter(col("dist") <= maxDist)
+      .select("name_a", "name_b")
+    candLong.unionAll(candShort).distinct()
   }
 
   /** INCREMENTAL DEDUP — the production dedup shape: a NEW batch (one
@@ -289,29 +332,72 @@ object Dedup {
     * with history never materializes a candidate. At 100 TB the old side
     * is the persisted posting index a nightly pipeline maintains; the
     * new side is the day's arrivals. Output is the per-arrival VERDICT —
-    * one row per new document, zero-match docs included (the keep list),
-    * `is_dup` for the drops. Integer intersection counts → exact Jaccard
-    * ratios → bit-exact oracle. */
+    * one row per new document including docs too short to shingle
+    * (< 3 tokens), which are keepers by definition; `is_dup` marks the
+    * drops. Integer intersection counts → exact Jaccard ratios →
+    * bit-exact oracle.
+    *
+    * HOT-SHINGLE GUARD: a boilerplate shingle appearing in k_new new
+    * docs and k_old corpus docs would materialize k_new×k_old candidate
+    * rows ON ONE REDUCER KEY — at 100 TB one viral template melts the
+    * stage. Shingles with document frequency > `dfCap` are cut from
+    * CANDIDATE GENERATION ONLY (a broadcast anti-join against the tiny
+    * hot list); verification then scores each surviving candidate pair
+    * EXACTLY on the full shingle arrays, so the guard changes results
+    * only for pairs whose every common shingle is hot — near-100%
+    * -boilerplate docs, which a stop-shingle cut is standard practice
+    * to drop. The observed max df in the test corpora is 14, so the
+    * default cap (1000) never engages there and output is provably
+    * identical (pinned in `InvariantSpec` together with a synthetic
+    * boilerplate-injection check of the guard mechanics). */
   def dedupIncremental(spark: SparkSession, dir: String,
-      newSource: String = "src1", threshold: Double = 0.2): DataFrame = {
+      newSource: String = "src1", threshold: Double = 0.2,
+      dfCap: Long = 1000L): DataFrame = {
     val src = Tables.load(spark, dir, "documents").select("doc_id", "source")
     val docs = docShinglesShared(spark, dir).join(src, "doc_id")
-    val newP = docs.filter(col("source") === newSource)
-      .select(col("lang"), col("doc_id").as("new_id"),
-        col("sz").as("sz_n"), explode(col("sh")).as("shingle"))
-    val oldP = docs.filter(col("source") =!= newSource)
-      .select(col("lang"), col("doc_id").as("old_id"),
-        col("sz").as("sz_o"), explode(col("sh")).as("shingle"))
-    val matches = newP.join(oldP, Seq("lang", "shingle"))
-      .groupBy("new_id", "old_id", "sz_n", "sz_o")
-      .agg(count(lit(1)).as("c")) // per-doc shingles are distinct
-      .withColumn("j",
-        col("c").cast("double") / (col("sz_n") + col("sz_o") - col("c")))
+    incrementalVerdicts(
+      docs.filter(col("source") === newSource),
+      docs.filter(col("source") =!= newSource),
+      Tables.load(spark, dir, "documents")
+        .filter(col("source") === newSource).select("doc_id"),
+      threshold, dfCap)
+  }
+
+  /** The candidate-generate → exact-verify → verdict core of
+    * [[dedupIncremental]], parameterized on the two shingled sides and
+    * the full new-batch id list so the spec can drive it with synthetic
+    * boilerplate injected. `newDocs`/`oldDocs` carry (doc_id, lang, sh,
+    * sz); `allNew` is every new-batch doc id (shingleable or not). */
+  private[graft] def incrementalVerdicts(
+      newDocs: DataFrame, oldDocs: DataFrame, allNew: DataFrame,
+      threshold: Double, dfCap: Long): DataFrame = {
+    val newP = newDocs.select(col("lang"), col("doc_id").as("new_id"),
+      explode(col("sh")).as("shingle"))
+    val oldP = oldDocs.select(col("lang"), col("doc_id").as("old_id"),
+      explode(col("sh")).as("shingle"))
+    // df over BOTH sides: the guard must catch a template that is hot in
+    // the corpus, in the arrivals, or across them. The hot list is
+    // vocabulary-scale × pathology-only — broadcast by construction.
+    val hot = newP.select(col("lang"), col("shingle"))
+      .unionAll(oldP.select(col("lang"), col("shingle")))
+      .groupBy("lang", "shingle").agg(count(lit(1)).as("dfreq"))
+      .filter(col("dfreq") > dfCap)
+      .select("lang", "shingle")
+    val cands = newP.join(broadcast(hot), Seq("lang", "shingle"), "left_anti")
+      .join(oldP.join(broadcast(hot), Seq("lang", "shingle"), "left_anti"),
+        Seq("lang", "shingle"))
+      .select("new_id", "old_id").distinct()
+    // Exact verification on the FULL shingle arrays — hot shingles count
+    // toward the Jaccard even though they never generate candidates.
+    val shN = newDocs.select(col("doc_id").as("new_id"), col("sh").as("sh_n"))
+    val shO = oldDocs.select(col("doc_id").as("old_id"), col("sh").as("sh_o"))
+    val matches = cands.join(shN, "new_id").join(shO, "old_id")
+      .withColumn("j", jaccard("sh_n", "sh_o"))
       .filter(col("j") >= threshold)
       .groupBy(col("new_id").as("doc_id"))
       .agg(count(lit(1)).as("n_matches"),
         round(max("j"), 6).as("best_jaccard"))
-    docs.filter(col("source") === newSource).select("doc_id")
+    allNew
       .join(matches, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_matches"), lit(0L)).as("n_matches"),

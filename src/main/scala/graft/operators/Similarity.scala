@@ -60,13 +60,23 @@ object Similarity {
     * `nBits`-bit sign signature against fixed seeded hyperplanes; vectors
     * sharing any of the `nBands` signature bands become candidates, then
     * exact cosine verifies. Deterministic (fixed planes), rows-only check;
-    * the spec asserts recall vs the exact pairs. */
+    * the spec asserts recall ≥ 0.8 vs the exact pairs.
+    *
+    * Parameter math at the cos ≥ 0.4 operating point (θ ≈ 66°, per-bit
+    * agreement p = 1 − θ/π ≈ 0.63): 6-bit bands collide with probability
+    * p⁶ ≈ 0.063 at the threshold boundary, so 32 bands give
+    * 1 − (1−p⁶)³² ≈ 0.88 boundary recall (higher for the well-separated
+    * real pairs: measured 0.86 / 0.93 at sf0.001 / sf0.01) while a
+    * random pair (p = 0.5) passes a band with only 2⁻⁶ — the
+    * band-width/band-count pair is the recall-vs-candidate-volume dial,
+    * and 6×32 is the cheapest config clearing the 0.8 floor with
+    * margin. */
   def lshEmbeddingPairs(
       spark: SparkSession,
       dir: String,
       threshold: Double = 0.4,
-      nBits: Int = 96,
-      nBands: Int = 16): DataFrame = {
+      nBits: Int = 192,
+      nBands: Int = 32): DataFrame = {
     val rnd = new scala.util.Random(7)
     val dim = 64
     val planes = Array.fill(nBits, dim)(rnd.nextGaussian())
@@ -469,9 +479,9 @@ object Similarity {
   /** HARD-NEGATIVE MINING — for every probe, the single most similar
     * corpus vector carrying a DIFFERENT label: the contrastive-training
     * pair a retrieval/embedding fine-tune mines after each epoch. Exact
-    * formulation (the IVF candidate stage swaps in unchanged, as in
-    * [[knnClassifyIvf]]); the different-label filter runs BEFORE the
-    * top-1 window so the rank is over negatives only.
+    * formulation — the oracle baseline; [[hardNegativesIvf]] is the
+    * wired IVF-candidate scale path. The different-label filter runs
+    * BEFORE the top-1 window so the rank is over negatives only.
     *
     * NOTE: the `q_hard_negatives` DuckDB oracle hardcodes the default
     * `nProbes = 50` (`vec_id < 50` probe cut) — oracle parity holds ONLY
@@ -494,6 +504,55 @@ object Similarity {
     probes.crossJoin(train)
       .filter(col("nbr_label") =!= col("true_label"))
       .withColumn("cos_raw", dot("emb_q", "emb_c") / (col("nq") * col("nc")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("query_id"), col("true_label"),
+        col("neighbor_id"), col("nbr_label"),
+        round(col("cos_raw"), 6).as("cos"))
+  }
+
+  /** [[hardNegatives]] with the exact cross-join candidate stage swapped
+    * for the memoized IVF inverted-list scan — the same swap
+    * [[knnClassifyIvf]] makes for kNN, so the promised scale path for
+    * the last ANN consumer is code, not a docstring: probes rank the
+    * broadcast centroids, scan only `nprobe` lists, and the
+    * different-label filter + top-1 window downstream are IDENTICAL to
+    * the exact variant (same tiebreaks). Labels join onto the
+    * list-scan candidates by id — a skinny (id, label) side, never the
+    * vectors. Rows-only check; `SimilaritySpec` pins ≥ 0.9 per-anchor
+    * agreement with the exact miner and full probe coverage at the
+    * registered defaults. */
+  def hardNegativesIvf(
+      spark: SparkSession,
+      dir: String,
+      nProbes: Int = 50,
+      nlist: Int = 16,
+      nprobe: Int = 6,
+      trainFraction: Double = 0.25,
+      trainIters: Int = 5): DataFrame = {
+    val idx = ivfIndex(spark, dir, nlist, trainFraction, trainIters)
+    val lists = idx.lists
+    val centroids = idx.centroids
+    val labels = Tables.load(spark, dir, "embeddings").select("vec_id", "label")
+    val probes = lists.filter(col("neighbor_id") < nProbes)
+      .join(labels, col("vec_id") === col("neighbor_id"))
+      .select(col("neighbor_id").as("query_id"), col("unit_c").as("unit_q"),
+        col("label").as("true_label"))
+    val wc = Window.partitionBy("query_id")
+      .orderBy(col("cdist").asc, col("list_id").asc)
+    val probeLists = probes.crossJoin(broadcast(centroids))
+      .withColumn("cdist", norm2("centroid") - lit(2.0) * dot("unit_q", "centroid"))
+      .withColumn("crnk", row_number().over(wc))
+      .filter(col("crnk") <= nprobe)
+      .select("query_id", "unit_q", "true_label", "list_id")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_raw").desc, col("neighbor_id").asc)
+    probeLists
+      .join(lists.filter(col("neighbor_id") >= nProbes), "list_id")
+      .join(labels.withColumnRenamed("vec_id", "neighbor_id")
+        .withColumnRenamed("label", "nbr_label"), Seq("neighbor_id"))
+      .filter(col("nbr_label") =!= col("true_label"))
+      .withColumn("cos_raw", dot("unit_q", "unit_c"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") === 1)
       .select(col("query_id"), col("true_label"),

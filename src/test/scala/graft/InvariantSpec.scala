@@ -79,6 +79,48 @@ class InvariantSpec extends SparkSpec {
     assert(got.keySet === srcOf.collect { case (id, "src1") => id }.toSet)
   }
 
+  test("incremental dedup: df cap at/above observed max df leaves output identical") {
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)), r.getInt(3))).toSet
+    val capped = asSet(Dedup.dedupIncremental(spark, sf)) // default cap 1000
+    val uncapped = asSet(Dedup.dedupIncremental(spark, sf, dfCap = Long.MaxValue))
+    assert(capped.nonEmpty)
+    assert(capped == uncapped,
+      s"missing=${uncapped -- capped} extra=${capped -- uncapped}")
+  }
+
+  test("hot-shingle guard is divergence-free under injected boilerplate") {
+    import org.apache.spark.sql.functions._
+    // synthetic corpus: 7 content groups sharing 8 shingles each, 2
+    // unique shingles per doc, and ONE boilerplate shingle present in
+    // EVERY doc (df = 100). With dfCap = 50 the boilerplate is cut from
+    // candidate generation; pairs that share only it sit far below the
+    // 0.2 threshold (j = 1/21), so the capped and uncapped runs must
+    // produce identical verdicts — the guard sheds the quadratic hot key
+    // without touching results.
+    val boiler = 999999L
+    val rows = (0L until 100L).map { id =>
+      val content = Seq.tabulate(8)(i => (id % 7) * 100 + i) ++
+        Seq(id * 1000 + 1, id * 1000 + 2)
+      (id, "en", content :+ boiler)
+    }
+    val docs = spark.createDataFrame(rows).toDF("doc_id", "lang", "sh")
+    val newDocs = docs.filter(col("doc_id") < 40)
+    val oldDocs = docs.filter(col("doc_id") >= 40)
+    val allNew = newDocs.select("doc_id")
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)), r.getInt(3))).toSet
+    val capped = asSet(Dedup.incrementalVerdicts(newDocs, oldDocs, allNew, 0.2, dfCap = 50L))
+    val uncapped = asSet(Dedup.incrementalVerdicts(newDocs, oldDocs, allNew, 0.2, dfCap = Long.MaxValue))
+    assert(capped == uncapped,
+      s"missing=${uncapped -- capped} extra=${capped -- uncapped}")
+    // the synthetic data genuinely exercises both verdicts
+    assert(capped.count(_._4 == 1) > 0, "no dup verdicts — injection inert")
+    assert(capped.map(_._1) == (0L until 40L).toSet, "keep list must cover every new doc")
+  }
+
   test("prefix-filtered ngram pairs equal the full inverted-index pairs") {
     def asSet(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
@@ -88,7 +130,26 @@ class InvariantSpec extends SparkSpec {
     assert(pref == full, s"missing=${full -- pref} extra=${pref -- full}")
   }
 
-  test("length-window blocking loses no fuzzy name match vs the unblocked join") {
+  test("q-gram prefix blocking admits far fewer candidates than length bands") {
+    import org.apache.spark.sql.functions._
+    val names = graft.Tables.load(spark, sf, "part").select("p_name").distinct()
+      .withColumn("len", length(col("p_name")))
+    // the candidate set the replaced length-window blocking would verify:
+    // every pair within length diff <= 2 (~85% of the quadratic space on
+    // TPC-H's saturated 62-name vocabulary — p_name draws 5 words from a
+    // fixed list, so distinct names cap at ~64 and nearly all lengths
+    // collide; at real vocabulary scale the gap widens with n)
+    val lengthBand = names.select(col("p_name").as("name_a"), col("len").as("len_a"))
+      .crossJoin(names.select(col("p_name").as("name_b"), col("len").as("len_b")))
+      .filter(col("name_a") < col("name_b") &&
+        abs(col("len_a") - col("len_b")) <= 2)
+      .count()
+    val cands = Dedup.fuzzyNameCandidates(spark, sf, 2).count()
+    assert(cands <= lengthBand / 2,
+      s"prefix blocking admitted $cands vs $lengthBand length-band candidates")
+  }
+
+  test("q-gram prefix blocking loses no fuzzy name match vs the unblocked join") {
     import org.apache.spark.sql.functions._
     val blocked = Dedup.fuzzyNameMatch(spark, sf)
       .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
