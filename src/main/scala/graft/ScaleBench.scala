@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Scale-up spot-bench: derives a 10× corpus ("sf1") from the sf0.1
+  * testdata and times the headline scale queries at both sizes in one
+  * JVM, writing `SCALEBENCH_sf1.json` — the measurement that converts
+  * the operators' "100 TB posture" arguments from plan-reading into
+  * observed scaling ratios.
+  *
+  * Derivation (NOT new synthetic data — a replication of the
+  * driver-generated tables with shifted key spaces, so per-copy
+  * statistics are exactly the originals'):
+  *   - `documents`: 10 copies, ids offset, every token prefixed with
+  *     its copy tag — copies are textually DISJOINT (cross-copy Jaccard
+  *     = 0), so the near-dup pair graph is exactly 10× the original
+  *     and the dedup queries measure 10× the WORK, not a
+  *     quadratically-denser output;
+  *   - `embeddings`: ids offset (probe set stays the original 10, the
+  *     scanned corpus is 10×);
+  *   - `events` / `lineitem`: ids offset per copy — 10 disjoint user
+  *     populations / join graphs.
+  * Each query runs twice per scale; the min is recorded (same
+  * self-defense as [[Bench]]).
+  */
+object ScaleBench {
+  private val Stride = 1000000000L
+
+  private val Queries = Seq(
+    "q_dedup_minhash", "q_dedup_ngram_prefix", "q_ann_ivf",
+    "q_pagerank", "q_sessionize_batch")
+
+  def main(args: Array[String]): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val out = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
+    val copies = sys.env.getOrElse("SPARK_GRAFT_COPIES", "10").toInt
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (!new java.io.File(s"$out/_READY").exists()) {
+      generate(spark, src, out, copies)
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$out/_READY"), Array.emptyByteArray)
+    }
+
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => } // warm-up
+
+    def timeAt(dir: String): Seq[(String, Double, Double)] = Queries.map { n =>
+      val fn = SparkEntry.queries(n)
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val (t1, t2) = (once(), once())
+      (n, t1, t2)
+    }
+    val small = timeAt(src)
+    val big = timeAt(out)
+
+    def f3(v: Double): String = f"$v%.3f"
+    val perQuery = small.zip(big).map { case ((n, s1, s2), (_, b1, b2)) =>
+      val (sMin, bMin) = (math.min(s1, s2), math.min(b1, b2))
+      s""""$n":{"sf01_sec":${f3(sMin)},"sf1_sec":${f3(bMin)},"ratio":${f3(bMin / sMin)},"sf01_runs":[${f3(s1)},${f3(s2)}],"sf1_runs":[${f3(b1)},${f3(b2)}]}"""
+    }.mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"scaleup_ratio","copies":$copies,"src":"$src","queries":$perQuery}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("/root/repo/SCALEBENCH_sf1.json"),
+      (line + "\n").getBytes("UTF-8"))
+    println(line)
+    spark.stop()
+  }
+
+  private def generate(spark: SparkSession, src: String, out: String, copies: Int): Unit = {
+    val cp = spark.range(copies).select(col("id").as("copy"))
+    def raw(name: String, schema: StructType): DataFrame =
+      spark.read.schema(schema).parquet(s"$src/$name.parquet").crossJoin(cp)
+
+    raw("documents", Tables.documents)
+      .withColumn("doc_id", col("doc_id") + col("copy") * Stride)
+      .withColumn("text", array_join(
+        transform(split(col("text"), " "),
+          t => concat(lit("c"), col("copy").cast("string"), lit("_"), t)), " "))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .drop("copy")
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    raw("embeddings", Tables.embeddings)
+      .withColumn("vec_id", col("vec_id") + col("copy") * Stride)
+      .drop("copy")
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    raw("events", Tables.events)
+      .withColumn("event_id", col("event_id") + col("copy") * Stride)
+      .withColumn("user_id", col("user_id") + col("copy") * Stride)
+      .drop("copy")
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    raw("lineitem", Tables.lineitem)
+      .withColumn("l_orderkey", col("l_orderkey") + col("copy") * Stride)
+      .withColumn("l_partkey", col("l_partkey") + col("copy") * Stride)
+      .withColumn("l_suppkey", col("l_suppkey") + col("copy") * Stride)
+      .drop("copy")
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+  }
+}
