@@ -66,6 +66,7 @@ object SparkEntry {
     "q_dedup_ngram_prefix" -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairsPrefix(s, d)),
     "q_dedup_components" -> ((s: SparkSession, d: String) => Dedup.dedupComponents(s, d)),
     "q_fuzzy_name_match" -> ((s: SparkSession, d: String) => Dedup.fuzzyNameMatch(s, d)),
+    "q_fuzzy_canonical" -> ((s: SparkSession, d: String) => Dedup.fuzzyCanonical(s, d)),
     "q_dedup_incremental" -> ((s: SparkSession, d: String) => Dedup.dedupIncremental(s, d)),
     "q_dedup_embedding" -> ((s: SparkSession, d: String) => Dedup.embeddingPairsShared(s, d, 0.4)),
     "q_dedup_embedding_clusters" -> ((s: SparkSession, d: String) => Dedup.embeddingClusters(s, d, 0.4)),
@@ -88,6 +89,9 @@ object SparkEntry {
     "q_quality_calibrated" -> ((s: SparkSession, d: String) => TextAnalysis.qualityCalibrated(s, d)),
     "q_bpe_merge"          -> ((s: SparkSession, d: String) => TextAnalysis.bpeMergeCandidates(s, d)),
     "q_pack_sequences"     -> ((s: SparkSession, d: String) => TextAnalysis.packSequences(s, d)),
+    // round 10: split assignment + vocabulary coverage
+    "q_train_split" -> TextAnalysis.trainSplit _,
+    "q_oov_rate"    -> ((s: SparkSession, d: String) => TextAnalysis.oovRate(s, d)),
     // round 8: corpus preparation operators
     "q_blocklist_scrub" -> ((s: SparkSession, d: String) => TextAnalysis.scrubBlocklist(s, d)),
     "q_pii_redact"      -> TextAnalysis.redactNumbers _,
@@ -588,6 +592,27 @@ object SparkEntry {
         |       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
         |FROM n a JOIN n b ON a.p_name < b.p_name
         |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin,
+    // same recursive min-reachability shape as the components oracles,
+    // over the levenshtein pair graph with STRING labels (LEAST is
+    // lexicographic in both engines); singletons canonicalize to
+    // themselves via the left join
+    "q_fuzzy_canonical" ->
+      """WITH RECURSIVE n AS (SELECT DISTINCT p_name FROM part),
+        |pairs AS (
+        |  SELECT a.p_name AS id_a, b.p_name AS id_b
+        |  FROM n a JOIN n b ON a.p_name < b.p_name
+        |  WHERE levenshtein(a.p_name, b.p_name) <= 2),
+        |edges AS (
+        |  SELECT id_a AS s, id_b AS d FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(s, d) AS (
+        |  SELECT s, d FROM edges
+        |  UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+        |comp AS (
+        |  SELECT s AS p_name, LEAST(s, MIN(d)) AS canonical
+        |  FROM reach GROUP BY s)
+        |SELECT n.p_name, COALESCE(comp.canonical, n.p_name) AS canonical
+        |FROM n LEFT JOIN comp USING (p_name)""".stripMargin,
     "q_dedup_embedding" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |       ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
@@ -1153,6 +1178,35 @@ object SparkEntry {
         |       CAST(len(regexp_extract_all(props, '[0-9]+')) AS INT) AS n_redacted,
         |       regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS redacted
         |FROM events""".stripMargin,
+    // md5-prefix fold (same basis as the simhash oracle) → uniform
+    // 60-bit coordinate; h/2^60 is IEEE double division of exactly-
+    // represented operands in both engines, so the threshold labels are
+    // bit-identical
+    "q_train_split" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      [CAST(strpos('0123456789abcdef', md5(CAST(doc_id AS VARCHAR))[i]) - 1 AS BIGINT)
+        |       for i in range(1, 16)]),
+        |      (a, c) -> a * 16 + c) AS hv
+        |  FROM documents)
+        |SELECT doc_id, source,
+        |       CASE WHEN hv / POW(2, 60) < 0.9 THEN 'train'
+        |            WHEN hv / POW(2, 60) < 0.95 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM h""".stripMargin,
+    "q_oov_rate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |vocab AS (
+        |  SELECT tok, 1 AS in_vocab FROM (
+        |    SELECT tok, COUNT(*) AS tf FROM toks
+        |    GROUP BY tok ORDER BY tf DESC, tok ASC LIMIT 20))
+        |SELECT t.doc_id, COUNT(*) AS n_tokens,
+        |       CAST(SUM(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |       CAST(SUM(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS oov_rate
+        |FROM toks t LEFT JOIN vocab v USING (tok)
+        |GROUP BY t.doc_id""".stripMargin,
     "q_doc_chunks" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks,

@@ -322,6 +322,30 @@ object Dedup {
     candLong.unionAll(candShort).distinct()
   }
 
+  /** ENTITY CANONICALIZATION — the step after [[fuzzyNameMatch]] in an
+    * entity-resolution pipeline: connected components over the fuzzy
+    * match graph (A~B~C chains collapse even when A,C don't match
+    * directly), each cluster canonicalized to its lexicographically
+    * smallest member, emitted as a complete name→canonical mapping
+    * (singletons map to themselves — the mapping must cover the whole
+    * vocabulary to be applicable as a join). The propagation is the same
+    * bounded-round min-label loop the doc/embedding cluster paths use —
+    * `least`/`min` order strings lexicographically, so the machinery is
+    * type-generic — and the match graph it runs on is the q-gram
+    * prefix-blocked candidate set, so the whole pipeline
+    * (block → verify → cluster → canonicalize) is sub-quadratic.
+    * `levenshtein` + recursive reachability replay exactly in DuckDB →
+    * full oracle. */
+  def fuzzyCanonical(spark: SparkSession, dir: String, maxDist: Int = 2): DataFrame = {
+    val pairs = fuzzyNameMatch(spark, dir, maxDist)
+      .select(col("name_a").as("id_a"), col("name_b").as("id_b"))
+    val comp = minLabelComponents(pairs)
+    Tables.load(spark, dir, "part").select("p_name").distinct()
+      .join(comp.select(col("id").as("p_name"), col("comp")), Seq("p_name"), "left")
+      .select(col("p_name"),
+        coalesce(col("comp"), col("p_name")).as("canonical"))
+  }
+
   /** INCREMENTAL DEDUP — the production dedup shape: a NEW batch (one
     * `source` partition, standing in for today's crawl) checked against
     * the EXISTING corpus, per new document: how many historical near-dups

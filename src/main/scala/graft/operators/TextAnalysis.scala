@@ -392,6 +392,51 @@ object TextAnalysis {
         (col("n_shared").cast("double") / col("n_shingles")).as("contamination"))
   }
 
+  /** DETERMINISTIC TRAIN/VAL/TEST SPLIT — the reproducible assignment a
+    * training pipeline needs: each document hashes to a uniform [0,1)
+    * coordinate (first 60 bits of md5 over the id — content-independent,
+    * so re-crawls keep their split) and the 0.9/0.95 thresholds cut
+    * train/val/test. Pure map-side arithmetic: no shuffle, no state, no
+    * seed to desync across reruns — the property that matters when the
+    * split must be IDENTICAL between the tokenization run and an
+    * evaluation run months later. The md5-prefix fold is the same
+    * DuckDB-replicable basis the SimHash pipeline uses, and h/2⁶⁰ is an
+    * IEEE double division of exactly-represented operands in both
+    * engines → bit-identical labels → full oracle. */
+  def trainSplit(spark: SparkSession, dir: String): DataFrame = {
+    val u = expr(
+      "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+      .cast("double") / lit(math.pow(2, 60))
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        when(u < 0.9, "train").when(u < 0.95, "val").otherwise("test").as("split"))
+  }
+
+  /** VOCABULARY COVERAGE / OOV RATE — per-document fraction of token
+    * OCCURRENCES outside the corpus's `topK` most frequent tokens (count
+    * desc, token asc tiebreak): the classic "is this doc written in the
+    * corpus's working vocabulary" quality signal, and the measurement a
+    * tokenizer-budget decision reads. Two shuffles, both skinny: the
+    * vocabulary rollup (token → count, vocabulary-scale) whose top-K is
+    * a `TakeOrderedAndProject` (per-partition heaps, K-row merge — never
+    * a global sort), and the per-doc aggregation of (doc_id, flag)
+    * pairs; the vocabulary itself broadcasts to the membership join.
+    * Integer counts → exact oracle. (The test corpus has 31 distinct
+    * tokens, so the default `topK = 20` leaves a real OOV tail.) */
+  def oovRate(spark: SparkSession, dir: String, topK: Int = 20): DataFrame = {
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("tok").asc).limit(topK)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
+  }
+
   /** BLOCKLIST SCRUBBING — mask every token on a blocklist (the PII /
     * unwanted-term scrub a corpus pipeline runs before tokenization),
     * emitting the masked text and a per-doc mask count. Pure map-side

@@ -249,4 +249,41 @@ class CorpusOpsSpec extends SparkSpec {
     assert(st.filter(col("min_norm") <= 0).count() === 0, "degenerate zero-norm label")
     st.unpersist()
   }
+
+  test("trainSplit is deterministic, total, and near the 90/5/5 design") {
+    val s1 = TextAnalysis.trainSplit(spark, sf).cache()
+    val n = Tables.load(spark, sf, "documents").count()
+    assert(s1.count() === n, "every doc must receive a split")
+    val bySplit = s1.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.keySet === Set("train", "val", "test"))
+    val trainFrac = bySplit("train").toDouble / n
+    assert(trainFrac > 0.85 && trainFrac < 0.95, s"train fraction $trainFrac")
+    // content-independent determinism: a rerun assigns identically
+    val s2 = TextAnalysis.trainSplit(spark, sf)
+    assert(s1.exceptAll(s2).isEmpty && s2.exceptAll(s1).isEmpty)
+    s1.unpersist()
+  }
+
+  test("oovRate bounds and zero-OOV on in-vocabulary docs") {
+    val o = TextAnalysis.oovRate(spark, sf).cache()
+    assert(o.filter(col("oov_rate") < 0 || col("oov_rate") > 1).count() === 0)
+    assert(o.filter(col("n_oov") > col("n_tokens")).count() === 0)
+    // with topK=20 of a 31-token vocabulary a real OOV tail must exist
+    assert(o.agg(sum("n_oov")).as[Long].head() > 0, "OOV cut never fired")
+    o.unpersist()
+  }
+
+  test("fuzzyCanonical is a total idempotent mapping onto cluster minima") {
+    val m = Dedup.fuzzyCanonical(spark, sf).cache()
+    val names = Tables.load(spark, sf, "part").select("p_name").distinct()
+    assert(m.count() === names.count(), "mapping must cover the vocabulary")
+    // canonical is the lexicographic cluster minimum: never above the name
+    assert(m.filter(col("canonical") > col("p_name")).count() === 0)
+    // idempotent: canonicals map to themselves
+    val canon = m.select(col("canonical").as("p_name")).distinct()
+    val fixed = m.join(canon, "p_name").filter(col("canonical") =!= col("p_name"))
+    assert(fixed.count() === 0, "a canonical name must be its own canonical")
+    m.unpersist()
+  }
 }
