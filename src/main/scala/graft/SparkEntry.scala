@@ -161,6 +161,8 @@ object SparkEntry {
     "q_bin_range_join"     -> ((s: SparkSession, d: String) => Scale.binnedRangeJoin(s, d)),
     "q_stream_dedup"       -> graft.streaming.EventsStream.dedupCounts _,
     "q_stream_foreachbatch" -> graft.streaming.EventsStream.foreachBatchTotals _,
+    "q_stream_dedup_incremental" -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventsStream.streamIncrementalDedup(s, d)),
     "q_ann_pq"             -> ((s: SparkSession, d: String) => Similarity.pqTopK(s, d)),
     // round 5: supplier coverage, labeled kNN, TF-IDF featurization
     "q_supplier_volume" -> Breadth.localSupplierVolume _,
@@ -520,28 +522,11 @@ object SparkEntry {
     // sub-shingle-length (< 3 token) docs included, per the keep-list
     // contract (the left join runs from ALL src1 docs, not the
     // shingleable subset)
-    "q_dedup_incremental" ->
-      s"""WITH $shinglesCte,
-         |src AS (SELECT doc_id, source FROM documents),
-         |n AS (SELECT sh.* FROM sh JOIN src USING (doc_id) WHERE src.source = 'src1'),
-         |o AS (SELECT sh.* FROM sh JOIN src USING (doc_id) WHERE src.source != 'src1'),
-         |pairs AS (
-         |  SELECT n.doc_id AS new_id,
-         |         CAST(len(list_intersect(n.s, o.s)) AS DOUBLE)
-         |           / len(list_distinct(n.s || o.s)) AS j
-         |  FROM n JOIN o ON n.lang = o.lang
-         |  WHERE CAST(len(list_intersect(n.s, o.s)) AS DOUBLE)
-         |          / len(list_distinct(n.s || o.s)) >= 0.2),
-         |m AS (
-         |  SELECT new_id AS doc_id, COUNT(*) AS n_matches,
-         |         ROUND(MAX(j), 6) AS best_jaccard
-         |  FROM pairs GROUP BY 1),
-         |nn AS (SELECT doc_id FROM documents WHERE source = 'src1')
-         |SELECT nn.doc_id,
-         |       COALESCE(m.n_matches, 0) AS n_matches,
-         |       m.best_jaccard,
-         |       CAST(m.n_matches IS NOT NULL AS INT) AS is_dup
-         |FROM nn LEFT JOIN m USING (doc_id)""".stripMargin,
+    "q_dedup_incremental" -> dedupIncrementalOracle,
+    // the streaming form unions per-micro-batch verdicts; verdicts
+    // depend only on (doc, corpus), so the union equals the batch run
+    // and the SAME exhaustive oracle applies verbatim
+    "q_stream_dedup_incremental" -> dedupIncrementalOracle,
     // Full bit-replica of the simhash pipeline: 60-bit md5-prefix token
     // hashes (15 hex chars folded base-16), strict-majority per-bit vote
     // (bits 0..62; 60+ are structurally 0), exhaustive Hamming ≤ 3 pairs
@@ -1759,6 +1744,34 @@ object SparkEntry {
       |comp AS (
       |  SELECT s AS doc_id, LEAST(s, MIN(d)) AS component_id
       |  FROM reach GROUP BY s)""".stripMargin
+
+  /** Exhaustive cross-source replay of the asymmetric incremental dedup
+    * check — shared verbatim by the batch (`q_dedup_incremental`) and
+    * streaming (`q_stream_dedup_incremental`) registrations: verdicts
+    * depend only on (doc, corpus), so micro-batching cannot change the
+    * result set. */
+  private val dedupIncrementalOracle =
+    s"""WITH $shinglesCte,
+       |src AS (SELECT doc_id, source FROM documents),
+       |n AS (SELECT sh.* FROM sh JOIN src USING (doc_id) WHERE src.source = 'src1'),
+       |o AS (SELECT sh.* FROM sh JOIN src USING (doc_id) WHERE src.source != 'src1'),
+       |pairs AS (
+       |  SELECT n.doc_id AS new_id,
+       |         CAST(len(list_intersect(n.s, o.s)) AS DOUBLE)
+       |           / len(list_distinct(n.s || o.s)) AS j
+       |  FROM n JOIN o ON n.lang = o.lang
+       |  WHERE CAST(len(list_intersect(n.s, o.s)) AS DOUBLE)
+       |          / len(list_distinct(n.s || o.s)) >= 0.2),
+       |m AS (
+       |  SELECT new_id AS doc_id, COUNT(*) AS n_matches,
+       |         ROUND(MAX(j), 6) AS best_jaccard
+       |  FROM pairs GROUP BY 1),
+       |nn AS (SELECT doc_id FROM documents WHERE source = 'src1')
+       |SELECT nn.doc_id,
+       |       COALESCE(m.n_matches, 0) AS n_matches,
+       |       m.best_jaccard,
+       |       CAST(m.n_matches IS NOT NULL AS INT) AS is_dup
+       |FROM nn LEFT JOIN m USING (doc_id)""".stripMargin
 
   /** DuckDB CTE chain: the FULL curation ruleset (quality score, langid
     * word lists, exact dedup keeper, shingle near-dup losers, final

@@ -274,6 +274,58 @@ object EventsStream {
     }
   }
 
+  /** STREAMING INCREMENTAL DEDUP — the continuous form of
+    * [[graft.operators.Dedup.dedupIncremental]]: documents of the
+    * arrival source stream in; each micro-batch runs the batch
+    * candidate-generate → exact-verify core against the STATIC corpus
+    * index (shingled once, lineage-truncated, reused by every batch —
+    * the posting index a nightly pipeline maintains), and per-batch
+    * verdicts land in idempotent per-batch parquet (overwrite by batch
+    * id = exactly-once on retry), exactly the [[foreachBatchTotals]]
+    * sink discipline.
+    *
+    * The decisive property: a verdict depends only on (doc, corpus) —
+    * new arrivals are never compared to EACH OTHER — so the union of
+    * per-batch verdicts equals the all-at-once batch run REGARDLESS of
+    * how the stream was micro-batched, and this query shares
+    * `q_dedup_incremental`'s exhaustive DuckDB oracle verbatim. (Only
+    * the hot-shingle guard's df estimate is per-batch — the arrival
+    * side's contribution to document frequency varies with batch
+    * composition — which can matter only when a shingle crosses the
+    * cap, i.e. never below pathological boilerplate scale.) */
+  def streamIncrementalDedup(spark: SparkSession, dir: String,
+      newSource: String = "src1", threshold: Double = 0.2,
+      dfCap: Long = 1000L): DataFrame = {
+    val out = graft.operators.Scale.scratchDir("graft_sid")
+    def shingled(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), col("lang"),
+        graft.functions.HashExpressions
+          .shingle_hash(split(col("text"), " "), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    withStreamPartitions(spark, 8) {
+      val corpus = shingled(Tables.load(spark, dir, "documents")
+        .filter(col("source") =!= newSource))
+        .localCheckpoint(true) // materialized ONCE, read by every batch
+      val src = spark.readStream
+        .schema(Tables.documents)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter(col("source") === newSource)
+      val q = src.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.operators.Dedup.incrementalVerdicts(
+              shingled(batch), corpus, batch.select("doc_id"),
+              threshold, dfCap)
+            .write.mode("overwrite").parquet(s"$out/batch_$batchId")
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val batchDirs = new java.io.File(out).listFiles()
+        .filter(_.getName.startsWith("batch_")).map(_.getAbsolutePath)
+      spark.read.parquet(batchDirs.toIndexedSeq: _*)
+    }
+  }
+
   /** STREAM-STREAM inner join — click→purchase attribution: every
     * (click, purchase) pair for the same user with the purchase inside
     * [click, click + 30 min]. Both sides carry a 1-hour watermark and the

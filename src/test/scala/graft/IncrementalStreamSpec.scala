@@ -63,4 +63,47 @@ class IncrementalStreamSpec extends SparkSpec {
     // did NOT emit hour-4.
     assert(!rows.exists(_._1 == base + 4 * h), s"got ${rows.toSeq}")
   }
+
+  test("streaming incremental dedup equals the batch run exactly") {
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)), r.getInt(3))).toSet
+    val streamed = asSet(
+      graft.streaming.EventsStream.streamIncrementalDedup(spark, sf))
+    val batch = asSet(graft.operators.Dedup.dedupIncremental(spark, sf))
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      s"missing=${batch -- streamed} extra=${streamed -- batch}")
+  }
+
+  test("incremental verdicts are batch-composition independent") {
+    // the property that makes the streaming union exact regardless of
+    // micro-batch boundaries: verdicts depend only on (doc, corpus),
+    // so verdicts(half1) ∪ verdicts(half2) == verdicts(whole)
+    import org.apache.spark.sql.functions._
+    val src = Tables.load(spark, sf, "documents").select("doc_id", "source")
+    val sh = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("lang"),
+        graft.functions.HashExpressions
+          .shingle_hash(split(col("text"), " "), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .join(src, "doc_id")
+    val newDocs = sh.filter(col("source") === "src1")
+    val corpus = sh.filter(col("source") =!= "src1")
+    val allNew = Tables.load(spark, sf, "documents")
+      .filter(col("source") === "src1").select("doc_id")
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)), r.getInt(3))).toSet
+    val whole = asSet(graft.operators.Dedup.incrementalVerdicts(
+      newDocs, corpus, allNew, 0.2, 1000L))
+    val h1 = asSet(graft.operators.Dedup.incrementalVerdicts(
+      newDocs.filter(col("doc_id") % 2 === 0), corpus,
+      allNew.filter(col("doc_id") % 2 === 0), 0.2, 1000L))
+    val h2 = asSet(graft.operators.Dedup.incrementalVerdicts(
+      newDocs.filter(col("doc_id") % 2 === 1), corpus,
+      allNew.filter(col("doc_id") % 2 === 1), 0.2, 1000L))
+    assert((h1 ++ h2) == whole,
+      s"missing=${whole -- (h1 ++ h2)} extra=${(h1 ++ h2) -- whole}")
+  }
 }
