@@ -68,6 +68,7 @@ object SparkEntry {
     "q_fuzzy_name_match" -> ((s: SparkSession, d: String) => Dedup.fuzzyNameMatch(s, d)),
     "q_fuzzy_canonical" -> ((s: SparkSession, d: String) => Dedup.fuzzyCanonical(s, d)),
     "q_dedup_incremental" -> ((s: SparkSession, d: String) => Dedup.dedupIncremental(s, d)),
+    "q_hot_shingles" -> ((s: SparkSession, d: String) => Dedup.hotShingleProfile(s, d)),
     "q_dedup_embedding" -> ((s: SparkSession, d: String) => Dedup.embeddingPairsShared(s, d, 0.4)),
     "q_dedup_embedding_clusters" -> ((s: SparkSession, d: String) => Dedup.embeddingClusters(s, d, 0.4)),
     // similarity search (north-star extension)
@@ -523,6 +524,24 @@ object SparkEntry {
     // contract (the left join runs from ALL src1 docs, not the
     // shingleable subset)
     "q_dedup_incremental" -> dedupIncrementalOracle,
+    // per-language boilerplate census; deterministic (df desc, shingle
+    // asc) rank tiebreak in both engines
+    "q_hot_shingles" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+        |shd AS (
+        |  SELECT doc_id, lang,
+        |         unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |                               for i in range(1, len(t) - 1)])) AS shingle
+        |  FROM toks WHERE len(t) >= 3),
+        |d AS (SELECT lang, shingle, COUNT(*) AS df FROM shd GROUP BY 1, 2),
+        |r AS (
+        |  SELECT lang, shingle, df,
+        |         ROW_NUMBER() OVER (PARTITION BY lang
+        |                            ORDER BY df DESC, shingle ASC) AS rank
+        |  FROM d)
+        |SELECT lang, shingle, df, CAST(rank AS INT) AS rank
+        |FROM r WHERE rank <= 20""".stripMargin,
     // the streaming form unions per-micro-batch verdicts; verdicts
     // depend only on (doc, corpus), so the union equals the batch run
     // and the SAME exhaustive oracle applies verbatim

@@ -492,6 +492,31 @@ object Dedup {
     labels
   }
 
+  /** HOT-SHINGLE PROFILE — per-language top-`topK` shingles by document
+    * frequency: the boilerplate census that FEEDS the
+    * [[dedupIncremental]] hot-shingle guard (and any stop-shingle cut) —
+    * a pipeline operator in its own right, because the stop list must be
+    * recomputed as the corpus drifts. One vocabulary-scale rollup
+    * ((lang, shingle) → df), then a per-language rank whose `rank <=
+    * topK` filter plans as `WindowGroupLimit` (per-partition group
+    * limits before the window — the vocabulary never funnels through a
+    * global sort). Shingles travel as strings here so the DuckDB oracle
+    * is exact; at 100 TB the key would be the 64-bit shingle hash, same
+    * plan shape (the [[duplicatedSpans]] note). */
+  def hotShingleProfile(spark: SparkSession, dir: String, topK: Int = 20): DataFrame = {
+    val g = Tables.load(spark, dir, "documents")
+      .withColumn("tk", split(col("text"), " "))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), col("lang"),
+        explode(array_distinct(expr(
+          "transform(sequence(0, size(tk) - 3), i -> concat_ws(' ', tk[i], tk[i + 1], tk[i + 2]))")))
+          .as("shingle"))
+    val dfreq = g.groupBy("lang", "shingle").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("lang").orderBy(col("df").desc, col("shingle").asc)
+    dfreq.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+  }
+
   /** DUPLICATED-SPAN DETECTION — per-document fraction of exact
     * `width`-token windows that recur anywhere in the corpus (including
     * within the same document), the Lee-et-al-style exact-substring

@@ -130,6 +130,19 @@ class InvariantSpec extends SparkSpec {
     assert(pref == full, s"missing=${full -- pref} extra=${pref -- full}")
   }
 
+  test("hot-shingle profile ranks contiguously with non-increasing df per language") {
+    val p = Dedup.hotShingleProfile(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    assert(p.nonEmpty)
+    p.groupBy(_._1).foreach { case (lang, rows) =>
+      val byRank = rows.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq == (1 to rows.length), s"$lang ranks not contiguous")
+      assert(rows.length <= 20, s"$lang exceeded topK")
+      val dfs = byRank.map(_._3).toSeq
+      assert(dfs == dfs.sorted.reverse, s"$lang df not non-increasing by rank")
+    }
+  }
+
   test("q-gram prefix blocking admits far fewer candidates than length bands") {
     import org.apache.spark.sql.functions._
     val names = graft.Tables.load(spark, sf, "part").select("p_name").distinct()
