@@ -90,9 +90,11 @@ object SparkEntry {
     "q_quality_calibrated" -> ((s: SparkSession, d: String) => TextAnalysis.qualityCalibrated(s, d)),
     "q_bpe_merge"          -> ((s: SparkSession, d: String) => TextAnalysis.bpeMergeCandidates(s, d)),
     "q_pack_sequences"     -> ((s: SparkSession, d: String) => TextAnalysis.packSequences(s, d)),
-    // round 10: split assignment + vocabulary coverage
+    // round 10: split assignment + vocabulary coverage + mixing + int8 audit
     "q_train_split" -> TextAnalysis.trainSplit _,
     "q_oov_rate"    -> ((s: SparkSession, d: String) => TextAnalysis.oovRate(s, d)),
+    "q_mixture_weights" -> TextAnalysis.mixtureWeights _,
+    "q_quantization_error" -> ((s: SparkSession, d: String) => Similarity.quantizationError(s, d)),
     // round 8: corpus preparation operators
     "q_blocklist_scrub" -> ((s: SparkSession, d: String) => TextAnalysis.scrubBlocklist(s, d)),
     "q_pii_redact"      -> TextAnalysis.redactNumbers _,
@@ -1199,6 +1201,36 @@ object SparkEntry {
         |            WHEN hv / POW(2, 60) < 0.95 THEN 'val'
         |            ELSE 'test' END AS split
         |FROM h""".stripMargin,
+    // √n rounds to 6-dp decimal BEFORE the total (exact decimal sum),
+    // then one decimal→double division — mirrored op-for-op
+    "q_mixture_weights" ->
+      """WITH c AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |         CAST(ROUND(SQRT(COUNT(*)), 6) AS DECIMAL(18, 6)) AS w
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT SUM(w) AS w_total FROM c)
+        |SELECT source, n_docs,
+        |       CAST(w AS DOUBLE) AS weight,
+        |       ROUND(CAST(w AS DOUBLE) / CAST(w_total AS DOUBLE), 6) AS share
+        |FROM c, t""".stripMargin,
+    // per-dimension [min,max] stats as ordered lists, then the SAME
+    // fold expression as the Spark side (identical op order, x*x not
+    // pow, guarded constant dims) — per-vector errors bit-match
+    "q_quantization_error" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |d AS (
+        |  SELECT r.i AS dim, MIN(e.emb[r.i]) AS mn, MAX(e.emb[r.i]) AS mx
+        |  FROM e CROSS JOIN range(1, 65) r(i) GROUP BY 1),
+        |s AS (SELECT list(mn ORDER BY dim) AS mns, list(mx ORDER BY dim) AS mxs FROM d)
+        |SELECT vec_id, label,
+        |       ROUND(SQRT(list_sum([
+        |         CASE WHEN mxs[i] = mns[i] THEN CAST(0 AS DOUBLE) ELSE
+        |           (emb[i] - (mns[i] + ((LEAST(FLOOR(((emb[i] - mns[i]) / (mxs[i] - mns[i])) * 256.0), 255) + 0.5) * (mxs[i] - mns[i])) / 256.0)) *
+        |           (emb[i] - (mns[i] + ((LEAST(FLOOR(((emb[i] - mns[i]) / (mxs[i] - mns[i])) * 256.0), 255) + 0.5) * (mxs[i] - mns[i])) / 256.0))
+        |         END
+        |         for i in range(1, len(emb) + 1)])), 6) AS q_err
+        |FROM e, s""".stripMargin,
     "q_oov_rate" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),

@@ -560,6 +560,41 @@ object Similarity {
         round(col("cos_raw"), 6).as("cos"))
   }
 
+  /** INT8 EMBEDDING QUANTIZATION AUDIT — per-vector reconstruction
+    * error under 8-bit min-max quantization (the 4× storage cut an
+    * embedding lake takes before ANN indexing): each dimension maps to
+    * a 0..255 code against the corpus per-dimension [min, max] range,
+    * dequantizes to the bucket midpoint, and the vector reports its L2
+    * reconstruction error — the audit that decides whether int8 is
+    * safe for a given corpus before re-encoding petabytes.
+    *
+    * Fully declarative: per-dimension stats are ONE posexplode rollup
+    * (64 rows) re-assembled into ordered arrays IN-PLAN (`array_sort`
+    * of (dim, mn, mx) structs — no driver collect) and broadcast as a
+    * 1-row frame; the error is then a map-side indexed fold. Float
+    * discipline for the exact oracle: mins/maxes are exact float
+    * comparisons; the fold mirrors the DuckDB expression op-for-op
+    * (same division/multiplication order, `x*x` not `pow`, guarded
+    * constant dimensions), so per-vector errors are bit-identical and
+    * round to 6 dp. */
+  def quantizationError(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+      .withColumn("emb", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+    val stats = e.select(posexplode(col("emb")).as(Seq("dim", "x")))
+      .groupBy("dim").agg(min("x").as("mn"), max("x").as("mx"))
+      .agg(expr("array_sort(collect_list(struct(dim, mn, mx)))").as("s"))
+      .select(expr("transform(s, p -> p.mn)").as("mns"),
+        expr("transform(s, p -> p.mx)").as("mxs"))
+    e.crossJoin(broadcast(stats))
+      .select(col("vec_id"), col("label"),
+        round(sqrt(expr(
+          """aggregate(sequence(0, size(emb) - 1), CAST(0 AS DOUBLE), (acc, i) ->
+            |  acc + (CASE WHEN mxs[i] = mns[i] THEN CAST(0 AS DOUBLE) ELSE
+            |    (emb[i] - (mns[i] + ((least(floor(((emb[i] - mns[i]) / (mxs[i] - mns[i])) * 256.0), 255) + 0.5) * (mxs[i] - mns[i])) / 256.0)) *
+            |    (emb[i] - (mns[i] + ((least(floor(((emb[i] - mns[i]) / (mxs[i] - mns[i])) * 256.0), 255) + 0.5) * (mxs[i] - mns[i])) / 256.0))
+            |  END))""".stripMargin)), 6).as("q_err"))
+  }
+
   /** EMBEDDING CORPUS STATS — per-label vector-norm profile (count, L2
     * norm min/max/mean), the sanity pass run before any ANN index build:
     * degenerate (near-zero-norm) or exploding embeddings surface here

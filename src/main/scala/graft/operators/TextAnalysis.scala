@@ -392,6 +392,31 @@ object TextAnalysis {
         (col("n_shared").cast("double") / col("n_shingles")).as("contamination"))
   }
 
+  /** MIXING-TEMPERATURE SOURCE REWEIGHTING — the T5/multilingual-style
+    * α = 0.5 rebalance: a source's sampling weight is √n_s rather than
+    * n_s, lifting small sources and damping the head so no domain
+    * dominates the mixture. Emits per source the raw count, the
+    * temperature weight, and the resulting mixture share — the table a
+    * sampling stage consumes as its rates.
+    *
+    * Float discipline for the exact oracle: √n rounds to a 6-dp DECIMAL
+    * before the total (exact decimal sum, order-independent), and the
+    * share is one decimal→double division mirrored op-for-op — so the
+    * handful of output rows hash-match despite double arithmetic.
+    * Scale: sources are few; everything after the one count rollup is
+    * constant-size. */
+  def mixtureWeights(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val counts = Tables.load(spark, dir, "documents")
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", round(sqrt(col("n_docs")), 6).cast(DecimalType(18, 6)))
+    val total = counts.agg(sum("w").as("w_total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"),
+        col("w").cast("double").as("weight"),
+        round(col("w").cast("double") / col("w_total").cast("double"), 6).as("share"))
+  }
+
   /** DETERMINISTIC TRAIN/VAL/TEST SPLIT — the reproducible assignment a
     * training pipeline needs: each document hashes to a uniform [0,1)
     * coordinate (first 60 bits of md5 over the id — content-independent,

@@ -274,6 +274,34 @@ class CorpusOpsSpec extends SparkSpec {
     o.unpersist()
   }
 
+  test("mixture weights lift small sources and shares sum to 1") {
+    val m = TextAnalysis.mixtureWeights(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3))).toSeq
+    val totalDocs = m.map(_._2).sum.toDouble
+    assert(math.abs(m.map(_._3).sum - 1.0) < 1e-4, s"shares must sum to ~1: $m")
+    // temperature flattening: every below-average source gains share,
+    // every above-average source loses share vs proportional sampling
+    m.foreach { case (src, n, share) =>
+      val prop = n / totalDocs
+      if (prop < 1.0 / m.size) assert(share > prop, s"$src not lifted")
+      if (prop > 1.0 / m.size) assert(share < prop, s"$src not damped")
+    }
+  }
+
+  test("int8 quantization error is small relative to vector norms") {
+    val e = graft.operators.Similarity.quantizationError(spark, sf).cache()
+    assert(e.filter(col("q_err") < 0).count() === 0)
+    val avgErr = e.agg(avg("q_err")).as[Double].head()
+    val avgNorm = graft.operators.Similarity.embeddingStats(spark, sf)
+      .agg(avg("avg_norm")).as[Double].head()
+    // 8-bit midpoint dequantization: per-dim error <= step/2, so the
+    // relative L2 error must sit far below the signal
+    assert(avgErr > 0, "quantization reported zero error — fold inert")
+    assert(avgErr < avgNorm * 0.05,
+      s"avg q_err $avgErr vs avg norm $avgNorm — int8 unsafe?")
+    e.unpersist()
+  }
+
   test("fuzzyCanonical is a total idempotent mapping onto cluster minima") {
     val m = Dedup.fuzzyCanonical(spark, sf).cache()
     val names = Tables.load(spark, sf, "part").select("p_name").distinct()
