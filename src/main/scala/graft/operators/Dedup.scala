@@ -30,14 +30,16 @@ object Dedup {
 
   // ---- MinHash + LSH -------------------------------------------------
 
-  /** Mersenne prime 2^31−1: universal-hash modulus; a·h+b stays in Long. */
-  private val P = 2147483647L
+  /** Mersenne prime 2^31−1: universal-hash modulus; a·h+b stays in Long.
+    * graft-visible (with the perms below) so [[graft.GraftExtensions]]
+    * can expose `minhash_sig` to SQL with the engine's standard basis. */
+  private[graft] val P = 2147483647L
   private val NumPerm = 128
   private val BandRows = 4 // 32 bands × 4 rows: P(miss | j=0.8) ≈ 5e-8
 
   /** Fixed permutation coefficients — seeded, so signatures are stable
     * across sessions/partitionings. */
-  private val (permA, permB) = {
+  private[graft] val (permA, permB) = {
     val rnd = new scala.util.Random(42)
     (Array.fill(NumPerm)(1L + math.abs(rnd.nextLong()) % (P - 1)),
      Array.fill(NumPerm)(math.abs(rnd.nextLong()) % P))

@@ -30,6 +30,25 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getDouble(1) == 11.0)
   }
 
+  test("shingle_hash and minhash_sig are callable from SQL text") {
+    val r = spark.sql(
+      """SELECT shingle_hash(split('a b c d', ' '), 3) AS sh,
+        |       minhash_sig(shingle_hash(split('a b c d', ' '), 3)) AS sig""".stripMargin)
+      .head()
+    assert(r.getSeq[Long](0).length == 2) // 4 tokens → 2 distinct 3-grams
+    assert(r.getSeq[Long](1).length == 128) // engine-standard signature width
+    // SQL-produced signatures must be band-compatible with the Scala
+    // dedup path: same basis → identical signature for identical input
+    import org.apache.spark.sql.functions._
+    val viaScala = spark.range(1)
+      .select(graft.functions.HashExpressions.minhash_sig(
+        graft.functions.HashExpressions.shingle_hash(split(lit("a b c d"), " "), 3),
+        graft.operators.Dedup.permA, graft.operators.Dedup.permB,
+        graft.operators.Dedup.P).as("sig"))
+      .head().getSeq[Long](0)
+    assert(r.getSeq[Long](1) == viaScala)
+  }
+
   test("SessionMemo hits within a session and recomputes across sessions") {
     val m = new SessionMemo[java.lang.Integer]
     var calls = 0
