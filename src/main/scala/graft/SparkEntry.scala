@@ -74,6 +74,7 @@ object SparkEntry {
     // similarity search (north-star extension)
     "q_ann_brute" -> ((s: SparkSession, d: String) => Similarity.bruteTopK(s, d)),
     "q_ann_ivf"   -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
+    "q_ann_ivf_saved" -> ((s: SparkSession, d: String) => Similarity.ivfTopKSaved(s, d)),
     // text analysis (north-star extension)
     "q_text_tokens"      -> TextAnalysis.tokenStats _,
     "q_text_quality"     -> TextAnalysis.qualityScore _,
@@ -94,6 +95,7 @@ object SparkEntry {
     "q_train_split" -> TextAnalysis.trainSplit _,
     "q_oov_rate"    -> ((s: SparkSession, d: String) => TextAnalysis.oovRate(s, d)),
     "q_mixture_weights" -> TextAnalysis.mixtureWeights _,
+    "q_robust_outliers" -> ((s: SparkSession, d: String) => Breadth.robustOutliers(s, d)),
     "q_quantization_error" -> ((s: SparkSession, d: String) => Similarity.quantizationError(s, d)),
     // round 8: corpus preparation operators
     "q_blocklist_scrub" -> ((s: SparkSession, d: String) => TextAnalysis.scrubBlocklist(s, d)),
@@ -1184,6 +1186,30 @@ object SparkEntry {
         |       CAST(len(regexp_extract_all(props, '[0-9]+')) AS INT) AS n_redacted,
         |       regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS redacted
         |FROM events""".stripMargin,
+    // both medians are lower-median ELEMENT selections under a
+    // (value, event_id) total order — data values, no interpolation —
+    // so the z-threshold comparisons replay bit-exactly
+    "q_robust_outliers" ->
+      """WITH e AS (SELECT event_type, event_id, value FROM events),
+        |c AS (SELECT event_type, COUNT(*) AS n FROM e GROUP BY 1),
+        |r AS (SELECT e.*, ROW_NUMBER() OVER (PARTITION BY event_type
+        |                                     ORDER BY value, event_id) AS rn FROM e),
+        |med AS (SELECT r.event_type, r.value AS med
+        |        FROM r JOIN c USING (event_type) WHERE r.rn = (c.n + 1) // 2),
+        |d AS (SELECT e.event_type, e.event_id, e.value, med.med,
+        |             ABS(e.value - med.med) AS dev
+        |      FROM e JOIN med USING (event_type)),
+        |r2 AS (SELECT d.*, ROW_NUMBER() OVER (PARTITION BY event_type
+        |                                      ORDER BY dev, event_id) AS rn FROM d),
+        |mad AS (SELECT r2.event_type, r2.dev AS mad
+        |        FROM r2 JOIN c USING (event_type) WHERE r2.rn = (c.n + 1) // 2)
+        |SELECT d.event_type, COUNT(*) AS n_events,
+        |       ANY_VALUE(d.med) AS med, ANY_VALUE(mad.mad) AS mad,
+        |       CAST(SUM(CASE WHEN mad.mad > 0
+        |                      AND ABS(0.6745 * (d.value - d.med) / mad.mad) > 3.5
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM d JOIN mad USING (event_type)
+        |GROUP BY d.event_type""".stripMargin,
     // md5-prefix fold (same basis as the simhash oracle) → uniform
     // 60-bit coordinate; h/2^60 is IEEE double division of exactly-
     // represented operands in both engines, so the threshold labels are

@@ -333,6 +333,47 @@ object Breadth {
       .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
 
+  /** ROBUST OUTLIER DETECTION (median / MAD) — the data-quality firewall
+    * a telemetry pipeline runs before aggregates trust the feed: per
+    * event type, the median and the median absolute deviation, and the
+    * count of events whose modified z-score |0.6745·(x−med)/MAD|
+    * exceeds `cut` (3.5 = the Iglewicz-Hoaglin convention). Mean/stddev
+    * would let one corrupt burst drag its own threshold; med/MAD have a
+    * 50% breakdown point.
+    *
+    * Exactness discipline: both medians are LOWER-median ELEMENT
+    * SELECTIONS (row_number to (n+1) div 2 under a (value, event_id)
+    * total order) — actual data values, no interpolation arithmetic to
+    * mirror — so the DuckDB oracle is bit-exact, including the z
+    * threshold comparisons on 2-dp inputs. Scale shape: per-type sort
+    * windows (5 types here — at 100 TB the selection swaps for
+    * `percentile_approx` sketches and the z pass is unchanged,
+    * map-side). */
+  def robustOutliers(spark: SparkSession, dir: String, cut: Double = 3.5): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("event_id"), col("value"))
+    val counts = e.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    val med = e.withColumn("rn", row_number().over(w))
+      .join(broadcast(counts), "event_type")
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("event_type"), col("value").as("med"))
+    val dev = e.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("value") - col("med")))
+    val wd = Window.partitionBy("event_type").orderBy(col("dev"), col("event_id"))
+    val mad = dev.withColumn("rn", row_number().over(wd))
+      .join(broadcast(counts), "event_type")
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("event_type"), col("dev").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        first("med").as("med"), first("mad").as("mad"),
+        sum(when(col("mad") > 0 &&
+            abs(lit(0.6745) * (col("value") - col("med")) / col("mad")) > cut, 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
+
   /** RANGE-frame window: per customer, rolling 30-day order spend — the
     * frame is value-based (epoch days), so ties need no tiebreak: every
     * row with the same order date sees the same frame. */

@@ -340,32 +340,63 @@ object Similarity {
       trainFraction: Double = 0.25,
       trainIters: Int = 5): DataFrame = {
     val idx = ivfIndex(spark, dir, nlist, trainFraction, trainIters)
-    val lists = idx.lists
-    val centroids = idx.centroids
-    locally {
-      val probes = lists.filter(col("neighbor_id") < nProbes)
-        .select(col("neighbor_id").as("query_id"), col("unit_c").as("unit_q"))
-      // Rank centroids per probe by squared Euclidean distance — the same
-      // metric KMeans used to assign corpus vectors to lists. ‖q−c‖² =
-      // ‖q‖² + ‖c‖² − 2·q·c and ‖q‖=1 is constant per probe, so rank by
-      // ‖c‖² − 2·dot ascending. (Raw dot desc is NOT equivalent: centroids
-      // are not unit-norm, and max-dot biases toward large-norm centroids.)
-      val wc = Window.partitionBy("query_id").orderBy(col("cdist").asc, col("list_id").asc)
-      val probeLists = probes.crossJoin(broadcast(centroids))
-        .withColumn("cdist", norm2("centroid") - lit(2.0) * dot("unit_q", "centroid"))
-        .withColumn("crnk", row_number().over(wc))
-        .filter(col("crnk") <= nprobe)
-        .select("query_id", "unit_q", "list_id")
-      // Scan only the selected inverted lists.
-      val w = Window.partitionBy("query_id").orderBy(col("cos_raw").desc, col("neighbor_id").asc)
-      probeLists.join(lists, "list_id")
-        .filter(col("query_id") =!= col("neighbor_id"))
-        .withColumn("cos_raw", dot("unit_q", "unit_c"))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= k)
-        .select(col("query_id"), col("neighbor_id"), col("rnk"),
-          round(col("cos_raw"), 6).as("cos"))
-    }
+    ivfSearch(idx.lists, idx.centroids, k, nProbes, nprobe)
+  }
+
+  /** The nprobe-list search over an IVF index, shared by the in-session
+    * ([[ivfTopK]]) and persisted ([[ivfTopKSaved]]) paths — the serving
+    * logic must not depend on where the index frames came from. */
+  private def ivfSearch(
+      lists: DataFrame, centroids: DataFrame,
+      k: Int, nProbes: Int, nprobe: Int): DataFrame = {
+    val probes = lists.filter(col("neighbor_id") < nProbes)
+      .select(col("neighbor_id").as("query_id"), col("unit_c").as("unit_q"))
+    // Rank centroids per probe by squared Euclidean distance — the same
+    // metric KMeans used to assign corpus vectors to lists. ‖q−c‖² =
+    // ‖q‖² + ‖c‖² − 2·q·c and ‖q‖=1 is constant per probe, so rank by
+    // ‖c‖² − 2·dot ascending. (Raw dot desc is NOT equivalent: centroids
+    // are not unit-norm, and max-dot biases toward large-norm centroids.)
+    val wc = Window.partitionBy("query_id").orderBy(col("cdist").asc, col("list_id").asc)
+    val probeLists = probes.crossJoin(broadcast(centroids))
+      .withColumn("cdist", norm2("centroid") - lit(2.0) * dot("unit_q", "centroid"))
+      .withColumn("crnk", row_number().over(wc))
+      .filter(col("crnk") <= nprobe)
+      .select("query_id", "unit_q", "list_id")
+    // Scan only the selected inverted lists.
+    val w = Window.partitionBy("query_id").orderBy(col("cos_raw").desc, col("neighbor_id").asc)
+    probeLists.join(lists, "list_id")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_raw", dot("unit_q", "unit_c"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("cos_raw"), 6).as("cos"))
+  }
+
+  /** IVF INDEX PERSISTENCE — the build-once/serve-forever lifecycle: the
+    * memoized index is written as two parquet tables (inverted lists
+    * partitioned BY list_id — so a served probe's nprobe lists read only
+    * their partition directories, the disk layout mirroring the search's
+    * access pattern — plus the tiny centroid table), read back cold, and
+    * served through the SAME search logic as the in-session path.
+    * Parquet round-trips doubles exactly, so results are IDENTICAL to
+    * [[ivfTopK]] (pinned by spec); rows-only check in the harness. */
+  def ivfTopKSaved(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 5,
+      nProbes: Int = 10,
+      nlist: Int = 16,
+      nprobe: Int = 6): DataFrame = {
+    val idx = ivfIndex(spark, dir, nlist, 0.25, 5)
+    val out = Scale.scratchDir("graft_ivf")
+    idx.lists.write.mode("overwrite")
+      .partitionBy("list_id").parquet(s"$out/lists")
+    idx.centroids.write.mode("overwrite").parquet(s"$out/centroids")
+    ivfSearch(
+      spark.read.parquet(s"$out/lists"),
+      spark.read.parquet(s"$out/centroids"),
+      k, nProbes, nprobe)
   }
 
   /** Product-quantization ANN: 64 dims → `nSub` subspaces, each encoded as

@@ -55,4 +55,21 @@ class SamplingSpec extends SparkSpec {
     val total = Tables.load(spark, sf, "customer").count()
     assert(n > 0 && n <= total)
   }
+
+  test("robust outliers: medians are data values, outliers a strict minority") {
+    import org.apache.spark.sql.functions._
+    val out = graft.operators.Breadth.robustOutliers(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    val ranges = Tables.load(spark, sf, "events").groupBy("event_type")
+      .agg(min("value").as("lo"), max("value").as("hi")).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    out.foreach { case (t, n, med, mad, nOut) =>
+      val (lo, hi) = ranges(t)
+      assert(med >= lo && med <= hi, s"$t median $med outside [$lo, $hi]")
+      assert(mad >= 0, s"$t negative MAD")
+      // a 50%-breakdown estimator can never flag half the data
+      assert(nOut < n / 2, s"$t flagged $nOut of $n")
+    }
+  }
 }

@@ -107,6 +107,15 @@ class SimilaritySpec extends SparkSpec {
     assert(rate >= 0.9, s"IVF/exact prediction agreement = $rate")
   }
 
+  test("persisted IVF index serves identical results to the in-session index") {
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val live = asSet(Similarity.ivfTopK(spark, sf, 5, 10))
+    val saved = asSet(Similarity.ivfTopKSaved(spark, sf, 5, 10))
+    assert(live.nonEmpty)
+    assert(saved == live, s"missing=${live -- saved} extra=${saved -- live}")
+  }
+
   test("IVF hard negatives agree with exact mining on >= 90% of anchors") {
     val exact = Similarity.hardNegatives(spark, sf)
       .select("query_id", "neighbor_id").collect()
