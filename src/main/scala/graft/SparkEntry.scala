@@ -245,6 +245,7 @@ object SparkEntry {
     "q_compaction"         -> ((s: SparkSession, d: String) => Scale.compactionRoundTrip(s, d)),
     "q_schema_evolution"   -> Scale.schemaEvolutionRead _,
     "q_pagerank"           -> ((s: SparkSession, d: String) => Graph.pageRank(s, d)),
+    "q_triangle_count"     -> ((s: SparkSession, d: String) => Graph.triangleCount(s, d)),
     "q_ewma_user"          -> Breadth.ewmaUser _,
     "q_source_mixing"      -> TextAnalysis.sourceMixing _,
     "q_lateral_topn"       -> SqlInterface.lateralTopN _,
@@ -1689,6 +1690,26 @@ object SparkEntry {
         |       FROM und u JOIN r2 r ON u.src = r.node JOIN deg d ON u.src = d.src GROUP BY 1),
         |r3 AS (SELECT node, 150000000 + 85 * csum // 100 AS r FROM c3)
         |SELECT node, r AS rank_fp, CAST(node % 2 = 0 AS INT) AS is_part FROM r3""".stripMargin,
+    // degree-oriented triangle count: all-integer graph invariants;
+    // since edges are canonical a<b, (da,a)<(db,b) reduces to da<=db on
+    // BOTH sides (see Graph.triangleCount)
+    "q_triangle_count" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+        |e AS (SELECT DISTINCT x.p AS a, y.p AS b
+        |      FROM li x JOIN li y ON x.ok = y.ok AND x.p < y.p),
+        |deg AS (SELECT n, COUNT(*) AS d
+        |        FROM (SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e)
+        |        GROUP BY 1),
+        |o AS (SELECT CASE WHEN da.d <= db.d THEN e.a ELSE e.b END AS src,
+        |             CASE WHEN da.d <= db.d THEN e.b ELSE e.a END AS dst
+        |      FROM e JOIN deg da ON da.n = e.a JOIN deg db ON db.n = e.b),
+        |w AS (SELECT e1.dst AS a, e2.dst AS b
+        |      FROM o e1 JOIN o e2 ON e1.src = e2.src AND e1.dst < e2.dst),
+        |t AS (SELECT COUNT(*) AS n_tri FROM w JOIN e USING (a, b))
+        |SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+        |       (SELECT COUNT(*) FROM e) AS n_edges,
+        |       (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+        |       (SELECT n_tri FROM t) AS n_triangles""".stripMargin,
     "q_ewma_user" ->
       """SELECT user_id, COUNT(*) AS n_events,
         |       ROUND(list_reduce(

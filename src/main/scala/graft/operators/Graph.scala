@@ -59,4 +59,50 @@ object Graph {
     ranks.select(col("node"), col("r").as("rank_fp"),
       (col("node") % 2 === 0).cast("int").as("is_part"))
   }
+
+  /** EXACT TRIANGLE COUNT over the part co-purchase graph (edge = two
+    * parts appearing in the same order), with DEGREE-ORDERED ORIENTATION
+    * — the standard trick that makes distributed triangle counting
+    * survive power-law degree distributions: orient every edge from the
+    * lower-(degree, id) endpoint to the higher, so each triangle has a
+    * unique apex (its orientation-minimal vertex) and the wedge join
+    * enumerates each candidate exactly once. Out-degree under this
+    * orientation is O(√m), so the wedge stage is Σ outdeg² ≲ m^1.5
+    * worst-case and near-linear on real graphs — the celebrity node's
+    * wedges are generated at its LOW-degree neighbors, never at the hub
+    * itself, which is what keeps one reducer from melting at 100 TB.
+    *
+    * Edge generation is a self-join co-partitioned on the order key and
+    * bounded by order width (~4 items), not graph size. Everything
+    * downstream is keyed shuffles on node/edge ids (longs); the output
+    * is one row of graph invariants, all integer arithmetic — n_wedges
+    * is Σ d·(d−1)/2 over UNDIRECTED degrees (orientation-independent),
+    * so the DuckDB oracle replays bit-exactly. Because edges are stored
+    * canonically a<b, "(da,a) < (db,b)" reduces to da <= db. */
+  def triangleCount(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+    val edges = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
+      .localCheckpoint(true) // feeds deg, orientation, and the closing join
+    val deg = edges.select(col("a").as("n"))
+      .unionAll(edges.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val oriented = edges
+      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+      .select(when(col("da") <= col("db"), col("a")).otherwise(col("b")).as("src"),
+        when(col("da") <= col("db"), col("b")).otherwise(col("a")).as("dst"))
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.dst").as("a"), col("e2.dst").as("b")) // canonical: join kept dst1 < dst2
+    val tri = wedges.join(edges, Seq("a", "b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val shape = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+    shape.crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"))
+  }
 }

@@ -27,6 +27,28 @@ class GraphSpec extends SparkSpec {
       s"pagerank plan re-scans parquet instead of the checkpointed edges:\n$plan")
   }
 
+  test("degree-oriented triangle count equals the brute-force triple join") {
+    val r = graft.operators.Graph.triangleCount(spark, sf).head()
+    val (nNodes, nEdges, nWedges, nTri) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    // brute force: three-way join over canonical a<b<c edges — the
+    // definition, with no orientation cleverness to share a bug with
+    val li = Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+    val e = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("a"), col("y.p").as("b")).distinct().cache()
+    val brute = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .count()
+    e.unpersist()
+    assert(nTri === brute, s"oriented $nTri vs brute $brute")
+    assert(nTri <= nWedges, "more triangles than wedges")
+    assert(nNodes > 0 && nEdges > 0)
+  }
+
   test("high-degree suppliers outrank parts on average (bipartite shape)") {
     val r = graft.operators.Graph.pageRank(spark, sf)
     val avg = r.groupBy("is_part").agg(
