@@ -96,6 +96,7 @@ object SparkEntry {
     "q_oov_rate"    -> ((s: SparkSession, d: String) => TextAnalysis.oovRate(s, d)),
     "q_mixture_weights" -> TextAnalysis.mixtureWeights _,
     "q_robust_outliers" -> ((s: SparkSession, d: String) => Breadth.robustOutliers(s, d)),
+    "q_frequent_tokens" -> ((s: SparkSession, d: String) => TextAnalysis.frequentTokens(s, d)),
     "q_quantization_error" -> ((s: SparkSession, d: String) => Similarity.quantizationError(s, d)),
     // round 8: corpus preparation operators
     "q_blocklist_scrub" -> ((s: SparkSession, d: String) => TextAnalysis.scrubBlocklist(s, d)),
@@ -1211,6 +1212,18 @@ object SparkEntry {
         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM d JOIN mad USING (event_type)
         |GROUP BY d.event_type""".stripMargin,
+    // heavy hitters: the Misra-Gries candidate pass is partition-
+    // dependent, but the exact freq*k > N verify pass makes the OUTPUT
+    // partition-independent (pigeonhole guarantee) — so a plain GROUP
+    // BY/HAVING replays it (see TextAnalysis.frequentTokens)
+    "q_frequent_tokens" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |n AS (SELECT COUNT(*) AS total FROM toks)
+        |SELECT token, COUNT(*) AS freq,
+        |       ROUND(COUNT(*) / (SELECT total FROM n), 6) AS share
+        |FROM toks GROUP BY 1
+        |HAVING COUNT(*) * 200 > (SELECT total FROM n)""".stripMargin,
     // md5-prefix fold (same basis as the simhash oracle) → uniform
     // 60-bit coordinate; h/2^60 is IEEE double division of exactly-
     // represented operands in both engines, so the threshold labels are

@@ -767,4 +767,55 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
   }
+
+  /** FREQUENT TOKENS via bounded-memory two-pass (Misra-Gries candidates
+    * + exact verify) — the heavy-hitter pattern for a corpus whose
+    * DISTINCT vocabulary doesn't fit anywhere: pass 1 runs a k-counter
+    * Misra-Gries sketch per partition (mapPartitions, O(k) memory, NO
+    * shuffle of the long tail — the billions of rare tokens die in their
+    * partition), pass 2 broadcast-semi-joins the ≤ k·nPartitions
+    * candidates back and exact-counts ONLY them.
+    *
+    * Determinism: the per-partition candidate sets depend on partition
+    * boundaries, but the FINAL answer does not — MG's pigeonhole
+    * guarantee (a token with global freq > N/k must exceed the local
+    * n_p/k threshold in at least one partition, so it survives that
+    * partition's sketch) makes the candidate set a superset of the true
+    * heavy hitters under ANY partitioning, and the exact pass-2 filter
+    * `freq·k > N` cuts it back to exactly {token : freq > N/k}. Hence a
+    * plain GROUP BY/HAVING DuckDB oracle replays it bit-exactly even
+    * though the intermediate sketch is partition-dependent.
+    *
+    * The one mapPartitions in this codebase earns its place: Misra-Gries'
+    * decrement step is genuinely imperative per-partition state that no
+    * relational operator expresses without shuffling the full token
+    * stream first — which is the exact cost this operator exists to
+    * avoid. */
+  def frequentTokens(spark: SparkSession, dir: String, k: Int = 200): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.load(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+    val total = toks.agg(count(lit(1)).as("total"))
+    val candidates = toks.select("token").as[String].mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { t =>
+        counters.get(t) match {
+          case Some(c) => counters(t) = c + 1
+          case None if counters.size < k => counters(t) = 1L
+          case None => // decrement-all: kills one unit of every counter
+            counters.keys.toArray.foreach { key =>
+              val c = counters(key)
+              if (c == 1L) counters.remove(key) else counters(key) = c - 1
+            }
+        }
+      }
+      counters.keysIterator
+    }.toDF("token").distinct()
+    toks.join(broadcast(candidates), Seq("token"), "left_semi")
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .crossJoin(broadcast(total))
+      .filter(col("freq") * k > col("total"))
+      .select(col("token"), col("freq"),
+        round(col("freq") / col("total"), 6).as("share"))
+  }
 }

@@ -302,6 +302,26 @@ class CorpusOpsSpec extends SparkSpec {
     e.unpersist()
   }
 
+  test("frequentTokens output is partition-independent and exactly freq*k > N") {
+    import org.apache.spark.sql.functions._
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val out = asMap(graft.operators.TextAnalysis.frequentTokens(spark, sf))
+    assert(out.nonEmpty, "no heavy hitters at k=200 — threshold inert")
+    // ground truth from the definition: plain groupBy + threshold, no
+    // sketch involved (pins the MG pigeonhole superset guarantee)
+    val toks = Tables.load(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("token")).cache()
+    val n = toks.count()
+    val truth = toks.groupBy("token").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") * 200 > n)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    toks.unpersist()
+    assert(out.keySet === truth.keySet,
+      s"missing=${truth.keySet -- out.keySet} extra=${out.keySet -- truth.keySet}")
+    out.foreach { case (t, (f, _)) => assert(f === truth(t), s"$t count $f") }
+  }
+
   test("fuzzyCanonical is a total idempotent mapping onto cluster minima") {
     val m = Dedup.fuzzyCanonical(spark, sf).cache()
     val names = Tables.load(spark, sf, "part").select("p_name").distinct()
