@@ -97,6 +97,7 @@ object SparkEntry {
     "q_mixture_weights" -> TextAnalysis.mixtureWeights _,
     "q_robust_outliers" -> ((s: SparkSession, d: String) => Breadth.robustOutliers(s, d)),
     "q_frequent_tokens" -> ((s: SparkSession, d: String) => TextAnalysis.frequentTokens(s, d)),
+    "q_length_deciles"  -> ((s: SparkSession, d: String) => TextAnalysis.lengthDeciles(s, d)),
     "q_quantization_error" -> ((s: SparkSession, d: String) => Similarity.quantizationError(s, d)),
     // round 8: corpus preparation operators
     "q_blocklist_scrub" -> ((s: SparkSession, d: String) => TextAnalysis.scrubBlocklist(s, d)),
@@ -1212,6 +1213,19 @@ object SparkEntry {
         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM d JOIN mad USING (event_type)
         |GROUP BY d.event_type""".stripMargin,
+    // exact NTILE(10) computed sort-free in Spark (histogram-decomposed
+    // global rank); the oracle is DuckDB's native NTILE — an independent
+    // implementation validating the whole decomposition
+    "q_length_deciles" ->
+      """WITH d AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents),
+        |b AS (SELECT doc_id, n_tok,
+        |             NTILE(10) OVER (ORDER BY n_tok, doc_id) AS decile FROM d)
+        |SELECT CAST(decile AS INT) AS decile, COUNT(*) AS n_docs,
+        |       CAST(MIN(n_tok) AS INT) AS min_len,
+        |       CAST(MAX(n_tok) AS INT) AS max_len,
+        |       MIN(doc_id) AS first_doc
+        |FROM b GROUP BY 1""".stripMargin,
     // heavy hitters: the Misra-Gries candidate pass is partition-
     // dependent, but the exact freq*k > N verify pass makes the OUTPUT
     // partition-independent (pigeonhole guarantee) — so a plain GROUP

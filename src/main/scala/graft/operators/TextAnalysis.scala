@@ -768,6 +768,48 @@ object TextAnalysis {
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
   }
 
+  /** LENGTH-DECILE BINNING (curriculum buckets) — exact global NTILE(10)
+    * over (doc length, doc_id) WITHOUT the global sort that naive
+    * `Window.orderBy` would plan (one task holding the corpus — the
+    * 100 TB mistake). Global rank decomposes into:
+    *   rank = (# docs with shorter length) + (row_number among equals)
+    * where the first term comes from a cumulative sum over the LENGTH
+    * HISTOGRAM (distinct lengths — hundreds of rows, the one bounded
+    * single-partition window here) broadcast back, and the second from a
+    * window partitioned by length (distributed, no hot key at corpus
+    * scale where lengths spread). The NTILE bin is then closed-form
+    * integer arithmetic on the rank: the first N%10 bins take
+    * ceil(N/10) rows. DuckDB's plain `NTILE(10) OVER (ORDER BY ...)` is
+    * the independent oracle for the whole decomposition. */
+  def lengthDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tok"))
+    val hist = d.groupBy("n_tok").agg(count(lit(1)).as("cnt"))
+    val wh = org.apache.spark.sql.expressions.Window
+      .orderBy("n_tok")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cum = hist.withColumn("cum_before", coalesce(sum("cnt").over(wh), lit(0L)))
+      .select("n_tok", "cum_before")
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy("n_tok").orderBy("doc_id")
+    val n = d.agg(count(lit(1)).as("n_total"))
+    d.withColumn("rk_in", row_number().over(wr))
+      .join(broadcast(cum), "n_tok")
+      .crossJoin(broadcast(n))
+      .withColumn("r", col("cum_before") + col("rk_in"))
+      .withColumn("q", expr("n_total div 10"))
+      .withColumn("m", expr("n_total % 10"))
+      .withColumn("decile",
+        when(col("r") <= col("m") * (col("q") + 1),
+          expr("(r - 1) div (q + 1) + 1"))
+          .otherwise(expr("m + (r - m * (q + 1) - 1) div q + 1"))
+          .cast("int"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+        min("n_tok").as("min_len"), max("n_tok").as("max_len"),
+        min("doc_id").as("first_doc"))
+  }
+
   /** FREQUENT TOKENS via bounded-memory two-pass (Misra-Gries candidates
     * + exact verify) — the heavy-hitter pattern for a corpus whose
     * DISTINCT vocabulary doesn't fit anywhere: pass 1 runs a k-counter

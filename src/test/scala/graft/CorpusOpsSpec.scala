@@ -322,6 +322,22 @@ class CorpusOpsSpec extends SparkSpec {
     out.foreach { case (t, (f, _)) => assert(f === truth(t), s"$t count $f") }
   }
 
+  test("sort-free length deciles equal the naive global-sort NTILE") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val fast = graft.operators.TextAnalysis.lengthDeciles(spark, sf)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4))).toMap
+    val naive = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tok"))
+      .withColumn("decile", ntile(10).over(Window.orderBy(col("n_tok"), col("doc_id"))))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"), min("n_tok").as("min_len"),
+        max("n_tok").as("max_len"), min("doc_id").as("first_doc"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4))).toMap
+    assert(fast.keySet === (1 to 10).toSet, s"deciles = ${fast.keySet}")
+    assert(fast === naive)
+  }
+
   test("fuzzyCanonical is a total idempotent mapping onto cluster minima") {
     val m = Dedup.fuzzyCanonical(spark, sf).cache()
     val names = Tables.load(spark, sf, "part").select("p_name").distinct()
