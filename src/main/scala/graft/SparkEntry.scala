@@ -180,6 +180,7 @@ object SparkEntry {
     "q_tfidf_terms"     -> ((s: SparkSession, d: String) => TextAnalysis.tfidfTerms(s, d)),
     "q_tfidf_features"  -> ((s: SparkSession, d: String) => TextAnalysis.tfidfFeatures(s, d)),
     "q_stream_stream_join" -> graft.streaming.EventsStream.clickAttribution _,
+    "q_stream_stream_outer" -> graft.streaming.EventsStream.clickAttributionOuter _,
     "q_bloom_join"      -> Scale.bloomPrunedJoin _,
     "q_merge_upsert"    -> Scale.mergeUpsert _,
     "q_hybrid_search"   -> ((s: SparkSession, d: String) => Similarity.hybridSearch(s, d)),
@@ -1533,6 +1534,18 @@ object SparkEntry {
         |       p.tsu - c.tsu AS lag_us
         |FROM e c JOIN e p ON c.user_id = p.user_id
         |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND p.tsu >= c.tsu AND p.tsu <= c.tsu + 1800000000""".stripMargin,
+    // left-outer stream-stream join: the sentinel pair (filtered out)
+    // drives the watermark past every real click's window, so the
+    // streaming result is COMPLETE and the batch LEFT JOIN replays it
+    "q_stream_stream_outer" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tsu, event_type FROM events),
+        |c AS (SELECT user_id, event_id, tsu FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id, tsu FROM e WHERE event_type = 'purchase')
+        |SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        |       p.tsu - c.tsu AS lag_us
+        |FROM c LEFT JOIN p ON c.user_id = p.user_id
         |  AND p.tsu >= c.tsu AND p.tsu <= c.tsu + 1800000000""".stripMargin,
     "q_bloom_join" ->
       """SELECT o.o_orderpriority, COUNT(*) AS n_items,

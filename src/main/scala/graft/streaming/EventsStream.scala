@@ -371,6 +371,61 @@ object EventsStream {
     }
   }
 
+  /** STREAM-STREAM LEFT-OUTER JOIN — attribution where clicks with NO
+    * purchase in the 30-minute window must still emit, null-extended.
+    * This is the variant that exercises watermark-driven state EVICTION:
+    * an unmatched click may only be released once the watermark proves no
+    * matching purchase can still arrive, so result completeness is a
+    * property of watermark advancement, not just of input exhaustion.
+    *
+    * A finite file stream's watermark stops at max(event time) − delay,
+    * which would strand the last hour's unmatched clicks in state
+    * forever. The fix mirrors what a production pipeline's heartbeat
+    * topic does: the source is copied to a scratch dir plus one sentinel
+    * click/purchase pair 3 hours past the end (event_id −1, filtered
+    * from the output), driving the final watermark past every real
+    * click's eligibility window — Spark's trailing no-data micro-batch
+    * then flushes the outer state, so the memory sink holds the COMPLETE
+    * outer result and the batch LEFT JOIN oracle replays it exactly. */
+  def clickAttributionOuter(spark: SparkSession, dir: String): DataFrame =
+    withStreamPartitions(spark, 8) {
+      val raw = spark.read.schema(Tables.events)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val maxTs = raw.agg(max("ts")).head().getLong(0)
+      val scratch = graft.operators.Scale.scratchDir("graft_outer_src")
+      raw.write.mode("overwrite").parquet(scratch)
+      val cols = raw.columns.map(col)
+      val sentinel = spark.range(1).select(
+          lit(-1L).as("event_id"), lit(maxTs + 10800000000000L).as("ts"),
+          lit(-1L).as("user_id"), lit("click").as("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props"))
+      sentinel.select(cols: _*)
+        .union(sentinel.withColumn("event_type", lit("purchase")).select(cols: _*))
+        .write.mode("append").parquet(scratch)
+      val src = spark.readStream.schema(raw.schema).parquet(scratch)
+        .withColumn("tsn", timestamp_micros(expr("ts div 1000")))
+      val clicks = src.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("tsn").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val buys = src.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+          col("tsn").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = clicks.join(buys,
+          col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"),
+          "leftOuter")
+        .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"),
+          (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
+      val name = s"stream_outer_${System.nanoTime()}"
+      val q = joined.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(name).filter(col("click_id") =!= -1L)
+    }
+
   /** RESTARTABLE checkpointed aggregation — the exactly-once-across-
     * restart surface a production pipeline leans on. Starts (or RESUMES,
     * if `ckptDir` already holds offsets + state) a file-source stream over
