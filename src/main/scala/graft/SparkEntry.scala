@@ -98,6 +98,8 @@ object SparkEntry {
     "q_robust_outliers" -> ((s: SparkSession, d: String) => Breadth.robustOutliers(s, d)),
     "q_frequent_tokens" -> ((s: SparkSession, d: String) => TextAnalysis.frequentTokens(s, d)),
     "q_length_deciles"  -> ((s: SparkSession, d: String) => TextAnalysis.lengthDeciles(s, d)),
+    "q_source_caps"     -> ((s: SparkSession, d: String) => TextAnalysis.sourceCaps(s, d)),
+    "q_funnel_steps"    -> ((s: SparkSession, d: String) => Breadth.funnelSteps(s, d)),
     "q_quantization_error" -> ((s: SparkSession, d: String) => Similarity.quantizationError(s, d)),
     // round 8: corpus preparation operators
     "q_blocklist_scrub" -> ((s: SparkSession, d: String) => TextAnalysis.scrubBlocklist(s, d)),
@@ -1214,6 +1216,36 @@ object SparkEntry {
         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM d JOIN mad USING (event_type)
         |GROUP BY d.event_type""".stripMargin,
+    "q_source_caps" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |         (doc_id * 2654435761) % 4294967296 AS hash_val
+        |  FROM documents),
+        |r AS (SELECT source, doc_id,
+        |             CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |                  ORDER BY hash_val, doc_id) AS INT) AS rk FROM h)
+        |SELECT source, doc_id, rk FROM r WHERE rk <= 20""".stripMargin,
+    // cascaded conditional aggregation: step k = min event time of the
+    // step-k type strictly after step k-1 (see Breadth.funnelSteps)
+    "q_funnel_steps" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),
+        |s1 AS (SELECT user_id,
+        |              MIN(CASE WHEN event_type = 'click' THEN tsu END) AS t1
+        |       FROM e GROUP BY 1 HAVING t1 IS NOT NULL),
+        |s2 AS (SELECT e.user_id, s1.t1,
+        |              MIN(CASE WHEN e.event_type = 'view' AND e.tsu > s1.t1
+        |                       THEN e.tsu END) AS t2
+        |       FROM e JOIN s1 USING (user_id) GROUP BY 1, 2),
+        |s3 AS (SELECT e.user_id, s2.t1, s2.t2,
+        |              MIN(CASE WHEN e.event_type = 'purchase' AND e.tsu > s2.t2
+        |                       THEN e.tsu END) AS t3
+        |       FROM e JOIN s2 USING (user_id) GROUP BY 1, 2, 3),
+        |c AS (SELECT COUNT(t1) AS n_click, COUNT(t2) AS n_click_view,
+        |             COUNT(t3) AS n_click_view_purchase FROM s3)
+        |SELECT ROUND(n_click_view / n_click, 6) AS view_rate,
+        |       ROUND(n_click_view_purchase / n_click, 6) AS purchase_rate,
+        |       n_click, n_click_view, n_click_view_purchase
+        |FROM c""".stripMargin,
     // exact NTILE(10) computed sort-free in Spark (histogram-decomposed
     // global rank); the oracle is DuckDB's native NTILE — an independent
     // implementation validating the whole decomposition

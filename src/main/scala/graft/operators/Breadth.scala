@@ -374,6 +374,40 @@ object Breadth {
           .otherwise(0L)).as("n_outliers"))
   }
 
+  /** SEQUENTIAL FUNNEL (click → view → purchase, strictly ordered in
+    * time per user) — the MATCH_RECOGNIZE-style pattern query, expressed
+    * as CASCADED CONDITIONAL AGGREGATION instead of a per-user
+    * event-sequence scan: step k's timestamp is min(ts of step-k events
+    * AFTER the user's step-(k−1) timestamp). Each stage is one
+    * groupBy(user) — map-side combinable, all three shuffles on the same
+    * key (co-partitioned after the first), no window over event history
+    * and no state machine. Only timestamps flow between stages, so ties
+    * need no break: min(ts) is deterministic under duplicates. Output:
+    * one row of survivor counts + conversion rates — funnel analysis at
+    * corpus scale as three skinny aggregations. */
+  def funnelSteps(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tsu"))
+    val s1 = e.groupBy("user_id")
+      .agg(min(when(col("event_type") === "click", col("tsu"))).as("t1"))
+      .filter(col("t1").isNotNull)
+    val s2 = e.join(s1, "user_id")
+      .groupBy("user_id", "t1")
+      .agg(min(when(col("event_type") === "view" && col("tsu") > col("t1"),
+        col("tsu"))).as("t2"))
+    val s3 = e.join(s2, "user_id")
+      .groupBy("user_id", "t1", "t2")
+      .agg(min(when(col("event_type") === "purchase" && col("tsu") > col("t2"),
+        col("tsu"))).as("t3"))
+    s3.agg(count(col("t1")).as("n_click"),
+        count(col("t2")).as("n_click_view"),
+        count(col("t3")).as("n_click_view_purchase"))
+      .select(
+        round(col("n_click_view") / col("n_click"), 6).as("view_rate"),
+        round(col("n_click_view_purchase") / col("n_click"), 6).as("purchase_rate"),
+        col("n_click"), col("n_click_view"), col("n_click_view_purchase"))
+  }
+
   /** RANGE-frame window: per customer, rolling 30-day order spend — the
     * frame is value-based (epoch days), so ties need no tiebreak: every
     * row with the same order date sees the same frame. */

@@ -768,6 +768,28 @@ object TextAnalysis {
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
   }
 
+  /** PER-SOURCE QUOTA CAP — the anti-spam guard a corpus pipeline runs
+    * before mixing: no source (domain) may contribute more than `cap`
+    * documents, and WHICH documents survive must be a property of the
+    * data, not of partition order — so the keep-rank is a deterministic
+    * Knuth-multiplicative hash of doc_id (an unseeded uniform shuffle
+    * both engines compute identically), not sample() or monotonic ids.
+    * One window partitioned by source; a viral domain costs one fat
+    * window partition, not a hot shuffle key (row_number needs no full
+    * sort buffer — rank-k cutoff could swap in at 100 TB via the same
+    * hash with a per-source count-min threshold). */
+  def sourceCaps(spark: SparkSession, dir: String, cap: Int = 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
+      .orderBy(col("hash_val"), col("doc_id"))
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        expr("(doc_id * 2654435761) % 4294967296").as("hash_val"))
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= cap)
+      .select(col("source"), col("doc_id"), col("rk"))
+  }
+
   /** LENGTH-DECILE BINNING (curriculum buckets) — exact global NTILE(10)
     * over (doc length, doc_id) WITHOUT the global sort that naive
     * `Window.orderBy` would plan (one task holding the corpus — the
