@@ -1777,11 +1777,13 @@ object SparkEntry {
         |      FROM e JOIN deg da ON da.n = e.a JOIN deg db ON db.n = e.b),
         |w AS (SELECT e1.dst AS a, e2.dst AS b
         |      FROM o e1 JOIN o e2 ON e1.src = e2.src AND e1.dst < e2.dst),
-        |t AS (SELECT COUNT(*) AS n_tri FROM w JOIN e USING (a, b))
-        |SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
-        |       (SELECT COUNT(*) FROM e) AS n_edges,
-        |       (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
-        |       (SELECT n_tri FROM t) AS n_triangles""".stripMargin,
+        |t AS (SELECT COUNT(*) AS n_tri FROM w JOIN e USING (a, b)),
+        |shape AS (SELECT COUNT(*) AS n_nodes,
+        |                 CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+        |          FROM deg),
+        |ec AS (SELECT COUNT(*) AS n_edges FROM e)
+        |SELECT shape.n_nodes, ec.n_edges, shape.n_wedges, t.n_tri AS n_triangles
+        |FROM shape CROSS JOIN ec CROSS JOIN t""".stripMargin,
     "q_ewma_user" ->
       """SELECT user_id, COUNT(*) AS n_events,
         |       ROUND(list_reduce(

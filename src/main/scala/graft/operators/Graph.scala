@@ -86,14 +86,20 @@ object Graph {
         col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
       .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
       .localCheckpoint(true) // feeds deg, orientation, and the closing join
+    // deg feeds two orientation joins + the shape rollup, oriented feeds
+    // both sides of the wedge self-join: materialized once each, or the
+    // plan re-shuffles the full edge set per consumer (3x / 2x) — the
+    // same loop-lineage discipline as pageRank's und/deg.
     val deg = edges.select(col("a").as("n"))
       .unionAll(edges.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
     val oriented = edges
       .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
       .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
       .select(when(col("da") <= col("db"), col("a")).otherwise(col("b")).as("src"),
         when(col("da") <= col("db"), col("b")).otherwise(col("a")).as("dst"))
+      .localCheckpoint(true)
     val wedges = oriented.as("e1").join(oriented.as("e2"),
         col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
       .select(col("e1.dst").as("a"), col("e2.dst").as("b")) // canonical: join kept dst1 < dst2
