@@ -100,6 +100,8 @@ object SparkEntry {
     "q_length_deciles"  -> ((s: SparkSession, d: String) => TextAnalysis.lengthDeciles(s, d)),
     "q_source_caps"     -> ((s: SparkSession, d: String) => TextAnalysis.sourceCaps(s, d)),
     "q_funnel_steps"    -> ((s: SparkSession, d: String) => Breadth.funnelSteps(s, d)),
+    "q_debounce"        -> ((s: SparkSession, d: String) => Breadth.debounce(s, d)),
+    "q_cdc_apply"       -> Scale.cdcApply _,
     "q_quantization_error" -> ((s: SparkSession, d: String) => Similarity.quantizationError(s, d)),
     // round 8: corpus preparation operators
     "q_blocklist_scrub" -> ((s: SparkSession, d: String) => TextAnalysis.scrubBlocklist(s, d)),
@@ -1216,6 +1218,39 @@ object SparkEntry {
         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM d JOIN mad USING (event_type)
         |GROUP BY d.event_type""".stripMargin,
+    "q_debounce" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tsu
+        |           FROM events),
+        |l AS (SELECT event_id, user_id, event_type, tsu,
+        |             LAG(tsu) OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY tsu, event_id) AS prev_tsu
+        |      FROM e)
+        |SELECT event_id, user_id, event_type, tsu - prev_tsu AS gap_us
+        |FROM l WHERE prev_tsu IS NULL OR tsu - prev_tsu > 3600000000""".stripMargin,
+    // latest-wins changelog compaction with tombstones: row_number over
+    // (key, seq desc) then one full-outer merge (see Scale.cdcApply)
+    "q_cdc_apply" ->
+      """WITH feed AS (
+        |  SELECT o_custkey AS custkey, o_orderkey AS seq,
+        |         CASE WHEN o_orderkey % 19 = 0 THEN 'D' ELSE 'U' END AS op,
+        |         o_totalprice AS new_val
+        |  FROM orders),
+        |log AS (SELECT * FROM feed
+        |        UNION ALL
+        |        SELECT -custkey, seq, op, new_val FROM feed WHERE custkey % 100 = 0),
+        |latest AS (
+        |  SELECT custkey, op, new_val,
+        |         ROW_NUMBER() OVER (PARTITION BY custkey ORDER BY seq DESC) AS rn
+        |  FROM log),
+        |l1 AS (SELECT custkey, op, new_val FROM latest WHERE rn = 1),
+        |t AS (SELECT c_custkey AS custkey, c_acctbal AS old_bal FROM customer)
+        |SELECT COALESCE(t.custkey, l1.custkey) AS custkey,
+        |       CASE WHEN l1.op IS NULL THEN 'keep'
+        |            WHEN t.old_bal IS NULL THEN 'insert'
+        |            ELSE 'update' END AS action,
+        |       COALESCE(l1.new_val, t.old_bal) AS bal
+        |FROM t FULL OUTER JOIN l1 ON t.custkey = l1.custkey
+        |WHERE l1.op IS NULL OR l1.op <> 'D'""".stripMargin,
     "q_source_caps" ->
       """WITH h AS (
         |  SELECT doc_id, source,

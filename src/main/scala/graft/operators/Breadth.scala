@@ -374,6 +374,28 @@ object Breadth {
           .otherwise(0L)).as("n_outliers"))
   }
 
+  /** EVENT DEBOUNCE — suppress repeats of the same (user, event type)
+    * arriving within `cooldownMin` of the PREVIOUS event of that key:
+    * the gap filter an alerting/telemetry feed runs before fan-out.
+    * One lag window per (user_id, event_type) — distributed, keyed
+    * shuffle only, integer microsecond arithmetic end-to-end so the
+    * oracle replays exactly. (This is previous-event debounce, the
+    * relational formulation; anchor-to-last-KEPT debounce is a running
+    * state machine — that variant lives in streaming as
+    * mapGroupsWithState, cf. EventsStream.sessionize.) */
+  def debounce(spark: SparkSession, dir: String, cooldownMin: Int = 60): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("tsu"), col("event_id"))
+    Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tsu"))
+      .withColumn("prev_tsu", lag("tsu", 1).over(w))
+      .filter(col("prev_tsu").isNull ||
+        col("tsu") - col("prev_tsu") > cooldownMin * 60000000L)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        (col("tsu") - col("prev_tsu")).as("gap_us"))
+  }
+
   /** SEQUENTIAL FUNNEL (click → view → purchase, strictly ordered in
     * time per user) — the MATCH_RECOGNIZE-style pattern query, expressed
     * as CASCADED CONDITIONAL AGGREGATION instead of a per-user

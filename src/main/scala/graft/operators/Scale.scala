@@ -611,6 +611,42 @@ object Scale {
         coalesce(col("new_bal"), col("old_bal")).as("merged_bal"))
   }
 
+  /** CDC CHANGELOG APPLY — the compaction a table format runs on a
+    * Debezium-style feed: (key, seq, op∈{U,D}, value) where multiple
+    * changes per key arrive and only the LATEST (by sequence) may win;
+    * a winning D is a TOMBSTONE that deletes the key from the target.
+    * This is [[mergeUpsert]]'s missing half: upsert merges assume one
+    * change per key and no deletes — real changelogs guarantee neither.
+    *
+    * Shape: latest-per-key is row_number over (key ORDER BY seq DESC)
+    * — per-key window, distributed, then ONE full-outer join on the
+    * key. Changelog synthesized deterministically from orders (seq =
+    * o_orderkey, every 19th a delete, every 100th key negated as an
+    * insert batch); all comparisons integer, values pass through
+    * un-arithmetic'd → bit-exact oracle. */
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val target = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").as("custkey"), col("c_acctbal").as("old_bal"))
+    val feed = Tables.load(spark, dir, "orders")
+      .select(col("o_custkey").as("custkey"), col("o_orderkey").as("seq"),
+        when(col("o_orderkey") % 19 === 0, "D").otherwise("U").as("op"),
+        col("o_totalprice").as("new_val"))
+    val log = feed.unionAll(
+      feed.filter(col("custkey") % 100 === 0)
+        .select((-col("custkey")).as("custkey"), col("seq"), col("op"), col("new_val")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("custkey").orderBy(col("seq").desc)
+    val latest = log.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    target.join(latest, Seq("custkey"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D") // tombstones delete
+      .select(col("custkey"),
+        when(col("op").isNull, "keep")
+          .when(col("old_bal").isNull, "insert")
+          .otherwise("update").as("action"),
+        coalesce(col("new_val"), col("old_bal")).as("bal"))
+  }
+
   /** Run `body` with the given SQL confs set, restoring previous values
     * after — the conf-hygiene analog of [[graft.Tables.withCached]]. */
   private def withConfs[T](spark: SparkSession, confs: (String, String)*)(body: => T): T = {
