@@ -31,7 +31,8 @@ object ScaleBench {
   private val Queries = Seq(
     "q_dedup_minhash", "q_dedup_ngram_prefix", "q_ann_ivf",
     "q_pagerank", "q_sessionize_batch",
-    "q_dedup_incremental", "q_hot_shingles", "q_stream_dedup_incremental")
+    "q_dedup_incremental", "q_hot_shingles", "q_stream_dedup_incremental",
+    "q_triangle_count", "q_funnel_steps")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
