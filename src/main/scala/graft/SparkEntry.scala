@@ -112,6 +112,7 @@ object SparkEntry {
     "q_token_budget"    -> ((s: SparkSession, d: String) => TextAnalysis.tokenBudget(s, d)),
     "q_dedup_rep"       -> ((s: SparkSession, d: String) => Dedup.dedupRepresentative(s, d)),
     "q_embedding_stats" -> Similarity.embeddingStats _,
+    "q_label_centroids" -> ((s: SparkSession, d: String) => Similarity.labelCentroids(s, d)),
     "q_dup_spans"       -> ((s: SparkSession, d: String) => Dedup.duplicatedSpans(s, d)),
     "q_hard_negatives"  -> ((s: SparkSession, d: String) => Similarity.hardNegatives(s, d)),
     "q_hard_negatives_ivf" -> ((s: SparkSession, d: String) => Similarity.hardNegativesIvf(s, d)),
@@ -1480,6 +1481,32 @@ object SparkEntry {
         |SELECT query_id, true_label, neighbor_id, nbr_label,
         |       ROUND(cos_raw, 6) AS cos
         |FROM ranked WHERE rnk = 1""".stripMargin,
+    // decimal-sum discipline end to end: cross-row sums are exact
+    // DECIMAL(18,6) of 6-dp-rounded values, cross-dim sums are fixed
+    // index-order folds — no order-dependent float reduction anywhere
+    "q_label_centroids" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |         list_transform(embedding, x -> ROUND(CAST(x AS DOUBLE), 6)) AS e6
+        |  FROM embeddings),
+        |x AS (SELECT label, unnest(e6) AS v,
+        |             unnest(range(0, len(e6))) AS pos FROM e),
+        |c AS (SELECT label, pos, SUM(CAST(v AS DECIMAL(18,6))) AS s,
+        |             COUNT(*) AS n
+        |      FROM x GROUP BY 1, 2),
+        |cent AS (SELECT label, list(CAST(s AS DOUBLE) / n ORDER BY pos) AS centroid
+        |         FROM c GROUP BY 1),
+        |d AS (SELECT e.label,
+        |             ROUND(list_reduce(
+        |               list_prepend(CAST(0.0 AS DOUBLE),
+        |                 list_transform(range(1, len(e.e6) + 1),
+        |                   i -> (e.e6[i] - cent.centroid[i]) * (e.e6[i] - cent.centroid[i]))),
+        |               (a, t) -> a + t), 6) AS d2
+        |      FROM e JOIN cent USING (label))
+        |SELECT label, COUNT(*) AS n_vecs,
+        |       ROUND(CAST(SUM(CAST(d2 AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_dist2,
+        |       MIN(d2) AS min_dist2, MAX(d2) AS max_dist2
+        |FROM d GROUP BY 1""".stripMargin,
     "q_embedding_stats" ->
       """WITH n AS (
         |  SELECT label,

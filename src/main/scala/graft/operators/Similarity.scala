@@ -643,4 +643,43 @@ object Similarity {
         min("nrm").as("min_norm"),
         max("nrm").as("max_norm"),
         round(avg("nrm"), 6).as("avg_norm"))
+
+  /** PER-LABEL CENTROIDS + INTRA-CLASS COMPACTNESS — the embedding-space
+    * diagnostic run before trusting labels for contrastive training: the
+    * exact per-label mean vector, and each class's spread around it
+    * (mean/min/max squared distance to own centroid). A label whose
+    * compactness explodes is mislabeled or multi-modal.
+    *
+    * EXACT ORACLE for float reductions — the decimal-sum discipline,
+    * end to end: every cross-ROW sum (per-dim centroid sums via
+    * posexplode, and the distance rollup) runs over DECIMAL(18,6) of
+    * 6-dp-rounded values — exact and ORDER-INDEPENDENT, so partitioning
+    * cannot move a ulp; every cross-DIM sum (the squared distance) is an
+    * `aggregate` fold in fixed array-index order — both engines execute
+    * the identical IEEE sequence. Division happens once, double ÷ count,
+    * after the sums are exact. Scale shape: the 64x posexplode feeds one
+    * (label, pos)-keyed agg with map-side partials; centroids (labels x
+    * dims rows) broadcast back; the distance pass is map-side. */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val emb = Tables.load(spark, dir, "embeddings")
+      .withColumn("e6", expr("transform(embedding, x -> round(CAST(x AS DOUBLE), 6))"))
+    val cent = emb.select(col("label"), posexplode(col("e6")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(sum(col("v").cast(DecimalType(18, 6))).as("s"), count(lit(1)).as("n"))
+      .withColumn("mu", col("s").cast("double") / col("n"))
+      .groupBy("label")
+      .agg(expr("transform(sort_array(collect_list(struct(pos, mu))), p -> p.mu)")
+        .as("centroid"))
+    emb.join(broadcast(cent), "label")
+      .withColumn("d2", round(expr(
+        "aggregate(zip_with(e6, centroid, (x, c) -> (x - c) * (x - c)), " +
+          "CAST(0.0 AS DOUBLE), (a, t) -> a + t)"), 6))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("d2").cast(DecimalType(18, 6))).cast("double") / count(lit(1)), 6)
+          .as("avg_dist2"),
+        min("d2").as("min_dist2"),
+        max("d2").as("max_dist2"))
+  }
 }
