@@ -102,6 +102,8 @@ object SparkEntry {
     "q_funnel_steps"    -> ((s: SparkSession, d: String) => Breadth.funnelSteps(s, d)),
     "q_debounce"        -> ((s: SparkSession, d: String) => Breadth.debounce(s, d)),
     "q_cdc_apply"       -> Scale.cdcApply _,
+    "q_ohlc_bars"       -> ((s: SparkSession, d: String) => Breadth.ohlcBars(s, d)),
+    "q_data_contract"   -> Scale.dataContract _,
     "q_quantization_error" -> ((s: SparkSession, d: String) => Similarity.quantizationError(s, d)),
     // round 8: corpus preparation operators
     "q_blocklist_scrub" -> ((s: SparkSession, d: String) => TextAnalysis.scrubBlocklist(s, d)),
@@ -1219,6 +1221,59 @@ object SparkEntry {
         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM d JOIN mad USING (event_type)
         |GROUP BY d.event_type""".stripMargin,
+    // first/last-by-time as lexicographic ROW min/max — one keyed agg,
+    // no window (see Breadth.ohlcBars)
+    "q_ohlc_bars" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS tsu, event_id, value FROM events),
+        |b AS (SELECT event_type, (tsu // 3600000000) * 3600 AS bucket_start,
+        |             tsu, event_id, value FROM e)
+        |SELECT event_type, bucket_start,
+        |       MIN(ROW(tsu, event_id, value))[3] AS open,
+        |       MAX(value) AS high,
+        |       MIN(value) AS low,
+        |       MAX(ROW(tsu, event_id, value))[3] AS close,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
+        |FROM b GROUP BY 1, 2""".stripMargin,
+    "q_data_contract" ->
+      """SELECT 'lineitem_orderkey_not_null' AS check_name,
+        |       CAST(COUNT(CASE WHEN l_orderkey IS NULL THEN 1 END) AS BIGINT) AS n_violations,
+        |       CASE WHEN COUNT(CASE WHEN l_orderkey IS NULL THEN 1 END) = 0
+        |            THEN 'pass' ELSE 'fail' END AS status
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem_discount_domain',
+        |       CAST(COUNT(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 END) AS BIGINT),
+        |       CASE WHEN COUNT(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 END) = 0
+        |            THEN 'pass' ELSE 'fail' END
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem_qty_positive',
+        |       CAST(COUNT(CASE WHEN l_quantity <= 0 THEN 1 END) AS BIGINT),
+        |       CASE WHEN COUNT(CASE WHEN l_quantity <= 0 THEN 1 END) = 0
+        |            THEN 'pass' ELSE 'fail' END
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem_key_unique',
+        |       CAST(COUNT(*) - COUNT(DISTINCT ROW(l_orderkey, l_linenumber)) AS BIGINT),
+        |       CASE WHEN COUNT(*) = COUNT(DISTINCT ROW(l_orderkey, l_linenumber))
+        |            THEN 'pass' ELSE 'fail' END
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'orders_custkey_references_customer',
+        |       CAST(COUNT(*) AS BIGINT),
+        |       CASE WHEN COUNT(*) = 0 THEN 'pass' ELSE 'fail' END
+        |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_custkey IS NULL
+        |UNION ALL
+        |SELECT 'orders_date_domain',
+        |       CAST(COUNT(CASE WHEN o_orderdate < DATE '1992-01-01'
+        |                         OR o_orderdate >= DATE '1999-01-01' THEN 1 END) AS BIGINT),
+        |       CASE WHEN COUNT(CASE WHEN o_orderdate < DATE '1992-01-01'
+        |                             OR o_orderdate >= DATE '1999-01-01' THEN 1 END) = 0
+        |            THEN 'pass' ELSE 'fail' END
+        |FROM orders""".stripMargin,
     "q_debounce" ->
       """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tsu
         |           FROM events),

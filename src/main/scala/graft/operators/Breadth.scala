@@ -374,6 +374,30 @@ object Breadth {
           .otherwise(0L)).as("n_outliers"))
   }
 
+  /** OHLC BARS — the downsample-to-bars resample every telemetry/market
+    * feed needs: per (event_type, hour), open/high/low/close/volume.
+    * Open and close are FIRST/LAST-BY-TIME selections, expressed as
+    * min/max over a (time, event_id, value) struct — lexicographic
+    * struct ordering makes the tiebreak explicit and the whole thing one
+    * keyed aggregation with map-side partials (no window, no sort:
+    * first/last as order statistics, not row positions). Values pass
+    * through un-arithmetic'd; volume sums 2-dp inputs as DECIMAL —
+    * everything bit-exact cross-engine. */
+  def ohlcBars(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+      .select(col("event_type"), unix_micros(col("ts")).as("tsu"),
+        col("event_id"), col("value"))
+      .withColumn("bucket_start", expr("(tsu div 3600000000) * 3600"))
+    e.groupBy("event_type", "bucket_start")
+      .agg(
+        min(struct(col("tsu"), col("event_id"), col("value"))).getField("value").as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(struct(col("tsu"), col("event_id"), col("value"))).getField("value").as("close"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("volume"))
+  }
+
   /** EVENT DEBOUNCE — suppress repeats of the same (user, event type)
     * arriving within `cooldownMin` of the PREVIOUS event of that key:
     * the gap filter an alerting/telemetry feed runs before fan-out.

@@ -647,6 +647,39 @@ object Scale {
         coalesce(col("new_val"), col("old_bal")).as("bal"))
   }
 
+  /** DATA-CONTRACT VALIDATION — the expectations pass a lakehouse runs
+    * before a table is promoted (dbt tests / Delta constraints, engine-
+    * side): each check is one aggregate, violations counted, the report
+    * one row per check. Checks chosen to cover the four contract
+    * families: NOT NULL, value domain, key uniqueness, referential
+    * integrity. Each check reads only its own columns (pruned scans);
+    * the referential check is a broadcast-able anti-join; nothing here
+    * is a row-by-row validator — a 100 TB contract run is a handful of
+    * columnar aggregates, which is the point of doing it in-engine. */
+  def dataContract(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val orders = Tables.load(spark, dir, "orders")
+    val cust = Tables.load(spark, dir, "customer")
+    def check(name: String, n: org.apache.spark.sql.Column, df: DataFrame): DataFrame =
+      df.agg(n.cast("long").as("n_violations"))
+        .select(lit(name).as("check_name"), col("n_violations"),
+          when(col("n_violations") === 0, "pass").otherwise("fail").as("status"))
+    check("lineitem_orderkey_not_null",
+        sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)), li)
+      .unionAll(check("lineitem_discount_domain",
+        sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L).otherwise(0L)), li))
+      .unionAll(check("lineitem_qty_positive",
+        sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)), li))
+      .unionAll(check("lineitem_key_unique",
+        count(lit(1)) - countDistinct(col("l_orderkey"), col("l_linenumber")), li))
+      .unionAll(check("orders_custkey_references_customer",
+        count(lit(1)),
+        orders.join(cust, orders("o_custkey") === cust("c_custkey"), "left_anti")))
+      .unionAll(check("orders_date_domain",
+        sum(when(col("o_orderdate") < to_date(lit("1992-01-01")) ||
+          col("o_orderdate") >= to_date(lit("1999-01-01")), 1L).otherwise(0L)), orders))
+  }
+
   /** Run `body` with the given SQL confs set, restoring previous values
     * after — the conf-hygiene analog of [[graft.Tables.withCached]]. */
   private def withConfs[T](spark: SparkSession, confs: (String, String)*)(body: => T): T = {
