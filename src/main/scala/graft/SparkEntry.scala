@@ -104,6 +104,9 @@ object SparkEntry {
     "q_cdc_apply"       -> Scale.cdcApply _,
     "q_ohlc_bars"       -> ((s: SparkSession, d: String) => Breadth.ohlcBars(s, d)),
     "q_data_contract"   -> Scale.dataContract _,
+    "q_cohort_retention" -> ((s: SparkSession, d: String) => Breadth.cohortRetention(s, d)),
+    "q_winsorize"        -> ((s: SparkSession, d: String) => Breadth.winsorize(s, d)),
+    "q_sample_allocation" -> ((s: SparkSession, d: String) => TextAnalysis.sampleAllocation(s, d)),
     "q_quantization_error" -> ((s: SparkSession, d: String) => Similarity.quantizationError(s, d)),
     // round 8: corpus preparation operators
     "q_blocklist_scrub" -> ((s: SparkSession, d: String) => TextAnalysis.scrubBlocklist(s, d)),
@@ -1221,6 +1224,49 @@ object SparkEntry {
         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM d JOIN mad USING (event_type)
         |GROUP BY d.event_type""".stripMargin,
+    "q_cohort_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, (epoch_us(ts) // 86400000000) // 7 AS week FROM events),
+        |f AS (SELECT user_id, MIN(week) AS cohort_week FROM e GROUP BY 1)
+        |SELECT f.cohort_week, e.week - f.cohort_week AS week_offset,
+        |       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM e JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
+    // exact p05/p95 element selections (same basis as q_robust_outliers)
+    "q_winsorize" ->
+      """WITH e AS (SELECT event_type, event_id, value FROM events),
+        |c AS (SELECT event_type, COUNT(*) AS n FROM e GROUP BY 1),
+        |r AS (SELECT e.*, ROW_NUMBER() OVER (PARTITION BY event_type
+        |                                     ORDER BY value, event_id) AS rn FROM e),
+        |lo AS (SELECT r.event_type, r.value AS p05
+        |       FROM r JOIN c USING (event_type)
+        |       WHERE r.rn = GREATEST(1, (5 * c.n) // 100)),
+        |hi AS (SELECT r.event_type, r.value AS p95
+        |       FROM r JOIN c USING (event_type)
+        |       WHERE r.rn = (95 * c.n) // 100)
+        |SELECT e.event_type, COUNT(*) AS n_events,
+        |       ANY_VALUE(lo.p05) AS p05, ANY_VALUE(hi.p95) AS p95,
+        |       CAST(COUNT(CASE WHEN e.value < lo.p05 THEN 1 END) AS BIGINT) AS n_clip_low,
+        |       CAST(COUNT(CASE WHEN e.value > hi.p95 THEN 1 END) AS BIGINT) AS n_clip_high,
+        |       CAST(SUM(CAST(GREATEST(lo.p05, LEAST(hi.p95, e.value))
+        |                     AS DECIMAL(18,2))) AS DOUBLE) AS winsorized_sum
+        |FROM e JOIN lo USING (event_type) JOIN hi USING (event_type)
+        |GROUP BY 1""".stripMargin,
+    // Hamilton largest-remainder apportionment — all-integer, allocations
+    // sum to exactly the budget (see TextAnalysis.sampleAllocation)
+    "q_sample_allocation" ->
+      """WITH s AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+        |t AS (SELECT SUM(n_docs) AS total FROM s),
+        |j AS (SELECT s.source, s.n_docs,
+        |             (10000 * s.n_docs) // t.total AS base,
+        |             (10000 * s.n_docs) % t.total AS rem
+        |      FROM s CROSS JOIN t),
+        |d AS (SELECT 10000 - SUM(base) AS d FROM j),
+        |r AS (SELECT j.*, ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC) AS rk
+        |      FROM j)
+        |SELECT r.source, r.n_docs,
+        |       CAST(r.base + CASE WHEN r.rk <= d.d THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM r CROSS JOIN d""".stripMargin,
     // first/last-by-time as lexicographic ROW min/max — one keyed agg,
     // no window (see Breadth.ohlcBars)
     "q_ohlc_bars" ->

@@ -374,6 +374,54 @@ object Breadth {
           .otherwise(0L)).as("n_outliers"))
   }
 
+  /** WINSORIZATION — clip each event type's values at its exact p05/p95
+    * ELEMENTS (lower-selection under a (value, event_id) total order,
+    * same discipline as [[robustOutliers]] — data values, no
+    * interpolation, so the clip thresholds and everything downstream
+    * replay bit-exactly). Output per type: the thresholds, clip counts,
+    * and the winsorized DECIMAL sum — the robust total a corrupted feed
+    * can't drag. At 100 TB the selections swap for percentile sketches;
+    * the clip pass is map-side either way. */
+  def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("event_id"), col("value"))
+    val counts = e.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    val ranked = e.withColumn("rn", row_number().over(w))
+      .join(broadcast(counts), "event_type")
+    val lo = ranked.filter(col("rn") === greatest(lit(1L), expr("(5 * n) div 100")))
+      .select(col("event_type"), col("value").as("p05"))
+    val hi = ranked.filter(col("rn") === expr("(95 * n) div 100"))
+      .select(col("event_type"), col("value").as("p95"))
+    e.join(broadcast(lo), "event_type").join(broadcast(hi), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        first("p05").as("p05"), first("p95").as("p95"),
+        sum(when(col("value") < col("p05"), 1L).otherwise(0L)).as("n_clip_low"),
+        sum(when(col("value") > col("p95"), 1L).otherwise(0L)).as("n_clip_high"),
+        sum(greatest(col("p05"), least(col("p95"), col("value")))
+          .cast(DecimalType(18, 2))).cast("double").as("winsorized_sum"))
+  }
+
+  /** COHORT RETENTION — users bucketed by first-seen week (the cohort),
+    * tracked by how many return in each subsequent week: the matrix
+    * behind every retention curve. Two keyed aggregations — first-seen
+    * per user (groupBy user), then distinct users per (cohort week,
+    * offset week) — plus nothing: no window, no self-join over events.
+    * All-integer week arithmetic (epoch days div 7) → bit-exact oracle.
+    * Scale: both shuffles key on user/(cohort, offset) — high
+    * cardinality, no hot key; the events table is touched twice but the
+    * second pass joins the tiny per-user first-seen frame. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+      .select(col("user_id"),
+        expr("(unix_micros(ts) div 86400000000) div 7").as("week"))
+    val firstSeen = e.groupBy("user_id").agg(min("week").as("cohort_week"))
+    e.join(firstSeen, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct("user_id").as("n_users"))
+  }
+
   /** OHLC BARS — the downsample-to-bars resample every telemetry/market
     * feed needs: per (event_type, hour), open/high/low/close/volume.
     * Open and close are FIRST/LAST-BY-TIME selections, expressed as

@@ -768,6 +768,31 @@ object TextAnalysis {
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
   }
 
+  /** PROPORTIONAL SAMPLE ALLOCATION (Hamilton / largest-remainder) —
+    * split a fixed labeling/eval budget across sources proportional to
+    * their document counts, with the fractional seats going to the
+    * largest remainders: the apportionment problem every annotation
+    * budget hits, solved EXACTLY in integers (base = B·n div N, extra
+    * seats by remainder rank, ties by source) — no floating-point
+    * shares, so allocations sum to exactly B and the oracle replays
+    * bit-for-bit. The remainder-ranking window runs over the SOURCE
+    * table (20 rows) — bounded, like lengthDeciles' histogram window. */
+  def sampleAllocation(spark: SparkSession, dir: String, budget: Long = 10000L): DataFrame = {
+    val s = Tables.load(spark, dir, "documents")
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val t = s.agg(sum("n_docs").as("total"))
+    val j = s.crossJoin(broadcast(t))
+      .withColumn("base", expr(s"($budget * n_docs) div total"))
+      .withColumn("rem", expr(s"($budget * n_docs) % total"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rem").desc, col("source").asc)
+    val deficit = j.agg((lit(budget) - sum("base")).as("d"))
+    j.withColumn("rk", row_number().over(wr))
+      .crossJoin(broadcast(deficit))
+      .select(col("source"), col("n_docs"),
+        (col("base") + when(col("rk") <= col("d"), 1L).otherwise(0L)).as("alloc"))
+  }
+
   /** PER-SOURCE QUOTA CAP — the anti-spam guard a corpus pipeline runs
     * before mixing: no source (domain) may contribute more than `cap`
     * documents, and WHICH documents survive must be a property of the
