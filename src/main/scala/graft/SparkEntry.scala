@@ -105,6 +105,7 @@ object SparkEntry {
     "q_ohlc_bars"       -> ((s: SparkSession, d: String) => Breadth.ohlcBars(s, d)),
     "q_data_contract"   -> Scale.dataContract _,
     "q_cohort_retention" -> ((s: SparkSession, d: String) => Breadth.cohortRetention(s, d)),
+    "q_event_transitions" -> ((s: SparkSession, d: String) => Breadth.eventTransitions(s, d)),
     "q_winsorize"        -> ((s: SparkSession, d: String) => Breadth.winsorize(s, d)),
     "q_sample_allocation" -> ((s: SparkSession, d: String) => TextAnalysis.sampleAllocation(s, d)),
     "q_quantization_error" -> ((s: SparkSession, d: String) => Similarity.quantizationError(s, d)),
@@ -1224,6 +1225,18 @@ object SparkEntry {
         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM d JOIN mad USING (event_type)
         |GROUP BY d.event_type""".stripMargin,
+    "q_event_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu FROM events),
+        |p AS (SELECT user_id, event_type AS to_type,
+        |             LAG(event_type) OVER (PARTITION BY user_id
+        |                                   ORDER BY tsu, event_id) AS from_type
+        |      FROM e),
+        |c AS (SELECT from_type, to_type, COUNT(*) AS n FROM p
+        |      WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, SUM(n) AS n_from FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n, ROUND(c.n / t.n_from, 6) AS p
+        |FROM c JOIN t USING (from_type)""".stripMargin,
     "q_cohort_retention" ->
       """WITH e AS (
         |  SELECT user_id, (epoch_us(ts) // 86400000000) // 7 AS week FROM events),

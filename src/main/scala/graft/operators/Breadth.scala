@@ -374,6 +374,27 @@ object Breadth {
           .otherwise(0L)).as("n_outliers"))
   }
 
+  /** EVENT TRANSITION MATRIX — the first-order Markov view of user
+    * behavior: per user, consecutive event pairs (ordered by time, id)
+    * counted into a (from_type, to_type) matrix with row-normalized
+    * probabilities. One lag window per user + one tiny keyed agg; the
+    * probability is a division of two exact counts, so the 6-dp rounding
+    * is deterministic cross-engine. */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("tsu"), col("event_id"))
+    val pairs = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tsu"))
+      .withColumn("from_type", lag("event_type", 1).over(w))
+      .filter(col("from_type").isNotNull)
+    val counts = pairs.groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("from_type").agg(sum("n").as("n_from"))
+    counts.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n") / col("n_from"), 6).as("p"))
+  }
+
   /** WINSORIZATION — clip each event type's values at its exact p05/p95
     * ELEMENTS (lower-selection under a (value, event_id) total order,
     * same discipline as [[robustOutliers]] — data values, no
