@@ -106,6 +106,7 @@ object SparkEntry {
     "q_data_contract"   -> Scale.dataContract _,
     "q_cohort_retention" -> ((s: SparkSession, d: String) => Breadth.cohortRetention(s, d)),
     "q_event_transitions" -> ((s: SparkSession, d: String) => Breadth.eventTransitions(s, d)),
+    "q_trend_slope"       -> ((s: SparkSession, d: String) => Breadth.trendSlope(s, d)),
     "q_winsorize"        -> ((s: SparkSession, d: String) => Breadth.winsorize(s, d)),
     "q_sample_allocation" -> ((s: SparkSession, d: String) => TextAnalysis.sampleAllocation(s, d)),
     "q_quantization_error" -> ((s: SparkSession, d: String) => Similarity.quantizationError(s, d)),
@@ -1225,6 +1226,27 @@ object SparkEntry {
         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM d JOIN mad USING (event_type)
         |GROUP BY d.event_type""".stripMargin,
+    // closed-form least squares on exact sums: x integer seconds from the
+    // per-type min, y DECIMAL(18,2); divisions once, in double, on
+    // identical operands (see Breadth.trendSlope)
+    "q_trend_slope" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) // 1000000 AS sec, value FROM events),
+        |t0 AS (SELECT event_type, MIN(sec) AS sec0 FROM e GROUP BY 1),
+        |j AS (SELECT e.event_type, e.sec - t0.sec0 AS x,
+        |             CAST(e.value AS DECIMAL(18,2)) AS y
+        |      FROM e JOIN t0 USING (event_type)),
+        |s AS (SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx,
+        |             SUM(y) AS sy, SUM(CAST(x AS DECIMAL(18,0)) * y) AS sxy
+        |      FROM j GROUP BY 1)
+        |SELECT event_type, n,
+        |       ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |             (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 10) AS slope,
+        |       ROUND((CAST(sy AS DOUBLE) -
+        |              ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |               (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) *
+        |              CAST(sx AS DOUBLE)) / n, 6) AS intercept
+        |FROM s""".stripMargin,
     "q_event_transitions" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu FROM events),

@@ -374,6 +374,41 @@ object Breadth {
           .otherwise(0L)).as("n_outliers"))
   }
 
+  /** PER-SERIES TREND SLOPE — closed-form least squares per event type
+    * (is this metric drifting?): slope = (n·Σxy − Σx·Σy) /
+    * (n·Σx² − (Σx)²), intercept at the series' first second. EXACT
+    * cross-engine: x is integer seconds from the per-type minimum
+    * (bounded magnitude, so Σx² fits easily), y is the 2-dp value as
+    * DECIMAL(18,2) — every sum is exact integer/decimal arithmetic,
+    * order-independent; the two divisions happen once, in double, on
+    * identical operands. One stats aggregate per type + one broadcast
+    * min-join — no window, no second pass over values. */
+  def trendSlope(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+      .select(col("event_type"), expr("unix_micros(ts) div 1000000").as("sec"),
+        col("value"))
+    val t0 = e.groupBy("event_type").agg(min("sec").as("sec0"))
+    val s = e.join(broadcast(t0), "event_type")
+      .withColumn("x", col("sec") - col("sec0"))
+      .withColumn("y", col("value").cast(DecimalType(18, 2)))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum(expr("x * x")).as("sxx"),
+        sum("y").as("sy"),
+        sum(expr("CAST(x AS DECIMAL(18,0)) * y")).as("sxy"))
+    s.select(col("event_type"), col("n"),
+      round((col("n") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+        (col("n") * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double")), 10).as("slope"),
+      round((col("sy").cast("double") -
+          ((col("n") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+           (col("n") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double"))) *
+          col("sx").cast("double")) / col("n"), 6).as("intercept"))
+  }
+
   /** EVENT TRANSITION MATRIX — the first-order Markov view of user
     * behavior: per user, consecutive event pairs (ordered by time, id)
     * counted into a (from_type, to_type) matrix with row-normalized

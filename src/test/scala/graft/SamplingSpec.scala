@@ -72,4 +72,32 @@ class SamplingSpec extends SparkSpec {
       assert(nOut < n / 2, s"$t flagged $nOut of $n")
     }
   }
+
+  test("trend slope matches a driver-side exact least-squares replay") {
+    import org.apache.spark.sql.functions._
+    val got = graft.operators.Breadth.trendSlope(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got.nonEmpty)
+    val raw = Tables.load(spark, sf, "events")
+      .select(col("event_type"), expr("unix_micros(ts) div 1000000").as("sec"),
+        col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    raw.foreach { case (t, rows) =>
+      val sec0 = rows.map(_._2).min
+      // exact integer/decimal sums, mirroring the operator's arithmetic
+      val xs = rows.map(_._2 - sec0)
+      val ys = rows.map(r => BigDecimal(r._3).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+      val n = rows.length.toLong
+      val sx = xs.sum; val sxx = xs.map(x => x * x).sum
+      val sy = ys.sum; val sxy = xs.zip(ys).map { case (x, y) => BigDecimal(x) * y }.sum
+      val slope = (n * sxy.toDouble - sx.toDouble * sy.toDouble) /
+        (n * sxx.toDouble - sx.toDouble * sx.toDouble)
+      val intercept = (sy.toDouble - slope * sx.toDouble) / n
+      val (gn, gs, gi) = got(t)
+      assert(gn == n, s"$t n: $gn vs $n")
+      assert(math.abs(gs - slope) <= 1e-9, s"$t slope: $gs vs $slope")
+      assert(math.abs(gi - intercept) <= 1e-5, s"$t intercept: $gi vs $intercept")
+    }
+  }
 }
