@@ -107,6 +107,10 @@ object SparkEntry {
     "q_cohort_retention" -> ((s: SparkSession, d: String) => Breadth.cohortRetention(s, d)),
     "q_event_transitions" -> ((s: SparkSession, d: String) => Breadth.eventTransitions(s, d)),
     "q_trend_slope"       -> ((s: SparkSession, d: String) => Breadth.trendSlope(s, d)),
+    "q_yoy_growth"        -> ((s: SparkSession, d: String) => Breadth.yoyGrowth(s, d)),
+    "q_value_histogram"   -> ((s: SparkSession, d: String) => Breadth.valueHistogram(s, d)),
+    "q_basket_pairs"      -> ((s: SparkSession, d: String) => Affinity.basketPairs(s, d)),
+    "q_path_trigrams"     -> ((s: SparkSession, d: String) => Affinity.pathTrigrams(s, d)),
     "q_winsorize"        -> ((s: SparkSession, d: String) => Breadth.winsorize(s, d)),
     "q_sample_allocation" -> ((s: SparkSession, d: String) => TextAnalysis.sampleAllocation(s, d)),
     "q_quantization_error" -> ((s: SparkSession, d: String) => Similarity.quantizationError(s, d)),
@@ -1247,6 +1251,59 @@ object SparkEntry {
         |               (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) *
         |              CAST(sx AS DOUBLE)) / n, 6) AS intercept
         |FROM s""".stripMargin,
+    "q_yoy_growth" ->
+      """WITH m AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+        |  FROM orders GROUP BY 1)
+        |SELECT month, CAST(revenue AS DOUBLE) AS revenue,
+        |       CAST(LAG(revenue, 12) OVER (ORDER BY month) AS DOUBLE) AS prev_year,
+        |       ROUND((CAST(revenue AS DOUBLE) -
+        |              CAST(LAG(revenue, 12) OVER (ORDER BY month) AS DOUBLE)) /
+        |             CAST(LAG(revenue, 12) OVER (ORDER BY month) AS DOUBLE), 6) AS yoy_growth
+        |FROM m""".stripMargin,
+    // bin assignment is the same double expression on the same operands
+    // in both engines; the max value is clamped into the last bin
+    "q_value_histogram" ->
+      """WITH s AS (
+        |  SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+        |  FROM events GROUP BY 1),
+        |b AS (
+        |  SELECT e.event_type,
+        |         LEAST(FLOOR((e.value - s.lo) * 10 / (s.hi - s.lo)), 9) AS bin,
+        |         s.lo, s.hi
+        |  FROM events e JOIN s USING (event_type))
+        |SELECT event_type, CAST(bin AS BIGINT) AS bin,
+        |       ROUND(lo + bin * (hi - lo) / 10, 6) AS bin_lo,
+        |       COUNT(*) AS n
+        |FROM b GROUP BY event_type, bin, lo, hi""".stripMargin,
+    // the oracle uses the textbook basket self-join; the engine builds
+    // bounded per-order brand sets and expands pairs map-side instead
+    "q_basket_pairs" ->
+      """WITH ob AS (
+        |  SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |n AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM ob),
+        |s AS (SELECT brand, COUNT(*) AS n1 FROM ob GROUP BY 1),
+        |p AS (SELECT x.brand AS a, y.brand AS b, COUNT(*) AS n_ab
+        |      FROM ob x JOIN ob y ON x.okey = y.okey AND x.brand < y.brand
+        |      GROUP BY 1, 2)
+        |SELECT a, b, n_ab,
+        |       ROUND(CAST(n_ab AS DOUBLE) * n.n_orders / (sa.n1 * sb.n1), 6) AS lift,
+        |       ROUND(CAST(n_ab AS DOUBLE) / sa.n1, 6) AS conf_a_to_b
+        |FROM p JOIN s sa ON p.a = sa.brand JOIN s sb ON p.b = sb.brand
+        |CROSS JOIN n
+        |WHERE n_ab >= 5""".stripMargin,
+    "q_path_trigrams" ->
+      """WITH t AS (
+        |  SELECT event_type AS t0,
+        |         LEAD(event_type, 1) OVER w AS t1,
+        |         LEAD(event_type, 2) OVER w AS t2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT t0 || '>' || t1 || '>' || t2 AS trigram, COUNT(*) AS n
+        |FROM t WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, trigram LIMIT 25""".stripMargin,
     "q_event_transitions" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu FROM events),

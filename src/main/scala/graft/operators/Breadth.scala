@@ -409,6 +409,51 @@ object Breadth {
           col("sx").cast("double")) / col("n"), 6).as("intercept"))
   }
 
+  /** YEAR-OVER-YEAR MONTHLY REVENUE — monthly order totals with the
+    * same-month-last-year comparison (lag 12 over the month series) and
+    * the growth ratio. Sums are DECIMAL(18,2) (exact, order-independent);
+    * the growth division happens once, in double, on identical operands.
+    *
+    * The window runs UNPARTITIONED — safe here because its input is the
+    * monthly aggregate (one row per month, ~100 rows for any horizon),
+    * not the fact; the data-sized work is the single groupBy(month). */
+  def yoyGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.load(spark, dir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("revenue"))
+    val w = Window.orderBy("month")
+    monthly
+      .withColumn("prev_year", lag("revenue", 12).over(w))
+      .select(col("month"), col("revenue").cast("double").as("revenue"),
+        col("prev_year").cast("double").as("prev_year"),
+        round((col("revenue").cast("double") - col("prev_year").cast("double")) /
+          col("prev_year").cast("double"), 6).as("yoy_growth"))
+  }
+
+  /** EQUI-WIDTH VALUE HISTOGRAM — 10 bins per event type between the
+    * type's min and max (the profiling primitive behind data-quality
+    * dashboards and binned features). Two passes: a tiny per-type
+    * (min, max) aggregate broadcast back onto the fact, then a map-side
+    * bin assignment + one (type, bin) count. Bin edges and assignment use
+    * the SAME double expression in both engines — identical operands,
+    * identical IEEE arithmetic — and the max value is clamped into the
+    * last bin. */
+  def valueHistogram(spark: SparkSession, dir: String, bins: Int = 10): DataFrame = {
+    val e = Tables.load(spark, dir, "events").select("event_type", "value")
+    val stats = e.groupBy("event_type")
+      .agg(min("value").as("lo"), max("value").as("hi"))
+    e.join(broadcast(stats), "event_type")
+      .select(col("event_type"),
+        least(floor((col("value") - col("lo")) * bins / (col("hi") - col("lo"))),
+          lit(bins - 1L)).cast("long").as("bin"),
+        col("lo"), col("hi"))
+      .groupBy("event_type", "bin", "lo", "hi")
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("bin"),
+        round(col("lo") + col("bin") * (col("hi") - col("lo")) / bins, 6).as("bin_lo"),
+        col("n"))
+  }
+
   /** EVENT TRANSITION MATRIX — the first-order Markov view of user
     * behavior: per user, consecutive event pairs (ordered by time, id)
     * counted into a (from_type, to_type) matrix with row-normalized
