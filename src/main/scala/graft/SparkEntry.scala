@@ -265,6 +265,7 @@ object SparkEntry {
     "q_schema_evolution"   -> Scale.schemaEvolutionRead _,
     "q_pagerank"           -> ((s: SparkSession, d: String) => Graph.pageRank(s, d)),
     "q_triangle_count"     -> ((s: SparkSession, d: String) => Graph.triangleCount(s, d)),
+    "q_kcore"              -> ((s: SparkSession, d: String) => Graph.kCore(s, d)),
     "q_ewma_user"          -> Breadth.ewmaUser _,
     "q_source_mixing"      -> TextAnalysis.sourceMixing _,
     "q_lateral_topn"       -> SqlInterface.lateralTopN _,
@@ -2039,6 +2040,36 @@ object SparkEntry {
         |ec AS (SELECT COUNT(*) AS n_edges FROM e)
         |SELECT shape.n_nodes, ec.n_edges, shape.n_wedges, t.n_tri AS n_triangles
         |FROM shape CROSS JOIN ec CROSS JOIN t""".stripMargin,
+    // fixed 4-round peel, unrolled; extra rounds past the fixpoint are
+    // no-ops, so the replay is exact (see Graph.kCore)
+    "q_kcore" ->
+      """WITH e0 AS MATERIALIZED (
+        |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |d1 AS MATERIALIZED (SELECT n, COUNT(*) AS d
+        |       FROM (SELECT a AS n FROM e0 UNION ALL SELECT b AS n FROM e0) GROUP BY 1),
+        |k1 AS MATERIALIZED (SELECT n FROM d1 WHERE d >= 30),
+        |e1 AS MATERIALIZED (SELECT e0.a, e0.b FROM e0
+        |       JOIN k1 ka ON e0.a = ka.n JOIN k1 kb ON e0.b = kb.n),
+        |d2 AS MATERIALIZED (SELECT n, COUNT(*) AS d
+        |       FROM (SELECT a AS n FROM e1 UNION ALL SELECT b AS n FROM e1) GROUP BY 1),
+        |k2 AS MATERIALIZED (SELECT n FROM d2 WHERE d >= 30),
+        |e2 AS MATERIALIZED (SELECT e1.a, e1.b FROM e1
+        |       JOIN k2 ka ON e1.a = ka.n JOIN k2 kb ON e1.b = kb.n),
+        |d3 AS MATERIALIZED (SELECT n, COUNT(*) AS d
+        |       FROM (SELECT a AS n FROM e2 UNION ALL SELECT b AS n FROM e2) GROUP BY 1),
+        |k3 AS MATERIALIZED (SELECT n FROM d3 WHERE d >= 30),
+        |e3 AS MATERIALIZED (SELECT e2.a, e2.b FROM e2
+        |       JOIN k3 ka ON e2.a = ka.n JOIN k3 kb ON e2.b = kb.n),
+        |d4 AS MATERIALIZED (SELECT n, COUNT(*) AS d
+        |       FROM (SELECT a AS n FROM e3 UNION ALL SELECT b AS n FROM e3) GROUP BY 1),
+        |k4 AS MATERIALIZED (SELECT n FROM d4 WHERE d >= 30),
+        |e4 AS MATERIALIZED (SELECT e3.a, e3.b FROM e3
+        |       JOIN k4 ka ON e3.a = ka.n JOIN k4 kb ON e3.b = kb.n)
+        |SELECT n // 2 AS id, CAST(n % 2 = 0 AS INT) AS is_customer,
+        |       COUNT(*) AS core_deg
+        |FROM (SELECT a AS n FROM e4 UNION ALL SELECT b AS n FROM e4)
+        |GROUP BY 1, 2""".stripMargin,
     "q_ewma_user" ->
       """SELECT user_id, COUNT(*) AS n_events,
         |       ROUND(list_reduce(

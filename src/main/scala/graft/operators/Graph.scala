@@ -120,4 +120,62 @@ object Graph {
       .crossJoin(tri)
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"))
   }
+
+  /** K-CORE PEELING over the customer↔supplier bipartite graph (edge =
+    * "customer ordered from supplier", deduplicated) — the standard
+    * engagement/fraud primitive: iteratively drop nodes with fewer than
+    * `k` surviving neighbors; what remains is the k-core, where every
+    * member keeps ≥ k edges AMONG THEMSELVES.
+    *
+    * Rounds are a FIXED constant, not a convergence loop — the same
+    * bounded-lineage discipline as [[pageRank]]: once the peel reaches a
+    * fixpoint further rounds are no-ops (the degree/filter pass removes
+    * nothing), so a converged result is invariant to extra rounds and the
+    * DuckDB oracle replays the identical unrolled rounds bit-exactly.
+    * `GraphSpec` pins the multi-round CASCADE semantics (a chain graph
+    * whose 2-core peels from the ends inward) against a driver-side
+    * reference peel, and pins that the default rounds reach the fixpoint
+    * on the test graph.
+    *
+    * Scale shape: each round is one keyed degree aggregation plus two
+    * semi-joins of the edge set against the survivor node list — shuffles
+    * keyed on long node ids carrying longs, nothing wide. The edge frame
+    * is re-materialized (localCheckpoint) every round so the final plan
+    * holds NO accumulated lineage — without it round r would replay all
+    * r−1 prior rounds from the parquet scan.
+    *
+    * Output: every node still owning an edge after `rounds` peels, with
+    * its within-core degree. */
+  def kCore(spark: SparkSession, dir: String, k: Int = 30, rounds: Int = 4): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders").select("o_orderkey", "o_custkey")
+    val li = Tables.load(spark, dir, "lineitem").select("l_orderkey", "l_suppkey")
+    val edges = orders.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    kCorePeel(edges, k, rounds)
+      .select(expr("n div 2").as("id"),
+        (col("n") % 2 === 0).cast("int").as("is_customer"), col("core_deg"))
+  }
+
+  /** The peel itself, over any canonical `(a, b)` undirected edge frame:
+    * `rounds` iterations of degree-count + survivor semi-joins, edge set
+    * re-materialized per round. Returns (n, core_deg) for every node
+    * still owning an edge. Exposed separately so specs can drive it with
+    * synthetic graphs whose cascades outlast one round. */
+  def kCorePeel(edges0: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var edges = edges0
+    for (_ <- 1 to rounds) {
+      val deg = edges.select(col("a").as("n"))
+        .unionAll(edges.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select("n")
+      edges = edges
+        .join(keep.select(col("n").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("n").as("b")), Seq("b"), "left_semi")
+        .localCheckpoint(true)
+    }
+    edges.select(col("a").as("n")).unionAll(edges.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("core_deg"))
+  }
 }

@@ -49,6 +49,57 @@ class GraphSpec extends SparkSpec {
     assert(nNodes > 0 && nEdges > 0)
   }
 
+  test("k-core peel cascades: a chain's 2-core peels from the ends inward") {
+    import spark.implicits._
+    // path 0-1-2-...-9: every interior node has degree 2, but the
+    // 2-core is EMPTY — peeling removes the two endpoints each round,
+    // which is exactly the cascade a single degree-filter pass misses
+    val chain = (0L until 9L).map(i => (i, i + 1)).toDF("a", "b")
+    def survivors(rounds: Int): Set[Long] =
+      graft.operators.Graph.kCorePeel(chain, k = 2, rounds = rounds)
+        .collect().map(_.getLong(0)).toSet
+    // driver-side reference peel with the same round bound
+    def refPeel(rounds: Int): Set[Long] = {
+      var edges = (0L until 9L).map(i => (i, i + 1)).toSet
+      for (_ <- 1 to rounds) {
+        val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).map { case (n, xs) => n -> xs.size }
+        val keep = deg.filter(_._2 >= 2).keySet
+        edges = edges.filter(e => keep(e._1) && keep(e._2))
+      }
+      edges.flatMap(e => Seq(e._1, e._2))
+    }
+    for (r <- 1 to 5) {
+      assert(survivors(r) == refPeel(r), s"round $r diverged")
+    }
+    // each round strictly shrinks the chain until nothing is left
+    assert(survivors(1) == (1L to 8L).toSet)
+    assert(survivors(4) == Set(4L, 5L))
+    assert(survivors(5).isEmpty)
+  }
+
+  test("k-core default rounds reach the fixpoint on the test graph") {
+    // k=10 keeps the sf0.001 core non-trivial (both smaller and larger k
+    // either keep ~everything or empty the graph — see the degree census
+    // in the operator's docs); the query default k=30 targets sf>=0.01
+    val a = graft.operators.Graph.kCore(spark, sf, k = 10).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val b = graft.operators.Graph.kCore(spark, sf, k = 10, rounds = 6).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(a == b, "4 rounds did not reach the fixpoint at spec scale")
+    assert(a.nonEmpty)
+    // every member of the core retains >= k edges within the core — the
+    // defining property — except where the round budget cut a cascade
+    // short, which the fixpoint equality above rules out
+    assert(a.forall(_._3 >= 10), "a core member has fewer than k in-core edges")
+    // the cut is real: some nodes were peeled away
+    val allNodes = Tables.load(spark, sf, "orders")
+      .select(countDistinct("o_custkey")).head.getLong(0) +
+      Tables.load(spark, sf, "lineitem")
+        .select(countDistinct("l_suppkey")).head.getLong(0)
+    assert(a.size < allNodes, "peel removed nothing at k=10")
+  }
+
   test("high-degree suppliers outrank parts on average (bipartite shape)") {
     val r = graft.operators.Graph.pageRank(spark, sf)
     val avg = r.groupBy("is_part").agg(
