@@ -32,7 +32,8 @@ object ScaleBench {
     "q_dedup_minhash", "q_dedup_ngram_prefix", "q_ann_ivf",
     "q_pagerank", "q_sessionize_batch",
     "q_dedup_incremental", "q_hot_shingles", "q_stream_dedup_incremental",
-    "q_triangle_count", "q_funnel_steps")
+    "q_triangle_count", "q_funnel_steps", "q_kcore", "q_basket_pairs",
+    "q_path_trigrams")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -112,5 +113,21 @@ object ScaleBench {
       .withColumn("l_suppkey", col("l_suppkey") + col("copy") * Stride)
       .drop("copy")
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    // orders + part ride the same key offsets so the order→lineitem and
+    // part→lineitem joins stay intact per copy: 10 disjoint join graphs
+    // (k-core bipartite graphs, baskets), while brand NAMES repeat across
+    // copies — basket pair counts and order totals both scale 10×, so
+    // lift is copy-invariant and the pair query measures 10× the work.
+    raw("orders", Tables.orders)
+      .withColumn("o_orderkey", col("o_orderkey") + col("copy") * Stride)
+      .withColumn("o_custkey", col("o_custkey") + col("copy") * Stride)
+      .drop("copy")
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+
+    raw("part", Tables.part)
+      .withColumn("p_partkey", col("p_partkey") + col("copy") * Stride)
+      .drop("copy")
+      .write.mode("overwrite").parquet(s"$out/part.parquet")
   }
 }

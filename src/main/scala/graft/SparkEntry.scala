@@ -108,6 +108,8 @@ object SparkEntry {
     "q_event_transitions" -> ((s: SparkSession, d: String) => Breadth.eventTransitions(s, d)),
     "q_trend_slope"       -> ((s: SparkSession, d: String) => Breadth.trendSlope(s, d)),
     "q_yoy_growth"        -> ((s: SparkSession, d: String) => Breadth.yoyGrowth(s, d)),
+    "q_rolling_hour"      -> ((s: SparkSession, d: String) => Breadth.rollingHour(s, d)),
+    "q_contingency"       -> ((s: SparkSession, d: String) => Breadth.contingencyResiduals(s, d)),
     "q_value_histogram"   -> ((s: SparkSession, d: String) => Breadth.valueHistogram(s, d)),
     "q_basket_pairs"      -> ((s: SparkSession, d: String) => Affinity.basketPairs(s, d)),
     "q_path_trigrams"     -> ((s: SparkSession, d: String) => Affinity.pathTrigrams(s, d)),
@@ -1263,6 +1265,32 @@ object SparkEntry {
         |              CAST(LAG(revenue, 12) OVER (ORDER BY month) AS DOUBLE)) /
         |             CAST(LAG(revenue, 12) OVER (ORDER BY month) AS DOUBLE), 6) AS yoy_growth
         |FROM m""".stripMargin,
+    // RANGE frame on integer seconds; decimal sum inside the frame,
+    // one rounded double division (see Breadth.rollingHour)
+    "q_rolling_hour" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) // 1000000 AS sec,
+        |         CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events)
+        |SELECT event_id,
+        |       COUNT(*) OVER w AS n_1h,
+        |       ROUND(CAST(SUM(v) OVER w AS DOUBLE) / COUNT(*) OVER w, 6) AS mean_1h
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY sec
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin,
+    // per-cell chi-squared decomposition; no cross-cell double sum
+    "q_contingency" ->
+      """WITH c AS (
+        |  SELECT event_type, EXTRACT(hour FROM ts) AS hr, COUNT(*) AS observed
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, SUM(observed) AS n_type FROM c GROUP BY 1),
+        |h AS (SELECT hr, SUM(observed) AS n_hr FROM c GROUP BY 1),
+        |t AS (SELECT SUM(observed) AS n FROM c)
+        |SELECT c.event_type, CAST(c.hr AS INT) AS hr, c.observed,
+        |       ROUND(CAST(r.n_type * h.n_hr AS DOUBLE) / t.n, 6) AS expected,
+        |       ROUND((c.observed - CAST(r.n_type * h.n_hr AS DOUBLE) / t.n) /
+        |             SQRT(CAST(r.n_type * h.n_hr AS DOUBLE) / t.n), 6) AS residual
+        |FROM c JOIN r USING (event_type) JOIN h USING (hr) CROSS JOIN t""".stripMargin,
     // bin assignment is the same double expression on the same operands
     // in both engines; the max value is clamped into the last bin
     "q_value_histogram" ->

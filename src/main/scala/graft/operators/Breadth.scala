@@ -454,6 +454,60 @@ object Breadth {
         col("n"))
   }
 
+  /** TRAILING-HOUR ROLLING AGGREGATE — per user, each event's count and
+    * mean value over the preceding 3600 seconds of that user's history
+    * (a RANGE frame over event time, not a row frame: gaps and bursts
+    * change the window's row count, which is the point). The frame is
+    * defined on integer epoch seconds — identical in both engines — and
+    * the sum is DECIMAL(18,2): frame membership and accumulation are
+    * both exact, the one division is rounded at 6 dp. Partitioned by
+    * user_id (high cardinality), ordered by seconds; per-partition state
+    * is one trailing hour of one user — bounded at any scale. */
+  def rollingHour(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("sec").rangeBetween(-3600L, 0L)
+    Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        expr("unix_micros(ts) div 1000000").as("sec"),
+        col("value").cast(DecimalType(18, 2)).as("v"))
+      .select(col("event_id"),
+        count(lit(1)).over(w).as("n_1h"),
+        round((sum("v").over(w).cast("double") / count(lit(1)).over(w)), 6)
+          .as("mean_1h"))
+  }
+
+  /** CONTINGENCY RESIDUALS — the event_type × hour-of-day contingency
+    * table with expected counts and standardized (Pearson) residuals:
+    * the per-cell decomposition of the chi-squared independence test
+    * ("is this event type time-of-day dependent, and WHERE?"). The
+    * global statistic is deliberately NOT summed — a Σ over cells of
+    * doubles would be accumulation-order dependent; every per-cell value
+    * here derives from integer counts with one double division+sqrt,
+    * rounded at 6 dp. One count aggregation over the fact; margins are
+    * category-sized frames broadcast back. */
+  def contingencyResiduals(spark: SparkSession, dir: String): DataFrame = {
+    // materialized once: the margins and the final join all read the cell
+    // frame (category-cardinality, ~types × 24 rows), so the fact is
+    // scanned exactly once however many consumers hang off it
+    val cells = Tables.load(spark, dir, "events")
+      .select(col("event_type"), hour(col("ts")).as("hr"))
+      .groupBy("event_type", "hr").agg(count(lit(1)).as("observed"))
+      .localCheckpoint(true)
+    val rowTot = cells.groupBy("event_type").agg(sum("observed").as("n_type"))
+    val colTot = cells.groupBy("hr").agg(sum("observed").as("n_hr"))
+    val total = cells.agg(sum("observed").as("n"))
+    cells
+      .join(broadcast(rowTot), "event_type")
+      .join(broadcast(colTot), "hr")
+      .crossJoin(broadcast(total))
+      .select(col("event_type"), col("hr"), col("observed"),
+        round((col("n_type") * col("n_hr")).cast("double") / col("n"), 6)
+          .as("expected"),
+        round((col("observed") -
+            (col("n_type") * col("n_hr")).cast("double") / col("n")) /
+          sqrt((col("n_type") * col("n_hr")).cast("double") / col("n")), 6)
+          .as("residual"))
+  }
+
   /** EVENT TRANSITION MATRIX — the first-order Markov view of user
     * behavior: per user, consecutive event pairs (ordered by time, id)
     * counted into a (from_type, to_type) matrix with row-normalized

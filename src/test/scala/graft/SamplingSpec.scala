@@ -73,6 +73,50 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("rolling hour window replays exactly for the busiest user") {
+    import org.apache.spark.sql.functions._
+    val events = Tables.load(spark, sf, "events")
+    val user = events.groupBy("user_id").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("user_id")).head.getLong(0)
+    val rows = events.filter(col("user_id") === user)
+      .select(col("event_id"), expr("unix_micros(ts) div 1000000").as("sec"),
+        col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._2)
+    assert(rows.length > 10)
+    val got = graft.operators.Breadth.rollingHour(spark, sf)
+      .join(events.filter(col("user_id") === user).select("event_id"), "event_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    rows.foreach { case (id, sec, _) =>
+      val frame = rows.filter(r => r._2 >= sec - 3600 && r._2 <= sec)
+      val n = frame.length.toLong
+      val s = frame.map(r => BigDecimal(r._3).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum
+      val mean = BigDecimal(s.toDouble / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (gn, gm) = got(id)
+      assert(gn == n, s"event $id: n $gn vs $n")
+      assert(math.abs(gm - mean) <= 1e-9, s"event $id: mean $gm vs $mean")
+    }
+  }
+
+  test("contingency margins conserve and residuals recompute from counts") {
+    import org.apache.spark.sql.functions._
+    val cells = graft.operators.Breadth.contingencyResiduals(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    val total = Tables.load(spark, sf, "events").count()
+    assert(cells.map(_._3).sum == total, "observed cells lose rows")
+    // expected margins also sum to N (within rounding of the displayed values)
+    assert(math.abs(cells.map(_._4).sum - total) < 0.01 * cells.length)
+    val nType = cells.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._3).sum }
+    val nHr = cells.groupBy(_._2).map { case (h, xs) => h -> xs.map(_._3).sum }
+    cells.foreach { case (t, h, obs, exp, res) =>
+      val e = nType(t).toDouble * nHr(h) / total
+      assert(math.abs(exp - e) <= 5e-7, s"($t,$h) expected $exp vs $e")
+      val r = (obs - e) / math.sqrt(e)
+      assert(math.abs(res - r) <= 5e-7, s"($t,$h) residual $res vs $r")
+    }
+  }
+
   test("trend slope matches a driver-side exact least-squares replay") {
     import org.apache.spark.sql.functions._
     val got = graft.operators.Breadth.trendSlope(spark, sf).collect()
