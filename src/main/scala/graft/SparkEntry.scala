@@ -121,6 +121,8 @@ object SparkEntry {
     "q_pii_redact"      -> TextAnalysis.redactNumbers _,
     "q_doc_chunks"      -> ((s: SparkSession, d: String) => TextAnalysis.chunkDocuments(s, d)),
     "q_bigram_lm"       -> ((s: SparkSession, d: String) => TextAnalysis.bigramLm(s, d)),
+    "q_pmi_collocations" -> ((s: SparkSession, d: String) => TextAnalysis.pmiCollocations(s, d)),
+    "q_weighted_sample"  -> ((s: SparkSession, d: String) => TextAnalysis.weightedSample(s, d)),
     "q_bm25_rank"       -> ((s: SparkSession, d: String) => TextAnalysis.bm25Rank(s, d)),
     "q_token_budget"    -> ((s: SparkSession, d: String) => TextAnalysis.tokenBudget(s, d)),
     "q_dedup_rep"       -> ((s: SparkSession, d: String) => Dedup.dedupRepresentative(s, d)),
@@ -1623,6 +1625,41 @@ object SparkEntry {
         |SELECT w1, w2, n, w1_total, rnk,
         |       ROUND(CAST(n AS DOUBLE) / w1_total, 6) AS prob
         |FROM r WHERE rnk <= 3 AND w1_total >= 50""".stripMargin,
+    "q_pmi_collocations" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |uni AS (SELECT UNNEST(t) AS w FROM t),
+        |u AS (SELECT w, COUNT(*) AS n FROM uni GROUP BY 1),
+        |nt AS (SELECT CAST(SUM(n) AS BIGINT) AS n_tokens FROM u),
+        |bg AS (
+        |  SELECT UNNEST(list_transform(range(1, len(t)),
+        |                i -> {'w1': t[i], 'w2': t[i+1]})) AS p
+        |  FROM t WHERE len(t) >= 2),
+        |c AS (SELECT p.w1 AS w1, p.w2 AS w2, COUNT(*) AS n_ab FROM bg GROUP BY 1, 2),
+        |nb AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS n_bigrams FROM c)
+        |SELECT c.w1, c.w2, c.n_ab, ua.n AS n_a, ub.n AS n_b,
+        |       ROUND(LN((CAST(n_ab AS DOUBLE) / n_bigrams) /
+        |                ((CAST(ua.n AS DOUBLE) / n_tokens) *
+        |                 (CAST(ub.n AS DOUBLE) / n_tokens))), 6) AS pmi
+        |FROM c JOIN u ua ON c.w1 = ua.w JOIN u ub ON c.w2 = ub.w
+        |CROSS JOIN nt CROSS JOIN nb
+        |WHERE n_ab >= 20""".stripMargin,
+    // hash-derived uniform deviate -> A-ES key; same expression both
+    // engines, ordering on the unrounded double (see weightedSample)
+    "q_weighted_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         (doc_id % 1048573) * 2654435761 % 4294967296 + 1 AS h
+        |  FROM documents),
+        |kd AS (
+        |  SELECT lang, doc_id,
+        |         -LN(CAST(h AS DOUBLE) / 4294967297.0) / LN(1.0 + n_chars) AS key
+        |  FROM d),
+        |r AS (
+        |  SELECT lang, doc_id, key,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY key, doc_id) AS INT) AS rnk
+        |  FROM kd)
+        |SELECT lang, rnk, doc_id, ROUND(key, 6) AS key
+        |FROM r WHERE rnk <= 20""".stripMargin,
     "q_bm25_rank" ->
       """WITH d AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks,

@@ -557,6 +557,76 @@ object TextAnalysis {
         round(col("n").cast("double") / col("w1_total"), 6).as("prob"))
   }
 
+  /** PMI COLLOCATIONS — pointwise mutual information for adjacent token
+    * pairs: PMI(a,b) = ln( (n_ab/B) / ((n_a/N)(n_b/N)) ) over bigram
+    * count n_ab (B bigrams total) and unigram counts n_a, n_b (N tokens
+    * total) — the classic collocation detector ("new york" scores high,
+    * "of the" scores low). All counts are exact integers; the one
+    * log-of-ratio happens per output row on identical operands, rounded
+    * at 6 dp.
+    *
+    * Scale shape: one bigram count and one unigram count over the corpus
+    * (both with map-side partial aggregation); the unigram frame is
+    * vocabulary-sized and broadcasts onto the bigram counts; totals are
+    * 1-row broadcasts. The `minCount` cut bounds the output and kills
+    * the hapax tail before the joins. */
+  def pmiCollocations(spark: SparkSession, dir: String,
+      minCount: Long = 20L): DataFrame = {
+    val toks = Tables.load(spark, dir, "documents")
+      .select(split(col("text"), " ").as("t"))
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // feeds N and both margin joins: one corpus scan
+    val nTok = uni.select(sum("n").as("n_tokens"))
+    val bg = toks.filter(size(col("t")) >= 2)
+      .select(explode(
+        expr("transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i+1] AS w2))"))
+        .as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
+      .localCheckpoint(true) // feeds B and the output: one corpus scan
+    val nBg = bg.select(sum("n_ab").as("n_bigrams"))
+    bg.filter(col("n_ab") >= minCount)
+      .join(broadcast(uni.select(col("w").as("w1"), col("n").as("n_a"))), "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("n").as("n_b"))), "w2")
+      .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBg))
+      .select(col("w1"), col("w2"), col("n_ab"), col("n_a"), col("n_b"),
+        round(log((col("n_ab").cast("double") / col("n_bigrams")) /
+          ((col("n_a").cast("double") / col("n_tokens")) *
+           (col("n_b").cast("double") / col("n_tokens")))), 6).as("pmi"))
+  }
+
+  /** DETERMINISTIC WEIGHTED SAMPLE — k docs per language drawn with
+    * probability proportional to a quality weight, via the A-ES
+    * exponential-key trick: key(d) = −ln(u_d)/w_d with u_d a uniform
+    * deviate DERIVED FROM THE DOC ID by integer hashing (Knuth
+    * multiplicative, the same generator as [[Scale.hashSample]]'s) —
+    * no RNG state, so the draw is reproducible on any cluster, any
+    * partitioning, any engine, and the DuckDB oracle replays it exactly.
+    * Weight = ln(1 + n_chars): longer docs proportionally likelier, the
+    * standard size-weighted corpus draw.
+    *
+    * One window per language ordered by the key — WindowGroupLimit
+    * pushes the rank cut into each partition, so only k rows per
+    * language survive to the driver-facing stage. */
+  def weightedSample(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("key"), col("doc_id"))
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        // id reduced mod a prime BEFORE the Knuth multiply so the
+        // product never overflows a long (ANSI-safe at any id range)
+        ((col("doc_id") % lit(1048573L)) * lit(2654435761L) % lit(4294967296L) + 1)
+          .as("h"))
+      .withColumn("key",
+        -log(col("h").cast("double") / lit(4294967297.0)) /
+          log(lit(1.0) + col("n_chars")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("lang"), col("rnk"), col("doc_id"),
+        round(col("key"), 6).as("key"))
+  }
+
   /** NORMALIZATION + DUP DELTA — the canonicalization pass that runs
     * before exact dedup: lowercase, strip non-alphanumerics, collapse
     * spaces; then per document, the exact-duplicate group size under the

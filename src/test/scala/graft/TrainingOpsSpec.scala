@@ -58,4 +58,51 @@ class TrainingOpsSpec extends SparkSpec {
       assert(r.getAs[Long]("hi") == r.getAs[Long]("n") - 1)
     }
   }
+
+  test("PMI recomputes from the displayed counts and totals") {
+    import graft.operators.TextAnalysis
+    // minCount 2 so the tiny spec corpus yields rows
+    val rows = TextAnalysis.pmiCollocations(spark, sf, minCount = 2L).collect()
+    assert(rows.nonEmpty)
+    val toks = Tables.load(spark, sf, "documents")
+      .select(split(col("text"), " ").as("t"))
+    val nTokens = toks.select(sum(size(col("t")))).head.getLong(0)
+    val nBigrams = toks.select(sum(greatest(size(col("t")) - 1, lit(0))))
+      .head.getLong(0)
+    rows.foreach { r =>
+      val (nab, na, nb, pmi) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      val expect = math.log((nab.toDouble / nBigrams) /
+        ((na.toDouble / nTokens) * (nb.toDouble / nTokens)))
+      val rounded = BigDecimal(expect)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(pmi - rounded) <= 1e-9,
+        s"${r.getString(0)} ${r.getString(1)}: $pmi vs $rounded")
+    }
+  }
+
+  test("weighted sample: k per language, deterministic, keys ordered") {
+    import graft.operators.TextAnalysis
+    val k = 5
+    val s1 = TextAnalysis.weightedSample(spark, sf, k).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val perLang = Tables.load(spark, sf, "documents")
+      .groupBy("lang").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byLang = s1.groupBy(_._1)
+    assert(byLang.keySet == perLang.filter(_._2 > 0).keySet)
+    byLang.foreach { case (lang, xs) =>
+      assert(xs.length == math.min(k.toLong, perLang(lang)),
+        s"$lang drew ${xs.length}")
+      val sorted = xs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to xs.length).toSeq)
+      // ranks follow the A-ES key (displayed rounded; allow equal at 6 dp)
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._4 <= b._4; case _ => true })
+    }
+    // the draw is a pure function of (doc_id, n_chars): partitioning-proof
+    val s2 = TextAnalysis.weightedSample(spark, sf, k).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(s1.sortBy(x => (x._1, x._2)).toSeq == s2.sortBy(x => (x._1, x._2)).toSeq)
+  }
 }
