@@ -109,6 +109,8 @@ object SparkEntry {
     "q_trend_slope"       -> ((s: SparkSession, d: String) => Breadth.trendSlope(s, d)),
     "q_yoy_growth"        -> ((s: SparkSession, d: String) => Breadth.yoyGrowth(s, d)),
     "q_rolling_hour"      -> ((s: SparkSession, d: String) => Breadth.rollingHour(s, d)),
+    "q_lorenz"            -> ((s: SparkSession, d: String) => Breadth.lorenzProfile(s, d)),
+    "q_source_entropy"    -> ((s: SparkSession, d: String) => TextAnalysis.sourceEntropy(s, d)),
     "q_contingency"       -> ((s: SparkSession, d: String) => Breadth.contingencyResiduals(s, d)),
     "q_value_histogram"   -> ((s: SparkSession, d: String) => Breadth.valueHistogram(s, d)),
     "q_basket_pairs"      -> ((s: SparkSession, d: String) => Affinity.basketPairs(s, d)),
@@ -1267,6 +1269,47 @@ object SparkEntry {
         |              CAST(LAG(revenue, 12) OVER (ORDER BY month) AS DOUBLE)) /
         |             CAST(LAG(revenue, 12) OVER (ORDER BY month) AS DOUBLE), 6) AS yoy_growth
         |FROM m""".stripMargin,
+    // decile cuts rounded at 4 dp (interpolations of 2-dp inputs carry
+    // <= 3 dp); decimal revenue sums; share divisions on identical
+    // operands (see Breadth.lorenzProfile)
+    "q_lorenz" ->
+      """WITH r AS (
+        |  SELECT o_custkey,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |  FROM orders GROUP BY 1),
+        |c AS (SELECT [ROUND(QUANTILE_CONT(rev, 0.1), 4), ROUND(QUANTILE_CONT(rev, 0.2), 4),
+        |              ROUND(QUANTILE_CONT(rev, 0.3), 4), ROUND(QUANTILE_CONT(rev, 0.4), 4),
+        |              ROUND(QUANTILE_CONT(rev, 0.5), 4), ROUND(QUANTILE_CONT(rev, 0.6), 4),
+        |              ROUND(QUANTILE_CONT(rev, 0.7), 4), ROUND(QUANTILE_CONT(rev, 0.8), 4),
+        |              ROUND(QUANTILE_CONT(rev, 0.9), 4)] AS cs FROM r),
+        |b AS (SELECT CAST(rev > cs[1] AS INT) + CAST(rev > cs[2] AS INT) +
+        |             CAST(rev > cs[3] AS INT) + CAST(rev > cs[4] AS INT) +
+        |             CAST(rev > cs[5] AS INT) + CAST(rev > cs[6] AS INT) +
+        |             CAST(rev > cs[7] AS INT) + CAST(rev > cs[8] AS INT) +
+        |             CAST(rev > cs[9] AS INT) AS bucket, rev_dec
+        |      FROM r CROSS JOIN c),
+        |g AS (SELECT bucket, COUNT(*) AS n_customers, SUM(rev_dec) AS rev_sum
+        |      FROM b GROUP BY 1)
+        |SELECT bucket, n_customers, CAST(rev_sum AS DOUBLE) AS revenue,
+        |       ROUND(CAST(rev_sum AS DOUBLE) /
+        |             CAST(SUM(rev_sum) OVER () AS DOUBLE), 6) AS rev_share,
+        |       ROUND(CAST(SUM(rev_sum) OVER (ORDER BY bucket) AS DOUBLE) /
+        |             CAST(SUM(rev_sum) OVER () AS DOUBLE), 6) AS cum_share
+        |FROM g""".stripMargin,
+    // per-term round-then-decimal-sum: the entropy Sigma is exact and
+    // order-independent (see TextAnalysis.sourceEntropy)
+    "q_source_entropy" ->
+      """WITH c AS (
+        |  SELECT source, UNNEST(string_split(text, ' ')) AS w FROM documents),
+        |n AS (SELECT source, w, COUNT(*) AS n FROM c GROUP BY 1, 2),
+        |t AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens FROM n GROUP BY 1)
+        |SELECT source, MAX(n_tokens) AS n_tokens, COUNT(*) AS n_distinct,
+        |       ROUND(CAST(SUM(CAST(ROUND(-(CAST(n.n AS DOUBLE) / t.n_tokens) *
+        |             LN(CAST(n.n AS DOUBLE) / t.n_tokens), 12)
+        |             AS DECIMAL(28,12))) AS DOUBLE), 6) AS entropy
+        |FROM n JOIN t USING (source)
+        |GROUP BY source""".stripMargin,
     // RANGE frame on integer seconds; decimal sum inside the frame,
     // one rounded double division (see Breadth.rollingHour)
     "q_rolling_hour" ->

@@ -508,6 +508,51 @@ object Breadth {
           .as("residual"))
   }
 
+  /** LORENZ / REVENUE-CONCENTRATION PROFILE — customers binned into ten
+    * revenue bands by exact decile cut values, with each band's share and
+    * cumulative share of total revenue (the "top decile holds X% of
+    * revenue" curve, i.e. the Lorenz table behind a Gini reading).
+    *
+    * NO GLOBAL SORT: a native NTILE would single-partition the window.
+    * Instead the nine cut values come from one `percentile` aggregate
+    * (exact, distributed), rounded at 4 dp — interpolations of 2-dp
+    * inputs at decile fractions carry ≤ 3 decimal places, so rounding
+    * makes the cuts bit-identical across engines (the
+    * [[Scale.exactQuantiles]] discipline) — and bucket assignment is a
+    * map-side comparison count against the broadcast cuts. Ties sit at
+    * exact data values, where both engines agree bit-for-bit. Revenue
+    * sums stay DECIMAL(18,2) until the final share divisions (identical
+    * operands, rounded 6 dp). The per-customer frame is materialized
+    * once and feeds both the cut aggregate and the bucketing pass. */
+  def lorenzProfile(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.load(spark, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev_dec"))
+      .withColumn("rev", col("rev_dec").cast("double"))
+      .localCheckpoint(true)
+    val qs = (1 to 9).map(i => i / 10.0)
+    val cuts = rev.agg(
+      expr(s"percentile(rev, array(${qs.mkString(",")}))").as("cs"))
+    val bucket = (1 to 9).map(i =>
+      (col("rev") > round(element_at(col("cs"), i), 4)).cast("int"))
+      .reduce(_ + _)
+    val bands = rev.crossJoin(broadcast(cuts))
+      .select(bucket.as("bucket"), col("rev_dec"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_customers"), sum("rev_dec").as("rev_sum"))
+    // ten-row aggregate: the unpartitioned windows below are bounded
+    val wAll = Window.partitionBy()
+    val wCum = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bands
+      .select(col("bucket"), col("n_customers"),
+        col("rev_sum").cast("double").as("revenue"),
+        round(col("rev_sum").cast("double") /
+          sum("rev_sum").over(wAll).cast("double"), 6).as("rev_share"),
+        round(sum("rev_sum").over(wCum).cast("double") /
+          sum("rev_sum").over(wAll).cast("double"), 6).as("cum_share"))
+  }
+
   /** EVENT TRANSITION MATRIX — the first-order Markov view of user
     * behavior: per user, consecutive event pairs (ordered by time, id)
     * counted into a (from_type, to_type) matrix with row-normalized

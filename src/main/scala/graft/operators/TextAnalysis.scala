@@ -627,6 +627,33 @@ object TextAnalysis {
         round(col("key"), 6).as("key"))
   }
 
+  /** PER-SOURCE TOKEN ENTROPY — Shannon entropy of each source's token
+    * distribution (the diversity signal behind "is this source boilerplate
+    * or varied?"): H = Σ_w −p_w·ln(p_w), p_w = n_w/N.
+    *
+    * Determinism discipline: a double Σ over the vocabulary would be
+    * accumulation-order dependent, so each term is computed from exact
+    * integer counts, ROUNDED at 12 dp, and cast to DECIMAL(28,12) — the
+    * decimal sum is then exact and order-independent (the same
+    * round-then-decimal-sum pattern as [[qualityCalibrated]]'s moments).
+    * Scale shape: one (source, token) count with map-side combine, one
+    * source-sized total broadcast back, one decimal rollup. */
+  def sourceEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val counts = Tables.load(spark, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("source").agg(sum("n").as("n_tokens"))
+    counts.join(broadcast(totals), "source")
+      .select(col("source"), col("n_tokens"),
+        round(-(col("n").cast("double") / col("n_tokens")) *
+          log(col("n").cast("double") / col("n_tokens")), 12)
+          .cast(DecimalType(28, 12)).as("term"))
+      .groupBy("source")
+      .agg(max("n_tokens").as("n_tokens"), count(lit(1)).as("n_distinct"),
+        round(sum("term").cast("double"), 6).as("entropy"))
+  }
+
   /** NORMALIZATION + DUP DELTA — the canonicalization pass that runs
     * before exact dedup: lowercase, strip non-alphanumerics, collapse
     * spaces; then per document, the exact-duplicate group size under the

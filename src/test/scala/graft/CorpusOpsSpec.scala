@@ -350,4 +350,30 @@ class CorpusOpsSpec extends SparkSpec {
     assert(fixed.count() === 0, "a canonical name must be its own canonical")
     m.unpersist()
   }
+
+  test("source entropy: bounded by ln(n_distinct), replays for one source") {
+    import graft.operators.TextAnalysis
+    val rows = TextAnalysis.sourceEntropy(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (s, n, d, h) =>
+      assert(h >= 0 && h <= math.log(d.toDouble) + 1e-9,
+        s"$s: H=$h outside [0, ln($d)]")
+      assert(n >= d, s"$s: fewer tokens than distinct tokens")
+    }
+    // driver replay with the operator's own rounding discipline
+    val (src, nTok, _, got) = rows.minBy(_._1)
+    val counts = Tables.load(spark, sf, "documents")
+      .filter(col("source") === src)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .collect().map(_.getLong(1))
+    val sum = counts.map { c =>
+      val p = c.toDouble / nTok
+      BigDecimal(-p * math.log(p)).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    }.sum
+    val expect = BigDecimal(sum.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(got - expect) <= 1e-9, s"$src: $got vs $expect")
+  }
 }

@@ -117,6 +117,26 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("lorenz profile: counts conserve, shares sum to 1, curve monotone") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.Breadth.lorenzProfile(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .sortBy(_._1)
+    assert(rows.nonEmpty && rows.map(_._1).distinct.length == rows.length)
+    val nCust = Tables.load(spark, sf, "orders")
+      .select(countDistinct("o_custkey")).head.getLong(0)
+    assert(rows.map(_._2).sum == nCust, "bucket counts lose customers")
+    assert(math.abs(rows.map(_._4).sum - 1.0) <= 1e-4, "shares don't sum to 1")
+    assert(math.abs(rows.last._5 - 1.0) <= 1e-6, "cumulative doesn't end at 1")
+    assert(rows.sliding(2).forall { case Array(a, b) => a._5 <= b._5; case _ => true },
+      "cumulative share not monotone")
+    // higher buckets hold richer customers: per-customer average revenue
+    // must be non-decreasing across buckets
+    val avg = rows.map(r => r._3 / r._2)
+    assert(avg.sliding(2).forall { case Array(a, b) => a <= b + 1e-9; case _ => true },
+      s"avg revenue per bucket not monotone: ${avg.mkString(", ")}")
+  }
+
   test("trend slope matches a driver-side exact least-squares replay") {
     import org.apache.spark.sql.functions._
     val got = graft.operators.Breadth.trendSlope(spark, sf).collect()
