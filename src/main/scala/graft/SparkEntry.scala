@@ -110,6 +110,8 @@ object SparkEntry {
     "q_yoy_growth"        -> ((s: SparkSession, d: String) => Breadth.yoyGrowth(s, d)),
     "q_rolling_hour"      -> ((s: SparkSession, d: String) => Breadth.rollingHour(s, d)),
     "q_lorenz"            -> ((s: SparkSession, d: String) => Breadth.lorenzProfile(s, d)),
+    "q_revenue_autocorr"  -> ((s: SparkSession, d: String) => Breadth.revenueAutocorr(s, d)),
+    "q_user_recency"      -> ((s: SparkSession, d: String) => Breadth.userRecency(s, d)),
     "q_source_entropy"    -> ((s: SparkSession, d: String) => TextAnalysis.sourceEntropy(s, d)),
     "q_contingency"       -> ((s: SparkSession, d: String) => Breadth.contingencyResiduals(s, d)),
     "q_value_histogram"   -> ((s: SparkSession, d: String) => Breadth.valueHistogram(s, d)),
@@ -1269,6 +1271,35 @@ object SparkEntry {
         |              CAST(LAG(revenue, 12) OVER (ORDER BY month) AS DOUBLE)) /
         |             CAST(LAG(revenue, 12) OVER (ORDER BY month) AS DOUBLE), 6) AS yoy_growth
         |FROM m""".stripMargin,
+    // row-lag self-join on the bounded daily aggregate; exact decimal
+    // sums, one double correlation per lag (see Breadth.revenueAutocorr)
+    "q_revenue_autocorr" ->
+      """WITH m AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT rev, ROW_NUMBER() OVER (ORDER BY d) AS rn FROM m),
+        |l AS (SELECT UNNEST(range(1, 8)) AS lag),
+        |p AS (SELECT l.lag, x.rev AS xv, y.rev AS yv
+        |      FROM l CROSS JOIN r x JOIN r y ON x.rn = y.rn + l.lag),
+        |s AS (SELECT lag, COUNT(*) AS n, SUM(xv) AS sx, SUM(yv) AS sy,
+        |             SUM(xv * yv) AS sxy, SUM(xv * xv) AS sxx,
+        |             SUM(yv * yv) AS syy
+        |      FROM p GROUP BY 1)
+        |SELECT CAST(lag AS BIGINT) AS lag, n,
+        |       ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |             SQRT((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |                  (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS acf
+        |FROM s""".stripMargin,
+    "q_user_recency" ->
+      """WITH ls AS (
+        |  SELECT user_id, MAX(epoch_us(ts) // 1000000) AS last_sec
+        |  FROM events GROUP BY 1),
+        |h AS (SELECT MAX(last_sec) AS max_sec FROM ls)
+        |SELECT LEAST((max_sec - last_sec) // 86400, 7) AS days_ago,
+        |       COUNT(*) AS n_users
+        |FROM ls CROSS JOIN h
+        |GROUP BY 1""".stripMargin,
     // decile cuts rounded at 4 dp (interpolations of 2-dp inputs carry
     // <= 3 dp); decimal revenue sums; share divisions on identical
     // operands (see Breadth.lorenzProfile)

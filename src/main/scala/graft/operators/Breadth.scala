@@ -553,6 +553,59 @@ object Breadth {
           sum("rev_sum").over(wAll).cast("double"), 6).as("cum_share"))
   }
 
+  /** DAILY-REVENUE AUTOCORRELATION — Pearson correlation of the daily
+    * order-revenue series with itself at row lags 1..7 (the weekly
+    * seasonality / momentum diagnostic). The series is the DATE-level
+    * aggregate (one row per order date — a bounded frame however large
+    * the fact), materialized once; the lag pairing is a self-join on row
+    * number over that tiny frame. All sums are exact decimals
+    * (DECIMAL(18,2) values, DECIMAL(38,4) products); each lag's
+    * correlation is one double expression on identical operands,
+    * rounded 6 dp. */
+  def revenueAutocorr(spark: SparkSession, dir: String, maxLag: Int = 7): DataFrame = {
+    val daily = Tables.load(spark, dir, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+      .withColumn("rn", row_number().over(Window.orderBy("d")))
+      .localCheckpoint(true) // date-cardinality; both join sides read it
+    val lags = spark.range(1, maxLag + 1).select(col("id").as("lag"))
+    val pairs = daily.select(col("rev").as("xv"), col("rn"))
+      .crossJoin(broadcast(lags))
+      .join(daily.select(col("rev").as("yv"), col("rn").as("rn2")),
+        col("rn") === col("rn2") + col("lag"))
+    val s = pairs.groupBy("lag").agg(
+      count(lit(1)).as("n"),
+      sum("xv").as("sx"), sum("yv").as("sy"),
+      sum(col("xv") * col("yv")).as("sxy"),
+      sum(col("xv") * col("xv")).as("sxx"),
+      sum(col("yv") * col("yv")).as("syy"))
+    s.select(col("lag"), col("n"),
+      round((col("n") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+        sqrt((col("n") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")) *
+          (col("n") * col("syy").cast("double") -
+            col("sy").cast("double") * col("sy").cast("double"))), 6).as("acf"))
+  }
+
+  /** USER ACTIVITY RECENCY — how long ago each user was last seen,
+    * bucketed into a survival-style distribution: days between the
+    * user's last event and the corpus high-water mark, capped at 7+
+    * ("activity decay" — the churn signal). One per-user max aggregate,
+    * one 1-row corpus max broadcast back, one bucket count. All integer
+    * day arithmetic → bit-exact oracle. */
+  def userRecency(spark: SparkSession, dir: String): DataFrame = {
+    val lastSeen = Tables.load(spark, dir, "events")
+      .groupBy("user_id")
+      .agg(max(expr("unix_micros(ts) div 1000000")).as("last_sec"))
+      .localCheckpoint(true) // feeds the corpus max AND the bucket count
+    val hwm = lastSeen.agg(max("last_sec").as("max_sec"))
+    lastSeen.crossJoin(broadcast(hwm))
+      .select(least(expr("(max_sec - last_sec) div 86400"), lit(7L))
+        .as("days_ago"))
+      .groupBy("days_ago").agg(count(lit(1)).as("n_users"))
+  }
+
   /** EVENT TRANSITION MATRIX — the first-order Markov view of user
     * behavior: per user, consecutive event pairs (ordered by time, id)
     * counted into a (from_type, to_type) matrix with row-normalized
