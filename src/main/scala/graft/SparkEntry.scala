@@ -68,6 +68,7 @@ object SparkEntry {
     "q_fuzzy_name_match" -> ((s: SparkSession, d: String) => Dedup.fuzzyNameMatch(s, d)),
     "q_fuzzy_canonical" -> ((s: SparkSession, d: String) => Dedup.fuzzyCanonical(s, d)),
     "q_dedup_incremental" -> ((s: SparkSession, d: String) => Dedup.dedupIncremental(s, d)),
+    "q_dedup_containment" -> ((s: SparkSession, d: String) => Dedup.containmentPairs(s, d)),
     "q_hot_shingles" -> ((s: SparkSession, d: String) => Dedup.hotShingleProfile(s, d)),
     "q_dedup_embedding" -> ((s: SparkSession, d: String) => Dedup.embeddingPairsShared(s, d, 0.4)),
     "q_dedup_embedding_clusters" -> ((s: SparkSession, d: String) => Dedup.embeddingClusters(s, d, 0.4)),
@@ -551,6 +552,16 @@ object SparkEntry {
          |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) >= 0.8""".stripMargin,
     "q_dedup_ngram" -> ngramOracleSql,
     "q_dedup_ngram_prefix" -> ngramOracleSql, // identical output by the prefix-filtering theorem
+    // directed smaller-into-larger containment; exhaustive replay of the
+    // asymmetric-prefix candidate generation (identical by the same
+    // theorem, applied one-sided)
+    "q_dedup_containment" ->
+      s"""WITH $shinglesCte
+         |SELECT a.doc_id AS id_in, b.doc_id AS id_out,
+         |       ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s), 6) AS containment
+         |FROM sh a JOIN sh b
+         |  ON a.lang = b.lang AND a.doc_id != b.doc_id AND len(a.s) <= len(b.s)
+         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) >= 0.9""".stripMargin,
     // exhaustive cross-source replay of the asymmetric incremental check;
     // one verdict row per new-batch doc — zero-match keepers AND
     // sub-shingle-length (< 3 token) docs included, per the keep-list

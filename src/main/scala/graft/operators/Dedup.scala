@@ -255,6 +255,57 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** ASYMMETRIC CONTAINMENT near-dup: directed pairs where the smaller
+    * doc's shingle set is ≥ `threshold` contained in the larger's —
+    * C(A→B) = |sh_A ∩ sh_B| / |sh_A|. This is the sub-document
+    * duplication detector symmetric Jaccard structurally misses: a
+    * paragraph quoted inside a 10× longer page has C ≈ 1 but J ≈ 0.1,
+    * so MinHash at 0.8 never sees it; training corpora deduplicate on
+    * containment precisely to catch quote/boilerplate embedding
+    * (the reference has no dedup at all — north-star extension).
+    *
+    * Scale shape: the prefix-filtering theorem carries over
+    * ASYMMETRICALLY. If C(A→B) ≥ t then A misses at most
+    * |A| − ⌈t·|A|⌉ shingles, so A's ⌈(1−t)·|A|⌉ + 1 RAREST shingles
+    * must hit B — only that prefix of the contained side is indexed,
+    * while the container side posts everything. Candidate cost is
+    * Σ_s df_prefix(s)·df(s), linear in corpus size for Zipfian df when
+    * t is high (prefix length ≈ |A|/10 at t = 0.9, and prefixes hold
+    * each doc's rarest shingles by construction). Verification is one
+    * exact set intersection per unique candidate pair. */
+  def containmentPairs(spark: SparkSession, dir: String, threshold: Double = 0.9): DataFrame = {
+    val docs = docShinglesShared(spark, dir)
+    val postings = docs.select(col("lang"), col("doc_id"), col("sz"),
+      explode(col("sh")).as("shingle"))
+    val dfreq = postings.groupBy("shingle")
+      .agg(count(lit(1)).as("dfreq"))
+    val wDoc = Window.partitionBy("doc_id")
+      .orderBy(col("dfreq").asc, col("shingle").asc)
+    val aPrefix = postings.join(dfreq, "shingle")
+      .withColumn("rk", row_number().over(wDoc))
+      .filter(col("rk") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      .select(col("lang"), col("shingle"),
+        col("doc_id").as("id_in"), col("sz").as("sz_in"))
+    val outSide = postings.select(col("lang"), col("shingle"),
+      col("doc_id").as("id_out"), col("sz").as("sz_out"))
+    // Containment admits no symmetric size-ratio prune (the container may
+    // be arbitrarily large), but the smaller-into-larger direction pins
+    // each unordered pair to one candidate row.
+    val cands = aPrefix.join(outSide, Seq("lang", "shingle"))
+      .filter(col("id_in") =!= col("id_out") && col("sz_in") <= col("sz_out"))
+      .select("id_in", "id_out")
+      .distinct()
+    val shIn = docs.select(col("doc_id").as("id_in"), col("sh").as("sh_in"))
+    val shOut = docs.select(col("doc_id").as("id_out"), col("sh").as("sh_out"))
+    cands.join(shIn, "id_in").join(shOut, "id_out")
+      .withColumn("containment",
+        size(array_intersect(col("sh_in"), col("sh_out"))).cast("double") /
+          size(col("sh_in")))
+      .filter(col("containment") >= threshold)
+      .select(col("id_in"), col("id_out"),
+        round(col("containment"), 6).as("containment"))
+  }
+
   /** Fuzzy ENTITY MATCHING: near-identical part names within edit
     * distance ≤ `maxDist` — the classic entity-resolution shape
     * (blocking → exact verify), run on the DISTINCT name vocabulary:

@@ -177,6 +177,33 @@ class InvariantSpec extends SparkSpec {
     assert(blocked == full, s"missing=${full -- blocked} extra=${blocked -- full}")
   }
 
+  test("asymmetric prefix blocking loses no containment pair vs the exhaustive join") {
+    // containmentPairs indexes only each contained-side doc's
+    // ((1-t)*|A|)+1 rarest shingles; the one-sided prefix-filtering
+    // theorem says that loses nothing. Verify against the exhaustive
+    // all-pairs join over STRING shingles (independent of the engine's
+    // 64-bit shingle hashing, so this also re-checks collision-freedom
+    // at fixture scale).
+    val blocked = Dedup.containmentPairs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .withColumn("t", split(col("text"), " "))
+      .filter(size(col("t")) >= 3)
+      .withColumn("s", expr("array_distinct(transform(sequence(0, size(t) - 3), " +
+        "i -> concat(t[i], ' ', t[i+1], ' ', t[i+2])))"))
+      .select("doc_id", "lang", "s")
+    val full = docs.select(col("lang"), col("doc_id").as("id_in"), col("s").as("s_in"))
+      .join(docs.select(col("lang"), col("doc_id").as("id_out"), col("s").as("s_out")), "lang")
+      .filter(col("id_in") =!= col("id_out") && size(col("s_in")) <= size(col("s_out")))
+      .withColumn("containment",
+        size(array_intersect(col("s_in"), col("s_out"))).cast("double") / size(col("s_in")))
+      .filter(col("containment") >= 0.9)
+      .select(col("id_in"), col("id_out"), round(col("containment"), 6).as("containment"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(full.nonEmpty, "fixture should contain containment pairs")
+    assert(blocked == full, s"missing=${full -- blocked} extra=${blocked -- full}")
+  }
+
   test("report table shape: per-k long-form rows = k x n_features, finite values") {
     val rt = Report.reportTable(spark, sf).cache()
     assert(rt.columns.toSeq == Seq("k", "cluster", "score", "feature", "value"))
