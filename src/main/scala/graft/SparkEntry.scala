@@ -69,6 +69,7 @@ object SparkEntry {
     "q_fuzzy_canonical" -> ((s: SparkSession, d: String) => Dedup.fuzzyCanonical(s, d)),
     "q_dedup_incremental" -> ((s: SparkSession, d: String) => Dedup.dedupIncremental(s, d)),
     "q_dedup_containment" -> ((s: SparkSession, d: String) => Dedup.containmentPairs(s, d)),
+    "q_prototype_prune" -> ((s: SparkSession, d: String) => Similarity.prototypePrune(s, d)),
     "q_hot_shingles" -> ((s: SparkSession, d: String) => Dedup.hotShingleProfile(s, d)),
     "q_dedup_embedding" -> ((s: SparkSession, d: String) => Dedup.embeddingPairsShared(s, d, 0.4)),
     "q_dedup_embedding_clusters" -> ((s: SparkSession, d: String) => Dedup.embeddingClusters(s, d, 0.4)),
@@ -1851,6 +1852,33 @@ object SparkEntry {
         |       ROUND(CAST(SUM(CAST(d2 AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_dist2,
         |       MIN(d2) AS min_dist2, MAX(d2) AS max_dist2
         |FROM d GROUP BY 1""".stripMargin,
+    // same exact-decimal centroid/distance chain as q_label_centroids,
+    // then an ANSI PERCENT_RANK cut (value-based → tie-stable in both
+    // engines); rows with rank < 0.2 (most prototypical 20%) pruned
+    "q_prototype_prune" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |         list_transform(embedding, x -> ROUND(CAST(x AS DOUBLE), 6)) AS e6
+        |  FROM embeddings),
+        |x AS (SELECT label, unnest(e6) AS v,
+        |             unnest(range(0, len(e6))) AS pos FROM e),
+        |c AS (SELECT label, pos, SUM(CAST(v AS DECIMAL(18,6))) AS s,
+        |             COUNT(*) AS n
+        |      FROM x GROUP BY 1, 2),
+        |cent AS (SELECT label, list(CAST(s AS DOUBLE) / n ORDER BY pos) AS centroid
+        |         FROM c GROUP BY 1),
+        |d AS (SELECT e.vec_id, e.label,
+        |             ROUND(list_reduce(
+        |               list_prepend(CAST(0.0 AS DOUBLE),
+        |                 list_transform(range(1, len(e.e6) + 1),
+        |                   i -> (e.e6[i] - cent.centroid[i]) * (e.e6[i] - cent.centroid[i]))),
+        |               (a, t) -> a + t), 6) AS d2
+        |      FROM e JOIN cent USING (label)),
+        |r AS (SELECT vec_id, label, d2,
+        |             PERCENT_RANK() OVER (PARTITION BY label ORDER BY d2) AS prank
+        |      FROM d)
+        |SELECT vec_id, label, d2, ROUND(prank, 6) AS prank
+        |FROM r WHERE prank >= 0.2""".stripMargin,
     "q_embedding_stats" ->
       """WITH n AS (
         |  SELECT label,

@@ -662,6 +662,20 @@ object Similarity {
     * dims rows) broadcast back; the distance pass is map-side. */
   def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
+    labelDistances(spark, dir)
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("d2").cast(DecimalType(18, 6))).cast("double") / count(lit(1)), 6)
+          .as("avg_dist2"),
+        min("d2").as("min_dist2"),
+        max("d2").as("max_dist2"))
+  }
+
+  /** Each vector's exact squared distance to its own label centroid —
+    * the shared core of [[labelCentroids]] and [[prototypePrune]].
+    * Decimal-sum discipline throughout (see [[labelCentroids]] doc). */
+  private def labelDistances(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
     val emb = Tables.load(spark, dir, "embeddings")
       .withColumn("e6", expr("transform(embedding, x -> round(CAST(x AS DOUBLE), 6))"))
     val cent = emb.select(col("label"), posexplode(col("e6")).as(Seq("pos", "v")))
@@ -675,11 +689,28 @@ object Similarity {
       .withColumn("d2", round(expr(
         "aggregate(zip_with(e6, centroid, (x, c) -> (x - c) * (x - c)), " +
           "CAST(0.0 AS DOUBLE), (a, t) -> a + t)"), 6))
-      .groupBy("label")
-      .agg(count(lit(1)).as("n_vecs"),
-        round(sum(col("d2").cast(DecimalType(18, 6))).cast("double") / count(lit(1)), 6)
-          .as("avg_dist2"),
-        min("d2").as("min_dist2"),
-        max("d2").as("max_dist2"))
+  }
+
+  /** PROTOTYPE-BASED DATASET PRUNING (SSL-prototypes-style): drop the
+    * `pruneFrac` of each class that sits CLOSEST to its label centroid —
+    * the most prototypical, most redundant examples — and keep the
+    * informative tail. The published recipe for trimming a training set
+    * with minimal accuracy loss: easy examples near the class prototype
+    * teach the model least, so at a fixed token/example budget they are
+    * the ones to spend away.
+    *
+    * Determinism: distances are the exact 6-dp-rounded [[labelDistances]]
+    * values; the cut is `percent_rank` (value-based, so ties share a
+    * rank — no row_number arbitrariness) and rows with rank < `pruneFrac`
+    * are dropped. Scale shape: one 64x posexplode agg for centroids
+    * (broadcast back), one map-side distance pass, one per-label window —
+    * a single shuffle on the label key; AQE handles label skew. */
+  def prototypePrune(spark: SparkSession, dir: String, pruneFrac: Double = 0.2): DataFrame = {
+    val w = Window.partitionBy("label").orderBy(col("d2").asc)
+    labelDistances(spark, dir)
+      .withColumn("prank", percent_rank().over(w))
+      .filter(col("prank") >= pruneFrac)
+      .select(col("vec_id"), col("label"), col("d2"),
+        round(col("prank"), 6).as("prank"))
   }
 }
