@@ -273,6 +273,7 @@ object SparkEntry {
     "q_zorder_layout"      -> Scale.zorderRoundTrip _,
     "q_compaction"         -> ((s: SparkSession, d: String) => Scale.compactionRoundTrip(s, d)),
     "q_schema_evolution"   -> Scale.schemaEvolutionRead _,
+    "q_analyze_stats"      -> Scale.analyzeStats _,
     "q_pagerank"           -> ((s: SparkSession, d: String) => Graph.pageRank(s, d)),
     "q_triangle_count"     -> ((s: SparkSession, d: String) => Graph.triangleCount(s, d)),
     "q_kcore"              -> ((s: SparkSession, d: String) => Graph.kCore(s, d)),
@@ -2177,6 +2178,48 @@ object SparkEntry {
         |       MIN(event_id) AS first_event, MAX(event_id) AS last_event
         |FROM events
         |WHERE user_id BETWEEN 3 AND 9 AND value BETWEEN 50.0 AND 100.0""".stripMargin,
+    // per-column profile; canonical string forms (decimal 2-dp, date
+    // grain) are injective, so string NDV == typed NDV; typed min/max
+    // rendered through the SAME forms; width = exact int sum, one
+    // double division, round 4
+    "q_analyze_stats" ->
+      """SELECT 'l_orderkey' AS col_name,
+        |       CAST(COUNT(DISTINCT CAST(l_orderkey AS VARCHAR)) AS BIGINT) AS ndv,
+        |       CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |       CAST(MIN(l_orderkey) AS VARCHAR) AS min_val,
+        |       CAST(MAX(l_orderkey) AS VARCHAR) AS max_val,
+        |       ROUND(CAST(SUM(LENGTH(CAST(l_orderkey AS VARCHAR))) AS DOUBLE) / COUNT(l_orderkey), 4) AS avg_width
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_quantity',
+        |       CAST(COUNT(DISTINCT CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR)) AS BIGINT),
+        |       CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       CAST(MIN(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR),
+        |       CAST(MAX(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR),
+        |       ROUND(CAST(SUM(LENGTH(CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR))) AS DOUBLE) / COUNT(l_quantity), 4)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_returnflag',
+        |       CAST(COUNT(DISTINCT l_returnflag) AS BIGINT),
+        |       CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       MIN(l_returnflag), MAX(l_returnflag),
+        |       ROUND(CAST(SUM(LENGTH(l_returnflag)) AS DOUBLE) / COUNT(l_returnflag), 4)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_linestatus',
+        |       CAST(COUNT(DISTINCT l_linestatus) AS BIGINT),
+        |       CAST(SUM(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       MIN(l_linestatus), MAX(l_linestatus),
+        |       ROUND(CAST(SUM(LENGTH(l_linestatus)) AS DOUBLE) / COUNT(l_linestatus), 4)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_shipdate',
+        |       CAST(COUNT(DISTINCT CAST(CAST(l_shipdate AS DATE) AS VARCHAR)) AS BIGINT),
+        |       CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       CAST(MIN(CAST(l_shipdate AS DATE)) AS VARCHAR),
+        |       CAST(MAX(CAST(l_shipdate AS DATE)) AS VARCHAR),
+        |       ROUND(CAST(SUM(LENGTH(CAST(CAST(l_shipdate AS DATE) AS VARCHAR))) AS DOUBLE) / COUNT(l_shipdate), 4)
+        |FROM lineitem""".stripMargin,
     // fixed-point PageRank: integer arithmetic end to end, so the oracle
     // hash-matches with no float discipline at all (see Graph.pageRank)
     "q_pagerank" ->

@@ -743,4 +743,63 @@ object Scale {
         sum("l_quantity").cast("double").as("sum_qty"),
         sum("rev").cast("double").as("revenue"))
   }
+
+  /** ANALYZE-style COLUMN STATISTICS — the table profile a cost-based
+    * optimizer feeds on (`ANALYZE TABLE ... COMPUTE STATISTICS FOR
+    * COLUMNS`): per column, exact NDV, null count, typed min/max, and
+    * mean value width.
+    *
+    * Two passes, each scalable:
+    *   1. typed min/max — ONE wide agg row (map-side partials, no
+    *      distinct), unpivoted to per-column rows and broadcast;
+    *   2. NDV/nulls/width — canonicalize each column to a collation-free
+    *      string, unpivot, then the TWO-PHASE distinct: groupBy
+    *      (col_name, value) with map-side combine first (keys =
+    *      Σ per-column NDV, so the shuffle carries distinct values, not
+    *      rows), then groupBy(col_name) over that NDV-sized frame. The
+    *      naive alternative — COUNT(DISTINCT c1), COUNT(DISTINCT c2), …
+    *      in one agg — plans an Expand that multiplies every input row
+    *      by the column count and funnels into single-key reducers; at
+    *      100 TB the two-phase shape is the difference between a stats
+    *      pass and an outage. (A production profile would swap exact NDV
+    *      for HLL; the oracle pins the exact path.)
+    *
+    * Canonical forms are injective per column (decimals fixed at 2 dp,
+    * timestamps at date grain) so string NDV == typed NDV, and min/max
+    * render through the same forms in both engines. */
+  def analyzeStats(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val canon = li.select(
+      col("l_orderkey").cast("string").as("l_orderkey"),
+      col("l_quantity").cast(DecimalType(18, 2)).cast("string").as("l_quantity"),
+      col("l_returnflag"),
+      col("l_linestatus"),
+      col("l_shipdate").cast("date").cast("string").as("l_shipdate"))
+    val cols = canon.columns
+    val mm = li.agg(
+        min("l_orderkey").cast("string").as("min_l_orderkey"),
+        max("l_orderkey").cast("string").as("max_l_orderkey"),
+        min(col("l_quantity").cast(DecimalType(18, 2))).cast("string").as("min_l_quantity"),
+        max(col("l_quantity").cast(DecimalType(18, 2))).cast("string").as("max_l_quantity"),
+        min("l_returnflag").as("min_l_returnflag"),
+        max("l_returnflag").as("max_l_returnflag"),
+        min("l_linestatus").as("min_l_linestatus"),
+        max("l_linestatus").as("max_l_linestatus"),
+        min(col("l_shipdate").cast("date")).cast("string").as("min_l_shipdate"),
+        max(col("l_shipdate").cast("date")).cast("string").as("max_l_shipdate"))
+      .select(expr(s"stack(${cols.length}, " +
+        cols.map(c => s"'$c', min_$c, max_$c").mkString(", ") +
+        ") AS (col_name, min_val, max_val)"))
+    val unpiv = canon.select(expr(s"stack(${cols.length}, " +
+      cols.map(c => s"'$c', $c").mkString(", ") + ") AS (col_name, val)"))
+    val perValue = unpiv.groupBy("col_name", "val")
+      .agg(count(lit(1)).as("cnt"))
+    val stats = perValue.groupBy("col_name").agg(
+      count(when(col("val").isNotNull, 1)).as("ndv"),
+      coalesce(sum(when(col("val").isNull, col("cnt"))), lit(0L)).as("n_nulls"),
+      round(sum(when(col("val").isNotNull, length(col("val")) * col("cnt"))).cast("double") /
+        sum(when(col("val").isNotNull, col("cnt"))), 4).as("avg_width"))
+    stats.join(broadcast(mm), "col_name")
+      .select("col_name", "ndv", "n_nulls", "min_val", "max_val", "avg_width")
+  }
 }
