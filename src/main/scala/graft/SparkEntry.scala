@@ -70,6 +70,8 @@ object SparkEntry {
     "q_dedup_incremental" -> ((s: SparkSession, d: String) => Dedup.dedupIncremental(s, d)),
     "q_dedup_containment" -> ((s: SparkSession, d: String) => Dedup.containmentPairs(s, d)),
     "q_prototype_prune" -> ((s: SparkSession, d: String) => Similarity.prototypePrune(s, d)),
+    "q_mask_spans" -> TextAnalysis.maskSpans _,
+    "q_neg_sampling" -> ((s: SparkSession, d: String) => TextAnalysis.negSamplingTable(s, d)),
     "q_hot_shingles" -> ((s: SparkSession, d: String) => Dedup.hotShingleProfile(s, d)),
     "q_dedup_embedding" -> ((s: SparkSession, d: String) => Dedup.embeddingPairsShared(s, d, 0.4)),
     "q_dedup_embedding_clusters" -> ((s: SparkSession, d: String) => Dedup.embeddingClusters(s, d, 0.4)),
@@ -277,6 +279,8 @@ object SparkEntry {
     "q_pagerank"           -> ((s: SparkSession, d: String) => Graph.pageRank(s, d)),
     "q_triangle_count"     -> ((s: SparkSession, d: String) => Graph.triangleCount(s, d)),
     "q_kcore"              -> ((s: SparkSession, d: String) => Graph.kCore(s, d)),
+    "q_modularity"         -> ((s: SparkSession, d: String) => Graph.modularity(s, d)),
+    "q_pareto_frontier"    -> Breadth.paretoFrontier _,
     "q_ewma_user"          -> Breadth.ewmaUser _,
     "q_source_mixing"      -> TextAnalysis.sourceMixing _,
     "q_lateral_topn"       -> SqlInterface.lateralTopN _,
@@ -1853,6 +1857,36 @@ object SparkEntry {
         |       ROUND(CAST(SUM(CAST(d2 AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_dist2,
         |       MIN(d2) AS min_dist2, MAX(d2) AS max_dist2
         |FROM d GROUP BY 1""".stripMargin,
+    // Lehmer-mix position hash, all-integer → bit-exact; first mod
+    // bounds the multiplicand so nothing overflows BIGINT in either
+    // engine
+    "q_mask_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(range(0, len(string_split(text, ' ')))) AS pos
+        |  FROM documents),
+        |h AS (SELECT doc_id, pos,
+        |             ((doc_id * 1000003 + pos) % 2147483647) * 48271 % 2147483647 AS hv
+        |      FROM t)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+        |       CAST(SUM(CASE WHEN hv % 100 < 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+        |       CAST(MIN(CASE WHEN hv % 100 < 15 THEN pos END) AS INT) AS first_masked_pos
+        |FROM h GROUP BY 1""".stripMargin,
+    // 3/4-power unigram distribution over the deterministic top-50
+    // vocabulary (freq desc, token asc); weights summed as exact
+    // decimals, one double division per row
+    "q_neg_sampling" ->
+      """WITH f AS (
+        |  SELECT tok AS token, COUNT(*) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY 1),
+        |w AS (SELECT token, freq,
+        |             CAST(ROUND(POW(CAST(freq AS DOUBLE), 0.75), 6) AS DECIMAL(18,6)) AS w,
+        |             ROW_NUMBER() OVER (ORDER BY freq DESC, token ASC) AS rk
+        |      FROM f),
+        |t AS (SELECT SUM(w) AS w_tot FROM w WHERE rk <= 50)
+        |SELECT token, freq, CAST(w AS DOUBLE) AS weight,
+        |       ROUND(CAST(w AS DOUBLE) / CAST(w_tot AS DOUBLE), 6) AS p_draw
+        |FROM w CROSS JOIN t WHERE rk <= 50""".stripMargin,
     // same exact-decimal centroid/distance chain as q_label_centroids,
     // then an ANSI PERCENT_RANK cut (value-based → tie-stable in both
     // engines); rows with rank < 0.2 (most prototypical 20%) pruned
@@ -2239,6 +2273,44 @@ object SparkEntry {
         |       FROM und u JOIN r2 r ON u.src = r.node JOIN deg d ON u.src = d.src GROUP BY 1),
         |r3 AS (SELECT node, 150000000 + 85 * csum // 100 AS r FROM c3)
         |SELECT node, r AS rank_fp, CAST(node % 2 = 0 AS INT) AS is_part FROM r3""".stripMargin,
+    // integer edge/degree counts; Q_c is one fixed-shape double
+    // expression (two divisions, one square) rounded 6 dp — identical
+    // IEEE sequence in both engines
+    "q_modularity" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |en AS (SELECT c.c_nationkey AS nat_a, s.s_nationkey AS nat_b
+        |       FROM e JOIN customer c ON e.ck = c.c_custkey
+        |              JOIN supplier s ON e.sk = s.s_suppkey),
+        |m AS (SELECT COUNT(*) AS m FROM en),
+        |d AS (SELECT nation, CAST(SUM(cnt) AS BIGINT) AS d_c FROM (
+        |        SELECT nat_a AS nation, COUNT(*) AS cnt FROM en GROUP BY 1
+        |        UNION ALL
+        |        SELECT nat_b AS nation, COUNT(*) AS cnt FROM en GROUP BY 1)
+        |      GROUP BY 1),
+        |mc AS (SELECT nat_a AS nation, COUNT(*) AS m_c FROM en
+        |       WHERE nat_a = nat_b GROUP BY 1)
+        |SELECT n.n_name, d.d_c, CAST(COALESCE(mc.m_c, 0) AS BIGINT) AS m_c,
+        |       ROUND(CAST(COALESCE(mc.m_c, 0) AS DOUBLE) / m.m -
+        |             (CAST(d.d_c AS DOUBLE) / (m.m * 2)) *
+        |             (CAST(d.d_c AS DOUBLE) / (m.m * 2)), 6) AS q_c
+        |FROM d CROSS JOIN m
+        |LEFT JOIN mc ON d.nation = mc.nation
+        |JOIN nation n ON d.nation = n.n_nationkey""".stripMargin,
+    // max-size-per-price pre-prune then strict running-max scan — exact
+    // 2-dp decimal ordering, no float arithmetic
+    "q_pareto_frontier" ->
+      """WITH best AS (
+        |  SELECT CAST(p_retailprice AS DECIMAL(18,2)) AS price,
+        |         MAX(p_size) AS sz
+        |  FROM part GROUP BY 1),
+        |r AS (SELECT price, sz,
+        |             MAX(sz) OVER (ORDER BY price ASC
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |      FROM best)
+        |SELECT CAST(price AS DOUBLE) AS price, sz
+        |FROM r WHERE prev_max IS NULL OR sz > prev_max""".stripMargin,
     // degree-oriented triangle count: all-integer graph invariants;
     // since edges are canonical a<b, (da,a)<(db,b) reduces to da<=db on
     // BOTH sides (see Graph.triangleCount)

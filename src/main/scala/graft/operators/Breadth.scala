@@ -995,4 +995,29 @@ object Breadth {
       .select(col("event_id"), col("user_id"), col("v"),
         last("v", ignoreNulls = true).over(w).as("v_filled"))
   }
+
+  /** PARETO FRONTIER (2-D skyline): the parts no other part dominates —
+    * cheaper-or-equal AND bigger-or-equal with at least one strict — on
+    * (p_retailprice ↓, p_size ↑). The multi-objective "best offers"
+    * query optimizers call SKYLINE.
+    *
+    * Scale shape: a 2-D skyline needs only the MAX size at each distinct
+    * price — `groupBy(price).max(size)` is a distributed pre-prune that
+    * collapses the corpus to ndv(price) rows (every non-max pair is
+    * dominated by its price-mate, strictly on size), and the classic
+    * sort-scan — keep a row iff its size strictly exceeds the running
+    * max over all cheaper rows — runs as ONE window over that tiny
+    * frame. Prices compare as exact 2-dp decimals; no float arithmetic
+    * anywhere → hash-exact oracle. */
+  def paretoFrontier(spark: SparkSession, dir: String): DataFrame = {
+    val best = Tables.load(spark, dir, "part")
+      .select(col("p_retailprice").cast(DecimalType(18, 2)).as("price"),
+        col("p_size").as("sz"))
+      .groupBy("price").agg(max("sz").as("sz"))
+    val w = Window.orderBy(col("price").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    best.withColumn("prev_max", max("sz").over(w))
+      .filter(col("prev_max").isNull || col("sz") > col("prev_max"))
+      .select(col("price").cast("double").as("price"), col("sz"))
+  }
 }

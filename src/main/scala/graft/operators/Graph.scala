@@ -178,4 +178,49 @@ object Graph {
     edges.select(col("a").as("n")).unionAll(edges.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("core_deg"))
   }
+
+  /** NEWMAN MODULARITY of a community partition — here the NATION
+    * partition of the customer–supplier trade graph: how much more
+    * within-country trade the graph carries than a degree-preserving
+    * random rewiring would (the community-quality score every
+    * graph-clustering pipeline reports). Per community c:
+    * Q_c = m_c/m − (d_c/2m)², with m total edges, m_c within-community
+    * edges, d_c the community degree sum.
+    *
+    * Scale shape: nodes carry their community as an attribute joined
+    * from the (broadcast) customer/supplier dims onto the distinct edge
+    * list, so the whole measure is three counts over one materialized
+    * edge frame — no iteration, no driver scalars; the 1-row edge total
+    * broadcasts back into the per-community arithmetic. All counts are
+    * integers; Q_c is one fixed-shape double expression rounded 6 dp. */
+  def modularity(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders").select("o_orderkey", "o_custkey")
+    val li = Tables.load(spark, dir, "lineitem").select("l_orderkey", "l_suppkey")
+    val cust = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey").as("nat_a"))
+    val supp = Tables.load(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey").as("nat_b"))
+    val edges = orders.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
+      .distinct()
+      .join(broadcast(cust), col("ck") === col("c_custkey"))
+      .join(broadcast(supp), col("sk") === col("s_suppkey"))
+      .select("nat_a", "nat_b")
+      .localCheckpoint(true) // feeds the total, both degree rollups, and m_c
+    val mTot = edges.agg(count(lit(1)).as("m"))
+    val dC = edges.select(col("nat_a").as("nation"))
+      .unionAll(edges.select(col("nat_b").as("nation")))
+      .groupBy("nation").agg(count(lit(1)).as("d_c"))
+    val mC = edges.filter(col("nat_a") === col("nat_b"))
+      .groupBy(col("nat_a").as("nation")).agg(count(lit(1)).as("m_c"))
+    val nations = Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey").as("nation"), col("n_name"))
+    dC.join(mC, Seq("nation"), "left").na.fill(0L, Seq("m_c"))
+      .crossJoin(broadcast(mTot))
+      .join(broadcast(nations), "nation")
+      .select(col("n_name"), col("d_c"), col("m_c"),
+        round(col("m_c").cast("double") / col("m") -
+          (col("d_c").cast("double") / (col("m") * 2)) *
+            (col("d_c").cast("double") / (col("m") * 2)), 6).as("q_c"))
+  }
 }

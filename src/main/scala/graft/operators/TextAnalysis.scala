@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over `documents` — the pre-training corpus
@@ -1003,5 +1004,57 @@ object TextAnalysis {
       .filter(col("freq") * k > col("total"))
       .select(col("token"), col("freq"),
         round(col("freq") / col("total"), 6).as("share"))
+  }
+
+  /** DETERMINISTIC MLM MASKING PLAN — which tokens a BERT-style
+    * masked-language-model pass would corrupt, decided by position hash
+    * instead of an RNG so every epoch, retry, and straggler re-execution
+    * masks the SAME positions (reproducible training, resumable shards).
+    * A token at (doc_id, pos) is masked iff
+    * `((doc_id·1000003 + pos) mod p) · 48271 mod p ≡ < 15 (mod 100)`
+    * (p = 2³¹−1; Lehmer-style mixing, all-integer, overflow-free since
+    * the first mod bounds the multiplicand below 2³¹). ~15% of
+    * positions, uncorrelated with token content. Per-doc summary:
+    * token count, masked count, and the first masked position. Pure
+    * integer arithmetic end to end → bit-exact oracle; the whole pass
+    * is map-side expressions plus one doc-keyed aggregate. */
+  def maskSpans(spark: SparkSession, dir: String): DataFrame = {
+    val p = 2147483647L
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .withColumn("h",
+        pmod(pmod(col("doc_id") * 1000003L + col("pos"), lit(p)) * 48271L, lit(p)))
+      .withColumn("masked", (pmod(col("h"), lit(100L)) < 15).cast("int"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        sum("masked").as("n_masked"),
+        min(when(col("masked") === 1, col("pos"))).as("first_masked_pos"))
+  }
+
+  /** NEGATIVE-SAMPLING TABLE — the word2vec/contrastive-training noise
+    * distribution: P(token) ∝ freq^0.75 over the corpus vocabulary
+    * (the published 3/4-power unigram flattening), materialized for the
+    * top `k` tokens by frequency (freq desc, token asc tiebreak — the
+    * candidates a sampler actually draws). Scale shape: one
+    * token-keyed count with map-side partials (vocabulary-sized, not
+    * corpus-sized), a global top-k, and a broadcast total.
+    * Float discipline: weights are 6-dp-rounded doubles summed as
+    * DECIMAL(18,6) — exact and order-independent — with one double
+    * division at the end. */
+  def negSamplingTable(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val freqs = Tables.load(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .withColumn("w", round(pow(col("freq").cast("double"), 0.75), 6)
+        .cast(DecimalType(18, 6)))
+    val wQ = Window.orderBy(col("freq").desc, col("token").asc)
+    val top = freqs.withColumn("rk", row_number().over(wQ))
+      .filter(col("rk") <= k)
+    val tot = top.agg(sum("w").as("w_tot"))
+    top.crossJoin(broadcast(tot))
+      .select(col("token"), col("freq"),
+        col("w").cast("double").as("weight"),
+        round(col("w").cast("double") / col("w_tot").cast("double"), 6).as("p_draw"))
   }
 }
