@@ -33,7 +33,9 @@ object ScaleBench {
     "q_pagerank", "q_sessionize_batch",
     "q_dedup_incremental", "q_hot_shingles", "q_stream_dedup_incremental",
     "q_triangle_count", "q_funnel_steps", "q_kcore", "q_basket_pairs",
-    "q_path_trigrams")
+    "q_path_trigrams",
+    "q_dedup_containment", "q_analyze_stats", "q_mask_spans",
+    "q_modularity", "q_prototype_prune")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -129,5 +131,22 @@ object ScaleBench {
       .withColumn("p_partkey", col("p_partkey") + col("copy") * Stride)
       .drop("copy")
       .write.mode("overwrite").parquet(s"$out/part.parquet")
+
+    // customer/supplier ride the custkey/suppkey offsets (modularity's
+    // trade graph: 10 disjoint copies) but keep their nationkeys, so the
+    // nation partition — and Q_c — is copy-invariant while the edge
+    // counts scale 10×. nation itself is a dim, copied verbatim.
+    raw("customer", Tables.customer)
+      .withColumn("c_custkey", col("c_custkey") + col("copy") * Stride)
+      .drop("copy")
+      .write.mode("overwrite").parquet(s"$out/customer.parquet")
+
+    raw("supplier", Tables.supplier)
+      .withColumn("s_suppkey", col("s_suppkey") + col("copy") * Stride)
+      .drop("copy")
+      .write.mode("overwrite").parquet(s"$out/supplier.parquet")
+
+    spark.read.schema(Tables.nation).parquet(s"$src/nation.parquet")
+      .write.mode("overwrite").parquet(s"$out/nation.parquet")
   }
 }

@@ -72,6 +72,9 @@ object SparkEntry {
     "q_prototype_prune" -> ((s: SparkSession, d: String) => Similarity.prototypePrune(s, d)),
     "q_mask_spans" -> TextAnalysis.maskSpans _,
     "q_neg_sampling" -> ((s: SparkSession, d: String) => TextAnalysis.negSamplingTable(s, d)),
+    "q_cdc_chunks" -> TextAnalysis.cdcChunks _,
+    "q_assortativity" -> ((s: SparkSession, d: String) => Graph.assortativity(s, d)),
+    "q_skew_metrics" -> Scale.skewMetrics _,
     "q_hot_shingles" -> ((s: SparkSession, d: String) => Dedup.hotShingleProfile(s, d)),
     "q_dedup_embedding" -> ((s: SparkSession, d: String) => Dedup.embeddingPairsShared(s, d, 0.4)),
     "q_dedup_embedding_clusters" -> ((s: SparkSession, d: String) => Dedup.embeddingClusters(s, d, 0.4)),
@@ -1857,6 +1860,33 @@ object SparkEntry {
         |       ROUND(CAST(SUM(CAST(d2 AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_dist2,
         |       MIN(d2) AS min_dist2, MAX(d2) AS max_dist2
         |FROM d GROUP BY 1""".stripMargin,
+    // same char-fold + Karp-Rabin arithmetic as q_text_fingerprint;
+    // running-sum chunk ids replayed with an ANSI window; COUNT DISTINCT
+    // here equals the engine's two-phase (source, fp) rollup
+    "q_cdc_chunks" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |th AS (SELECT doc_id, source,
+        |  list_transform(t, tok ->
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT), [CAST(ascii(tok[i]) AS BIGINT) for i in range(1, len(tok)+1)]),
+        |      (a, c) -> (a * 31 + c) % 2147483647)) AS h
+        |  FROM toks),
+        |e AS (SELECT doc_id, source, unnest(h) AS hv,
+        |             unnest(range(0, len(h))) AS pos FROM th),
+        |c AS (SELECT doc_id, source, pos, hv,
+        |             SUM(CASE WHEN hv % 16 = 0 THEN 1 ELSE 0 END)
+        |               OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_id
+        |      FROM e),
+        |f AS (SELECT doc_id, source, chunk_id,
+        |             list_reduce(list_prepend(CAST(0 AS BIGINT), list(hv ORDER BY pos)),
+        |                         (a, x) -> (a * 1000003 + x) % 2147483647) AS fp,
+        |             COUNT(*) AS chunk_len
+        |      FROM c GROUP BY 1, 2, 3)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |       CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_distinct,
+        |       ROUND(CAST(1 AS DOUBLE) - CAST(COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*), 6) AS dedup_ratio,
+        |       ROUND(CAST(SUM(chunk_len) AS DOUBLE) / COUNT(*), 4) AS avg_chunk_toks
+        |FROM f GROUP BY 1""".stripMargin,
     // Lehmer-mix position hash, all-integer → bit-exact; first mod
     // bounds the multiplicand so nothing overflows BIGINT in either
     // engine
@@ -2273,6 +2303,47 @@ object SparkEntry {
         |       FROM und u JOIN r2 r ON u.src = r.node JOIN deg d ON u.src = d.src GROUP BY 1),
         |r3 AS (SELECT node, 150000000 + 85 * csum // 100 AS r FROM c3)
         |SELECT node, r AS rank_fp, CAST(node % 2 = 0 AS INT) AS is_part FROM r3""".stripMargin,
+    // five exact BIGINT moment sums over the symmetrized edge list, one
+    // correlation expression (same shape as q_revenue_autocorr)
+    "q_assortativity" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |und AS (SELECT a AS x, b AS y FROM e
+        |        UNION ALL SELECT b AS x, a AS y FROM e),
+        |deg AS (SELECT x AS n, COUNT(*) AS d FROM und GROUP BY 1),
+        |p AS (SELECT dx.d AS dx, dy.d AS dy
+        |      FROM und JOIN deg dx ON und.x = dx.n JOIN deg dy ON und.y = dy.n),
+        |s AS (SELECT COUNT(*) AS n,
+        |             CAST(SUM(dx) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
+        |             CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+        |             CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+        |             CAST(SUM(dy * dy) AS BIGINT) AS syy
+        |      FROM p)
+        |SELECT n,
+        |       ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |             SQRT((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |                  (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS assortativity
+        |FROM s""".stripMargin,
+    // per-key-column two-phase profile; integer counts, two rounded
+    // divisions
+    "q_skew_metrics" ->
+      """WITH pk AS (SELECT l_partkey AS k FROM lineitem),
+        |sk AS (SELECT l_suppkey AS k FROM lineitem),
+        |ck AS (SELECT o_custkey AS k FROM orders),
+        |uk AS (SELECT user_id AS k FROM events),
+        |prof AS (
+        |  SELECT 'lineitem.l_partkey' AS key_col, k FROM pk
+        |  UNION ALL SELECT 'lineitem.l_suppkey', k FROM sk
+        |  UNION ALL SELECT 'orders.o_custkey', k FROM ck
+        |  UNION ALL SELECT 'events.user_id', k FROM uk),
+        |cnts AS (SELECT key_col, k, COUNT(*) AS cnt FROM prof GROUP BY 1, 2)
+        |SELECT key_col, CAST(COUNT(*) AS BIGINT) AS ndv,
+        |       CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |       CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+        |       ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 6) AS top1_share,
+        |       ROUND(CAST(SUM(cnt) AS DOUBLE) / COUNT(*), 4) AS avg_cnt
+        |FROM cnts GROUP BY 1""".stripMargin,
     // integer edge/degree counts; Q_c is one fixed-shape double
     // expression (two divisions, one square) rounded 6 dp — identical
     // IEEE sequence in both engines

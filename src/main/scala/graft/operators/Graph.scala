@@ -223,4 +223,44 @@ object Graph {
           (col("d_c").cast("double") / (col("m") * 2)) *
             (col("d_c").cast("double") / (col("m") * 2)), 6).as("q_c"))
   }
+
+  /** DEGREE ASSORTATIVITY of the trade graph — the Pearson correlation
+    * of endpoint degrees over the (symmetrized) edge list: do
+    * high-degree customers trade with high-degree suppliers (r > 0) or
+    * with the long tail (r < 0)? The one-number mixing diagnostic
+    * reported alongside modularity in any graph profile.
+    *
+    * Exactness: degrees are integers, all five moment sums are exact
+    * BIGINT aggregates (order-independent), and r is ONE double
+    * expression on those sums — the same correlation-on-exact-sums
+    * shape as `Breadth.revenueAutocorr`, rounded 6 dp. Scale: two
+    * keyed joins to attach endpoint degrees (the degree frame is
+    * node-cardinality), one global agg with map-side partials. */
+  def assortativity(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders").select("o_orderkey", "o_custkey")
+    val li = Tables.load(spark, dir, "lineitem").select("l_orderkey", "l_suppkey")
+    val edges = orders.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+      .localCheckpoint(true) // feeds the degree count and both pair sides
+    val und = edges.select(col("a").as("x"), col("b").as("y"))
+      .unionAll(edges.select(col("b").as("x"), col("a").as("y")))
+    val deg = und.groupBy(col("x").as("n")).agg(count(lit(1)).as("d"))
+    val pairs = und
+      .join(deg.select(col("n").as("x"), col("d").as("dx")), "x")
+      .join(deg.select(col("n").as("y"), col("d").as("dy")), "y")
+    val s = pairs.agg(count(lit(1)).as("n"),
+      sum("dx").as("sx"), sum("dy").as("sy"),
+      sum(col("dx") * col("dy")).as("sxy"),
+      sum(col("dx") * col("dx")).as("sxx"),
+      sum(col("dy") * col("dy")).as("syy"))
+    s.select(col("n"),
+      round((col("n") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+        sqrt((col("n") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")) *
+          (col("n") * col("syy").cast("double") -
+            col("sy").cast("double") * col("sy").cast("double"))), 6)
+        .as("assortativity"))
+  }
 }

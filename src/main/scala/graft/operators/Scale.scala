@@ -802,4 +802,28 @@ object Scale {
     stats.join(broadcast(mm), "col_name")
       .select("col_name", "ndv", "n_nulls", "min_val", "max_val", "avg_width")
   }
+
+  /** JOIN-KEY SKEW PROFILE — the sensor that decides when the salting /
+    * AQE-skew-join machinery in this file is worth its cost: per key
+    * column, the distinct-key count, row count, heaviest key's row
+    * count, the top-1 share (a 0.3 here means one reducer gets 30% of
+    * the shuffle), and mean rows per key. Each profile is the two-phase
+    * shape — groupBy(key).count with map-side combine, then a 1-row
+    * rollup over the NDV-sized frame — so profiling costs one skinny
+    * shuffle per column, never a sort. Integer counts; two divisions,
+    * rounded. */
+  def skewMetrics(spark: SparkSession, dir: String): DataFrame = {
+    def profile(df: DataFrame, key: String, name: String): DataFrame =
+      df.groupBy(col(key).as("k")).agg(count(lit(1)).as("cnt"))
+        .agg(count(lit(1)).as("ndv"), sum("cnt").as("n_rows"),
+          max("cnt").as("max_cnt"))
+        .select(lit(name).as("key_col"), col("ndv"), col("n_rows"), col("max_cnt"),
+          round(col("max_cnt").cast("double") / col("n_rows"), 6).as("top1_share"),
+          round(col("n_rows").cast("double") / col("ndv"), 4).as("avg_cnt"))
+    val li = Tables.load(spark, dir, "lineitem")
+    profile(li, "l_partkey", "lineitem.l_partkey")
+      .unionAll(profile(li, "l_suppkey", "lineitem.l_suppkey"))
+      .unionAll(profile(Tables.load(spark, dir, "orders"), "o_custkey", "orders.o_custkey"))
+      .unionAll(profile(Tables.load(spark, dir, "events"), "user_id", "events.user_id"))
+  }
 }

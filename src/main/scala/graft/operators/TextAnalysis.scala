@@ -1057,4 +1057,45 @@ object TextAnalysis {
         col("w").cast("double").as("weight"),
         round(col("w").cast("double") / col("w_tot").cast("double"), 6).as("p_draw"))
   }
+
+  /** CONTENT-DEFINED CHUNKING dedup ratio (FastCDC-style, token
+    * granularity): a token opens a new chunk iff its portable hash ≡ 0
+    * (mod 16) — the boundary depends on CONTENT ONLY, so an identical
+    * passage chunks identically wherever it appears and shared chunks
+    * collapse under fingerprint dedup; fixed-width chunking misses
+    * every shifted copy. Per source: chunk count, distinct chunk
+    * fingerprints, the storage dedup ratio, and mean chunk length.
+    *
+    * Uses the same per-token char-fold hash as [[fingerprint]] and a
+    * Karp–Rabin fold per chunk — all integer arithmetic mod 2³¹−1,
+    * bit-replicable in the oracle. Scale shape: one posexplode, one
+    * per-doc running-sum window (chunk ids), one (doc, chunk) fold,
+    * then the TWO-PHASE distinct — groupBy (source, fp) with map-side
+    * combine before the per-source rollup — so the shuffle above the
+    * chunk frame carries distinct fingerprints, not chunks. */
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.load(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("th",
+        expr("transform(toks, t -> aggregate(split(t, ''), CAST(0 AS BIGINT), " +
+          "(a, c) -> pmod(a * 31 + ascii(c), 2147483647L)))"))
+      .select(col("doc_id"), col("source"), posexplode(col("th")).as(Seq("pos", "h")))
+    val wRun = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val chunks = toks
+      .withColumn("boundary", (pmod(col("h"), lit(16L)) === 0L).cast("int"))
+      .withColumn("chunk_id", sum("boundary").over(wRun))
+      .groupBy("doc_id", "source", "chunk_id")
+      .agg(expr("aggregate(transform(sort_array(collect_list(struct(pos, h))), s -> s.h), " +
+        "CAST(0 AS BIGINT), (acc, x) -> pmod(acc * 1000003L + x, 2147483647L))").as("fp"),
+        count(lit(1)).as("chunk_len"))
+    val perFp = chunks.groupBy("source", "fp")
+      .agg(count(lit(1)).as("n_copies"), sum("chunk_len").as("len_sum"))
+    perFp.groupBy("source").agg(
+      sum("n_copies").as("n_chunks"),
+      count(lit(1)).as("n_distinct"),
+      round(lit(1.0) - count(lit(1)).cast("double") / sum("n_copies"), 6)
+        .as("dedup_ratio"),
+      round(sum("len_sum").cast("double") / sum("n_copies"), 4).as("avg_chunk_toks"))
+  }
 }
