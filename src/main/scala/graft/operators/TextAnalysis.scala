@@ -1074,21 +1074,7 @@ object TextAnalysis {
     * combine before the per-source rollup — so the shuffle above the
     * chunk frame carries distinct fingerprints, not chunks. */
   def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.load(spark, dir, "documents")
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("th",
-        expr("transform(toks, t -> aggregate(split(t, ''), CAST(0 AS BIGINT), " +
-          "(a, c) -> pmod(a * 31 + ascii(c), 2147483647L)))"))
-      .select(col("doc_id"), col("source"), posexplode(col("th")).as(Seq("pos", "h")))
-    val wRun = Window.partitionBy("doc_id").orderBy("pos")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val chunks = toks
-      .withColumn("boundary", (pmod(col("h"), lit(16L)) === 0L).cast("int"))
-      .withColumn("chunk_id", sum("boundary").over(wRun))
-      .groupBy("doc_id", "source", "chunk_id")
-      .agg(expr("aggregate(transform(sort_array(collect_list(struct(pos, h))), s -> s.h), " +
-        "CAST(0 AS BIGINT), (acc, x) -> pmod(acc * 1000003L + x, 2147483647L))").as("fp"),
-        count(lit(1)).as("chunk_len"))
+    val chunks = chunkFingerprints(Tables.load(spark, dir, "documents"))
     val perFp = chunks.groupBy("source", "fp")
       .agg(count(lit(1)).as("n_copies"), sum("chunk_len").as("len_sum"))
     perFp.groupBy("source").agg(
@@ -1097,5 +1083,27 @@ object TextAnalysis {
       round(lit(1.0) - count(lit(1)).cast("double") / sum("n_copies"), 6)
         .as("dedup_ratio"),
       round(sum("len_sum").cast("double") / sum("n_copies"), 4).as("avg_chunk_toks"))
+  }
+
+  /** The chunking core of [[cdcChunks]] over any (doc_id, source, text)
+    * frame: per chunk, its Karp–Rabin fingerprint and length. Exposed
+    * separately so the shift-invariance spec can drive it with
+    * synthetic passages. */
+  private[graft] def chunkFingerprints(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("th",
+        expr("transform(toks, t -> aggregate(split(t, ''), CAST(0 AS BIGINT), " +
+          "(a, c) -> pmod(a * 31 + ascii(c), 2147483647L)))"))
+      .select(col("doc_id"), col("source"), posexplode(col("th")).as(Seq("pos", "h")))
+    val wRun = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    toks
+      .withColumn("boundary", (pmod(col("h"), lit(16L)) === 0L).cast("int"))
+      .withColumn("chunk_id", sum("boundary").over(wRun))
+      .groupBy("doc_id", "source", "chunk_id")
+      .agg(expr("aggregate(transform(sort_array(collect_list(struct(pos, h))), s -> s.h), " +
+        "CAST(0 AS BIGINT), (acc, x) -> pmod(acc * 1000003L + x, 2147483647L))").as("fp"),
+        count(lit(1)).as("chunk_len"))
   }
 }

@@ -204,6 +204,28 @@ class InvariantSpec extends SparkSpec {
     assert(blocked == full, s"missing=${full -- blocked} extra=${blocked -- full}")
   }
 
+  test("content-defined chunking is shift-invariant: shared passage, shared fingerprints") {
+    import spark.implicits._
+    // same 100-token passage behind different-length prefixes: every
+    // boundary inside the passage depends on token content only, so the
+    // interior chunks must fingerprint identically in both docs — the
+    // property fixed-width chunking (pos div 16) structurally lacks
+    // (offsets differ by 4, so every fixed window is shifted).
+    val shared = (1 to 100).map(i => s"tok${i * 7 % 97}w").mkString(" ")
+    val docA = s"alpha beta gamma $shared"
+    val docB = s"one two three four five six seven $shared"
+    val docs = Seq((1L, "s", docA), (2L, "s", docB)).toDF("doc_id", "source", "text")
+    val fps = graft.operators.TextAnalysis.chunkFingerprints(docs)
+      .select("doc_id", "fp").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val fa = fps.filter(_._1 == 1L).map(_._2).toSet
+    val fb = fps.filter(_._1 == 2L).map(_._2).toSet
+    val common = fa intersect fb
+    assert(common.size >= 2,
+      s"expected >=2 shared interior chunks, got ${common.size} (a=${fa.size}, b=${fb.size})")
+    // and the differing prefixes must NOT collapse to one chunk set
+    assert(fa != fb)
+  }
+
   test("report table shape: per-k long-form rows = k x n_features, finite values") {
     val rt = Report.reportTable(spark, sf).cache()
     assert(rt.columns.toSeq == Seq("k", "cluster", "score", "feature", "value"))
