@@ -75,6 +75,8 @@ object SparkEntry {
     "q_cdc_chunks" -> TextAnalysis.cdcChunks _,
     "q_assortativity" -> ((s: SparkSession, d: String) => Graph.assortativity(s, d)),
     "q_skew_metrics" -> Scale.skewMetrics _,
+    "q_degree_dist" -> ((s: SparkSession, d: String) => Graph.degreeDistribution(s, d)),
+    "q_join_cardinality" -> Scale.joinCardinality _,
     "q_hot_shingles" -> ((s: SparkSession, d: String) => Dedup.hotShingleProfile(s, d)),
     "q_dedup_embedding" -> ((s: SparkSession, d: String) => Dedup.embeddingPairsShared(s, d, 0.4)),
     "q_dedup_embedding_clusters" -> ((s: SparkSession, d: String) => Dedup.embeddingClusters(s, d, 0.4)),
@@ -2303,6 +2305,41 @@ object SparkEntry {
         |       FROM und u JOIN r2 r ON u.src = r.node JOIN deg d ON u.src = d.src GROUP BY 1),
         |r3 AS (SELECT node, 150000000 + 85 * csum // 100 AS r FROM c3)
         |SELECT node, r AS rank_fp, CAST(node % 2 = 0 AS INT) AS is_part FROM r3""".stripMargin,
+    // exact integer log2 via binary-digit count (float log2 differs at
+    // powers of two across engines); integer counts, one rounded share
+    "q_degree_dist" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |und AS (SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e),
+        |deg AS (SELECT n, COUNT(*) AS d FROM und GROUP BY 1),
+        |b AS (SELECT CAST(LENGTH(bin(d)) - 1 AS BIGINT) AS bucket,
+        |             COUNT(*) AS n_nodes
+        |      FROM deg GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_nodes) AS BIGINT) AS n_total FROM b)
+        |SELECT bucket, n_nodes,
+        |       ROUND(CAST(n_nodes AS DOUBLE) / n_total, 6) AS share
+        |FROM b CROSS JOIN t""".stripMargin,
+    // CBO estimate = per-key histogram product x filter selectivity
+    // under independence; emitted beside the true count so the
+    // assumption's error is a measured column
+    "q_join_cardinality" ->
+      """WITH ca AS (SELECT o_orderkey AS k, COUNT(*) AS ca FROM orders GROUP BY 1),
+        |cb AS (SELECT l_orderkey AS k, COUNT(*) AS cb FROM lineitem GROUP BY 1),
+        |base AS (SELECT CAST(SUM(ca * cb) AS BIGINT) AS base_rows,
+        |                COUNT(*) AS n_join_keys
+        |         FROM ca JOIN cb USING (k)),
+        |sel AS (SELECT CAST(SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS DOUBLE)
+        |               / COUNT(*) AS sel
+        |        FROM lineitem),
+        |act AS (SELECT COUNT(*) AS actual_rows
+        |        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |        WHERE l_quantity > 25)
+        |SELECT n_join_keys, base_rows,
+        |       ROUND(CAST(base_rows AS DOUBLE) * sel, 4) AS est_rows,
+        |       actual_rows,
+        |       ROUND(CAST(base_rows AS DOUBLE) * sel / actual_rows, 6) AS err_ratio
+        |FROM base CROSS JOIN sel CROSS JOIN act""".stripMargin,
     // five exact BIGINT moment sums over the symmetrized edge list, one
     // correlation expression (same shape as q_revenue_autocorr)
     "q_assortativity" ->

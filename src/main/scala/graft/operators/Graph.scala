@@ -263,4 +263,31 @@ object Graph {
             col("sy").cast("double") * col("sy").cast("double"))), 6)
         .as("assortativity"))
   }
+
+  /** LOG-BINNED DEGREE DISTRIBUTION of the trade graph — node counts per
+    * ⌊log₂(degree)⌋ bucket, the standard heavy-tail profile plot
+    * (linear binning drowns the tail that decides salting and skew-join
+    * strategy; the log₂ histogram is what you read a power law off).
+    * Two keyed aggregates (degree count, then bucket count) — both with
+    * map-side partials — and a broadcast 1-row total for the share.
+    * Bucket ids are exact integer log₂ via bit length, not float log. */
+  def degreeDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders").select("o_orderkey", "o_custkey")
+    val li = Tables.load(spark, dir, "lineitem").select("l_orderkey", "l_suppkey")
+    val edges = orders.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    val deg = edges.select(col("a").as("n")).unionAll(edges.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    // floor(log2(d)) as binary-digit count minus one: exact integer
+    // arithmetic in both engines — float log2 rounds differently at
+    // exact powers of two (JVM log-quotient vs native log2).
+    val buckets = deg
+      .withColumn("bucket", (length(bin(col("d"))) - 1).cast("long"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_nodes"))
+    val tot = buckets.agg(sum("n_nodes").as("n_total"))
+    buckets.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_nodes"),
+        round(col("n_nodes").cast("double") / col("n_total"), 6).as("share"))
+  }
 }

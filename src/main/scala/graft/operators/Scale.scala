@@ -826,4 +826,39 @@ object Scale {
       .unionAll(profile(Tables.load(spark, dir, "orders"), "o_custkey", "orders.o_custkey"))
       .unionAll(profile(Tables.load(spark, dir, "events"), "user_id", "events.user_id"))
   }
+
+  /** JOIN CARDINALITY ESTIMATION, the CBO way — and its error. The
+    * estimator every cost-based planner runs before picking a join
+    * strategy: per-key row counts on both sides, Σ c_a(k)·c_b(k) for the
+    * equi-join size, times the filter's selectivity under the
+    * INDEPENDENCE ASSUMPTION (filter column uncorrelated with join key).
+    * The query emits the estimate NEXT TO the true post-filter join
+    * count, so the independence error — the thing that misplans real
+    * joins — is measured, not assumed away.
+    *
+    * Exactness: per-key counts and the true count are integers;
+    * selectivity and the estimate are two double operations in fixed
+    * order, rounded. Scale shape: the histogram join carries one row
+    * per key (never row×row), both aggregates take map-side partials,
+    * and the three 1-row frames meet on broadcast crossJoins. */
+  def joinCardinality(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders").select("o_orderkey")
+    val li = Tables.load(spark, dir, "lineitem").select("l_orderkey", "l_quantity")
+    val ca = orders.groupBy(col("o_orderkey").as("k")).agg(count(lit(1)).as("ca"))
+    val cb = li.groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("cb"))
+    val base = ca.join(cb, "k")
+      .agg(sum(col("ca") * col("cb")).as("base_rows"), count(lit(1)).as("n_join_keys"))
+    val sel = li.agg(
+      (sum(when(col("l_quantity") > 25, 1L).otherwise(0L)).cast("double") /
+        count(lit(1))).as("sel"))
+    val actual = li.filter(col("l_quantity") > 25)
+      .join(orders, li("l_orderkey") === orders("o_orderkey"))
+      .agg(count(lit(1)).as("actual_rows"))
+    base.crossJoin(broadcast(sel)).crossJoin(broadcast(actual))
+      .select(col("n_join_keys"), col("base_rows"),
+        round(col("base_rows").cast("double") * col("sel"), 4).as("est_rows"),
+        col("actual_rows"),
+        round(col("base_rows").cast("double") * col("sel") /
+          col("actual_rows"), 6).as("err_ratio"))
+  }
 }
