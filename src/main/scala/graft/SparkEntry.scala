@@ -77,6 +77,9 @@ object SparkEntry {
     "q_skew_metrics" -> Scale.skewMetrics _,
     "q_degree_dist" -> ((s: SparkSession, d: String) => Graph.degreeDistribution(s, d)),
     "q_join_cardinality" -> Scale.joinCardinality _,
+    "q_bigram_cond_entropy" -> TextAnalysis.bigramCondEntropy _,
+    "q_vocab_growth" -> TextAnalysis.vocabGrowth _,
+    "q_length_lognormal" -> TextAnalysis.lengthLognormal _,
     "q_hot_shingles" -> ((s: SparkSession, d: String) => Dedup.hotShingleProfile(s, d)),
     "q_dedup_embedding" -> ((s: SparkSession, d: String) => Dedup.embeddingPairsShared(s, d, 0.4)),
     "q_dedup_embedding_clusters" -> ((s: SparkSession, d: String) => Dedup.embeddingClusters(s, d, 0.4)),
@@ -1862,6 +1865,58 @@ object SparkEntry {
         |       ROUND(CAST(SUM(CAST(d2 AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_dist2,
         |       MIN(d2) AS min_dist2, MAX(d2) AS max_dist2
         |FROM d GROUP BY 1""".stripMargin,
+    // paired unnest slices zip positionally; per-term round-12 then
+    // DECIMAL(28,12) sum (the q_source_entropy discipline), final
+    // round 6
+    "q_bigram_cond_entropy" ->
+      """WITH t AS (
+        |  SELECT source, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |p AS (SELECT source, unnest(t[1:len(t)-1]) AS w1,
+        |             unnest(t[2:len(t)]) AS w2 FROM t),
+        |c12 AS (SELECT source, w1, w2, COUNT(*) AS c12 FROM p GROUP BY 1, 2, 3),
+        |c1 AS (SELECT source, w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1, 2),
+        |n AS (SELECT source, CAST(SUM(c12) AS BIGINT) AS n_pairs FROM c12 GROUP BY 1),
+        |terms AS (
+        |  SELECT c12.source, n.n_pairs,
+        |         CAST(ROUND(-(CAST(c12.c12 AS DOUBLE) / n.n_pairs) *
+        |                    LN(CAST(c12.c12 AS DOUBLE) / c1.c1), 12) AS DECIMAL(28,12)) AS term
+        |  FROM c12 JOIN c1 USING (source, w1) JOIN n USING (source))
+        |SELECT source, MAX(n_pairs) AS n_pairs,
+        |       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |       ROUND(CAST(SUM(term) AS DOUBLE), 6) AS cond_entropy
+        |FROM terms GROUP BY 1""".stripMargin,
+    // first-occurrence attribution (min doc per token) instead of a
+    // cumulative distinct window; cumulative sums over the 10-row
+    // decile frame; all integers
+    "q_vocab_growth" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |dec AS (SELECT doc_id, len(t) AS n_toks,
+        |               CAST(NTILE(10) OVER (ORDER BY doc_id) AS INT) AS decile
+        |        FROM d),
+        |fo AS (SELECT w, MIN(doc_id) AS first_doc
+        |       FROM (SELECT doc_id, unnest(t) AS w FROM d) GROUP BY 1),
+        |nt AS (SELECT dec.decile, COUNT(*) AS new_types
+        |       FROM fo JOIN dec ON fo.first_doc = dec.doc_id GROUP BY 1),
+        |tk AS (SELECT decile, CAST(SUM(n_toks) AS BIGINT) AS toks FROM dec GROUP BY 1)
+        |SELECT tk.decile,
+        |       CAST(SUM(toks) OVER (ORDER BY tk.decile) AS BIGINT) AS cum_tokens,
+        |       CAST(SUM(COALESCE(nt.new_types, 0)) OVER (ORDER BY tk.decile) AS BIGINT) AS cum_vocab
+        |FROM tk LEFT JOIN nt ON tk.decile = nt.decile""".stripMargin,
+    // ln and ln^2 rounded 12 dp before exact decimal sums; fixed-shape
+    // double arithmetic for the two moments
+    "q_length_lognormal" ->
+      """WITH x AS (
+        |  SELECT source,
+        |         CAST(ROUND(LN(CAST(n_chars AS DOUBLE)), 12) AS DECIMAL(28,12)) AS lx,
+        |         CAST(ROUND(LN(CAST(n_chars AS DOUBLE)) * LN(CAST(n_chars AS DOUBLE)), 12) AS DECIMAL(28,12)) AS lx2
+        |  FROM documents)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       ROUND(CAST(SUM(lx) AS DOUBLE) / COUNT(*), 6) AS mu_log,
+        |       ROUND(CAST(SUM(lx2) AS DOUBLE) / COUNT(*) -
+        |             (CAST(SUM(lx) AS DOUBLE) / COUNT(*)) *
+        |             (CAST(SUM(lx) AS DOUBLE) / COUNT(*)), 6) AS var_log
+        |FROM x GROUP BY 1""".stripMargin,
     // same char-fold + Karp-Rabin arithmetic as q_text_fingerprint;
     // running-sum chunk ids replayed with an ANSI window; COUNT DISTINCT
     // here equals the engine's two-phase (source, fp) rollup

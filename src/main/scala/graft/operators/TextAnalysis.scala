@@ -1085,6 +1085,91 @@ object TextAnalysis {
       round(sum("len_sum").cast("double") / sum("n_copies"), 4).as("avg_chunk_toks"))
   }
 
+  /** CONDITIONAL BIGRAM ENTROPY per source — H(w₂|w₁), how predictable
+    * the next token is given the current one: the corpus-diversity
+    * number that separates boilerplate-heavy sources (low H) from
+    * genuinely varied text (high H), complementing the unigram
+    * [[sourceEntropy]] and the [[bigramLm]] family.
+    *
+    * H(w₂|w₁) = −Σ p(w₁,w₂)·ln(c₁₂/c₁), computed with the same
+    * round-then-decimal-sum discipline as [[sourceEntropy]]: each term
+    * is one fixed-shape double expression rounded 12 dp, summed as
+    * DECIMAL(28,12) (exact, order-independent), final round 6. Scale
+    * shape: the bigram count is the only corpus-sized aggregate; c₁ and
+    * the pair total REAGGREGATE c₁₂ (vocabulary²-sized), so the fact is
+    * scanned once. */
+  def bigramCondEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val pairs = Tables.load(spark, dir, "documents")
+      .select(col("source"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("source"), explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i+1] AS w2))")).as("p"))
+      .select(col("source"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val c12 = pairs.groupBy("source", "w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy("source", "w1").agg(sum("c12").as("c1"))
+    val n = c12.groupBy("source").agg(sum("c12").as("n_pairs"))
+    c12.join(c1, Seq("source", "w1"))
+      .join(broadcast(n), "source")
+      .select(col("source"), col("n_pairs"),
+        round(-(col("c12").cast("double") / col("n_pairs")) *
+          log(col("c12").cast("double") / col("c1")), 12)
+          .cast(DecimalType(28, 12)).as("term"))
+      .groupBy("source")
+      .agg(max("n_pairs").as("n_pairs"), count(lit(1)).as("n_bigrams"),
+        round(sum("term").cast("double"), 6).as("cond_entropy"))
+  }
+
+  /** HEAPS'-LAW VOCABULARY GROWTH — cumulative distinct vocabulary vs
+    * cumulative tokens as the corpus is ingested in doc_id order,
+    * sampled at ingest deciles: the curve that predicts how much NEW
+    * vocabulary the next 10 TB will add (sublinear growth = the corpus
+    * is saturating; linear = still worth crawling).
+    *
+    * Each token type is attributed to the decile of its FIRST document
+    * (one min-aggregate over the token postings — no cumulative
+    * distinct-count window, which wouldn't scale); cumulative sums then
+    * run over the 10-row decile frame. All integers → bit-exact. */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    val dec = docs.select(col("doc_id"), size(col("t")).as("n_toks"))
+      .withColumn("decile", ntile(10).over(Window.orderBy("doc_id")))
+    val firstOcc = docs.select(col("doc_id"), explode(col("t")).as("w"))
+      .groupBy("w").agg(min("doc_id").as("first_doc"))
+    val newTypes = firstOcc
+      .join(dec.select(col("doc_id").as("first_doc"), col("decile")), "first_doc")
+      .groupBy("decile").agg(count(lit(1)).as("new_types"))
+    val toksPerDec = dec.groupBy("decile").agg(sum("n_toks").as("toks"))
+    val w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    toksPerDec.join(newTypes, Seq("decile"), "left").na.fill(0L, Seq("new_types"))
+      .select(col("decile"),
+        sum("toks").over(w).as("cum_tokens"),
+        sum("new_types").over(w).as("cum_vocab"))
+  }
+
+  /** LOG-NORMAL LENGTH FIT per source — method-of-moments μ and σ² of
+    * ln(n_chars): document lengths are canonically log-normal, and the
+    * fitted parameters drive chunk-size and batch-shape planning.
+    * ln and ln² are rounded 12 dp BEFORE the decimal sums (exact,
+    * order-independent); the two divisions and the variance subtraction
+    * are fixed-shape double arithmetic, rounded 6. One map-side
+    * projection + one source-keyed aggregate. */
+  def lengthLognormal(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val x = Tables.load(spark, dir, "documents")
+      .withColumn("lxd", log(col("n_chars").cast("double")))
+      .select(col("source"),
+        round(col("lxd"), 12).cast(DecimalType(28, 12)).as("lx"),
+        round(col("lxd") * col("lxd"), 12).cast(DecimalType(28, 12)).as("lx2"))
+    x.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      round(sum("lx").cast("double") / count(lit(1)), 6).as("mu_log"),
+      round(sum("lx2").cast("double") / count(lit(1)) -
+        (sum("lx").cast("double") / count(lit(1))) *
+          (sum("lx").cast("double") / count(lit(1))), 6).as("var_log"))
+  }
+
   /** The chunking core of [[cdcChunks]] over any (doc_id, source, text)
     * frame: per chunk, its Karp–Rabin fingerprint and length. Exposed
     * separately so the shift-invariance spec can drive it with
