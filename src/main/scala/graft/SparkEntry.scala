@@ -80,7 +80,9 @@ object SparkEntry {
     "q_bigram_cond_entropy" -> TextAnalysis.bigramCondEntropy _,
     "q_vocab_growth" -> TextAnalysis.vocabGrowth _,
     "q_length_lognormal" -> TextAnalysis.lengthLognormal _,
+    "q_quantile_norm" -> Breadth.quantileNorm _,
     "q_hot_shingles" -> ((s: SparkSession, d: String) => Dedup.hotShingleProfile(s, d)),
+    "q_blocking_cost" -> ((s: SparkSession, d: String) => Dedup.blockingCost(s, d)),
     "q_dedup_embedding" -> ((s: SparkSession, d: String) => Dedup.embeddingPairsShared(s, d, 0.4)),
     "q_dedup_embedding_clusters" -> ((s: SparkSession, d: String) => Dedup.embeddingClusters(s, d, 0.4)),
     // similarity search (north-star extension)
@@ -566,6 +568,25 @@ object SparkEntry {
          |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) >= 0.8""".stripMargin,
     "q_dedup_ngram" -> ngramOracleSql,
     "q_dedup_ngram_prefix" -> ngramOracleSql, // identical output by the prefix-filtering theorem
+    // block/posting counts over string shingles (hash-collision-free at
+    // corpus scale, same assumption as the jaccard oracles); the prefix
+    // posting volume multiplies by a DOUBLE 0.2 so ceil sees the same
+    // IEEE product in both engines (15*0.2 > 3 in binary)
+    "q_blocking_cost" ->
+      s"""WITH $shinglesCte,
+         |p AS (SELECT lang, unnest(s) AS shingle FROM sh),
+         |blocks AS (SELECT lang, shingle, COUNT(*) AS b FROM p GROUP BY 1, 2),
+         |f AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         |             CAST(SUM(b) AS BIGINT) AS n_postings,
+         |             CAST(MAX(b) AS BIGINT) AS max_block,
+         |             CAST(SUM(b * (b - 1) // 2) AS BIGINT) AS full_pairs
+         |      FROM blocks GROUP BY 1),
+         |pre AS (SELECT lang,
+         |               CAST(SUM(len(s) - CEIL(len(s) * CAST(0.2 AS DOUBLE)) + 1) AS BIGINT) AS n_prefix_postings
+         |        FROM sh GROUP BY 1)
+         |SELECT f.lang, n_blocks, n_postings, max_block, full_pairs, n_prefix_postings,
+         |       ROUND(CAST(1 AS DOUBLE) - CAST(n_prefix_postings AS DOUBLE) / n_postings, 6) AS posting_reduction
+         |FROM f JOIN pre USING (lang)""".stripMargin,
     // directed smaller-into-larger containment; exhaustive replay of the
     // asymmetric-prefix candidate generation (identical by the same
     // theorem, applied one-sided)
@@ -1865,6 +1886,28 @@ object SparkEntry {
         |       ROUND(CAST(SUM(CAST(d2 AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_dist2,
         |       MIN(d2) AS min_dist2, MAX(d2) AS max_dist2
         |FROM d GROUP BY 1""".stripMargin,
+    // distinct-value rank mapping, all-integer index arithmetic, exact
+    // decimal value selections; windows run on value-cardinality frames
+    "q_quantile_norm" ->
+      """WITH vals AS (SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v FROM events),
+        |srcd AS (SELECT event_type, v FROM vals GROUP BY 1, 2),
+        |poolr AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) - 1 AS prn
+        |          FROM (SELECT DISTINCT v FROM vals)),
+        |np AS (SELECT MAX(prn) AS maxp FROM poolr),
+        |srcr AS (SELECT event_type, v,
+        |                ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) - 1 AS srn
+        |         FROM srcd),
+        |ns AS (SELECT event_type, MAX(srn) AS maxs FROM srcr GROUP BY 1),
+        |m AS (SELECT s.event_type,
+        |             CASE WHEN ns.maxs = 0 THEN np.maxp // 2
+        |                  ELSE s.srn * np.maxp // ns.maxs END AS ti
+        |      FROM srcr s JOIN ns USING (event_type) CROSS JOIN np),
+        |j AS (SELECT m.event_type, p.v AS v_norm FROM m JOIN poolr p ON m.ti = p.prn)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |       ROUND(CAST(SUM(v_norm) AS DOUBLE) / COUNT(*), 6) AS norm_mean,
+        |       CAST(MIN(v_norm) AS DOUBLE) AS norm_min,
+        |       CAST(MAX(v_norm) AS DOUBLE) AS norm_max
+        |FROM j GROUP BY 1""".stripMargin,
     // paired unnest slices zip positionally; per-term round-12 then
     // DECIMAL(28,12) sum (the q_source_entropy discipline), final
     // round 6

@@ -1009,6 +1009,46 @@ object Breadth {
     * max over all cheaper rows — runs as ONE window over that tiny
     * frame. Prices compare as exact 2-dp decimals; no float arithmetic
     * anywhere → hash-exact oracle. */
+  /** QUANTILE NORMALIZATION across groups — map each event_type's value
+    * distribution onto the POOLED distribution by rank (the batch-effect
+    * removal standard in ML feature prep: after it, every group has the
+    * same marginal distribution). Computed on DISTINCT VALUES (the
+    * standard tie treatment): distinct value v at source rank r maps to
+    * the pooled distinct value at index ⌊r·(Nd−1)/(nd_s−1)⌋ — all
+    * integer arithmetic, exact value selection, no interpolation → the
+    * result is bit-exact.
+    *
+    * Scale shape: the ONLY full-data pass is the two-phase distinct
+    * (groupBy(type, value) with map-side combine); every window after
+    * that runs on value-cardinality frames (pooled distinct, per-source
+    * distinct), which stay bounded however large the fact grows. A
+    * row-level quantile norm would need a global sort; the
+    * distinct-value formulation is the one that survives 100 TB.
+    * Output: per type, the normalized distribution's moments (exact
+    * decimal selections, one rounded division). */
+  def quantileNorm(spark: SparkSession, dir: String): DataFrame = {
+    val vals = Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("value").cast(DecimalType(18, 2)).as("v"))
+    val srcD = vals.groupBy("event_type", "v").agg(count(lit(1)).as("cnt"))
+    val poolR = vals.select("v").distinct()
+      .withColumn("prn", row_number().over(Window.orderBy("v")) - 1)
+    val nPool = poolR.agg(max("prn").as("maxp"))
+    val srcR = srcD.withColumn("srn",
+      row_number().over(Window.partitionBy("event_type").orderBy("v")) - 1)
+    val nSrc = srcR.groupBy("event_type").agg(max("srn").as("maxs"))
+    val mapped = srcR.join(broadcast(nSrc), "event_type")
+      .crossJoin(broadcast(nPool))
+      .withColumn("ti",
+        when(col("maxs") === 0, expr("maxp div 2"))
+          .otherwise(expr("srn * maxp div maxs")))
+      .join(poolR.select(col("prn").as("ti"), col("v").as("v_norm")), "ti")
+    mapped.groupBy("event_type").agg(
+      count(lit(1)).as("n_distinct"),
+      round(sum("v_norm").cast("double") / count(lit(1)), 6).as("norm_mean"),
+      min("v_norm").cast("double").as("norm_min"),
+      max("v_norm").cast("double").as("norm_max"))
+  }
+
   def paretoFrontier(spark: SparkSession, dir: String): DataFrame = {
     val best = Tables.load(spark, dir, "part")
       .select(col("p_retailprice").cast(DecimalType(18, 2)).as("price"),

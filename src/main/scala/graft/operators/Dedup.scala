@@ -306,6 +306,32 @@ object Dedup {
         round(col("containment"), 6).as("containment"))
   }
 
+  /** BLOCKING-COST LEDGER for the shingle inverted index — the numbers
+    * that justify (or veto) the prefix filter BEFORE running the join:
+    * per language, block count, posting volume, heaviest block, the full
+    * inverted-index candidate cost Σ_s C(df(s), 2), and the posting
+    * volume the prefix filter would index (Σ_doc ⌈(1−t)·|sh|⌉+1 — a
+    * function of doc sizes only, so tie-order-free and exactly
+    * replayable). hotShingleProfile names the worst offenders; this is
+    * the aggregate cost model a planner reads. All integer counts, one
+    * rounded reduction ratio; reuses the memoized shingle frame. */
+  def blockingCost(spark: SparkSession, dir: String, threshold: Double = 0.2): DataFrame = {
+    val docs = docShinglesShared(spark, dir)
+    val blocks = docs.select(col("lang"), explode(col("sh")).as("shingle"))
+      .groupBy("lang", "shingle").agg(count(lit(1)).as("b"))
+    val full = blocks.groupBy("lang").agg(
+      count(lit(1)).as("n_blocks"), sum("b").as("n_postings"),
+      max("b").as("max_block"),
+      sum(expr("b * (b - 1) div 2")).as("full_pairs"))
+    val pre = docs.groupBy("lang").agg(
+      sum(col("sz") - ceil(col("sz") * threshold) + 1).as("n_prefix_postings"))
+    full.join(pre, "lang")
+      .select(col("lang"), col("n_blocks"), col("n_postings"), col("max_block"),
+        col("full_pairs"), col("n_prefix_postings"),
+        round(lit(1.0) - col("n_prefix_postings").cast("double") / col("n_postings"), 6)
+          .as("posting_reduction"))
+  }
+
   /** Fuzzy ENTITY MATCHING: near-identical part names within edit
     * distance ≤ `maxDist` — the classic entity-resolution shape
     * (blocking → exact verify), run on the DISTINCT name vocabulary:
