@@ -162,6 +162,9 @@ object SparkEntry {
     "q_stream_static_join"  -> graft.streaming.EventsStream.streamStaticJoin _,
     // SQL-text interface + CSV source/sink parity
     "q_sql_tpch_q3"   -> SqlInterface.tpchQ3 _,
+    "q_sql_tpch_q5"   -> SqlInterface.tpchQ5 _,
+    "q_hhi_brand"     -> Breadth.hhiBrand _,
+    "q_token_coverage" -> TextAnalysis.tokenCoverage _,
     "q_sql_above_avg" -> SqlInterface.aboveNationAvg _,
     "q_csv_roundtrip" -> CsvIo.roundTrip _,
     "q_format_roundtrip" -> CsvIo.formatRoundTrip _,
@@ -872,6 +875,53 @@ object SparkEntry {
         |GROUP BY l_orderkey, o_orderdate
         |ORDER BY revenue DESC, orderkey ASC
         |LIMIT 10""".stripMargin,
+    "q_sql_tpch_q5" ->
+      """SELECT n_name AS nation,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey
+        |  AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name""".stripMargin,
+    // per-(brand, supplier) decimal revenue aggregated once, brand
+    // totals reaggregated; share^2 terms round-12 then exact decimal sum
+    "q_hhi_brand" ->
+      """WITH sr AS (
+        |  SELECT p_brand, l_suppkey,
+        |         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS s_rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2),
+        |br AS (SELECT p_brand, SUM(s_rev) AS b_rev FROM sr GROUP BY 1),
+        |t AS (SELECT sr.p_brand,
+        |             CAST(ROUND((CAST(s_rev AS DOUBLE) / CAST(b_rev AS DOUBLE)) *
+        |                        (CAST(s_rev AS DOUBLE) / CAST(b_rev AS DOUBLE)), 12) AS DECIMAL(28,12)) AS term
+        |      FROM sr JOIN br USING (p_brand))
+        |SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+        |       ROUND(CAST(SUM(term) AS DOUBLE), 6) AS hhi
+        |FROM t GROUP BY 1""".stripMargin,
+    // Zipf-mass curve: top-k frequency sums over the deterministic
+    // (freq desc, token asc) ranking; integer sums, one division per k
+    "q_token_coverage" ->
+      """WITH f AS (
+        |  SELECT tok AS token, COUNT(*) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY 1),
+        |r AS (SELECT token, freq,
+        |             ROW_NUMBER() OVER (ORDER BY freq DESC, token ASC) AS rk
+        |      FROM f),
+        |t AS (SELECT CAST(SUM(freq) AS BIGINT) AS total_tokens FROM f),
+        |kk AS (SELECT unnest([10, 20, 50]) AS k)
+        |SELECT kk.k, CAST(SUM(freq) AS BIGINT) AS covered_tokens,
+        |       MAX(t.total_tokens) AS total_tokens,
+        |       ROUND(CAST(SUM(freq) AS DOUBLE) / MAX(t.total_tokens), 6) AS coverage
+        |FROM kk JOIN r ON r.rk <= kk.k CROSS JOIN t
+        |GROUP BY 1""".stripMargin,
     "q_sql_above_avg" ->
       """SELECT c_custkey AS custkey, c_nationkey AS nationkey, c_acctbal AS acctbal
         |FROM customer c1

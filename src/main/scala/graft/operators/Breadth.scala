@@ -1009,6 +1009,33 @@ object Breadth {
     * max over all cheaper rows — runs as ONE window over that tiny
     * frame. Prices compare as exact 2-dp decimals; no float arithmetic
     * anywhere → hash-exact oracle. */
+  /** HERFINDAHL–HIRSCHMAN CONCENTRATION per brand — Σ (supplier revenue
+    * share)² over each brand's suppliers: the market-concentration
+    * index (≈1/n for even markets, →1 for monopolies) that flags brands
+    * whose supply would bottleneck on one vendor. The revenue frame
+    * aggregates ONCE per (brand, supplier); brand totals reaggregate
+    * it; shares are one double division each, squared terms go through
+    * the round-12 → DECIMAL(28,12)-sum → round-6 entropy discipline. */
+  def hhiBrand(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 4)).as("rev"))
+    val part = Tables.load(spark, dir, "part").select("p_partkey", "p_brand")
+    val supRev = li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "l_suppkey").agg(sum("rev").as("s_rev"))
+    val brandRev = supRev.groupBy("p_brand").agg(sum("s_rev").as("b_rev"))
+    supRev.join(brandRev, "p_brand")
+      .withColumn("share", col("s_rev").cast("double") / col("b_rev").cast("double"))
+      .select(col("p_brand"),
+        round(col("share") * col("share"), 12)
+          .cast(DecimalType(28, 12)).as("term"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_suppliers"),
+        round(sum("term").cast("double"), 6).as("hhi"))
+  }
+
   /** QUANTILE NORMALIZATION across groups — map each event_type's value
     * distribution onto the POOLED distribution by rank (the batch-effect
     * removal standard in ML feature prep: after it, every group has the

@@ -1170,6 +1170,31 @@ object TextAnalysis {
           (sum("lx").cast("double") / count(lit(1))), 6).as("var_log"))
   }
 
+  /** TOP-K TOKEN COVERAGE — what fraction of all corpus tokens the k
+    * most frequent types account for, at k ∈ {10, 20, 50}: the
+    * Zipf-mass curve that sizes a tokenizer's core vocabulary (and the
+    * complement of [[oovRate]]: coverage(k) = 1 − oov at vocab k).
+    * Vocabulary-sized count with map-side partials, one global top-k
+    * window over the vocabulary frame, broadcast 1-row total; integer
+    * sums, one rounded division per k. */
+  def tokenCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val freqs = Tables.load(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+    val ranked = freqs.withColumn("rk",
+      row_number().over(Window.orderBy(col("freq").desc, col("token").asc)))
+    val total = freqs.agg(sum("freq").as("total_tokens"))
+    val ks = spark.range(0, 3).select(
+      element_at(array(lit(10), lit(20), lit(50)), (col("id") + 1).cast("int")).as("k"))
+    ranked.join(broadcast(ks), col("rk") <= col("k"))
+      .groupBy("k")
+      .agg(sum("freq").as("covered_tokens"))
+      .crossJoin(broadcast(total))
+      .select(col("k"), col("covered_tokens"), col("total_tokens"),
+        round(col("covered_tokens").cast("double") / col("total_tokens"), 6)
+          .as("coverage"))
+  }
+
   /** The chunking core of [[cdcChunks]] over any (doc_id, source, text)
     * frame: per chunk, its Karp–Rabin fingerprint and length. Exposed
     * separately so the shift-invariance spec can drive it with
