@@ -153,6 +153,7 @@ object SparkEntry {
     "q_quality_model"   -> graft.ml.QualityModel.trainScore _,
     // multimodal binary columns (north-star extension)
     "q_multimodal_meta"     -> Multimodal.mediaMeta _,
+    "q_payload_dedup"       -> Multimodal.payloadDedup _,
     "q_multimodal_features" -> Multimodal.featuresQuery _,
     "q_multimodal_frames"   -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
     // structured streaming (north-star extension)
@@ -165,6 +166,7 @@ object SparkEntry {
     "q_sql_tpch_q5"   -> SqlInterface.tpchQ5 _,
     "q_hhi_brand"     -> Breadth.hhiBrand _,
     "q_token_coverage" -> TextAnalysis.tokenCoverage _,
+    "q_zipf_slope" -> TextAnalysis.zipfSlope _,
     "q_sql_above_avg" -> SqlInterface.aboveNationAvg _,
     "q_csv_roundtrip" -> CsvIo.roundTrip _,
     "q_format_roundtrip" -> CsvIo.formatRoundTrip _,
@@ -801,6 +803,23 @@ object SparkEntry {
         |            WHEN n_es > 0 THEN 'es'
         |            ELSE 'und' END AS pred_lang
         |FROM c""".stripMargin,
+    // payload = UTF-8(text) is injective and the fixture text is ASCII,
+    // so byte-grouping and byte-length replay as text-grouping and
+    // char-length exactly
+    "q_payload_dedup" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         ['image','audio','video'][(doc_id % 3) + 1] AS kind,
+        |         text, LENGTH(text) AS n_bytes
+        |  FROM documents),
+        |g AS (SELECT kind, text, COUNT(*) AS n_copies, MAX(n_bytes) AS n_bytes
+        |      FROM m GROUP BY 1, 2)
+        |SELECT kind, CAST(SUM(n_copies) AS BIGINT) AS n_payloads,
+        |       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |       ROUND(CAST(1 AS DOUBLE) - CAST(COUNT(*) AS DOUBLE) / SUM(n_copies), 6) AS dup_ratio,
+        |       CAST(SUM(n_bytes * n_copies) AS BIGINT) AS logical_bytes,
+        |       CAST(SUM(n_bytes) AS BIGINT) AS stored_bytes
+        |FROM g GROUP BY 1""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id AS media_id,
         |       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
@@ -905,6 +924,27 @@ object SparkEntry {
         |SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
         |       ROUND(CAST(SUM(term) AS DOUBLE), 6) AS hhi
         |FROM t GROUP BY 1""".stripMargin,
+    // ln terms and products rounded 12 dp before exact decimal sums;
+    // one fixed-shape closed-form slope expression
+    "q_zipf_slope" ->
+      """WITH f AS (
+        |  SELECT tok AS token, COUNT(*) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY 1),
+        |r AS (SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, token ASC) AS rk FROM f),
+        |t AS (SELECT ROUND(LN(CAST(rk AS DOUBLE)), 12) AS x,
+        |             ROUND(LN(CAST(freq AS DOUBLE)), 12) AS y
+        |      FROM r),
+        |d AS (SELECT CAST(x AS DECIMAL(28,12)) AS xd, CAST(y AS DECIMAL(28,12)) AS yd,
+        |             CAST(ROUND(x * y, 12) AS DECIMAL(28,12)) AS xy,
+        |             CAST(ROUND(x * x, 12) AS DECIMAL(28,12)) AS xx
+        |      FROM t),
+        |s AS (SELECT COUNT(*) AS n, SUM(xd) AS sx, SUM(yd) AS sy,
+        |             SUM(xy) AS sxy, SUM(xx) AS sxx FROM d)
+        |SELECT n AS n_types,
+        |       ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |             (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_slope
+        |FROM s""".stripMargin,
     // Zipf-mass curve: top-k frequency sums over the deterministic
     // (freq desc, token asc) ranking; integer sums, one division per k
     "q_token_coverage" ->

@@ -53,6 +53,29 @@ object Multimodal {
             element_at(array(lit("image"), lit("audio"), lit("video")),
               (pmod(col("doc_id"), lit(3)) + 1).cast("int"))).as("mime")).as("meta"))
 
+  /** BINARY PAYLOAD DEDUP — exact dedup in the media domain: group by
+    * the raw payload BYTES per kind (byte-equality, the ground truth
+    * any perceptual hash approximates), report copies, distinct
+    * payloads, the dup ratio and stored-vs-logical byte volumes — the
+    * numbers an asset store reads before dedup-compaction. At 100 TB
+    * the groupBy key would be a content hash (this engine's exact-dedup
+    * discipline: shuffle 16-byte digests, never payloads); byte-exact
+    * grouping here keeps the oracle engine-replicable (payload =
+    * UTF-8(text), injective, so the oracle groups on text). */
+  def payloadDedup(spark: SparkSession, dir: String): DataFrame = {
+    val groups = mediaTable(spark, dir)
+      .groupBy("kind", "payload")
+      .agg(count(lit(1)).as("n_copies"))
+      .withColumn("n_bytes", length(col("payload")).cast("long"))
+    groups.groupBy("kind").agg(
+      sum("n_copies").as("n_payloads"),
+      count(lit(1)).as("n_distinct"),
+      round(lit(1.0) - count(lit(1)).cast("double") / sum("n_copies"), 6)
+        .as("dup_ratio"),
+      sum(col("n_bytes") * col("n_copies")).as("logical_bytes"),
+      sum("n_bytes").as("stored_bytes"))
+  }
+
   /** ====== DECODE KERNEL — DETERMINISTIC FAKE ======
     * A real deployment replaces this one function with an actual codec
     * (e.g. TwelveMonkeys/ImageIO for images, JCodec for video); the

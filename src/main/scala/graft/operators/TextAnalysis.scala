@@ -1195,6 +1195,40 @@ object TextAnalysis {
           .as("coverage"))
   }
 
+  /** ZIPF SLOPE — least-squares slope of ln(freq) on ln(rank) over the
+    * vocabulary (canonically ≈ −1): the one-number summary of the
+    * rank-frequency curve that [[tokenCoverage]] samples pointwise.
+    * A corpus whose slope drifts shallow is template-heavy; steep means
+    * a tiny head dominates. Closed-form least squares on exact sums
+    * (the `Breadth.trendSlope` discipline): ln terms and their products
+    * rounded 12 dp, summed as DECIMAL(28,12), one fixed-shape double
+    * expression at the end. Vocabulary-sized frames throughout. */
+  def zipfSlope(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val freqs = Tables.load(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+    val r = freqs.withColumn("rk",
+      row_number().over(Window.orderBy(col("freq").desc, col("token").asc)))
+    val t = r.select(
+        round(log(col("rk").cast("double")), 12).as("x"),
+        round(log(col("freq").cast("double")), 12).as("y"))
+      .select(
+        col("x").cast(DecimalType(28, 12)).as("xd"),
+        col("y").cast(DecimalType(28, 12)).as("yd"),
+        round(col("x") * col("y"), 12).cast(DecimalType(28, 12)).as("xy"),
+        round(col("x") * col("x"), 12).cast(DecimalType(28, 12)).as("xx"))
+    val s = t.agg(count(lit(1)).as("n"),
+      sum("xd").as("sx"), sum("yd").as("sy"),
+      sum("xy").as("sxy"), sum("xx").as("sxx"))
+    s.select(col("n").as("n_types"),
+      round((col("n") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+        (col("n") * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double")), 6)
+        .as("zipf_slope"))
+  }
+
   /** The chunking core of [[cdcChunks]] over any (doc_id, source, text)
     * frame: per chunk, its Karp–Rabin fingerprint and length. Exposed
     * separately so the shift-invariance spec can drive it with
