@@ -83,6 +83,7 @@ object SparkEntry {
     "q_quantile_norm" -> Breadth.quantileNorm _,
     "q_hot_shingles" -> ((s: SparkSession, d: String) => Dedup.hotShingleProfile(s, d)),
     "q_blocking_cost" -> ((s: SparkSession, d: String) => Dedup.blockingCost(s, d)),
+    "q_dedup_summary" -> Dedup.dedupSummary _,
     "q_dedup_embedding" -> ((s: SparkSession, d: String) => Dedup.embeddingPairsShared(s, d, 0.4)),
     "q_dedup_embedding_clusters" -> ((s: SparkSession, d: String) => Dedup.embeddingClusters(s, d, 0.4)),
     // similarity search (north-star extension)
@@ -347,7 +348,9 @@ object SparkEntry {
        |  FROM order_rev GROUP BY 1)""".stripMargin
 
   /** DuckDB-dialect oracle per SQL-expressible query. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = baseOracles ++ composedOracles
+
+  private lazy val baseOracles: Map[String, String] = Map(
     "q_session_revenue" ->
       s"""WITH $orderRevCte
          |SELECT custkey, orderkey, CAST(rev_dec AS DOUBLE) AS order_rev
@@ -1181,6 +1184,20 @@ object SparkEntry {
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM expanded GROUP BY 1""".stripMargin,
   ) ++ round2Oracles
+
+  /** Oracles COMPOSED from base entries — built from [[baseOracles]] so
+    * the component SQL can never drift from what the per-method queries
+    * are checked against. */
+  private lazy val composedOracles: Map[String, String] = {
+    val methods = Map(
+      "exact" -> "q_dedup_exact", "minhash" -> "q_dedup_minhash",
+      "simhash" -> "q_dedup_simhash", "ngram" -> "q_dedup_ngram",
+      "containment" -> "q_dedup_containment", "embedding" -> "q_dedup_embedding")
+    val body = methods.toSeq.sortBy(_._1).map { case (m, q) =>
+      s"SELECT '$m' AS method, CAST(COUNT(*) AS BIGINT) AS n_results FROM (${baseOracles(q)})"
+    }.mkString("\nUNION ALL\n")
+    Map("q_dedup_summary" -> body)
+  }
 
   /** Round-2 oracles (map/array/grouping-sets/sampling/binning/streaming). */
   private def round2Oracles: Map[String, String] = Map(

@@ -306,6 +306,26 @@ object Dedup {
         round(col("containment"), 6).as("containment"))
   }
 
+  /** DEDUP DASHBOARD — one row per method with its result count (groups
+    * for exact, pairs for the rest): the cross-method summary a corpus
+    * owner reads before choosing a dedup strategy, and a single query
+    * that exercises every family at once (its oracle is COMPOSED from
+    * the per-method oracle SQL, so agreement here re-checks all six
+    * methods against the same texts). The shared shingle/embedding
+    * memos mean the six branches reuse, not recompute, the heavy
+    * intermediate frames. */
+  def dedupSummary(spark: SparkSession, dir: String): DataFrame = {
+    def one(method: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_results"))
+        .select(lit(method).as("method"), col("n_results"))
+    one("exact", exact(spark, dir))
+      .unionAll(one("minhash", minhashPairs(spark, dir)))
+      .unionAll(one("simhash", simhashPairs(spark, dir)))
+      .unionAll(one("ngram", ngramJaccardPairs(spark, dir)))
+      .unionAll(one("containment", containmentPairs(spark, dir)))
+      .unionAll(one("embedding", embeddingPairsShared(spark, dir, 0.4)))
+  }
+
   /** BLOCKING-COST LEDGER for the shingle inverted index — the numbers
     * that justify (or veto) the prefix filter BEFORE running the join:
     * per language, block count, posting volume, heaviest block, the full
