@@ -165,6 +165,8 @@ object SparkEntry {
     // SQL-text interface + CSV source/sink parity
     "q_sql_tpch_q3"   -> SqlInterface.tpchQ3 _,
     "q_sql_tpch_q5"   -> SqlInterface.tpchQ5 _,
+    "q_sql_tpch_q10"  -> SqlInterface.tpchQ10 _,
+    "q_fk_audit"      -> Scale.fkAudit _,
     "q_hhi_brand"     -> Breadth.hhiBrand _,
     "q_token_coverage" -> TextAnalysis.tokenCoverage _,
     "q_zipf_slope" -> TextAnalysis.zipfSlope _,
@@ -911,6 +913,20 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name""".stripMargin,
+    "q_sql_tpch_q10" ->
+      """SELECT c_custkey AS custkey, c_name AS name, n_name AS nation,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       c_acctbal AS acctbal
+        |FROM customer, orders, lineitem, nation
+        |WHERE c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate >= TIMESTAMP '1996-10-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND l_returnflag = 'R'
+        |  AND c_nationkey = n_nationkey
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, custkey ASC
+        |LIMIT 20""".stripMargin,
     // per-(brand, supplier) decimal revenue aggregated once, brand
     // totals reaggregated; share^2 terms round-12 then exact decimal sum
     "q_hhi_brand" ->
@@ -1670,6 +1686,43 @@ object SparkEntry {
         |                             OR o_orderdate >= DATE '1999-01-01' THEN 1 END) = 0
         |            THEN 'pass' ELSE 'fail' END
         |FROM orders""".stripMargin,
+    // seven FK edges, each: row count, distinct child keys, orphan count
+    "q_fk_audit" ->
+      """SELECT 'lineitem_orderkey' AS fk_edge, COUNT(*) AS n_rows,
+        |       COUNT(DISTINCT l_orderkey) AS n_keys,
+        |       (SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o
+        |          ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL) AS n_orphans
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem_partkey', COUNT(*), COUNT(DISTINCT l_partkey),
+        |       (SELECT COUNT(*) FROM lineitem l LEFT JOIN part p
+        |          ON l.l_partkey = p.p_partkey WHERE p.p_partkey IS NULL)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem_suppkey', COUNT(*), COUNT(DISTINCT l_suppkey),
+        |       (SELECT COUNT(*) FROM lineitem l LEFT JOIN supplier s
+        |          ON l.l_suppkey = s.s_suppkey WHERE s.s_suppkey IS NULL)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'orders_custkey', COUNT(*), COUNT(DISTINCT o_custkey),
+        |       (SELECT COUNT(*) FROM orders o LEFT JOIN customer c
+        |          ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'customer_nationkey', COUNT(*), COUNT(DISTINCT c_nationkey),
+        |       (SELECT COUNT(*) FROM customer c LEFT JOIN nation n
+        |          ON c.c_nationkey = n.n_nationkey WHERE n.n_nationkey IS NULL)
+        |FROM customer
+        |UNION ALL
+        |SELECT 'supplier_nationkey', COUNT(*), COUNT(DISTINCT s_nationkey),
+        |       (SELECT COUNT(*) FROM supplier s LEFT JOIN nation n
+        |          ON s.s_nationkey = n.n_nationkey WHERE n.n_nationkey IS NULL)
+        |FROM supplier
+        |UNION ALL
+        |SELECT 'nation_regionkey', COUNT(*), COUNT(DISTINCT n_regionkey),
+        |       (SELECT COUNT(*) FROM nation n LEFT JOIN region r
+        |          ON n.n_regionkey = r.r_regionkey WHERE r.r_regionkey IS NULL)
+        |FROM nation""".stripMargin,
     "q_debounce" ->
       """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tsu
         |           FROM events),

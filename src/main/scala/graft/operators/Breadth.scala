@@ -588,6 +588,58 @@ object Breadth {
             col("sy").cast("double") * col("sy").cast("double"))), 6).as("acf"))
   }
 
+  /** Shared weight literals for [[ewmaRevenue]]: (1−α)^j at α=0.3,
+    * pre-rounded to 12 dp so the Spark plan and the DuckDB oracle use
+    * the IDENTICAL constants (0.7^j is an exact decimal through j=12;
+    * j=13 is the only rounded entry). */
+  private[graft] val EwmaWeights: Seq[BigDecimal] = Seq(
+    "1.000000000000", "0.700000000000", "0.490000000000", "0.343000000000",
+    "0.240100000000", "0.168070000000", "0.117649000000", "0.082354300000",
+    "0.057648010000", "0.040353607000", "0.028247524900", "0.019773267430",
+    "0.013841287201", "0.009688901041").map(BigDecimal(_))
+
+  /** TRUNCATED EWMA SMOOTHING — exponentially weighted moving average
+    * of daily revenue per order priority, the trend-following smoother
+    * every monitoring dashboard runs. The textbook EWMA is an unbounded
+    * recursion (s_n = αx_n + (1−α)s_{n−1}) — not expressible as a
+    * window frame, and the rescaling trick ((1−α)^{−i} factors)
+    * overflows doubles after ~2000 rows. So this is the production
+    * form: truncate to a 14-term window (weight 0.7^14 < 1% — the tail
+    * is noise) and renormalize over the terms actually present, which
+    * also gives principled warm-up behavior at each series head.
+    *
+    * Determinism discipline: each weighted term is rounded to 6 dp and
+    * summed as DECIMAL (order-free exact Σ); the weights are shared
+    * 12-dp literals ([[EwmaWeights]]); one double division at the end.
+    * Scale shape: the daily pre-aggregate collapses the fact table to
+    * date-cardinality FIRST, so the 14 `lag` window terms run over a
+    * tiny frame partitioned by series — at 100 TB this is one shuffle
+    * to date grain, then per-series windows with no skew. */
+  def ewmaRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(spark, dir, "orders")
+      .groupBy(col("o_orderpriority").as("priority"),
+        col("o_orderdate").cast("date").as("d"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+    val w = Window.partitionBy("priority").orderBy("d")
+    val lagged = EwmaWeights.indices.foldLeft(daily) { (df, j) =>
+      df.withColumn(s"r$j", lag(col("rev"), j).over(w))
+    }
+    // DECIMAL(18,6) per term: the 13-term `+` chain widens to (31,6) —
+    // inside the 38-digit cap in BOTH engines, so no precision-loss
+    // rescale can diverge between the plan and the oracle.
+    val num = EwmaWeights.indices.map { j =>
+      coalesce(round(col(s"r$j").cast("double") * lit(EwmaWeights(j).toDouble), 6)
+        .cast(DecimalType(18, 6)), lit(0).cast(DecimalType(18, 6)))
+    }.reduce(_ + _)
+    val den = EwmaWeights.indices.map { j =>
+      when(col(s"r$j").isNotNull, lit(EwmaWeights(j)).cast(DecimalType(14, 12)))
+        .otherwise(lit(0).cast(DecimalType(14, 12)))
+    }.reduce(_ + _)
+    lagged.select(col("priority"), col("d").cast("string").as("day"),
+      col("rev").cast("double").as("revenue"),
+      round(num.cast("double") / den.cast("double"), 6).as("ewma"))
+  }
+
   /** USER ACTIVITY RECENCY — how long ago each user was last seen,
     * bucketed into a survival-style distribution: days between the
     * user's last event and the corpus high-water mark, capped at 7+

@@ -680,6 +680,42 @@ object Scale {
           col("o_orderdate") >= to_date(lit("1999-01-01")), 1L).otherwise(0L)), orders))
   }
 
+  /** REFERENTIAL-INTEGRITY AUDIT — every foreign-key edge of the star
+    * schema profiled in one report: child row count, distinct child
+    * keys, and orphan rows (children whose key misses the parent).
+    * Complements [[dataContract]] (which samples one FK edge among four
+    * contract families) by sweeping ALL seven edges — the first thing a
+    * lakehouse health check runs after ingest.
+    *
+    * Scale shape: each edge is a pair of columnar aggregates plus one
+    * LEFT ANTI join on the key. The parent side is projected to its key
+    * column only before the join, so small dims (nation, region,
+    * customer, supplier, part) broadcast and the two big edges
+    * (lineitem→orders on orderkey) hash-shuffle 8-byte keys — never
+    * payload columns. Nothing is row-by-row; at 100 TB this is seven
+    * key-column scans. */
+  def fkAudit(spark: SparkSession, dir: String): DataFrame = {
+    def t(n: String) = Tables.load(spark, dir, n)
+    def edge(name: String, child: DataFrame, ck: String,
+             parent: DataFrame, pk: String): DataFrame = {
+      val stats = child.agg(count(lit(1)).as("n_rows"),
+        countDistinct(col(ck)).as("n_keys"))
+      val orphans = child.select(col(ck))
+        .join(parent.select(col(pk)), col(ck) === col(pk), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      stats.crossJoin(orphans) // two 1-row aggregates
+        .select(lit(name).as("fk_edge"), col("n_rows"), col("n_keys"),
+          col("n_orphans"))
+    }
+    edge("lineitem_orderkey", t("lineitem"), "l_orderkey", t("orders"), "o_orderkey")
+      .unionAll(edge("lineitem_partkey", t("lineitem"), "l_partkey", t("part"), "p_partkey"))
+      .unionAll(edge("lineitem_suppkey", t("lineitem"), "l_suppkey", t("supplier"), "s_suppkey"))
+      .unionAll(edge("orders_custkey", t("orders"), "o_custkey", t("customer"), "c_custkey"))
+      .unionAll(edge("customer_nationkey", t("customer"), "c_nationkey", t("nation"), "n_nationkey"))
+      .unionAll(edge("supplier_nationkey", t("supplier"), "s_nationkey", t("nation"), "n_nationkey"))
+      .unionAll(edge("nation_regionkey", t("nation"), "n_regionkey", t("region"), "r_regionkey"))
+  }
+
   /** Run `body` with the given SQL confs set, restoring previous values
     * after — the conf-hygiene analog of [[graft.Tables.withCached]]. */
   private def withConfs[T](spark: SparkSession, confs: (String, String)*)(body: => T): T = {
