@@ -66,12 +66,17 @@ object Tables {
     StructField("l_linestatus", StringType),
     StructField("l_shipdate", TimestampType)))
 
-  /** `ts` is physically INT64 TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects as TimestampType — so we read the raw nanos as Long and
-    * derive a µs-precision timestamp column in [[load]]. */
+  /** `ts` is physically INT64 Timestamp(MICROS) — Spark's native timestamp
+    * resolution, read directly by the vectorized reader. (An earlier
+    * generation of the testdata stored NANOS, which the vectorized reader
+    * rejects; [[load]] asserted its unit via a manual conversion and broke
+    * silently when the data was regenerated. The schema now pins the
+    * logical type and `ContractSpec` pins the decoded year range, so a
+    * future unit flip fails loudly in one test instead of corrupting every
+    * downstream time query.) */
   val events: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -97,18 +102,16 @@ object Tables {
 
   /** Load one testdata table with its pinned schema.
     *
-    * For `events`, the raw nano epoch is kept as `ts_ns` and `ts` is
-    * rewritten as a µs-precision TimestampType (Spark's native resolution)
-    * so downstream time logic (windows, watermarks) sees a real timestamp. */
+    * For `events`, a nano-epoch Long `ts_ns` is derived from the µs
+    * timestamp for consumers that want an integer event time (exactly
+    * `unix_micros * 1000`, so it is lossless against the file's MICROS
+    * physical precision and stays in Long arithmetic — epoch nanos
+    * overflow a double's 53-bit mantissa). */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
     if (name == "events") {
       import org.apache.spark.sql.functions._
-      df.withColumn("ts_ns", col("ts"))
-        // integer division: epoch NANOS (~1.7e18) overflow a double's 53-bit
-        // mantissa, so the `/` operator's double path is off by ±1 µs on
-        // some rows; `div` stays in Long and matches DuckDB's epoch_us
-        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      df.withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
     } else df
   }
 

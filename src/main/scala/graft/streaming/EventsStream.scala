@@ -44,7 +44,6 @@ object EventsStream {
       val src = spark.readStream
         .schema(Tables.events)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // exact: see Tables.load
       val agg = src
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -68,7 +67,6 @@ object EventsStream {
       val src = spark.readStream
         .schema(Tables.events)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // exact: see Tables.load
       val agg = src
         .withWatermark("ts", "2 hours")
         .groupBy(window(col("ts"), "2 hours", "1 hour"))
@@ -97,7 +95,7 @@ object EventsStream {
     val src = spark.readStream
       .schema(Tables.events)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .select(col("user_id"), expr("ts div 1000").as("tsMicros"),
+      .select(col("user_id"), unix_micros(col("ts")).as("tsMicros"),
         col("value"))
       .as[Event]
     val fn: (Long, Iterator[Event], GroupState[SessionSummary]) => Iterator[SessionSummary] =
@@ -138,7 +136,6 @@ object EventsStream {
       val src = spark.readStream
         .schema(Tables.events)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       val doubled = src
         .withColumn("delivery", explode(array(lit(0), lit(1))))
         .drop("delivery")
@@ -201,7 +198,7 @@ object EventsStream {
       val src = spark.readStream
         .schema(Tables.events)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .select(col("user_id"), expr("ts div 1000").as("tsMicros"),
+        .select(col("user_id"), unix_micros(col("ts")).as("tsMicros"),
           col("value"))
         .as[Event]
       val out = src.groupByKey(_.user_id)
@@ -348,7 +345,6 @@ object EventsStream {
       val src = spark.readStream
         .schema(Tables.events)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // exact: see Tables.load
       val clicks = src.filter(col("event_type") === "click")
         .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
           col("ts").as("c_ts"))
@@ -381,36 +377,40 @@ object EventsStream {
     * A finite file stream's watermark stops at max(event time) − delay,
     * which would strand the last hour's unmatched clicks in state
     * forever. The fix mirrors what a production pipeline's heartbeat
-    * topic does: the source is copied to a scratch dir plus one sentinel
+    * topic does: a SECOND file-stream source holding only one sentinel
     * click/purchase pair 3 hours past the end (event_id −1, filtered
-    * from the output), driving the final watermark past every real
-    * click's eligibility window — Spark's trailing no-data micro-batch
-    * then flushes the outer state, so the memory sink holds the COMPLETE
-    * outer result and the batch LEFT JOIN oracle replays it exactly. */
+    * from the output) is unioned with the real source, driving the final
+    * watermark past every real click's eligibility window — Spark's
+    * trailing no-data micro-batch then flushes the outer state, so the
+    * memory sink holds the COMPLETE outer result and the batch LEFT JOIN
+    * oracle replays it exactly. Only the two sentinel rows are ever
+    * written; the fact table itself is never copied (at 100 TB a
+    * heartbeat row is free, a table rewrite is not). */
   def clickAttributionOuter(spark: SparkSession, dir: String): DataFrame =
     withStreamPartitions(spark, 8) {
       val raw = spark.read.schema(Tables.events)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
-      val maxTs = raw.agg(max("ts")).head().getLong(0)
-      val scratch = graft.operators.Scale.scratchDir("graft_outer_src")
-      raw.write.mode("overwrite").parquet(scratch)
+      val maxMicros = raw.agg(max(unix_micros(col("ts")))).head().getLong(0)
+      val scratch = graft.operators.Scale.scratchDir("graft_outer_sentinel")
       val cols = raw.columns.map(col)
       val sentinel = spark.range(1).select(
-          lit(-1L).as("event_id"), lit(maxTs + 10800000000000L).as("ts"),
+          lit(-1L).as("event_id"),
+          timestamp_micros(lit(maxMicros + 10800000000L)).as("ts"), // +3 h
           lit(-1L).as("user_id"), lit("click").as("event_type"),
           lit(0.0).as("value"), lit("{}").as("props"))
       sentinel.select(cols: _*)
         .union(sentinel.withColumn("event_type", lit("purchase")).select(cols: _*))
-        .write.mode("append").parquet(scratch)
-      val src = spark.readStream.schema(raw.schema).parquet(scratch)
-        .withColumn("tsn", timestamp_micros(expr("ts div 1000")))
+        .coalesce(1).write.mode("overwrite").parquet(scratch)
+      val src = spark.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .union(spark.readStream.schema(raw.schema).parquet(scratch))
       val clicks = src.filter(col("event_type") === "click")
         .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
-          col("tsn").as("c_ts"))
+          col("ts").as("c_ts"))
         .withWatermark("c_ts", "1 hour")
       val buys = src.filter(col("event_type") === "purchase")
         .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
-          col("tsn").as("p_ts"))
+          col("ts").as("p_ts"))
         .withWatermark("p_ts", "1 hour")
       val joined = clicks.join(buys,
           col("c_user") === col("p_user") &&

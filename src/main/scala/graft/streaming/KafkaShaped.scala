@@ -35,8 +35,10 @@ object KafkaShaped {
     Tables.load(spark, dir, "events")
       .select(
         col("user_id").cast("string").cast("binary").as("key"),
+        // event time rides the payload as epoch MICROS — the file's
+        // physical precision, so encode→parse is lossless by construction
         to_json(struct(col("event_id"), col("user_id"), col("event_type"),
-          col("ts_ns").as("ts"), col("value"))).cast("binary").as("value"),
+          unix_micros(col("ts")).as("ts"), col("value"))).cast("binary").as("value"),
         lit("events").as("topic"),
         pmod(col("user_id"), lit(nPartitions)).cast("int").as("partition"),
         col("event_id").as("offset"),
@@ -52,7 +54,6 @@ object KafkaShaped {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"),
-        // µs truncation: the oracle's parquet reader stores the event time
-        // at microsecond physical precision, so compare at that grain
-        expr("max(ts) div 1000").as("max_ts"))
+        // payload ts is already epoch µs; oracle compares epoch_us(ts)
+        max(col("ts")).as("max_ts"))
 }

@@ -4,7 +4,28 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Driver-contract hygiene: the oracle map must stay consistent with the
   * query map (a dangling oracle or misnamed query silently weakens t2). */
-class ContractSpec extends AnyFunSuite {
+class ContractSpec extends SparkSpec {
+
+  /** Data-drift tripwire: the testdata has been regenerated mid-round
+    * before with a DIFFERENT physical timestamp unit (nanos → micros),
+    * which the old unit-assuming loader decoded as 1970 dates — 21 silent
+    * wrong-answer oracles instead of one loud failure. Pin the decoded
+    * event-time span at every scale factor so a future unit flip (or any
+    * generator change that moves the epoch) fails HERE first. */
+  test("events ts decodes to a sane year range at every scale factor") {
+    import org.apache.spark.sql.functions._
+    Seq("sf0.001", "sf0.01", "sf0.1").foreach { s =>
+      val dir = s"/root/testdata/$s"
+      if (new java.io.File(s"$dir/events.parquet").exists) {
+        val r = Tables.load(spark, dir, "events")
+          .agg(year(min(col("ts"))).as("lo"), year(max(col("ts"))).as("hi"))
+          .head()
+        val (lo, hi) = (r.getInt(0), r.getInt(1))
+        assert(lo >= 2020 && hi <= 2030,
+          s"$s: events ts decodes to years [$lo, $hi] — timestamp unit drift?")
+      }
+    }
+  }
 
   test("every oracle key has a query implementation") {
     val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
@@ -20,10 +41,14 @@ class ContractSpec extends AnyFunSuite {
   test("oracle SQL contains no unaliased aggregate column leaks") {
     // Every SELECT list item the hash compare sees must carry a stable
     // name: reject oracle text containing obviously unaliased aggregates
-    // like "SUM(x)," at top level (heuristic guard).
+    // like "SUM(x)," at top level (heuristic guard). A scalar subquery
+    // `(SELECT COUNT(*) ...)` is exempt — its VALUE is aliased where it
+    // is used — as is a non-first UNION ALL branch, whose column names
+    // come from the first branch.
     SparkEntry.oracleSql.foreach { case (name, sql) =>
-      val bad = "(?i)SELECT\\s+(SUM|COUNT|AVG|MIN|MAX)\\([^)]*\\)\\s*(,|FROM)".r
-        .findFirstIn(sql)
+      val head = sql.split("(?i)UNION\\s+ALL")(0)
+      val bad = "(?i)(?<!\\()SELECT\\s+(SUM|COUNT|AVG|MIN|MAX)\\([^)]*\\)\\s*(,|FROM)".r
+        .findFirstIn(head)
       assert(bad.isEmpty, s"$name: unaliased aggregate in oracle SQL")
     }
   }
