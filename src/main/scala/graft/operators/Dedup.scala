@@ -692,13 +692,20 @@ object Dedup {
   private val embPairsMemo = new graft.SessionMemo[DataFrame]()
 
   /** The cosine pair graph, built ONCE per (session, dir, threshold) and
-    * shared by the pair query and [[embeddingClusters]] — the "compute
-    * the similarity graph once" step of a semantic-dedup pipeline; the
-    * materialized frame holds only the thresholded pairs, not the
-    * all-pairs cross. */
+    * shared by the pair query, [[embeddingClusters]], and the dedup
+    * dashboard — the "compute the similarity graph once" step of a
+    * semantic-dedup pipeline; the materialized frame holds only the
+    * thresholded pairs, not the candidate set.
+    *
+    * Computed via [[Similarity.prunedEmbeddingPairs]] — the EXACT
+    * centroid-pruned join (bucket pairs whose angular lower bound clears
+    * the threshold are skipped whole), so every consumer keeps the
+    * exhaustive DuckDB oracle while the plan carries no corpus-wide
+    * cross join; [[embeddingPairs]] stays as the brute-force baseline
+    * the specs compare against. */
   def embeddingPairsShared(spark: SparkSession, dir: String, threshold: Double): DataFrame =
     embPairsMemo.getOrCompute(spark, s"$dir|$threshold") {
-      embeddingPairs(spark, dir, threshold).localCheckpoint(true)
+      Similarity.prunedEmbeddingPairs(spark, dir, threshold).localCheckpoint(true)
     }
 
   /** SEMANTIC-DEDUP CLUSTERS — the SemDeDup-style end of the embedding

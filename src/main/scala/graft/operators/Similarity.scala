@@ -118,6 +118,76 @@ object Similarity {
     }
   }
 
+  /** EXACT centroid-pruned cosine pair join — the scale path behind
+    * `q_dedup_embedding` / `q_dedup_embedding_clusters` / the dedup
+    * dashboard, replacing the all-pairs cross join WITHOUT giving up
+    * exactness (hyperplane LSH banding cannot be exhaustive at a low
+    * threshold like 0.4 — near-boundary candidate volume degenerates to
+    * all-pairs — so an approximate path could not share the exhaustive
+    * DuckDB oracle).
+    *
+    * Shape: vectors are bucketed by the memoized IVF coarse quantizer
+    * ([[ivfIndex]]); each bucket gets an angular radius r = max angle to
+    * its (unit) centroid. For bucket pair (A, B) the triangle inequality
+    * on angles gives θ(a,b) ≥ θ(cA,cB) − rA − rB for every a∈A, b∈B —
+    * so any bucket pair whose lower bound exceeds arccos(threshold) is
+    * pruned WHOLE, provably containing no qualifying pair. Exact cosine
+    * (the oracle's formula, bit-for-bit) runs only inside surviving
+    * bucket pairs.
+    *
+    * 100 TB story: the bucket-pair frame is k² rows (broadcast); members
+    * shuffle once keyed by bucket id; per-bucket-pair work is
+    * |A|×|B| only for geometrically close buckets. On clustered
+    * embeddings (the realistic near-dup regime) most bucket pairs
+    * prune — the plan has no CartesianProduct over the corpus. Pruning
+    * uses a 1e-9 slack on the angle bound so float rounding can only
+    * ADD candidates, never drop a qualifying pair. */
+  def prunedEmbeddingPairs(
+      spark: SparkSession, dir: String, threshold: Double,
+      nlist: Int = 16): DataFrame = {
+    val idx = ivfIndex(spark, dir, nlist, 0.25, 5)
+    val cUnit = idx.centroids
+      .withColumn("cn", sqrt(norm2("centroid")))
+      .withColumn("cu", expr("transform(centroid, x -> x / cn)"))
+      .select("list_id", "cu")
+    val radii = idx.lists.join(broadcast(cUnit), "list_id")
+      .withColumn("ang",
+        acos(least(lit(1.0), greatest(lit(-1.0), dot("unit_c", "cu")))))
+      .groupBy("list_id").agg(max("ang").as("radius"))
+    val ca = cUnit.join(radii, "list_id")
+      .select(col("list_id").as("la"), col("cu").as("cua"), col("radius").as("ra"))
+    val cb = cUnit.join(radii, "list_id")
+      .select(col("list_id").as("lb"), col("cu").as("cub"), col("radius").as("rb"))
+    // k×k bucket-pair frame (tiny): keep only pairs the bound can't clear
+    // (broadcast hint ⇒ BroadcastNestedLoopJoin, so the ONLY cross-shaped
+    // node in the plan is over the k-row centroid frame, never the corpus)
+    val keep = ca.crossJoin(broadcast(cb))
+      .withColumn("cang",
+        acos(least(lit(1.0), greatest(lit(-1.0), dot("cua", "cub")))))
+      .filter(col("cang") - col("ra") - col("rb") <=
+        lit(math.acos(threshold) + 1e-9))
+      .select("la", "lb")
+    // Candidate mining is SKINNY (bucket id, vec_id); each unordered pair
+    // arises from exactly one orientation (id_a rides its own bucket's
+    // side), so no distinct pass is needed.
+    val ma = idx.lists.select(col("list_id").as("la"), col("neighbor_id").as("id_a"))
+    val mb = idx.lists.select(col("list_id").as("lb"), col("neighbor_id").as("id_b"))
+    val cands = ma.join(broadcast(keep), "la").join(mb, "lb")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    // Exact cosine exactly as the brute baseline computes it (dot/(na·nb)
+    // on raw doubles), so results are bit-identical to the oracle.
+    val e = Tables.load(spark, dir, "embeddings")
+      .withColumn("emb_d", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("nrm", sqrt(norm2("emb_d")))
+    val embA = e.select(col("vec_id").as("id_a"), col("emb_d").as("emb_a"), col("nrm").as("na"))
+    val embB = e.select(col("vec_id").as("id_b"), col("emb_d").as("emb_b"), col("nrm").as("nb"))
+    cands.join(embA, "id_a").join(embB, "id_b")
+      .withColumn("cos", dot("emb_a", "emb_b") / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+
   /** kNN LABEL CLASSIFICATION over `embeddings.label` — the semantic
     * quality check on top of the ANN suite: held-out probes (vec_id <
     * nProbes) are classified by majority vote among their k nearest

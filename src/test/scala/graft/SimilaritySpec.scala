@@ -76,6 +76,39 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"LSH recall = $recall (${lsh.size}/${exact.size})")
   }
 
+  test("centroid-pruned pair join EQUALS the brute-force pairs, and prunes") {
+    // the pruned path must be exact — it feeds oracle-checked queries
+    // (q_dedup_embedding, q_dedup_embedding_clusters, q_dedup_summary):
+    // compare full rows INCLUDING the rounded cosine, at two thresholds
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    Seq(0.4, 0.45).foreach { t =>
+      val brute = asSet(Dedup.embeddingPairs(spark, sf, t))
+      val pruned = asSet(Similarity.prunedEmbeddingPairs(spark, sf, t))
+      assert(pruned == brute,
+        s"t=$t missing=${brute -- pruned} extra=${pruned -- brute}")
+    }
+    // and it must actually be the pruned plan, not a disguised cross join
+    val plan = Similarity.prunedEmbeddingPairs(spark, sf, 0.4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("cartesianproduct"),
+      s"corpus-wide cross join leaked into pruned plan")
+  }
+
+  test("IVF top-k recall@5 >= 0.9 vs brute force at near-exhaustive nprobe") {
+    // same dial as the kNN/hard-negative agreement specs: 12 of 16 lists
+    // make the candidate sets near-exhaustive, so the rows-only q_ann_ivf
+    // family gets a pinned quality floor beyond the driver's rows>0 check
+    val brute = Similarity.bruteTopK(spark, sf, 5, 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(spark, sf, 5, 10, nprobe = 12)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.9, s"IVF recall@5 at nprobe=12 = $recall")
+  }
+
   test("approx_count_distinct is within 10% of exact") {
     val rows = graft.operators.Breadth.approxDistinct(spark, sf).collect()
     rows.foreach { r =>
