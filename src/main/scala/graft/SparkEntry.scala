@@ -300,6 +300,7 @@ object SparkEntry {
     "q_modularity"         -> ((s: SparkSession, d: String) => Graph.modularity(s, d)),
     "q_pareto_frontier"    -> Breadth.paretoFrontier _,
     "q_ewma_user"          -> Breadth.ewmaUser _,
+    "q_ewma_revenue"       -> Breadth.ewmaRevenue _,
     "q_source_mixing"      -> TextAnalysis.sourceMixing _,
     "q_lateral_topn"       -> SqlInterface.lateralTopN _,
     "q_recursive_cte"      -> SqlInterface.recursiveMonths _,
@@ -1722,7 +1723,8 @@ object SparkEntry {
         |SELECT 'nation_regionkey', COUNT(*), COUNT(DISTINCT n_regionkey),
         |       (SELECT COUNT(*) FROM nation n LEFT JOIN region r
         |          ON n.n_regionkey = r.r_regionkey WHERE r.r_regionkey IS NULL)
-        |FROM nation""".stripMargin,
+        |FROM nation
+        |ORDER BY fk_edge""".stripMargin,
     "q_debounce" ->
       """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tsu
         |           FROM events),
@@ -2735,6 +2737,35 @@ object SparkEntry {
         |         list_prepend(CAST(0.0 AS DOUBLE), list(value ORDER BY ts, event_id)),
         |         (acc, v) -> acc * 0.875 + v * 0.125), 6) AS ewma
         |FROM events GROUP BY 1""".stripMargin,
+    // Generated from the SAME EwmaWeights constants the plan uses, term by
+    // term: rev(18,2) × weight(14,12) exact DECIMAL product → (24,14)
+    // exact sum → ONE double division (see Breadth.ewmaRevenue's
+    // determinism notes) — no per-term float rounding anywhere
+    "q_ewma_revenue" -> {
+      val ws = Breadth.EwmaWeights.map(_.bigDecimal.toPlainString)
+      val lags = ws.indices
+        .map(j => s"LAG(rev, $j) OVER w AS r$j").mkString(", ")
+      // rev is widened to (24,2) first: DuckDB multiplies inside the
+      // operand width class, and (18,2)×(14,12) overflows INT64 there;
+      // the value is unchanged so the product stays exact in both engines
+      val num = ws.indices.map(j =>
+        s"COALESCE(CAST(CAST(r$j AS DECIMAL(24,2)) * CAST(${ws(j)} AS DECIMAL(14,12)) " +
+        s"AS DECIMAL(24,14)), CAST(0 AS DECIMAL(24,14)))").mkString(" + ")
+      val den = ws.indices.map(j =>
+        s"CASE WHEN r$j IS NOT NULL THEN CAST(${ws(j)} AS DECIMAL(14,12)) " +
+        s"ELSE CAST(0 AS DECIMAL(14,12)) END").mkString(" + ")
+      s"""WITH daily AS (
+         |  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS d,
+         |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+         |  FROM orders GROUP BY 1, 2),
+         |l AS (
+         |  SELECT priority, d, rev, $lags
+         |  FROM daily
+         |  WINDOW w AS (PARTITION BY priority ORDER BY d))
+         |SELECT priority, CAST(d AS VARCHAR) AS day, CAST(rev AS DOUBLE) AS revenue,
+         |       ROUND(CAST(($num) AS DOUBLE) / CAST(($den) AS DOUBLE), 6) AS ewma
+         |FROM l""".stripMargin
+    },
     "q_source_mixing" ->
       """WITH s AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
         |t AS (SELECT SUM(SQRT(CAST(n_docs AS DOUBLE))) AS tot FROM s)

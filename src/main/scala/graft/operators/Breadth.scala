@@ -608,9 +608,13 @@ object Breadth {
     * is noise) and renormalize over the terms actually present, which
     * also gives principled warm-up behavior at each series head.
     *
-    * Determinism discipline: each weighted term is rounded to 6 dp and
-    * summed as DECIMAL (order-free exact Σ); the weights are shared
-    * 12-dp literals ([[EwmaWeights]]); one double division at the end.
+    * Determinism discipline: every weighted term stays in DECIMAL end to
+    * end — rev DECIMAL(18,2) × weight DECIMAL(14,12) is EXACT at
+    * DECIMAL(33,14), downcast (still exact, values ≪ 10^10) to
+    * DECIMAL(24,14) so the 13-term `+` chain tops out at (37,14) under
+    * both engines' 38-digit cap — so numerator and denominator are exact
+    * rationals in both engines and the single double division at the end
+    * is the only float op (then one shared ROUND(…,6)).
     * Scale shape: the daily pre-aggregate collapses the fact table to
     * date-cardinality FIRST, so the 14 `lag` window terms run over a
     * tiny frame partitioned by series — at 100 TB this is one shuffle
@@ -619,17 +623,18 @@ object Breadth {
     val daily = Tables.load(spark, dir, "orders")
       .groupBy(col("o_orderpriority").as("priority"),
         col("o_orderdate").cast("date").as("d"))
-      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+      // sum() widens to (28,2); narrow back to (18,2) so the weight
+      // product below stays inside the 38-digit cap without rescaling
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+        .cast(DecimalType(18, 2)).as("rev"))
     val w = Window.partitionBy("priority").orderBy("d")
     val lagged = EwmaWeights.indices.foldLeft(daily) { (df, j) =>
       df.withColumn(s"r$j", lag(col("rev"), j).over(w))
     }
-    // DECIMAL(18,6) per term: the 13-term `+` chain widens to (31,6) —
-    // inside the 38-digit cap in BOTH engines, so no precision-loss
-    // rescale can diverge between the plan and the oracle.
     val num = EwmaWeights.indices.map { j =>
-      coalesce(round(col(s"r$j").cast("double") * lit(EwmaWeights(j).toDouble), 6)
-        .cast(DecimalType(18, 6)), lit(0).cast(DecimalType(18, 6)))
+      coalesce((col(s"r$j") * lit(EwmaWeights(j)).cast(DecimalType(14, 12)))
+          .cast(DecimalType(24, 14)),
+        lit(0).cast(DecimalType(24, 14)))
     }.reduce(_ + _)
     val den = EwmaWeights.indices.map { j =>
       when(col(s"r$j").isNotNull, lit(EwmaWeights(j)).cast(DecimalType(14, 12)))

@@ -714,6 +714,10 @@ object Scale {
       .unionAll(edge("customer_nationkey", t("customer"), "c_nationkey", t("nation"), "n_nationkey"))
       .unionAll(edge("supplier_nationkey", t("supplier"), "s_nationkey", t("nation"), "n_nationkey"))
       .unionAll(edge("nation_regionkey", t("nation"), "n_regionkey", t("region"), "r_regionkey"))
+      // pin row order structurally (oracle ORDER BY fk_edge): without it the
+      // output order is an accident of union branch scheduling that an AQE
+      // change could reshuffle under a row-order-sensitive compare
+      .orderBy("fk_edge")
   }
 
   /** Run `body` with the given SQL confs set, restoring previous values
