@@ -18,8 +18,9 @@ import org.apache.spark.sql.types.StructType
   *     = 0), so the near-dup pair graph is exactly 10× the original
   *     and the dedup queries measure 10× the WORK, not a
   *     quadratically-denser output;
-  *   - `embeddings`: ids offset (probe set stays the original 10, the
-  *     scanned corpus is 10×);
+  *   - `embeddings`: ids offset + per-copy sign-flip rotation (intra-copy
+  *     geometry exact, cross-copy cosines near zero — the probe set stays
+  *     the original, the scanned corpus is 10× and non-degenerate);
   *   - `events` / `lineitem`: ids offset per copy — 10 disjoint user
   *     populations / join graphs.
   * Each query runs twice per scale; the min is recorded (same
@@ -30,6 +31,7 @@ object ScaleBench {
 
   private val Queries = Seq(
     "q_dedup_minhash", "q_dedup_ngram_prefix", "q_ann_ivf",
+    "q_dedup_embedding",
     "q_pagerank", "q_sessionize_batch",
     "q_dedup_incremental", "q_hot_shingles", "q_stream_dedup_incremental",
     "q_triangle_count", "q_funnel_steps", "q_kcore", "q_basket_pairs",
@@ -98,9 +100,26 @@ object ScaleBench {
       .drop("copy")
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
+    // Copies get a per-copy SIGN-FLIP rotation (a diagonal orthogonal
+    // transform): intra-copy geometry — norms, cosines, cluster structure
+    // — is preserved EXACTLY, while cross-copy cosines scatter like
+    // random projections (|cos| ~ 1/√dim ≪ the 0.4 near-dup threshold),
+    // so the near-dup pair graph is ~10× the original's rather than the
+    // ~100× degenerate blow-up verbatim copies would create (every
+    // vector 10× duplicated ⇒ quadratic cross-copy pair volume). Copy 0
+    // keeps identity signs, so the original corpus is a literal subset.
+    val signRows = (0 until copies).map { c =>
+      val r = new scala.util.Random(c * 7919L + 13)
+      val signs = Array.fill(64)(if (c == 0 || r.nextBoolean()) 1.0f else -1.0f)
+      (c.toLong, signs.toSeq)
+    }
+    val signsDf = spark.createDataFrame(signRows).toDF("copy", "signs")
     raw("embeddings", Tables.embeddings)
+      .join(broadcast(signsDf), "copy")
       .withColumn("vec_id", col("vec_id") + col("copy") * Stride)
-      .drop("copy")
+      .withColumn("embedding",
+        zip_with(col("embedding"), col("signs"), (x, s) => (x * s).cast("float")))
+      .drop("copy", "signs")
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
     raw("events", Tables.events)

@@ -144,8 +144,22 @@ object Similarity {
     * ADD candidates, never drop a qualifying pair. */
   def prunedEmbeddingPairs(
       spark: SparkSession, dir: String, threshold: Double,
-      nlist: Int = 16): DataFrame = {
-    val idx = ivfIndex(spark, dir, nlist, 0.25, 5)
+      nlist: Int = 0): DataFrame = {
+    // Bucket count is the work dial: pair work inside a surviving bucket
+    // pair is |A|×|B|, so buckets must stay roughly constant-SIZED as the
+    // corpus grows (√n-ish bucket COUNT), or the join re-approaches n².
+    // nlist=0 (default) auto-scales to ~125 vectors per bucket, floor 16
+    // (sharing the ANN suite's index at the small scale factors), cap 256
+    // (quantizer training cost bound). Exactness is nlist-INDEPENDENT —
+    // the triangle-inequality prune is valid for any partition — so the
+    // dial moves only performance, never results.
+    val k =
+      if (nlist > 0) nlist
+      else {
+        val n = Tables.load(spark, dir, "embeddings").count()
+        math.max(16, math.min(256, (n / 125L).toInt))
+      }
+    val idx = ivfIndex(spark, dir, k, 0.25, 5)
     val cUnit = idx.centroids
       .withColumn("cn", sqrt(norm2("centroid")))
       .withColumn("cu", expr("transform(centroid, x -> x / cn)"))
