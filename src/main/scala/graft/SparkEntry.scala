@@ -301,6 +301,9 @@ object SparkEntry {
     "q_pareto_frontier"    -> Breadth.paretoFrontier _,
     "q_ewma_user"          -> Breadth.ewmaUser _,
     "q_ewma_revenue"       -> Breadth.ewmaRevenue _,
+    "q_drawdown"           -> Breadth.maxDrawdown _,
+    "q_cusum_shift"        -> Breadth.cusumShift _,
+    "q_interval_union"     -> ((s: SparkSession, d: String) => Breadth.intervalUnion(s, d)),
     "q_source_mixing"      -> TextAnalysis.sourceMixing _,
     "q_lateral_topn"       -> SqlInterface.lateralTopN _,
     "q_recursive_cte"      -> SqlInterface.recursiveMonths _,
@@ -2766,6 +2769,83 @@ object SparkEntry {
          |       ROUND(CAST(($num) AS DOUBLE) / CAST(($den) AS DOUBLE), 6) AS ewma
          |FROM l""".stripMargin
     },
+    // stacked windows over the same (user → time) order; DECIMAL cumsum,
+    // peak, drawdown — exact until the output casts (see Breadth.maxDrawdown)
+    "q_drawdown" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tsu, event_id,
+        |         CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, tsu, event_id,
+        |         SUM(v) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |                      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM e),
+        |d AS (
+        |  SELECT user_id, cum,
+        |         MAX(cum) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |                        ROWS UNBOUNDED PRECEDING) - cum AS dd
+        |  FROM c)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |       CAST(MAX(dd) AS DOUBLE) AS max_drawdown,
+        |       CAST(MAX(cum) AS DOUBLE) AS peak_total
+        |FROM d GROUP BY 1""".stripMargin,
+    // integer-rescaled CUSUM: S'_i = n·csum_i − i·total, all BIGINT —
+    // no double mean inside the scan (see Breadth.cusumShift)
+    "q_cusum_shift" ->
+      """WITH h AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS bucket, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, SUM(c) AS total, COUNT(*) AS n_buckets
+        |      FROM h GROUP BY 1),
+        |s AS (
+        |  SELECT h.event_type, h.bucket, t.n_buckets, t.total,
+        |         ROW_NUMBER() OVER w AS i,
+        |         SUM(c) OVER (PARTITION BY h.event_type ORDER BY h.bucket
+        |                      ROWS UNBOUNDED PRECEDING) AS csum
+        |  FROM h JOIN t USING (event_type)
+        |  WINDOW w AS (PARTITION BY h.event_type ORDER BY h.bucket)),
+        |a AS (
+        |  SELECT event_type, bucket, n_buckets,
+        |         ABS(n_buckets * csum - i * total) AS abs_s
+        |  FROM s),
+        |r AS (
+        |  SELECT event_type, bucket, abs_s, n_buckets,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type
+        |                            ORDER BY abs_s DESC, bucket ASC) AS rn
+        |  FROM a)
+        |SELECT event_type, bucket AS shift_bucket,
+        |       CAST(abs_s AS BIGINT) AS peak_scaled,
+        |       ROUND(CAST(abs_s AS DOUBLE) / n_buckets, 6) AS peak_mean_dev
+        |FROM r WHERE rn = 1""".stripMargin,
+    // sweep-line union via windows: a row opens a segment iff its start
+    // clears the running max end of all EARLIER intervals (exclusive
+    // frame); epoch micros are always positive so −1 is a safe floor
+    // for the first row's empty frame (see Breadth.intervalUnion)
+    "q_interval_union" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS s,
+        |         epoch_us(ts) + 300000000 AS en
+        |  FROM events),
+        |o AS (
+        |  SELECT user_id, event_id, s, en,
+        |         CASE WHEN s > COALESCE(
+        |             MAX(en) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |             -1)
+        |           THEN 1 ELSE 0 END AS opens
+        |  FROM e),
+        |g AS (
+        |  SELECT user_id, s, en,
+        |         SUM(opens) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |                          ROWS UNBOUNDED PRECEDING) AS seg
+        |  FROM o),
+        |sg AS (
+        |  SELECT user_id, seg, MIN(s) AS seg_s, MAX(en) AS seg_e
+        |  FROM g GROUP BY 1, 2)
+        |SELECT user_id, COUNT(*) AS n_segments,
+        |       CAST(SUM(seg_e - seg_s) AS BIGINT) AS covered_us
+        |FROM sg GROUP BY 1""".stripMargin,
     "q_source_mixing" ->
       """WITH s AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
         |t AS (SELECT SUM(SQRT(CAST(n_docs AS DOUBLE))) AS tot FROM s)

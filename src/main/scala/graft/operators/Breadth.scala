@@ -732,6 +732,93 @@ object Breadth {
       .agg(countDistinct("user_id").as("n_users"))
   }
 
+  /** MAX DRAWDOWN — per user, the deepest peak-to-trough drop of the
+    * running value total (the risk metric every monitoring curve wants):
+    * cumulative DECIMAL sum ordered by (ts, event_id), running peak via
+    * a second window over the cumsum, drawdown = peak − cum, then one
+    * keyed max. Everything stays DECIMAL until the output cast, so the
+    * oracle replays bit-exactly. Scale: two stacked windows over the
+    * SAME (user_id → time) partitioning — one shuffle, two sequential
+    * per-partition scans, no self-join. */
+  def maxDrawdown(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("tsu"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = Tables.load(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"), col("event_id"),
+        col("value").cast(DecimalType(18, 2)).as("v"))
+      .withColumn("cum", sum("v").over(w))
+    cum.withColumn("dd", max("cum").over(w) - col("cum"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        max("dd").cast("double").as("max_drawdown"),
+        max("cum").cast("double").as("peak_total"))
+  }
+
+  /** CUSUM LEVEL-SHIFT SCAN — per event type, the classic cumulative-sum
+    * change detector over the hourly event-count series, kept EXACT by
+    * integer rescaling: instead of S_i = Σ_{j≤i}(c_j − mean) (a double
+    * mean poisons every term), scan S'_i = n·Σ_{j≤i} c_j − i·total —
+    * the same statistic scaled by n, all BIGINT. Output per type: the
+    * bucket where |S'| peaks (the change-point estimate, ties → earliest
+    * bucket) and the peak |S'| renormalized to counts (one final double
+    * division). Scale: one hourly pre-aggregate collapses the fact table
+    * to bucket grain FIRST; the scan is a window over the tiny per-type
+    * series. */
+  def cusumShift(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val totals = hourly.groupBy("event_type")
+      .agg(sum("c").as("total"), count(lit(1)).as("n_buckets"))
+    val w = Window.partitionBy("event_type").orderBy("bucket")
+    val scanned = hourly.join(broadcast(totals), "event_type")
+      .withColumn("i", row_number().over(w))
+      .withColumn("csum", sum("c").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("s_scaled", col("n_buckets") * col("csum") - col("i") * col("total"))
+      .withColumn("abs_s", abs(col("s_scaled")))
+    scanned
+      .withColumn("k", struct((-col("abs_s")).as("neg"), col("bucket")))
+      .groupBy("event_type")
+      .agg(min("k").as("k"), first("n_buckets").as("nb"))
+      .select(col("event_type"), col("k.bucket").as("shift_bucket"),
+        (-col("k.neg")).as("peak_scaled"),
+        round((-col("k.neg")).cast("double") / col("nb"), 6).as("peak_mean_dev"))
+  }
+
+  /** INTERVAL-UNION COVERAGE — per user, the total wall-clock time
+    * covered by the union of 5-minute activity intervals [ts, ts+5 min):
+    * the sweep-line classic, expressed as windows instead of a self-join.
+    * A row opens a NEW segment iff its start exceeds the running max end
+    * of all earlier intervals (exclusive window frame); segment ids are
+    * the running count of opens; per-segment coverage = max end − min
+    * start. All integer µs arithmetic → bit-exact oracle. Scale: one
+    * shuffle to (user → time) order, three sequential window scans, a
+    * per-segment agg — overlap resolution with NO pairwise interval
+    * join, the shape that survives dense overlap at 100 TB. */
+  def intervalUnion(spark: SparkSession, dir: String, lenMinutes: Int = 5): DataFrame = {
+    val lenUs = lenMinutes * 60L * 1000000L
+    val base = Window.partitionBy("user_id").orderBy(col("s"), col("event_id"))
+    val prevMaxEnd = base.rowsBetween(Window.unboundedPreceding, -1)
+    val runFrame = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("s"),
+        (unix_micros(col("ts")) + lenUs).as("e"))
+      .withColumn("opens",
+        // epoch micros are always positive, so −1 is a safe floor for the
+        // first row's empty exclusive frame (mirrors the oracle literal)
+        when(col("s") > coalesce(max("e").over(prevMaxEnd), lit(-1L)), 1L)
+          .otherwise(0L))
+      .withColumn("seg", sum("opens").over(runFrame))
+      .groupBy("user_id", "seg")
+      .agg(min("s").as("seg_s"), max("e").as("seg_e"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_segments"),
+        sum(col("seg_e") - col("seg_s")).as("covered_us"))
+  }
+
   /** OHLC BARS — the downsample-to-bars resample every telemetry/market
     * feed needs: per (event_type, hour), open/high/low/close/volume.
     * Open and close are FIRST/LAST-BY-TIME selections, expressed as
