@@ -2766,7 +2766,9 @@ object SparkEntry {
          |  FROM daily
          |  WINDOW w AS (PARTITION BY priority ORDER BY d))
          |SELECT priority, CAST(d AS VARCHAR) AS day, CAST(rev AS DOUBLE) AS revenue,
-         |       ROUND(CAST(($num) AS DOUBLE) / CAST(($den) AS DOUBLE), 6) AS ewma
+         |       FLOOR(CAST(CAST(ROUND($num, 6) AS DECIMAL(18,6)) AS DOUBLE)
+         |             / CAST(CAST(($den) AS DECIMAL(14,12)) AS DOUBLE)
+         |             * 1000000.0 + 0.5) / 1000000.0 AS ewma
          |FROM l""".stripMargin
     },
     // stacked windows over the same (user → time) order; DECIMAL cumsum,

@@ -640,9 +640,28 @@ object Breadth {
       when(col(s"r$j").isNotNull, lit(EwmaWeights(j)).cast(DecimalType(14, 12)))
         .otherwise(lit(0).cast(DecimalType(14, 12)))
     }.reduce(_ + _)
+    // Two cross-engine float hazards at the output boundary, both measured
+    // at sf0.1 (2 rows in 12k):
+    //  1. WIDE-decimal → double casts are not identically rounded across
+    //     engines (Spark: correctly-rounded BigDecimal.doubleValue;
+    //     DuckDB: int128→double then ÷10^scale — two roundings). So both
+    //     operands are first narrowed IN THE EXACT DECIMAL DOMAIN via
+    //     ROUND(x, 6) — decimal ROUND is HALF_UP in Spark and
+    //     half-away-from-zero in DuckDB, identical for positive values —
+    //     until their unscaled values fit in 2^53: int→double is then
+    //     exact and the ÷10^scale is ONE shared rounding — identical
+    //     doubles. (A plain decimal downcast would NOT do: DuckDB
+    //     truncates on rescale where Spark rounds.)
+    //  2. ROUND(double, 6) implementations disagree at 1e-7 midpoints
+    //     (shortest-repr HALF_UP vs scaled-value rounding) — and a ratio
+    //     of decimals lands on midpoints with real probability. floor
+    //     (x·1e6 + 0.5)/1e6 is pure IEEE arithmetic on the identical
+    //     doubles from (1), so both engines produce the same bit pattern.
+    val numD = round(num, 6).cast(DecimalType(18, 6)).cast("double")
+    val denD = den.cast(DecimalType(14, 12)).cast("double")
     lagged.select(col("priority"), col("d").cast("string").as("day"),
       col("rev").cast("double").as("revenue"),
-      round(num.cast("double") / den.cast("double"), 6).as("ewma"))
+      (floor(numD / denD * lit(1e6) + lit(0.5)) / lit(1e6)).as("ewma"))
   }
 
   /** USER ACTIVITY RECENCY — how long ago each user was last seen,
