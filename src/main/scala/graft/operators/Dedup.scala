@@ -562,30 +562,52 @@ object Dedup {
   /** Min-label propagation over an undirected pair list `(id_a, id_b)` →
     * `(id, comp)` where comp = min id reachable. Shared by the text
     * ([[dedupComponents]]) and embedding ([[embeddingClusters]]) cluster
-    * paths. Convergence in O(graph diameter) rounds, each one
-    * distributed join + keyed min; lineage truncated per round
+    * paths.
+    *
+    * Convergence in O(effective propagation distance) rounds, each one
+    * distributed join + keyed min. Per-round cost is dominated by fixed
+    * job/shuffle-stage overhead (the frames are post-threshold pair
+    * lists, orders smaller than the corpus), so the loop spends two
+    * cheap levers on round/job count: labels START at min(id, min
+    * neighbor) — one agg folded into init buys the first propagation
+    * round for free — and the changed-row convergence COUNT runs every
+    * SECOND round (a no-change round is idempotent, so the worst case is
+    * one extra cheap round, for half the count jobs). Pointer-jumping
+    * (comp ← comp(comp)) was measured NET NEGATIVE here: reach per round
+    * grows only Fibonacci-like while every jump adds a shuffle stage to
+    * every round — simulated on the sf0.1 embedding pair graph it saved
+    * 1 round of 11 but added 10 stages. Lineage truncated per round
     * (localCheckpoint) so plans stay flat; the driver loop holds only a
     * changed-row COUNT, never data. */
   private def minLabelComponents(edges: DataFrame): DataFrame = {
     val adj = edges.unionAll(
       edges.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .localCheckpoint(true)
-    var labels = adj.select(col("id_a").as("id")).distinct()
-      .withColumn("comp", col("id"))
+    var labels = adj
+      .groupBy(col("id_a"))
+      .agg(min("id_b").as("nbr_min"))
+      .select(col("id_a").as("id"),
+        least(col("id_a"), col("nbr_min")).as("comp"))
       .localCheckpoint(true)
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 30) {
-      val nbrMin = adj
-        .join(labels.select(col("id").as("id_b"), col("comp").as("nbr_comp")), "id_b")
-        .groupBy(col("id_a").as("id"))
-        .agg(min("nbr_comp").as("nbr_min"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("comp"),
-          least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp_next"))
+      // own label and neighbor labels ride ONE union into ONE keyed min —
+      // two shuffle boundaries per round (join, agg) instead of three
+      // (join, agg, label re-join); with post-threshold-sized frames the
+      // loop cost IS stage overhead, so boundaries are the unit of cost
+      val next = adj
+        .join(labels.select(col("id").as("id_b"), col("comp").as("c")), "id_b")
+        .select(col("id_a").as("id"), col("c"))
+        .unionAll(labels.select(col("id"), col("comp").as("c")))
+        .groupBy("id").agg(min("c").as("comp"))
         .localCheckpoint(true)
-      changed = next.filter(col("comp_next") < col("comp")).count()
-      labels = next.select(col("id"), col("comp_next").as("comp"))
+      changed =
+        if (rounds % 2 == 1)
+          next.join(labels.select(col("id"), col("comp").as("prev")), "id")
+            .filter(col("comp") < col("prev")).count()
+        else 1L
+      labels = next
       rounds += 1
     }
     labels
