@@ -29,9 +29,14 @@ import org.apache.spark.sql.types.StructType
 object ScaleBench {
   private val Stride = 1000000000L
 
+  // q_dedup_embedding is deliberately NOT here: an exact cosine pair join
+  // at threshold 0.4 over this (weakly-clustered) embedding space is
+  // Ω(n²) for every engine — see Dedup.embeddingPairs — so a 10× ratio
+  // would only measure the quadratic semantics, not the implementation.
+  // The embedding family's scale representatives are q_ann_ivf (bounded
+  // per-probe work, below) and the recall-floored LSH miner.
   private val Queries = Seq(
     "q_dedup_minhash", "q_dedup_ngram_prefix", "q_ann_ivf",
-    "q_dedup_embedding",
     "q_pagerank", "q_sessionize_batch",
     "q_dedup_incremental", "q_hot_shingles", "q_stream_dedup_incremental",
     "q_triangle_count", "q_funnel_steps", "q_kcore", "q_basket_pairs",

@@ -693,16 +693,33 @@ object Dedup {
 
   // ---- embedding near-dup --------------------------------------------
 
-  /** Embedding cosine near-dup pairs. Exact all-pairs within the corpus —
-    * the LSH-bucketed scale path lives in [[Similarity]]; this is the
-    * oracle-checkable baseline. */
+  /** Embedding cosine near-dup pairs — exact all-pairs within the corpus.
+    *
+    * The quadratic pair scan is NOT an accident here: at a low threshold
+    * (0.4) on a weakly-clustered embedding space, exact pair mining is
+    * Ω(n²) — measured on this corpus, member→centroid angles are ~70°
+    * against arccos(0.4) ≈ 66°, so the triangle-inequality bound prunes
+    * NOTHING ([[Similarity.prunedEmbeddingPairs]], survival 1.0) and
+    * exhaustive hyperplane banding is equally impossible (near-boundary
+    * band-collision degenerates to all-pairs). Every EXACT engine,
+    * including the DuckDB oracle, pays the same n² — so this formulation
+    * makes it fast rather than pretending to avoid it: codegen'd dot on
+    * predeclared norms, and the left side repartitioned so the cross
+    * join parallelizes across the cluster instead of planning as a
+    * single 1×1-partition task (measured 32× task-parallelism win).
+    * At 100 TB the semantics themselves must change — the documented
+    * swap-ins are the recall-floored LSH miner
+    * ([[Similarity.lshEmbeddingPairs]]), ANN top-k ([[Similarity]]), or
+    * a tight-dup threshold where [[Similarity.prunedEmbeddingPairs]]'s
+    * geometric pruning engages. */
   def embeddingPairs(spark: SparkSession, dir: String, threshold: Double = 0.45): DataFrame = {
     // Norms are computed ONCE per vector, not per pair (3× fewer array
     // folds); cos = dot/(na·nb) is bit-identical to the oracle formula.
     val e = Tables.load(spark, dir, "embeddings")
       .withColumn("emb_d", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
       .withColumn("nrm", sqrt(norm2("emb_d")))
-    val a = e.select(col("vec_id").as("id_a"), col("emb_d").as("emb_a"), col("nrm").as("na"))
+    val a = e.repartition(col("vec_id"))
+      .select(col("vec_id").as("id_a"), col("emb_d").as("emb_a"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("id_b"), col("emb_d").as("emb_b"), col("nrm").as("nb"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
@@ -719,15 +736,12 @@ object Dedup {
     * semantic-dedup pipeline; the materialized frame holds only the
     * thresholded pairs, not the candidate set.
     *
-    * Computed via [[Similarity.prunedEmbeddingPairs]] — the EXACT
-    * centroid-pruned join (bucket pairs whose angular lower bound clears
-    * the threshold are skipped whole), so every consumer keeps the
-    * exhaustive DuckDB oracle while the plan carries no corpus-wide
-    * cross join; [[embeddingPairs]] stays as the brute-force baseline
-    * the specs compare against. */
+    * Computed via the parallelized exact scan ([[embeddingPairs]] — see
+    * its docstring for why exact-at-this-threshold is Ω(n²) for EVERY
+    * engine and what the 100 TB swap-ins are). */
   def embeddingPairsShared(spark: SparkSession, dir: String, threshold: Double): DataFrame =
     embPairsMemo.getOrCompute(spark, s"$dir|$threshold") {
-      Similarity.prunedEmbeddingPairs(spark, dir, threshold).localCheckpoint(true)
+      embeddingPairs(spark, dir, threshold).localCheckpoint(true)
     }
 
   /** SEMANTIC-DEDUP CLUSTERS — the SemDeDup-style end of the embedding
