@@ -304,6 +304,10 @@ object SparkEntry {
     "q_drawdown"           -> Breadth.maxDrawdown _,
     "q_cusum_shift"        -> Breadth.cusumShift _,
     "q_interval_union"     -> ((s: SparkSession, d: String) => Breadth.intervalUnion(s, d)),
+    "q_rfm_segments"       -> Breadth.rfmSegments _,
+    "q_order_cycle_time"   -> Breadth.orderCycleTime _,
+    "q_benford_audit"      -> Breadth.benfordAudit _,
+    "q_seasonal_dow"       -> Breadth.seasonalDow _,
     "q_source_mixing"      -> TextAnalysis.sourceMixing _,
     "q_lateral_topn"       -> SqlInterface.lateralTopN _,
     "q_recursive_cte"      -> SqlInterface.recursiveMonths _,
@@ -2848,6 +2852,89 @@ object SparkEntry {
         |SELECT user_id, COUNT(*) AS n_segments,
         |       CAST(SUM(seg_e - seg_s) AS BIGINT) AS covered_us
         |FROM sg GROUP BY 1""".stripMargin,
+    // NTILE quintiles over tie-broken total orders; revenue share via the
+    // shared FLOOR(x*1e6+0.5)/1e6 rounding (see Breadth.rfmSegments)
+    "q_rfm_segments" ->
+      """WITH pc AS (
+        |  SELECT o_custkey AS custkey,
+        |         MAX(epoch_us(o_orderdate) // 86400000000) AS last_day,
+        |         COUNT(*) AS n_orders,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+        |  FROM orders GROUP BY 1),
+        |h AS (SELECT MAX(last_day) AS max_day FROM pc),
+        |s AS (
+        |  SELECT custkey, n_orders, revenue,
+        |         NTILE(5) OVER (ORDER BY max_day - last_day, custkey) AS r,
+        |         NTILE(5) OVER (ORDER BY n_orders DESC, custkey) AS f,
+        |         NTILE(5) OVER (ORDER BY revenue DESC, custkey) AS m
+        |  FROM pc CROSS JOIN h),
+        |t AS (SELECT SUM(revenue) AS total_rev FROM s)
+        |SELECT r, f, m, COUNT(*) AS n_customers,
+        |       CAST(SUM(revenue) AS DOUBLE) AS cell_revenue,
+        |       FLOOR(CAST(SUM(revenue) AS DOUBLE) / CAST(t.total_rev AS DOUBLE)
+        |             * 1000000.0 + 0.5) / 1000000.0 AS revenue_share
+        |FROM s CROSS JOIN t GROUP BY r, f, m, t.total_rev""".stripMargin,
+    "q_order_cycle_time" ->
+      """WITH g AS (
+        |  SELECT o_custkey, epoch_us(o_orderdate) // 86400000000 AS day,
+        |         LAG(epoch_us(o_orderdate) // 86400000000) OVER
+        |           (PARTITION BY o_custkey
+        |            ORDER BY epoch_us(o_orderdate) // 86400000000, o_orderkey)
+        |           AS prev_day
+        |  FROM orders),
+        |d AS (SELECT day - prev_day AS gap_days FROM g WHERE prev_day IS NOT NULL)
+        |SELECT LEAST(gap_days // 30, 12) AS gap_months,
+        |       COUNT(*) AS n_gaps,
+        |       CAST(SUM(gap_days) AS BIGINT) AS sum_days,
+        |       FLOOR(CAST(SUM(gap_days) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |             * 1000000.0 + 0.5) / 1000000.0 AS mean_days
+        |FROM d GROUP BY 1""".stripMargin,
+    // first significant digit via string strip (no float log); Benford
+    // expectation as shared 6-dp CASE constants (see Breadth.benfordAudit)
+    "q_benford_audit" ->
+      """WITH d AS (
+        |  SELECT CAST(SUBSTRING(REGEXP_REPLACE(
+        |           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+        |           '[^1-9]', '', 'g'), 1, 1) AS INT) AS digit
+        |  FROM orders),
+        |d2 AS (SELECT digit FROM d WHERE digit IS NOT NULL),
+        |n AS (SELECT COUNT(*) AS n_total FROM d2),
+        |c AS (SELECT digit, COUNT(*) AS n_orders FROM d2 GROUP BY 1),
+        |o AS (
+        |  SELECT digit, n_orders,
+        |         FLOOR(CAST(n_orders AS DOUBLE) / CAST(n_total AS DOUBLE)
+        |               * 1000000.0 + 0.5) / 1000000.0 AS observed,
+        |         CAST(CASE digit WHEN 1 THEN 0.301030 WHEN 2 THEN 0.176091
+        |           WHEN 3 THEN 0.124939 WHEN 4 THEN 0.096910
+        |           WHEN 5 THEN 0.079181 WHEN 6 THEN 0.066947
+        |           WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153
+        |           WHEN 9 THEN 0.045757 END AS DOUBLE) AS expected
+        |  FROM c CROSS JOIN n)
+        |SELECT digit, n_orders, observed, expected,
+        |       FLOOR(ABS(observed - expected) * 1000000.0 + 0.5) / 1000000.0
+        |         AS abs_dev
+        |FROM o""".stripMargin,
+    // day-of-week from integer epoch days ((d+4) mod 7) — no tz/locale
+    // functions; peak ties break to the smallest dow (see Breadth.seasonalDow)
+    "q_seasonal_dow" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow
+        |  FROM events),
+        |c AS (SELECT event_type, dow, COUNT(*) AS n_events FROM e GROUP BY 1, 2),
+        |t AS (SELECT event_type, SUM(n_events) AS n_type FROM c GROUP BY 1),
+        |p AS (
+        |  SELECT event_type, dow,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type
+        |                            ORDER BY n_events DESC, dow ASC) AS rn
+        |  FROM c)
+        |SELECT c.event_type, c.dow, c.n_events,
+        |       FLOOR(CAST(c.n_events AS DOUBLE) / CAST(t.n_type AS DOUBLE)
+        |             * 1000000.0 + 0.5) / 1000000.0 AS share,
+        |       CAST(c.dow = (SELECT dow FROM p
+        |                     WHERE p.event_type = c.event_type AND rn = 1)
+        |            AS INT) AS is_peak
+        |FROM c JOIN t ON c.event_type = t.event_type""".stripMargin,
     "q_source_mixing" ->
       """WITH s AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
         |t AS (SELECT SUM(SQRT(CAST(n_docs AS DOUBLE))) AS tot FROM s)

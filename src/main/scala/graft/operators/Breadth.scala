@@ -29,6 +29,14 @@ object Breadth {
     (col("l_extendedprice") * (lit(1) - col("l_discount")))
       .cast(DecimalType(18, 4))
 
+  /** 6-dp half-up rounding of a POSITIVE double via floor(x·1e6 + 0.5) —
+    * pure IEEE arithmetic, bit-identical across engines on identical
+    * inputs, where ROUND(double, 6) is not (see the PLANS.md
+    * "Cross-engine float-boundary lessons": ratios of exact values land
+    * on 1e-7 midpoints with real probability and the engines' ROUND
+    * implementations disagree exactly there). */
+  private def r6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+
   /** TPC-H Q6 shape: pushed-down range predicates + single global agg. */
   def filterPred(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "lineitem")
@@ -804,6 +812,115 @@ object Breadth {
       .select(col("event_type"), col("k.bucket").as("shift_bucket"),
         (-col("k.neg")).as("peak_scaled"),
         round((-col("k.neg")).cast("double") / col("nb"), 6).as("peak_mean_dev"))
+  }
+
+  /** RFM SEGMENTATION — the classic customer scoring: Recency (days
+    * since last order), Frequency (order count), Monetary (DECIMAL
+    * revenue total), each cut into quintiles by `ntile(5)` over a
+    * tie-broken total order (metric, custkey — both engines implement
+    * ntile as the same floor-based row partition, so segment boundaries
+    * replay bit-exactly). Output: one row per (r, f, m) cell with
+    * customer count and revenue share. Scale: one groupBy on custkey,
+    * three global ntile windows over the CUSTOMER-grain frame (already
+    * thousands of times smaller than the fact table) — and even these
+    * could shard by range partitioning; the cell rollup is tiny. */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.load(spark, dir, "orders")
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(max(expr("unix_micros(o_orderdate) div 86400000000")).as("last_day"),
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("revenue"))
+    val hwm = perCust.agg(max("last_day").as("max_day"))
+    val scored = perCust.crossJoin(broadcast(hwm))
+      .withColumn("recency_days", col("max_day") - col("last_day"))
+      // recency: smaller = better → rank ascending so tile 1 = most recent
+      .withColumn("r", ntile(5).over(
+        Window.orderBy(col("recency_days"), col("custkey"))))
+      .withColumn("f", ntile(5).over(
+        Window.orderBy(col("n_orders").desc, col("custkey"))))
+      .withColumn("m", ntile(5).over(
+        Window.orderBy(col("revenue").desc, col("custkey"))))
+    val total = scored.agg(sum("revenue").as("total_rev"))
+    scored.crossJoin(broadcast(total))
+      .groupBy("r", "f", "m")
+      .agg(count(lit(1)).as("n_customers"),
+        sum("revenue").cast("double").as("cell_revenue"),
+        r6(sum("revenue").cast("double") / first("total_rev").cast("double"))
+          .as("revenue_share"))
+  }
+
+  /** ORDER CYCLE TIME — days between a customer's consecutive orders
+    * (the inter-purchase-interval distribution demand forecasting
+    * feeds on): one lag window per customer on integer epoch days,
+    * bucketed into a survival-style histogram with exact-count mean.
+    * All-integer day arithmetic → bit-exact oracle. */
+  def orderCycleTime(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("day"), col("o_orderkey"))
+    val gaps = Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        expr("unix_micros(o_orderdate) div 86400000000").as("day"))
+      .withColumn("prev_day", lag("day", 1).over(w))
+      .filter(col("prev_day").isNotNull)
+      .select((col("day") - col("prev_day")).as("gap_days"))
+    gaps.groupBy(least(expr("gap_days div 30"), lit(12L)).as("gap_months"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum("gap_days").as("sum_days"),
+        r6(sum("gap_days").cast("double") / count(lit(1)).cast("double"))
+          .as("mean_days"))
+  }
+
+  /** BENFORD FIRST-DIGIT AUDIT — the fraud/data-quality screen: the
+    * first significant digit of every order total, observed share vs
+    * Benford's log10(1 + 1/d) expectation, with the Σ|obs − exp| total
+    * variation distance on the digit distribution. Digit extraction is
+    * pure string/integer work on the DECIMAL total (no float log
+    * tricks), expectation is a CASE table of 6-dp constants — so the
+    * oracle replays bit-exactly. Map-side digit derivation + one
+    * 9-row aggregate: embarrassingly scalable. */
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    // Benford expectation, 6-dp constants shared with the oracle
+    val exp = Map(1 -> 0.301030, 2 -> 0.176091, 3 -> 0.124939,
+      4 -> 0.096910, 5 -> 0.079181, 6 -> 0.066947, 7 -> 0.057992,
+      8 -> 0.051153, 9 -> 0.045757)
+    val expCol = exp.foldLeft(lit(null).cast("double")) { case (acc, (d, p)) =>
+      when(col("digit") === d, lit(p)).otherwise(acc)
+    }
+    val digits = Tables.load(spark, dir, "orders")
+      .select(substring(regexp_replace(
+        col("o_totalprice").cast(DecimalType(18, 2)).cast("string"),
+        "[^1-9]", ""), 1, 1).cast("int").as("digit"))
+      .filter(col("digit").isNotNull)
+    val n = digits.agg(count(lit(1)).as("n_total"))
+    digits.groupBy("digit").agg(count(lit(1)).as("n_orders"))
+      .crossJoin(broadcast(n))
+      .withColumn("observed",
+        r6(col("n_orders").cast("double") / col("n_total").cast("double")))
+      .withColumn("expected", expCol)
+      .withColumn("abs_dev", r6(abs(col("observed") - col("expected"))))
+      .select("digit", "n_orders", "observed", "expected", "abs_dev")
+  }
+
+  /** DAY-OF-WEEK SEASONALITY — per event type, the weekly activity
+    * profile: event count and share per day-of-week, plus the peak-day
+    * flag. Day-of-week from integer epoch days ((day + 4) mod 7: epoch
+    * day 0 was a Thursday), so no timezone/locale function differences
+    * can creep between engines; shares are one rounded division of
+    * exact counts. */
+  def seasonalDow(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+      .select(col("event_type"),
+        expr("((unix_micros(ts) div 86400000000) + 4) % 7").as("dow"))
+    val counts = e.groupBy("event_type", "dow").agg(count(lit(1)).as("n_events"))
+    val totals = counts.groupBy("event_type").agg(sum("n_events").as("n_type"))
+    val peak = counts
+      .withColumn("k", struct((-col("n_events")).as("neg"), col("dow")))
+      .groupBy("event_type").agg(min("k").as("pk"))
+      .select(col("event_type"), col("pk.dow").as("peak_dow"))
+    counts.join(broadcast(totals), "event_type")
+      .join(broadcast(peak), "event_type")
+      .select(col("event_type"), col("dow"), col("n_events"),
+        r6(col("n_events").cast("double") / col("n_type").cast("double")).as("share"),
+        (col("dow") === col("peak_dow")).cast("int").as("is_peak"))
   }
 
   /** INTERVAL-UNION COVERAGE — per user, the total wall-clock time
