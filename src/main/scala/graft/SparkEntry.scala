@@ -161,6 +161,7 @@ object SparkEntry {
     "q_stream_hourly"   -> graft.streaming.EventsStream.hourlyCounts _,
     "q_stream_sessions" -> ((s: SparkSession, d: String) => graft.streaming.EventsStream.sessionize(s, d)),
     "q_stream_sessions_tws" -> ((s: SparkSession, d: String) => graft.streaming.EventsStream.sessionizeTws(s, d)),
+    "q_stream_sessions_timers" -> ((s: SparkSession, d: String) => graft.streaming.EventsStream.sessionizeTimers(s, d)),
     "q_stream_static_join"  -> graft.streaming.EventsStream.streamStaticJoin _,
     // SQL-text interface + CSV source/sink parity
     "q_sql_tpch_q3"   -> SqlInterface.tpchQ3 _,
@@ -315,6 +316,29 @@ object SparkEntry {
     "q_sessionize_batch"   -> ((s: SparkSession, d: String) => Breadth.sessionizeBatch(s, d)),
     "q_scd2_apply"         -> Scale.scd2Apply _,
   )
+
+  // Exact gap-30-min session table (lag → break flags → running-sum ids):
+  // shared by the batch sessionizer and the timer-driven TWS sessionizer,
+  // which must emit the identical table in append mode.
+  private lazy val sessionTableOracleSql: String =
+    """WITH t AS (
+      |  SELECT user_id, event_id, value, epoch_us(ts) AS tsu,
+      |         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_tsu
+      |  FROM events),
+      |b AS (
+      |  SELECT user_id, event_id, value, tsu,
+      |         CASE WHEN prev_tsu IS NULL OR tsu - prev_tsu > 1800000000 THEN 1 ELSE 0 END AS brk
+      |  FROM t),
+      |s AS (
+      |  SELECT user_id, event_id, value, tsu,
+      |         CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+      |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM b)
+      |SELECT user_id, session_id, COUNT(*) AS n_events,
+      |       MAX(tsu) - MIN(tsu) AS duration_us,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+      |       MIN(event_id) AS first_event
+      |FROM s GROUP BY 1, 2""".stripMargin
 
   // Shared oracle CTE fragments (DuckDB dialect).
   private val orderRevCte =
@@ -2973,25 +2997,10 @@ object SparkEntry {
         |       CAST(SUM(CAST(k AS BIGINT)) AS BIGINT) AS sum_high,
         |       COUNT(m) AS n_missing_hits
         |FROM x WHERE k >= 50 GROUP BY 1""".stripMargin,
-    "q_sessionize_batch" ->
-      """WITH t AS (
-        |  SELECT user_id, event_id, value, epoch_us(ts) AS tsu,
-        |         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_tsu
-        |  FROM events),
-        |b AS (
-        |  SELECT user_id, event_id, value, tsu,
-        |         CASE WHEN prev_tsu IS NULL OR tsu - prev_tsu > 1800000000 THEN 1 ELSE 0 END AS brk
-        |  FROM t),
-        |s AS (
-        |  SELECT user_id, event_id, value, tsu,
-        |         CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY tsu, event_id
-        |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-        |  FROM b)
-        |SELECT user_id, session_id, COUNT(*) AS n_events,
-        |       MAX(tsu) - MIN(tsu) AS duration_us,
-        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
-        |       MIN(event_id) AS first_event
-        |FROM s GROUP BY 1, 2""".stripMargin,
+    "q_sessionize_batch" -> sessionTableOracleSql,
+    // the timer-driven TWS sessionizer emits the SAME exact session table
+    // (append-mode, one row per closed session) — shared oracle
+    "q_stream_sessions_timers" -> sessionTableOracleSql,
     "q_scd2_apply" ->
       """WITH spend AS (
         |  SELECT o_custkey AS custkey,

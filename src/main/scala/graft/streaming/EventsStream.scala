@@ -4,7 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.Encoders
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types.DecimalType
 
 /** Structured Streaming over the `events` table (SURVEY.md §7.3: streaming
@@ -209,6 +209,135 @@ object EventsStream {
         .format("memory").queryName(name).start()
       try q.processAllAvailable() finally q.stop()
       spark.table(name)
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  final case class TimerEvent(user_id: Long, ts: java.sql.Timestamp,
+    event_id: Long, value: Double)
+  final case class BufEvent(tsMicros: Long, event_id: Long, value: Double)
+  final case class SessionRow(user_id: Long, session_id: Long, n_events: Long,
+    duration_us: Long, total_value: Double, first_event: Long)
+
+  /** Timer-driven sessionizer — the EVENT-TIME TIMER surface of
+    * `transformWithState` (the one piece of the arbitrary-state-v2 API
+    * the NoTimeout/Update sessionizers don't exercise): events buffer in
+    * a `ListState`; every batch (re)arms an event-time timer at
+    * last-event + gap; sessions are emitted ONLY from
+    * `handleExpiredTimer`, once the WATERMARK proves the gap can no
+    * longer be bridged by a late event — the append-mode "session is
+    * closed" semantics a downstream consumer can act on exactly once.
+    * Incomplete trailing sessions stay buffered (and re-armed), so
+    * emission is correct under any micro-batching; a per-user emitted-
+    * session counter keeps session ids stable across emissions. */
+  final class TimerSessionProcessor(gapMicros: Long)
+      extends StatefulProcessor[Long, TimerEvent, SessionRow] {
+    @transient private var buf: org.apache.spark.sql.streaming.ListState[BufEvent] = _
+    @transient private var emitted: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buf = getHandle.getListState[BufEvent]("buf",
+        Encoders.product[BufEvent], TTLConfig.NONE)
+      emitted = getHandle.getValueState[Long]("emitted",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(uid: Long, rows: Iterator[TimerEvent],
+        timerValues: TimerValues): Iterator[SessionRow] = {
+      var maxUs = Long.MinValue
+      rows.foreach { e =>
+        // epoch µs from Timestamp: whole seconds via getTime (floor), the
+        // sub-second part from getNanos — getTime alone truncates to ms
+        val us = math.floorDiv(e.ts.getTime, 1000L) * 1000000L + e.ts.getNanos / 1000
+        buf.appendValue(BufEvent(us, e.event_id, e.value))
+        if (us > maxUs) maxUs = us
+      }
+      // arm (or re-arm later) the close timer: fires once the watermark
+      // passes the last buffered event's gap horizon
+      if (maxUs != Long.MinValue)
+        getHandle.registerTimer(maxUs / 1000L + gapMicros / 1000L + 1L)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(uid: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionRow] = {
+      val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
+      val sorted = buf.get().toSeq.sortBy(e => (e.tsMicros, e.event_id))
+      if (sorted.isEmpty) return Iterator.empty
+      // split into gap-delimited sessions
+      val sessions = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer(sorted.head))
+      sorted.tail.foreach { e =>
+        if (e.tsMicros - sessions.last.last.tsMicros > gapMicros)
+          sessions += scala.collection.mutable.ArrayBuffer(e)
+        else sessions.last += e
+      }
+      // a session is CLOSED only when no future event can extend it
+      val (closed, open) = sessions.partition(_.last.tsMicros + gapMicros < wmUs)
+      val base = if (emitted.exists()) emitted.get() else 0L
+      val out = closed.zipWithIndex.map { case (s, i) =>
+        val total = s.foldLeft(BigDecimal(0)) { (a, e) =>
+          a + BigDecimal.valueOf(e.value).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        }
+        SessionRow(uid, base + i + 1, s.size.toLong,
+          s.last.tsMicros - s.head.tsMicros, total.toDouble,
+          s.map(_.event_id).min)
+      }
+      emitted.update(base + closed.size)
+      buf.clear()
+      if (open.nonEmpty) {
+        open.flatten.foreach(e => buf.appendValue(e))
+        getHandle.registerTimer(
+          open.map(_.last.tsMicros).max / 1000L + gapMicros / 1000L + 1L)
+      }
+      out.iterator
+    }
+  }
+
+  /** Append-mode sessionization via `transformWithState` EVENT-TIME
+    * TIMERS — output matches the exact batch session table
+    * (`q_sessionize_batch`'s oracle shape) row for row: the watermark
+    * (driven past the last real event by the same sentinel-source trick
+    * as [[clickAttributionOuter]]) closes every session, the timers
+    * fire in the trailing no-data batch, and each closed session emits
+    * exactly once. RocksDB provider scoped as in [[sessionizeTws]]. */
+  def sessionizeTimers(spark: SparkSession, dir: String,
+      gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    val gapMicros = gapMinutes * 60L * 1000000L
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try withStreamPartitions(spark, 8) {
+      val raw = spark.read.schema(Tables.events)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val maxMicros = raw.agg(max(unix_micros(col("ts")))).head().getLong(0)
+      val scratch = graft.operators.Scale.scratchDir("graft_timer_sentinel")
+      val cols = raw.columns.map(col)
+      spark.range(1).select(
+          lit(-1L).as("event_id"),
+          timestamp_micros(lit(maxMicros + 10800000000L)).as("ts"), // +3 h
+          lit(-1L).as("user_id"), lit("click").as("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props"))
+        .select(cols: _*)
+        .coalesce(1).write.mode("overwrite").parquet(scratch)
+      val src = spark.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .union(spark.readStream.schema(raw.schema).parquet(scratch))
+        .withWatermark("ts", "1 hour")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .as[TimerEvent]
+      val out = src.groupByKey(_.user_id)
+        .transformWithState(new TimerSessionProcessor(gapMicros),
+          TimeMode.EventTime(), OutputMode.Append())
+      val name = s"stream_sessions_timers_${System.nanoTime()}"
+      val q = out.toDF().writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(name).filter(col("user_id") =!= -1L)
     } finally prev match {
       case Some(p) => spark.conf.set(key, p)
       case None    => spark.conf.unset(key)
