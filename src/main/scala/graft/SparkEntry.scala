@@ -306,6 +306,8 @@ object SparkEntry {
     "q_cusum_shift"        -> Breadth.cusumShift _,
     "q_interval_union"     -> ((s: SparkSession, d: String) => Breadth.intervalUnion(s, d)),
     "q_rfm_segments"       -> Breadth.rfmSegments _,
+    "q_abc_class"          -> Breadth.abcClassification _,
+    "q_stream_type_totals" -> graft.streaming.EventsStream.typeTotals _,
     "q_order_cycle_time"   -> Breadth.orderCycleTime _,
     "q_benford_audit"      -> Breadth.benfordAudit _,
     "q_seasonal_dow"       -> Breadth.seasonalDow _,
@@ -2876,6 +2878,37 @@ object SparkEntry {
         |SELECT user_id, COUNT(*) AS n_segments,
         |       CAST(SUM(seg_e - seg_s) AS BIGINT) AS covered_us
         |FROM sg GROUP BY 1""".stripMargin,
+    // ranked DECIMAL cumsum; class boundary decided on the shared
+    // floor-rounded share (see Breadth.abcClassification)
+    "q_abc_class" ->
+      """WITH pr AS (
+        |  SELECT l_partkey AS partkey,
+        |         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT SUM(rev) AS total_rev FROM pr),
+        |r AS (
+        |  SELECT partkey, rev, total_rev,
+        |         SUM(rev) OVER (ORDER BY rev DESC, partkey
+        |                        ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM pr CROSS JOIN t),
+        |c AS (
+        |  SELECT rev, total_rev,
+        |         CASE WHEN FLOOR(CAST(cum AS DOUBLE) / CAST(total_rev AS DOUBLE)
+        |                         * 1000000.0 + 0.5) / 1000000.0 <= 0.80 THEN 'A'
+        |              WHEN FLOOR(CAST(cum AS DOUBLE) / CAST(total_rev AS DOUBLE)
+        |                         * 1000000.0 + 0.5) / 1000000.0 <= 0.95 THEN 'B'
+        |              ELSE 'C' END AS abc_class
+        |  FROM r)
+        |SELECT abc_class, COUNT(*) AS n_parts,
+        |       CAST(SUM(rev) AS DOUBLE) AS class_revenue,
+        |       FLOOR(CAST(SUM(rev) AS DOUBLE) / CAST(total_rev AS DOUBLE)
+        |             * 1000000.0 + 0.5) / 1000000.0 AS revenue_share
+        |FROM c GROUP BY abc_class, total_rev""".stripMargin,
+    // MapState running profile == the plain batch rollup
+    "q_stream_type_totals" ->
+      """SELECT user_id, event_type, COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
     // NTILE quintiles over tie-broken total orders; revenue share via the
     // shared FLOOR(x*1e6+0.5)/1e6 rounding (see Breadth.rfmSegments)
     "q_rfm_segments" ->

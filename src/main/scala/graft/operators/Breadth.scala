@@ -923,6 +923,36 @@ object Breadth {
         (col("dow") === col("peak_dow")).cast("int").as("is_peak"))
   }
 
+  /** ABC CLASSIFICATION — inventory's 80/15/5 rule: parts ranked by
+    * DECIMAL revenue, classified by cumulative revenue share (A ≤ 0.80 <
+    * B ≤ 0.95 < C), rolled up per class. The cumulative share goes
+    * through the shared floor-rounding before the threshold compare, so
+    * the class boundary is decided on identical doubles in both engines.
+    * Scale: part-grain pre-aggregate first (fact table collapses in one
+    * map-side-combined shuffle); the global ranked cumsum runs over the
+    * part-grain frame — range-partitionable when even that outgrows one
+    * node. */
+  def abcClassification(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_partkey").as("partkey"))
+      .agg(sum(revDec).as("rev"))
+    val total = rev.agg(sum("rev").as("total_rev"))
+    val w = Window.orderBy(col("rev").desc, col("partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev.crossJoin(broadcast(total))
+      .withColumn("cum", sum("rev").over(w))
+      .withColumn("cum_share",
+        r6(col("cum").cast("double") / col("total_rev").cast("double")))
+      .withColumn("abc_class",
+        when(col("cum_share") <= 0.80, "A")
+          .when(col("cum_share") <= 0.95, "B").otherwise("C"))
+      .groupBy("abc_class")
+      .agg(count(lit(1)).as("n_parts"),
+        sum("rev").cast("double").as("class_revenue"),
+        r6(sum("rev").cast("double") / first("total_rev").cast("double"))
+          .as("revenue_share"))
+  }
+
   /** INTERVAL-UNION COVERAGE — per user, the total wall-clock time
     * covered by the union of 5-minute activity intervals [ts, ts+5 min):
     * the sweep-line classic, expressed as windows instead of a self-join.

@@ -344,6 +344,86 @@ object EventsStream {
     }
   }
 
+  final case class TypeTotals(n_events: Long, total_cents: Long)
+  final case class UserTypeRow(user_id: Long, event_type: String,
+    n_events: Long, total_value: Double)
+
+  /** Per-user per-type running totals on `transformWithState` MAP STATE —
+    * the third state primitive (ValueState: [[SessionProcessor]],
+    * ListState: [[TimerSessionProcessor]], MapState: here), keyed the way
+    * a serving profile store is: user → {event_type → (count, total)}.
+    * Each batch folds its rows into the map and re-emits the touched
+    * entries (update mode = last-write-wins in the sink, so the final
+    * table equals the batch groupBy exactly). Money rides as integer
+    * CENTS inside the state — the per-event 2-dp decimal is exact in
+    * cents, the running sum stays a Long, and the single final /100
+    * division is exact in double — so no float accumulation order can
+    * creep between batches. */
+  final class TypeTotalsProcessor
+      extends StatefulProcessor[Long, EventT, UserTypeRow] {
+    @transient private var totals: org.apache.spark.sql.streaming.MapState[String, TypeTotals] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getMapState[String, TypeTotals]("totals",
+        Encoders.STRING, Encoders.product[TypeTotals], TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[EventT],
+        timerValues: TimerValues): Iterator[UserTypeRow] = {
+      val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+      rows.foreach { e =>
+        val cents = BigDecimal.valueOf(e.value)
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100
+        val prev =
+          if (totals.containsKey(e.event_type)) totals.getValue(e.event_type)
+          else TypeTotals(0L, 0L)
+        totals.updateValue(e.event_type,
+          TypeTotals(prev.n_events + 1, prev.total_cents + cents.toLongExact))
+        touched += e.event_type
+      }
+      touched.iterator.map { t =>
+        val v = totals.getValue(t)
+        UserTypeRow(uid, t, v.n_events, v.total_cents / 100.0)
+      }
+    }
+  }
+
+  final case class EventT(user_id: Long, event_type: String, value: Double)
+
+  /** MapState profile totals matching the batch
+    * groupBy(user_id, event_type) oracle exactly (update-mode memory
+    * sink keeps each key's last emission). */
+  def typeTotals(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try withStreamPartitions(spark, 8) {
+      val src = spark.readStream
+        .schema(Tables.events)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .select(col("user_id"), col("event_type"), col("value"))
+        .as[EventT]
+      val out = src.groupByKey(_.user_id)
+        .transformWithState(new TypeTotalsProcessor,
+          TimeMode.None(), OutputMode.Update())
+      val name = s"stream_type_totals_${System.nanoTime()}"
+      val q = out.toDF().writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      // update-mode memory sink appends each emission; keep the LAST per key
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "event_type")
+        .orderBy(col("n_events").desc)
+      spark.table(name)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   /** STREAM-STATIC join: the dim-enrichment pattern — each micro-batch of
     * the event stream joins a static (broadcast) dimension, then feeds a
     * windowless running aggregation. The static side is re-resolvable per
