@@ -296,40 +296,20 @@ object EventsStream {
     }
   }
 
-  /** Append-mode sessionization via `transformWithState` EVENT-TIME
-    * TIMERS — output matches the exact batch session table
-    * (`q_sessionize_batch`'s oracle shape) row for row: the watermark
-    * (driven past the last real event by the same sentinel-source trick
-    * as [[clickAttributionOuter]]) closes every session, the timers
-    * fire in the trailing no-data batch, and each closed session emits
-    * exactly once. RocksDB provider scoped as in [[sessionizeTws]]. */
-  def sessionizeTimers(spark: SparkSession, dir: String,
-      gapMinutes: Int = 30): DataFrame = {
+  /** The timer-sessionizer core over a PREPARED watermarked source —
+    * shared by the production entry point below and the multi-batch
+    * robustness spec (which drives it with maxFilesPerTrigger=1 so
+    * timers fire MID-stream, exercising the close/re-arm/buffer logic
+    * the single-batch replay can't). RocksDB provider scoped as in
+    * [[sessionizeTws]]. */
+  private[graft] def runTimerSessions(spark: SparkSession,
+      src: Dataset[TimerEvent], gapMicros: Long): DataFrame = {
     import spark.implicits._
-    val gapMicros = gapMinutes * 60L * 1000000L
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try withStreamPartitions(spark, 8) {
-      val raw = spark.read.schema(Tables.events)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-      val maxMicros = raw.agg(max(unix_micros(col("ts")))).head().getLong(0)
-      val scratch = graft.operators.Scale.scratchDir("graft_timer_sentinel")
-      val cols = raw.columns.map(col)
-      spark.range(1).select(
-          lit(-1L).as("event_id"),
-          timestamp_micros(lit(maxMicros + 10800000000L)).as("ts"), // +3 h
-          lit(-1L).as("user_id"), lit("click").as("event_type"),
-          lit(0.0).as("value"), lit("{}").as("props"))
-        .select(cols: _*)
-        .coalesce(1).write.mode("overwrite").parquet(scratch)
-      val src = spark.readStream.schema(raw.schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .union(spark.readStream.schema(raw.schema).parquet(scratch))
-        .withWatermark("ts", "1 hour")
-        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
-        .as[TimerEvent]
       val out = src.groupByKey(_.user_id)
         .transformWithState(new TimerSessionProcessor(gapMicros),
           TimeMode.EventTime(), OutputMode.Append())
@@ -342,6 +322,38 @@ object EventsStream {
       case Some(p) => spark.conf.set(key, p)
       case None    => spark.conf.unset(key)
     }
+  }
+
+  /** Append-mode sessionization via `transformWithState` EVENT-TIME
+    * TIMERS — output matches the exact batch session table
+    * (`q_sessionize_batch`'s oracle shape) row for row: the watermark
+    * (driven past the last real event by the same sentinel-source trick
+    * as [[clickAttributionOuter]]) closes every session, the timers
+    * fire in the trailing no-data batch, and each closed session emits
+    * exactly once. */
+  def sessionizeTimers(spark: SparkSession, dir: String,
+      gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    val gapMicros = gapMinutes * 60L * 1000000L
+    val raw = spark.read.schema(Tables.events)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val maxMicros = raw.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val scratch = graft.operators.Scale.scratchDir("graft_timer_sentinel")
+    val cols = raw.columns.map(col)
+    spark.range(1).select(
+        lit(-1L).as("event_id"),
+        timestamp_micros(lit(maxMicros + 10800000000L)).as("ts"), // +3 h
+        lit(-1L).as("user_id"), lit("click").as("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+      .select(cols: _*)
+      .coalesce(1).write.mode("overwrite").parquet(scratch)
+    val src = spark.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .union(spark.readStream.schema(raw.schema).parquet(scratch))
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .as[TimerEvent]
+    runTimerSessions(spark, src, gapMicros)
   }
 
   final case class TypeTotals(n_events: Long, total_cents: Long)
