@@ -307,6 +307,8 @@ object SparkEntry {
     "q_interval_union"     -> ((s: SparkSession, d: String) => Breadth.intervalUnion(s, d)),
     "q_rfm_segments"       -> Breadth.rfmSegments _,
     "q_abc_class"          -> Breadth.abcClassification _,
+    "q_peak_concurrency"   -> ((s: SparkSession, d: String) => Breadth.peakConcurrency(s, d)),
+    "q_audience_overlap"   -> Breadth.audienceOverlap _,
     "q_stream_type_totals" -> graft.streaming.EventsStream.typeTotals _,
     "q_order_cycle_time"   -> Breadth.orderCycleTime _,
     "q_benford_audit"      -> Breadth.benfordAudit _,
@@ -2878,6 +2880,45 @@ object SparkEntry {
         |SELECT user_id, COUNT(*) AS n_segments,
         |       CAST(SUM(seg_e - seg_s) AS BIGINT) AS covered_us
         |FROM sg GROUP BY 1""".stripMargin,
+    // sweep-line delta stream; ends sort before starts at equal t so
+    // back-to-back intervals never double-count (see Breadth.peakConcurrency)
+    "q_peak_concurrency" ->
+      """WITH d AS (
+        |  SELECT event_type, event_id, epoch_us(ts) AS t, 1 AS d FROM events
+        |  UNION ALL
+        |  SELECT event_type, event_id, epoch_us(ts) + 300000000 AS t, -1 AS d
+        |  FROM events),
+        |o AS (
+        |  SELECT event_type, event_id, t, d,
+        |         SUM(d) OVER (PARTITION BY event_type ORDER BY t, d, event_id
+        |                      ROWS UNBOUNDED PRECEDING) AS open
+        |  FROM d),
+        |r AS (
+        |  SELECT event_type, t, open,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type
+        |                            ORDER BY open DESC, t ASC, event_id ASC) AS rn,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS n_endpoints
+        |  FROM o)
+        |SELECT event_type, CAST(n_endpoints / 2 AS BIGINT) AS n_intervals,
+        |       CAST(open AS BIGINT) AS peak_open, t AS peak_at_us
+        |FROM r WHERE rn = 1""".stripMargin,
+    // dedup (type, user) incidence first; inclusion-exclusion union
+    // (see Breadth.audienceOverlap)
+    "q_audience_overlap" ->
+      """WITH inc AS (SELECT DISTINCT event_type, user_id FROM events),
+        |sz AS (SELECT event_type, COUNT(*) AS n FROM inc GROUP BY 1),
+        |x AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |         COUNT(*) AS n_both
+        |  FROM inc a JOIN inc b ON a.user_id = b.user_id
+        |  WHERE a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT x.type_a, x.type_b, sa.n AS n_a, sb.n AS n_b, x.n_both,
+        |       FLOOR(CAST(x.n_both AS DOUBLE)
+        |             / CAST(sa.n + sb.n - x.n_both AS DOUBLE)
+        |             * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+        |FROM x JOIN sz sa ON x.type_a = sa.event_type
+        |       JOIN sz sb ON x.type_b = sb.event_type""".stripMargin,
     // ranked DECIMAL cumsum; class boundary decided on the shared
     // floor-rounded share (see Breadth.abcClassification)
     "q_abc_class" ->

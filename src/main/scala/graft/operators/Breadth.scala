@@ -923,6 +923,63 @@ object Breadth {
         (col("dow") === col("peak_dow")).cast("int").as("is_peak"))
   }
 
+  /** PEAK CONCURRENCY — the maximum number of simultaneously-open
+    * 5-minute activity intervals per event type, with the time it is
+    * first reached: the capacity-planning number. Sweep-line as a
+    * delta stream — each interval contributes (+1 at start, −1 at end)
+    * — then a running sum per type ordered by (time, delta, id); the
+    * end-before-start tie rule (deltas sort −1 first at equal
+    * timestamps) makes back-to-back intervals count as 1, and the
+    * unique id tiebreak makes the argmax bit-deterministic. One
+    * explode + one window over the per-type delta stream — dense
+    * overlap never builds interval PAIRS. */
+  def peakConcurrency(spark: SparkSession, dir: String,
+      lenMinutes: Int = 5): DataFrame = {
+    val lenUs = lenMinutes * 60L * 1000000L
+    val deltas = Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("s"))
+      .select(col("event_type"), col("event_id"),
+        explode(array(
+          struct(col("s").as("t"), lit(1).as("d")),
+          struct((col("s") + lenUs).as("t"), lit(-1).as("d")))).as("e"))
+      .select(col("event_type"), col("event_id"),
+        col("e.t").as("t"), col("e.d").as("d"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("t"), col("d"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas.withColumn("open", sum("d").over(w))
+      .withColumn("k", struct((-col("open")).as("no"), col("t"), col("event_id")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_endpoints"), min("k").as("k"))
+      .select(col("event_type"), (col("n_endpoints") / 2).cast("long").as("n_intervals"),
+        (-col("k.no")).cast("long").as("peak_open"), col("k.t").as("peak_at_us"))
+  }
+
+  /** AUDIENCE OVERLAP — pairwise Jaccard between event types' user
+    * sets (|A∩B| / |A∪B|): which behaviors share an audience. The
+    * (type, user) incidence is deduplicated FIRST (corpus collapses to
+    * |types|×|users| at most), the pair join runs on the user key, and
+    * set sizes come from one per-type count — inclusion-exclusion gives
+    * the union, so nothing ever materializes user-set pairs. Ratio via
+    * the shared floor-rounding. */
+  def audienceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val inc = Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("user_id")).distinct()
+      .localCheckpoint(true) // feeds sizes AND both join sides
+    val sizes = inc.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val inter = inc.select(col("event_type").as("type_a"), col("user_id"))
+      .join(inc.select(col("event_type").as("type_b"), col("user_id")), "user_id")
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_both"))
+    inter
+      .join(sizes.select(col("event_type").as("type_a"), col("n").as("n_a")), "type_a")
+      .join(sizes.select(col("event_type").as("type_b"), col("n").as("n_b")), "type_b")
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("n_both"),
+        r6(col("n_both").cast("double") /
+          (col("n_a") + col("n_b") - col("n_both")).cast("double")).as("jaccard"))
+  }
+
   /** ABC CLASSIFICATION — inventory's 80/15/5 rule: parts ranked by
     * DECIMAL revenue, classified by cumulative revenue share (A ≤ 0.80 <
     * B ≤ 0.95 < C), rolled up per class. The cumulative share goes
