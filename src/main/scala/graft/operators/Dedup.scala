@@ -579,7 +579,7 @@ object Dedup {
     * 1 round of 11 but added 10 stages. Lineage truncated per round
     * (localCheckpoint) so plans stay flat; the driver loop holds only a
     * changed-row COUNT, never data. */
-  private def minLabelComponents(edges: DataFrame): DataFrame = {
+  private[graft] def minLabelComponents(edges: DataFrame): DataFrame = {
     val adj = edges.unionAll(
       edges.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .localCheckpoint(true)

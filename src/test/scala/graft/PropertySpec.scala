@@ -73,4 +73,41 @@ class PropertySpec extends SparkSpec {
       sh(xs) == sh(xs.reverse) && sh(List(xs.head)) == xs.head
     })
   }
+
+  test("min-label components equal a union-find reference on random graphs") {
+    // guards the propagation loop's restructurings (min-neighbor init,
+    // union-into-one-min rounds, biennial convergence count): on any
+    // random edge list the distributed fixpoint must assign every node
+    // the minimum id reachable in its connected component
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(2, 40)       // node id space
+      m <- Gen.choose(1, 60)       // edge count
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong); b <- Gen.choose(0L, n.toLong)
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield edges.filter(e => e._1 != e._2)
+    check(Prop.forAll(gen) { edges =>
+      edges.isEmpty || {
+        val df = edges.toDF("id_a", "id_b")
+        val got = graft.operators.Dedup.minLabelComponents(df)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // driver union-find reference
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val roots = nodes.groupBy(find).flatMap { case (_, members) =>
+          val m = members.min; members.map(_ -> m)
+        }
+        got == roots
+      }
+    })
+  }
 }
