@@ -113,9 +113,15 @@ object ScaleBench {
     // ~100× degenerate blow-up verbatim copies would create (every
     // vector 10× duplicated ⇒ quadratic cross-copy pair volume). Copy 0
     // keeps identity signs, so the original corpus is a literal subset.
+    // sign-vector length derives from the DATA, not a hardcoded dim — a
+    // 64-literal array would silently null-pad zip_with if the generator
+    // ever changed the embedding width
+    val dim = spark.read.schema(Tables.embeddings)
+      .parquet(s"$src/embeddings.parquet")
+      .select(size(col("embedding")).as("d")).head().getInt(0)
     val signRows = (0 until copies).map { c =>
       val r = new scala.util.Random(c * 7919L + 13)
-      val signs = Array.fill(64)(if (c == 0 || r.nextBoolean()) 1.0f else -1.0f)
+      val signs = Array.fill(dim)(if (c == 0 || r.nextBoolean()) 1.0f else -1.0f)
       (c.toLong, signs.toSeq)
     }
     val signsDf = spark.createDataFrame(signRows).toDF("copy", "signs")

@@ -2850,7 +2850,8 @@ object SparkEntry {
         |  FROM a)
         |SELECT event_type, bucket AS shift_bucket,
         |       CAST(abs_s AS BIGINT) AS peak_scaled,
-        |       ROUND(CAST(abs_s AS DOUBLE) / n_buckets, 6) AS peak_mean_dev
+        |       FLOOR(CAST(abs_s AS DOUBLE) / n_buckets * 1000000.0 + 0.5)
+        |         / 1000000.0 AS peak_mean_dev
         |FROM r WHERE rn = 1""".stripMargin,
     // sweep-line union via windows: a row opens a segment iff its start
     // clears the running max end of all EARLIER intervals (exclusive

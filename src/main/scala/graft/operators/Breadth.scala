@@ -811,7 +811,7 @@ object Breadth {
       .agg(min("k").as("k"), first("n_buckets").as("nb"))
       .select(col("event_type"), col("k.bucket").as("shift_bucket"),
         (-col("k.neg")).as("peak_scaled"),
-        round((-col("k.neg")).cast("double") / col("nb"), 6).as("peak_mean_dev"))
+        r6((-col("k.neg")).cast("double") / col("nb")).as("peak_mean_dev"))
   }
 
   /** RFM SEGMENTATION — the classic customer scoring: Recency (days

@@ -589,26 +589,38 @@ object Dedup {
       .select(col("id_a").as("id"),
         least(col("id_a"), col("nbr_min")).as("comp"))
       .localCheckpoint(true)
+    // own label and neighbor labels ride ONE union into ONE keyed min —
+    // two shuffle boundaries per round (join, agg) instead of three
+    // (join, agg, label re-join); with post-threshold-sized frames the
+    // loop cost IS stage overhead, so boundaries are the unit of cost
+    def step(cur: DataFrame): DataFrame = adj
+      .join(cur.select(col("id").as("id_b"), col("comp").as("c")), "id_b")
+      .select(col("id_a").as("id"), col("c"))
+      .unionAll(cur.select(col("id"), col("comp").as("c")))
+      .groupBy("id").agg(min("c").as("comp"))
+      .localCheckpoint(true)
+    def delta(next: DataFrame, prev: DataFrame): Long = next
+      .join(prev.select(col("id"), col("comp").as("prev")), "id")
+      .filter(col("comp") < col("prev")).count()
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 30) {
-      // own label and neighbor labels ride ONE union into ONE keyed min —
-      // two shuffle boundaries per round (join, agg) instead of three
-      // (join, agg, label re-join); with post-threshold-sized frames the
-      // loop cost IS stage overhead, so boundaries are the unit of cost
-      val next = adj
-        .join(labels.select(col("id").as("id_b"), col("comp").as("c")), "id_b")
-        .select(col("id_a").as("id"), col("c"))
-        .unionAll(labels.select(col("id"), col("comp").as("c")))
-        .groupBy("id").agg(min("c").as("comp"))
-        .localCheckpoint(true)
-      changed =
-        if (rounds % 2 == 1)
-          next.join(labels.select(col("id"), col("comp").as("prev")), "id")
-            .filter(col("comp") < col("prev")).count()
-        else 1L
+    val maxRounds = 30
+    while (changed > 0 && rounds < maxRounds) {
+      val next = step(labels)
+      changed = if (rounds % 2 == 1) delta(next, labels) else 1L
       labels = next
       rounds += 1
+    }
+    // the round cap is a lineage/driver-loop bound, NOT a correctness
+    // device: a pair graph with propagation distance > maxRounds (a long
+    // chain) would otherwise return silently WRONG component labels. If
+    // the cap was hit without a proven no-change round, run one real
+    // convergence check and fail loudly instead.
+    if (changed > 0 && rounds >= maxRounds) {
+      val residual = delta(step(labels), labels)
+      require(residual == 0,
+        s"minLabelComponents: $residual labels still changing after " +
+          s"$maxRounds rounds — pair-graph diameter exceeds the round cap")
     }
     labels
   }

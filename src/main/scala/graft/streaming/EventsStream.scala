@@ -236,12 +236,31 @@ object EventsStream {
       extends StatefulProcessor[Long, TimerEvent, SessionRow] {
     @transient private var buf: org.apache.spark.sql.streaming.ListState[BufEvent] = _
     @transient private var emitted: ValueState[Long] = _
+    @transient private var armed: ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       buf = getHandle.getListState[BufEvent]("buf",
         Encoders.product[BufEvent], TTLConfig.NONE)
       emitted = getHandle.getValueState[Long]("emitted",
         Encoders.scalaLong, TTLConfig.NONE)
+      armed = getHandle.getValueState[Long]("armed",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    /** Exactly ONE armed timer per key: the previous timer is deleted
+      * before a later one is registered (superseded timers would
+      * otherwise accumulate in timer state and fire spuriously), and the
+      * armed expiry tracks the MAX buffered-event horizon — a late batch
+      * carrying only out-of-order older events must not pull the close
+      * timer earlier than the latest buffered event's gap allows. */
+    private def armAt(expiryMs: Long): Unit = {
+      val prev = if (armed.exists()) armed.get() else Long.MinValue
+      val target = math.max(prev, expiryMs)
+      if (target != prev) {
+        if (prev != Long.MinValue) getHandle.deleteTimer(prev)
+        getHandle.registerTimer(target)
+        armed.update(target)
+      }
     }
 
     override def handleInputRows(uid: Long, rows: Iterator[TimerEvent],
@@ -257,7 +276,7 @@ object EventsStream {
       // arm (or re-arm later) the close timer: fires once the watermark
       // passes the last buffered event's gap horizon
       if (maxUs != Long.MinValue)
-        getHandle.registerTimer(maxUs / 1000L + gapMicros / 1000L + 1L)
+        armAt(maxUs / 1000L + gapMicros / 1000L + 1L)
       Iterator.empty
     }
 
@@ -287,10 +306,12 @@ object EventsStream {
       }
       emitted.update(base + closed.size)
       buf.clear()
+      // the fired timer was consumed; clear the armed record before any
+      // re-arm so armAt doesn't try to delete an already-fired timer
+      armed.clear()
       if (open.nonEmpty) {
         open.flatten.foreach(e => buf.appendValue(e))
-        getHandle.registerTimer(
-          open.map(_.last.tsMicros).max / 1000L + gapMicros / 1000L + 1L)
+        armAt(open.map(_.last.tsMicros).max / 1000L + gapMicros / 1000L + 1L)
       }
       out.iterator
     }

@@ -45,11 +45,21 @@ class ContractSpec extends SparkSpec {
     // `(SELECT COUNT(*) ...)` is exempt — its VALUE is aliased where it
     // is used — as is a non-first UNION ALL branch, whose column names
     // come from the first branch.
+    // Only the SELECT list of a non-first UNION ALL branch is exempt —
+    // everything after that branch's FROM (later CTEs, the final SELECT)
+    // is still scanned, so an unaliased aggregate downstream of an early
+    // CTE's UNION ALL cannot hide.
     SparkEntry.oracleSql.foreach { case (name, sql) =>
-      val head = sql.split("(?i)UNION\\s+ALL")(0)
-      val bad = "(?i)(?<!\\()SELECT\\s+(SUM|COUNT|AVG|MIN|MAX)\\([^)]*\\)\\s*(,|FROM)".r
-        .findFirstIn(head)
-      assert(bad.isEmpty, s"$name: unaliased aggregate in oracle SQL")
+      val parts = sql.split("(?i)UNION\\s+ALL")
+      val scanned = parts.head +: parts.tail.map { p =>
+        "(?i)\\bFROM\\b".r.findFirstMatchIn(p)
+          .map(m => p.substring(m.start)).getOrElse("")
+      }
+      val re = "(?i)(?<!\\()SELECT\\s+(SUM|COUNT|AVG|MIN|MAX)\\([^)]*\\)\\s*(,|FROM)".r
+      scanned.foreach { seg =>
+        assert(re.findFirstIn(seg).isEmpty,
+          s"$name: unaliased aggregate in oracle SQL")
+      }
     }
   }
 }
