@@ -85,6 +85,7 @@ object SparkEntry {
     "q_blocking_cost" -> ((s: SparkSession, d: String) => Dedup.blockingCost(s, d)),
     "q_dedup_summary" -> Dedup.dedupSummary _,
     "q_dedup_embedding" -> ((s: SparkSession, d: String) => Dedup.embeddingPairsShared(s, d, 0.4)),
+    "q_dedup_embedding_tight" -> ((s: SparkSession, d: String) => Dedup.tightEmbeddingPairs(s, d)),
     "q_dedup_embedding_clusters" -> ((s: SparkSession, d: String) => Dedup.embeddingClusters(s, d, 0.4)),
     // similarity search (north-star extension)
     "q_ann_brute" -> ((s: SparkSession, d: String) => Similarity.bruteTopK(s, d)),
@@ -751,6 +752,28 @@ object SparkEntry {
         |WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
         |      / (SQRT(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
         |         * SQRT(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.4""".stripMargin,
+    // the 3-view augmented corpus is derived with EXACT integer-ratio
+    // multipliers ((100+m)/100 in doubles) so both engines build
+    // bit-identical vectors; the Spark side mines pairs via LSH banding
+    // (no corpus-wide cross join — plan-shape pinned), the oracle is the
+    // exhaustive pair join, and at dup-grade thresholds the fixed-plane
+    // banding is deterministically exhaustive (see Dedup.tightEmbeddingPairs)
+    "q_dedup_embedding_tight" ->
+      """WITH aug AS (
+        |  SELECT e.vec_id * 4 + v.j AS vec_id,
+        |         list_transform(range(1, len(e.embedding) + 1),
+        |           i -> CAST(e.embedding[i] AS DOUBLE) *
+        |                (CAST(100 + ((i * 31 + (v.j + 1) * 17) % 7) - 3 AS DOUBLE)
+        |                 / CAST(100 AS DOUBLE))) AS emb
+        |  FROM embeddings e CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS j) v)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       ROUND(list_dot_product(a.emb, b.emb)
+        |             / (SQRT(list_dot_product(a.emb, a.emb))
+        |                * SQRT(list_dot_product(b.emb, b.emb))), 6) AS cos
+        |FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.emb, b.emb)
+        |      / (SQRT(list_dot_product(a.emb, a.emb))
+        |         * SQRT(list_dot_product(b.emb, b.emb))) >= 0.8""".stripMargin,
     // same recursive min-reachability shape as the text components oracle,
     // over the exact-cosine pair graph
     "q_dedup_embedding_clusters" ->

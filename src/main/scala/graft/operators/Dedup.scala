@@ -748,13 +748,62 @@ object Dedup {
     * semantic-dedup pipeline; the materialized frame holds only the
     * thresholded pairs, not the candidate set.
     *
-    * Computed via the parallelized exact scan ([[embeddingPairs]] — see
-    * its docstring for why exact-at-this-threshold is Ω(n²) for EVERY
-    * engine and what the 100 TB swap-ins are). */
+    * THRESHOLD-AWARE ROUTING, decided by measurement instead of a guess:
+    * [[Similarity.bucketPairSurvival]] asks (one k²-row aggregate over
+    * the memoized IVF geometry) what fraction of bucket pairs the
+    * triangle-inequality bound would prune at this threshold. When most
+    * bucket pairs are eliminated (survival ≤ 0.5) the EXACT pruned join
+    * ([[Similarity.prunedEmbeddingPairsOver]]) carries the graph — no
+    * corpus-wide cross join; when the corpus is too weakly clustered for
+    * ANY exact method to prune (this repo's synthetic embeddings at 0.4:
+    * measured survival 1.0), the parallelized exact scan
+    * ([[embeddingPairs]] — see its docstring for why that regime is
+    * Ω(n²) for every engine) runs instead. Both paths are bit-identical
+    * (spec-pinned), so routing moves cost, never results. */
   def embeddingPairsShared(spark: SparkSession, dir: String, threshold: Double): DataFrame =
     embPairsMemo.getOrCompute(spark, s"$dir|$threshold") {
-      embeddingPairs(spark, dir, threshold).localCheckpoint(true)
+      val survival = Similarity.bucketPairSurvival(spark, dir, threshold)
+      val pairs =
+        if (survival <= 0.5) Similarity.prunedEmbeddingPairs(spark, dir, threshold)
+        else embeddingPairs(spark, dir, threshold)
+      pairs.localCheckpoint(true)
     }
+
+  /** Deterministic 3-view AUGMENTED corpus over `embeddings` — each
+    * vector plus two near-copies (per-coordinate multipliers 0.97…1.03
+    * derived from exact integer arithmetic, so the DuckDB oracle replays
+    * the derivation bit-for-bit). This is the contrastive-training /
+    * re-crawl shape where DUP-GRADE near-duplicates genuinely exist:
+    * views of the same source sit at cos ≈ 0.999 while cross-source
+    * cosines keep the base corpus's ≤ ~0.6 spread — the regime tight-
+    * threshold dedup operates in, which the raw synthetic corpus (pair
+    * cosines capped near 0.5) cannot exhibit. View ids are
+    * `vec_id * 4 + view`, so provenance survives the id arithmetic. */
+  private[graft] def augmentedCorpus(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+      .withColumn("emb_d", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .select(col("vec_id"), col("emb_d"))
+      .withColumn("view", explode(array(lit(0), lit(1), lit(2))))
+      .select((col("vec_id") * 4 + col("view")).as("vec_id"),
+        expr("""transform(sequence(1, size(emb_d)),
+                 i -> element_at(emb_d, i) *
+                      (CAST(100 + ((i * 31 + (view + 1) * 17) % 7) - 3 AS DOUBLE)
+                       / CAST(100 AS DOUBLE)))""").as("emb_d"))
+
+  /** TIGHT-THRESHOLD embedding near-dup pairs over the augmented corpus
+    * — the scale-safe oracled representative of the embedding-dedup
+    * family: hyperplane-LSH banded candidates + exact cosine verify
+    * ([[Similarity.lshEmbeddingPairsOver]]), the plan a 100 TB semantic
+    * dedup actually runs (banding + equi-joins, NO corpus-wide cross
+    * join — plan-shape pinned). At dup-grade thresholds the band miss
+    * probability for a true pair is (1−p^6)^32 with p = 1−θ/π ≥ 0.98
+    * (θ ≈ 2.5° for augmented views) ≈ 1e-33 — and with FIXED seeded
+    * planes the outcome is deterministic, so the exhaustive DuckDB pair
+    * oracle matches exactly, giving the banded path real oracle weight
+    * (not just the recall-floor spec). */
+  def tightEmbeddingPairs(spark: SparkSession, dir: String,
+      threshold: Double = 0.8): DataFrame =
+    Similarity.lshEmbeddingPairsOver(augmentedCorpus(spark, dir), threshold)
 
   /** SEMANTIC-DEDUP CLUSTERS — the SemDeDup-style end of the embedding
     * near-dup path: connected components over the cosine pair graph

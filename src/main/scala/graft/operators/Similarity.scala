@@ -29,8 +29,12 @@ object Similarity {
 
   /** Corpus with unit-norm double vectors (computed once, codegen'd). */
   private def normalized(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "embeddings")
-      .withColumn("emb_d", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+    normalizedOf(Tables.load(spark, dir, "embeddings")
+      .withColumn("emb_d", expr("transform(embedding, x -> CAST(x AS DOUBLE))")))
+
+  /** Unit-normalization of an arbitrary `(vec_id, emb_d)` corpus frame. */
+  private def normalizedOf(corpus: DataFrame): DataFrame =
+    corpus
       .withColumn("nrm", sqrt(norm2("emb_d")))
       .withColumn("unit", expr("transform(emb_d, x -> x / nrm)"))
       .select(col("vec_id"), col("emb_d"), col("unit"))
@@ -76,6 +80,20 @@ object Similarity {
       dir: String,
       threshold: Double = 0.4,
       nBits: Int = 192,
+      nBands: Int = 32): DataFrame =
+    lshEmbeddingPairsOver(
+      Tables.load(spark, dir, "embeddings")
+        .withColumn("emb_d", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .select(col("vec_id"), col("emb_d")),
+      threshold, nBits, nBands)
+
+  /** [[lshEmbeddingPairs]] over an arbitrary `(vec_id, emb_d)` corpus
+    * frame — the same banded candidate mining for DERIVED corpora (the
+    * augmented-view tight-dup query routes here). */
+  def lshEmbeddingPairsOver(
+      corpus: DataFrame,
+      threshold: Double,
+      nBits: Int = 192,
       nBands: Int = 32): DataFrame = {
     val rnd = new scala.util.Random(7)
     val dim = 64
@@ -88,8 +106,7 @@ object Similarity {
     // each output word IS one band's value, already packed into a scalar
     // long join key.
     val rowsPerBand = nBits / nBands
-    val base = Tables.load(spark, dir, "embeddings")
-      .withColumn("emb_d", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+    val base = corpus
       .withColumn("nrm", sqrt(norm2("emb_d")))
       .withColumn("bands",
         graft.functions.HashExpressions.sign_bits(col("emb_d"), planes, rowsPerBand))
@@ -149,35 +166,102 @@ object Similarity {
     * the plan carries no corpus-wide cross join. */
   def prunedEmbeddingPairs(
       spark: SparkSession, dir: String, threshold: Double,
-      nlist: Int = 0): DataFrame = {
-    // Bucket count is the work dial: pair work inside a surviving bucket
-    // pair is |A|×|B|, so buckets must stay roughly constant-SIZED as the
-    // corpus grows (√n-ish bucket COUNT), or the join re-approaches n².
-    // nlist=0 (default) auto-scales to ~125 vectors per bucket, floor 16
-    // (sharing the ANN suite's index at the small scale factors), cap 256
-    // (quantizer training cost bound). Exactness is nlist-INDEPENDENT —
-    // the triangle-inequality prune is valid for any partition — so the
-    // dial moves only performance, never results.
-    val k =
-      if (nlist > 0) nlist
-      else {
-        val n = Tables.load(spark, dir, "embeddings").count()
-        math.max(16, math.min(256, (n / 125L).toInt))
-      }
-    val idx = ivfIndex(spark, dir, k, 0.25, 5)
+      nlist: Int = 0): DataFrame =
+    prunedEmbeddingPairsOver(spark,
+      Tables.load(spark, dir, "embeddings")
+        .withColumn("emb_d", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .select(col("vec_id"), col("emb_d")),
+      dir, threshold, nlist)
+
+  /** The bucket geometry the pruned pair join and its applicability gate
+    * share: unit centroids, per-member angle to own centroid, per-bucket
+    * angular radius. Memoized per (corpus, k) — the gate measuring
+    * survival and the pruned join that follows must not build it twice. */
+  private final case class PrunedGeom(
+    cUnit: DataFrame, memberAng: DataFrame, radii: DataFrame)
+  private val geomMemo = new graft.SessionMemo[PrunedGeom]()
+  private def prunedGeom(
+      spark: SparkSession, corpus: DataFrame, memoKey: String,
+      k: Int): PrunedGeom =
+    geomMemo.getOrCompute(spark, s"$memoKey|$k") {
+      val idx = ivfIndexOver(spark, corpus, memoKey, k, 0.25, 5)
+      val cUnit = idx.centroids
+        .withColumn("cn", sqrt(norm2("centroid")))
+        .withColumn("cu", expr("transform(centroid, x -> x / cn)"))
+        .select("list_id", "cu")
+      // per-member angle to its own (unit) centroid — feeds BOTH the
+      // bucket-level radius cut and the member-level refine
+      val memberAng = idx.lists.join(broadcast(cUnit), "list_id")
+        .withColumn("ang",
+          acos(least(lit(1.0), greatest(lit(-1.0), dot("unit_c", "cu")))))
+        .select("list_id", "neighbor_id", "ang")
+        .localCheckpoint(true)
+      val radii = memberAng.groupBy("list_id").agg(max("ang").as("radius"))
+      PrunedGeom(cUnit, memberAng, radii)
+    }
+
+  /** Bucket count dial shared by the pruned join and the gate: ~125
+    * vectors per bucket, floor 16 (shares the ANN suite's index at small
+    * scale factors), cap 256 (quantizer training cost bound). */
+  private def autoNlist(n: Long): Int =
+    math.max(16, math.min(256, (n / 125L).toInt))
+
+  /** MEASURED applicability gate for [[prunedEmbeddingPairs]]: the
+    * fraction of bucket pairs the triangle-inequality radius bound FAILS
+    * to prune at `threshold`. ~1.0 on a weakly-clustered corpus (pruning
+    * buys nothing — run the parallelized exact scan instead); small on a
+    * tightly-clustered corpus at dup-grade thresholds (the pruned join
+    * wins). A k²-row computation over the memoized index — the cost of
+    * asking is one tiny aggregate, so callers can DECIDE instead of
+    * guessing. */
+  def bucketPairSurvival(
+      spark: SparkSession, dir: String, threshold: Double,
+      nlist: Int = 0): Double =
+    bucketPairSurvivalOver(spark,
+      Tables.load(spark, dir, "embeddings")
+        .withColumn("emb_d", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .select(col("vec_id"), col("emb_d")),
+      dir, threshold, nlist)
+
+  /** [[bucketPairSurvival]] over an arbitrary `(vec_id, emb_d)` corpus. */
+  def bucketPairSurvivalOver(
+      spark: SparkSession, corpus: DataFrame, memoKey: String,
+      threshold: Double, nlist: Int = 0): Double = {
+    val k = if (nlist > 0) nlist else autoNlist(corpus.count())
+    val g = prunedGeom(spark, corpus, memoKey, k)
     val thetaMax = math.acos(threshold) + 1e-9
-    val cUnit = idx.centroids
-      .withColumn("cn", sqrt(norm2("centroid")))
-      .withColumn("cu", expr("transform(centroid, x -> x / cn)"))
-      .select("list_id", "cu")
-    // per-member angle to its own (unit) centroid — feeds BOTH the
-    // bucket-level radius cut and the member-level refine below
-    val memberAng = idx.lists.join(broadcast(cUnit), "list_id")
-      .withColumn("ang",
-        acos(least(lit(1.0), greatest(lit(-1.0), dot("unit_c", "cu")))))
-      .select("list_id", "neighbor_id", "ang")
-      .localCheckpoint(true)
-    val radii = memberAng.groupBy("list_id").agg(max("ang").as("radius"))
+    val ca = g.cUnit.join(g.radii, "list_id")
+      .select(col("list_id").as("la"), col("cu").as("cua"), col("radius").as("ra"))
+    val cb = g.cUnit.join(g.radii, "list_id")
+      .select(col("list_id").as("lb"), col("cu").as("cub"), col("radius").as("rb"))
+    val r = ca.crossJoin(broadcast(cb))
+      .withColumn("cang",
+        acos(least(lit(1.0), greatest(lit(-1.0), dot("cua", "cub")))))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("cang") - col("ra") - col("rb") <= lit(thetaMax), 1L)
+          .otherwise(0L)).as("kept"))
+      .head()
+    r.getLong(1).toDouble / math.max(1L, r.getLong(0))
+  }
+
+  /** [[prunedEmbeddingPairs]] over an arbitrary `(vec_id, emb_d)` corpus
+    * frame; `memoKey` must identify the corpus uniquely in-session.
+    *
+    * Bucket count is the work dial: pair work inside a surviving bucket
+    * pair is |A|×|B|, so buckets must stay roughly constant-SIZED as the
+    * corpus grows (√n-ish bucket COUNT), or the join re-approaches n².
+    * nlist=0 (default) auto-scales via [[autoNlist]]. Exactness is
+    * nlist-INDEPENDENT — the triangle-inequality prune is valid for any
+    * partition — so the dial moves only performance, never results. */
+  def prunedEmbeddingPairsOver(
+      spark: SparkSession, corpus: DataFrame, memoKey: String,
+      threshold: Double, nlist: Int = 0): DataFrame = {
+    val k = if (nlist > 0) nlist else autoNlist(corpus.count())
+    val g = prunedGeom(spark, corpus, memoKey, k)
+    val cUnit = g.cUnit
+    val memberAng = g.memberAng
+    val radii = g.radii
+    val thetaMax = math.acos(threshold) + 1e-9
     val ca = cUnit.join(radii, "list_id")
       .select(col("list_id").as("la"), col("cu").as("cua"), col("radius").as("ra"))
     val cb = cUnit.join(radii, "list_id")
@@ -211,9 +295,7 @@ object Similarity {
       .select("id_a", "id_b")
     // Exact cosine exactly as the brute baseline computes it (dot/(na·nb)
     // on raw doubles), so results are bit-identical to the oracle.
-    val e = Tables.load(spark, dir, "embeddings")
-      .withColumn("emb_d", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-      .withColumn("nrm", sqrt(norm2("emb_d")))
+    val e = corpus.withColumn("nrm", sqrt(norm2("emb_d")))
     val embA = e.select(col("vec_id").as("id_a"), col("emb_d").as("emb_a"), col("nrm").as("na"))
     val embB = e.select(col("vec_id").as("id_b"), col("emb_d").as("emb_b"), col("nrm").as("nb"))
     cands.join(embA, "id_a").join(embB, "id_b")
@@ -392,8 +474,19 @@ object Similarity {
   private def ivfIndex(
       spark: SparkSession, dir: String, nlist: Int,
       trainFraction: Double, trainIters: Int): IvfIndex =
-    ivfMemo.getOrCompute(spark, s"$dir|$nlist|$trainFraction|$trainIters") {
-      val base = normalized(spark, dir).cache()
+    ivfIndexOver(spark,
+      Tables.load(spark, dir, "embeddings")
+        .withColumn("emb_d", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .select(col("vec_id"), col("emb_d")),
+      dir, nlist, trainFraction, trainIters)
+
+  /** [[ivfIndex]] over an arbitrary `(vec_id, emb_d)` corpus frame;
+    * `memoKey` must identify the corpus uniquely within the session. */
+  private def ivfIndexOver(
+      spark: SparkSession, corpus: DataFrame, memoKey: String, nlist: Int,
+      trainFraction: Double, trainIters: Int): IvfIndex =
+    ivfMemo.getOrCompute(spark, s"$memoKey|$nlist|$trainFraction|$trainIters") {
+      val base = normalizedOf(corpus).cache()
       try {
         val vecs = base.withColumn("features", array_to_vector(col("unit")))
         // Train the coarse quantizer on a seeded sample with few

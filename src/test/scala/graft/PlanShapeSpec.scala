@@ -42,6 +42,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("tight-threshold embedding dedup mines via banded equi-joins — no corpus cross join") {
+    // the oracled tight-dup query must carry the 100 TB plan: LSH band
+    // equi-join + id equi-joins, never a corpus-wide cartesian
+    val df = graft.operators.Dedup.tightEmbeddingPairs(spark, sf)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(!physical.toLowerCase.contains("cartesianproduct"),
+      s"corpus-wide cross join in tight-dup plan:\n$physical")
+    // 3 views per source ⇒ exactly 3 intra-source pairs per source id
+    val n = Tables.load(spark, sf, "embeddings").count()
+    assert(df.count() == 3 * n)
+  }
+
   test("token budget windows partition by band — no corpus-sized global window") {
     // the only un-partitioned window may run over the ≤21-row band
     // rollup; every corpus-sized window must carry a partition spec

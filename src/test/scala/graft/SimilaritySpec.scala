@@ -95,6 +95,64 @@ class SimilaritySpec extends SparkSpec {
       s"corpus-wide cross join leaked into pruned plan")
   }
 
+  test("tight-threshold LSH pairs over the augmented corpus EQUAL the exhaustive pairs") {
+    // the oracled q_dedup_embedding_tight path: banded mining must be
+    // deterministically exhaustive at dup-grade thresholds — compare full
+    // rows including the rounded cosine against an inline brute join
+    val aug = Dedup.augmentedCorpus(spark, sf).cache()
+    try {
+      val lsh = Dedup.tightEmbeddingPairs(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val withN = aug.withColumn("nrm", sqrt(graft.functions.VecText.norm2("emb_d")))
+      val a = withN.select(col("vec_id").as("id_a"), col("emb_d").as("ea"), col("nrm").as("na"))
+      val b = withN.select(col("vec_id").as("id_b"), col("emb_d").as("eb"), col("nrm").as("nb"))
+      val brute = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .withColumn("cos", graft.functions.VecText.dot("ea", "eb") / (col("na") * col("nb")))
+        .filter(col("cos") >= 0.8)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(lsh == brute, s"missing=${brute -- lsh} extra=${lsh -- brute}")
+      assert(lsh.nonEmpty)
+    } finally aug.unpersist(blocking = false)
+  }
+
+  test("survival gate: ~1 on the isotropic corpus, engages on a clustered corpus") {
+    // the routing measurement behind Dedup.embeddingPairsShared: on this
+    // repo's weakly-clustered synthetic embeddings NO exact method can
+    // prune at 0.4 (the honest reason the exact scan runs there) …
+    val raw = Similarity.bucketPairSurvival(spark, sf, 0.4)
+    assert(raw > 0.9, s"raw-corpus survival = $raw — expected ~1.0")
+    // … while a tightly-clustered corpus at a dup-grade threshold prunes
+    // most bucket pairs, flipping the gate to the EXACT pruned join,
+    // which must stay bit-identical to brute force
+    val rnd = new scala.util.Random(42)
+    val anchors = Array.fill(12)(Array.fill(64)(rnd.nextGaussian()))
+    val rows = for {
+      c <- 0 until 12; m <- 0 until 20
+    } yield {
+      val noise = Array.fill(64)(rnd.nextGaussian() * 0.02)
+      ((c * 20 + m).toLong, anchors(c).zip(noise).map { case (x, e) => x + e }.toSeq)
+    }
+    val corpus = spark.createDataFrame(rows).toDF("vec_id", "emb_d").cache()
+    try {
+      val s = Similarity.bucketPairSurvivalOver(spark, corpus, "spec_clustered", 0.8, nlist = 12)
+      assert(s <= 0.5, s"clustered-corpus survival = $s — gate failed to engage")
+      def asSet(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val pruned = asSet(Similarity.prunedEmbeddingPairsOver(
+        spark, corpus, "spec_clustered", 0.8, nlist = 12))
+      val withN = corpus.withColumn("nrm", sqrt(graft.functions.VecText.norm2("emb_d")))
+      val a = withN.select(col("vec_id").as("id_a"), col("emb_d").as("ea"), col("nrm").as("na"))
+      val b = withN.select(col("vec_id").as("id_b"), col("emb_d").as("eb"), col("nrm").as("nb"))
+      val brute = asSet(a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .withColumn("cos", graft.functions.VecText.dot("ea", "eb") / (col("na") * col("nb")))
+        .filter(col("cos") >= 0.8)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos")))
+      assert(pruned == brute, s"missing=${brute -- pruned} extra=${pruned -- brute}")
+      assert(pruned.nonEmpty)
+    } finally corpus.unpersist(blocking = false)
+  }
+
   test("IVF top-k recall@5 >= 0.9 vs brute force at near-exhaustive nprobe") {
     // same dial as the kNN/hard-negative agreement specs: 12 of 16 lists
     // make the candidate sets near-exhaustive, so the rows-only q_ann_ivf
