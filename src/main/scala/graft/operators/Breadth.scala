@@ -814,16 +814,94 @@ object Breadth {
         r6((-col("k.neg")).cast("double") / col("nb")).as("peak_mean_dev"))
   }
 
+  /** GLOBAL row order WITHOUT a single-task sort — the two-pass cumsum
+    * building block behind [[rfmSegments]] and [[abcClassification]]:
+    * range-repartition on the (total) order key, per-partition local
+    * `row_number`, then add per-partition prefix offsets. The offsets are
+    * computed on the PARTITION-COUNT-grain count frame via a tiny
+    * triangular join — so the plan holds NO unpartitioned Window or
+    * global Sort anywhere (PlanShapeSpec pins it) — and broadcast back.
+    * Appends `rnCol` (global 1-based position) and `nCol` (total rows).
+    *
+    * The ranged frame is localCheckpoint'd before fan-out: its two
+    * consumers (local ranks, partition counts) must observe the SAME
+    * sampled range boundaries, and two independent executions of a range
+    * exchange are not guaranteed identical cut points. Correctness is
+    * boundary-independent anyway (the order is total, so a row's global
+    * position doesn't depend on where ranges were cut) — the checkpoint
+    * removes even the cosmetic risk and truncates lineage. */
+  private def withGlobalOrder(df: DataFrame, rnCol: String, nCol: String,
+      order: Column*): DataFrame = {
+    val local = df.repartitionByRange(32, order: _*)
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_lrn",
+        row_number().over(Window.partitionBy("_pid").orderBy(order: _*)))
+      .localCheckpoint(true)
+    val counts = local.groupBy("_pid").agg(count(lit(1)).as("_cnt"))
+    val total = counts.agg(sum("_cnt").as(nCol))
+    val offs = counts
+      .join(counts.select(col("_pid").as("_pid_b"), col("_cnt").as("_cnt_b")),
+        col("_pid_b") < col("_pid"), "left")
+      .groupBy("_pid")
+      .agg(coalesce(sum("_cnt_b"), lit(0L)).as("_off"))
+      .crossJoin(broadcast(total))
+    local.join(broadcast(offs), "_pid")
+      .withColumn(rnCol, col("_lrn") + col("_off"))
+      .drop("_pid", "_lrn", "_off")
+  }
+
+  /** Distributed NTILE(k): [[withGlobalOrder]] + the standard tile
+    * formula (first n mod k tiles take ceil(n/k) rows, the rest floor —
+    * identical in Spark and DuckDB), so results match a global
+    * `ntile(k)` bit-for-bit with no single-task Window. */
+  private def withDistributedNtile(
+      df: DataFrame, outCol: String, k: Int, order: Column*): DataFrame =
+    withGlobalOrder(df, "_i", "_n", order: _*)
+      .withColumn(outCol, expr(
+        s"""CAST(CASE WHEN _i <= (_n % $k) * (_n div $k + 1)
+           |     THEN (_i - 1) div (_n div $k + 1) + 1
+           |     ELSE (_n % $k) +
+           |          (_i - 1 - (_n % $k) * (_n div $k + 1))
+           |            div GREATEST(_n div $k, 1) + 1
+           |     END AS INT)""".stripMargin))
+      .drop("_i", "_n")
+
+  /** Distributed running sum over a total order: per-partition local
+    * running sums + broadcast prefix offsets from per-partition partials
+    * (same triangular-join shape as [[withGlobalOrder]]). DECIMAL
+    * partials keep the two-pass total bit-equal to a global
+    * `sum() OVER (ROWS UNBOUNDED PRECEDING)`. */
+  private def withDistributedRunningSum(
+      df: DataFrame, valCol: Column, outCol: String, order: Column*): DataFrame = {
+    val pw = Window.partitionBy("_pid").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = df.repartitionByRange(32, order: _*)
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_v", valCol)
+      .withColumn("_lsum", sum("_v").over(pw))
+      .localCheckpoint(true)
+    val partials = local.groupBy("_pid").agg(sum("_v").as("_psum"))
+    val offs = partials
+      .join(partials.select(col("_pid").as("_pid_b"), col("_psum").as("_psum_b")),
+        col("_pid_b") < col("_pid"), "left")
+      .groupBy("_pid").agg(sum("_psum_b").as("_off"))
+    local.join(broadcast(offs), "_pid")
+      .withColumn(outCol,
+        when(col("_off").isNull, col("_lsum"))
+          .otherwise(col("_lsum") + col("_off")))
+      .drop("_pid", "_v", "_lsum", "_off")
+  }
+
   /** RFM SEGMENTATION — the classic customer scoring: Recency (days
     * since last order), Frequency (order count), Monetary (DECIMAL
-    * revenue total), each cut into quintiles by `ntile(5)` over a
-    * tie-broken total order (metric, custkey — both engines implement
-    * ntile as the same floor-based row partition, so segment boundaries
-    * replay bit-exactly). Output: one row per (r, f, m) cell with
-    * customer count and revenue share. Scale: one groupBy on custkey,
-    * three global ntile windows over the CUSTOMER-grain frame (already
-    * thousands of times smaller than the fact table) — and even these
-    * could shard by range partitioning; the cell rollup is tiny. */
+    * revenue total), each cut into quintiles over a tie-broken total
+    * order (metric, custkey). Output: one row per (r, f, m) cell with
+    * customer count and revenue share. Scale: one groupBy on custkey
+    * collapses the fact table, then three [[withDistributedNtile]]
+    * passes over the customer-grain frame — each a range shuffle +
+    * partitioned window + broadcast offsets, NO single-task global
+    * ntile window (the oracle's NTILE replays the same floor-based row
+    * partition, so segment boundaries stay bit-exact). */
   def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
     val perCust = Tables.load(spark, dir, "orders")
       .groupBy(col("o_custkey").as("custkey"))
@@ -831,15 +909,16 @@ object Breadth {
         count(lit(1)).as("n_orders"),
         sum(col("o_totalprice").cast(DecimalType(18, 2))).as("revenue"))
     val hwm = perCust.agg(max("last_day").as("max_day"))
-    val scored = perCust.crossJoin(broadcast(hwm))
+    val base = perCust.crossJoin(broadcast(hwm))
       .withColumn("recency_days", col("max_day") - col("last_day"))
-      // recency: smaller = better → rank ascending so tile 1 = most recent
-      .withColumn("r", ntile(5).over(
-        Window.orderBy(col("recency_days"), col("custkey"))))
-      .withColumn("f", ntile(5).over(
-        Window.orderBy(col("n_orders").desc, col("custkey"))))
-      .withColumn("m", ntile(5).over(
-        Window.orderBy(col("revenue").desc, col("custkey"))))
+    // recency: smaller = better → rank ascending so tile 1 = most recent
+    val scored = Seq[(String, Seq[Column])](
+      ("r", Seq(col("recency_days"), col("custkey"))),
+      ("f", Seq(col("n_orders").desc, col("custkey"))),
+      ("m", Seq(col("revenue").desc, col("custkey"))))
+      .foldLeft(base) { case (acc, (name, ord)) =>
+        withDistributedNtile(acc, name, 5, ord: _*)
+      }
     val total = scored.agg(sum("revenue").as("total_rev"))
     scored.crossJoin(broadcast(total))
       .groupBy("r", "f", "m")
@@ -986,18 +1065,18 @@ object Breadth {
     * through the shared floor-rounding before the threshold compare, so
     * the class boundary is decided on identical doubles in both engines.
     * Scale: part-grain pre-aggregate first (fact table collapses in one
-    * map-side-combined shuffle); the global ranked cumsum runs over the
-    * part-grain frame — range-partitionable when even that outgrows one
-    * node. */
+    * map-side-combined shuffle); the ranked cumsum is the two-pass
+    * [[withDistributedRunningSum]] — range shuffle + partitioned window
+    * + broadcast DECIMAL prefix offsets — so even a billion-part frame
+    * never funnels through a single-task Sort/Window. */
   def abcClassification(spark: SparkSession, dir: String): DataFrame = {
     val rev = Tables.load(spark, dir, "lineitem")
       .groupBy(col("l_partkey").as("partkey"))
       .agg(sum(revDec).as("rev"))
     val total = rev.agg(sum("rev").as("total_rev"))
-    val w = Window.orderBy(col("rev").desc, col("partkey"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    rev.crossJoin(broadcast(total))
-      .withColumn("cum", sum("rev").over(w))
+    withDistributedRunningSum(rev, col("rev"), "cum",
+        col("rev").desc, col("partkey"))
+      .crossJoin(broadcast(total))
       .withColumn("cum_share",
         r6(col("cum").cast("double") / col("total_rev").cast("double")))
       .withColumn("abc_class",

@@ -54,6 +54,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(df.count() == 3 * n)
   }
 
+  test("rfm and abc plans hold no unpartitioned Window and no global Sort") {
+    // the two-pass cumsum/ntile must keep every Window partitioned (the
+    // only acceptable single-task shapes are scalar aggregates); a
+    // Window with an empty partitionSpec is the single-task funnel the
+    // distributed rewrite exists to remove
+    import org.apache.spark.sql.catalyst.plans.logical.{Sort => LSort, Window => LWindow}
+    for (df <- Seq(
+        graft.operators.Breadth.rfmSegments(spark, sf),
+        graft.operators.Breadth.abcClassification(spark, sf))) {
+      val optimized = df.queryExecution.optimizedPlan
+      val globalWindows = optimized.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      assert(globalWindows.isEmpty, s"unpartitioned window:\n$optimized")
+      val globalSorts = optimized.collect { case s: LSort if s.global => s }
+      assert(globalSorts.isEmpty, s"global sort:\n$optimized")
+      assert(df.count() > 0)
+    }
+  }
+
   test("token budget windows partition by band — no corpus-sized global window") {
     // the only un-partitioned window may run over the ≤21-row band
     // rollup; every corpus-sized window must carry a partition spec
