@@ -165,7 +165,9 @@ object SparkEntry {
     "q_stream_sessions_timers" -> ((s: SparkSession, d: String) => graft.streaming.EventsStream.sessionizeTimers(s, d)),
     "q_stream_static_join"  -> graft.streaming.EventsStream.streamStaticJoin _,
     // SQL-text interface + CSV source/sink parity
+    "q_sql_tpch_q1"   -> SqlInterface.tpchQ1 _,
     "q_sql_tpch_q3"   -> SqlInterface.tpchQ3 _,
+    "q_sql_tpch_q18"  -> SqlInterface.tpchQ18 _,
     "q_sql_tpch_q5"   -> SqlInterface.tpchQ5 _,
     "q_sql_tpch_q10"  -> SqlInterface.tpchQ10 _,
     "q_fk_audit"      -> Scale.fkAudit _,
@@ -945,6 +947,37 @@ object SparkEntry {
         |       COUNT(*) AS n_events,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_sql_tpch_q1" ->
+      """SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |       FLOOR(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |             / COUNT(*) * 1000000.0 + 0.5) / 1000000.0 AS avg_qty,
+        |       FLOOR(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |             / COUNT(*) * 1000000.0 + 0.5) / 1000000.0 AS avg_price,
+        |       FLOOR(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+        |             / COUNT(*) * 1000000.0 + 0.5) / 1000000.0 AS avg_disc,
+        |       COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q_sql_tpch_q18" ->
+      """SELECT c_name AS name, c_custkey AS custkey, o_orderkey AS orderkey,
+        |       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS orderdate_str,
+        |       o_totalprice AS totalprice,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM customer, orders, lineitem
+        |WHERE o_orderkey IN (
+        |    SELECT l_orderkey FROM lineitem
+        |    GROUP BY l_orderkey
+        |    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+        |  AND c_custkey = o_custkey
+        |  AND o_orderkey = l_orderkey
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY totalprice DESC, orderkey ASC
+        |LIMIT 100""".stripMargin,
     "q_sql_tpch_q3" ->
       """SELECT l_orderkey AS orderkey,
         |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,

@@ -89,6 +89,57 @@ object SqlInterface {
         |LIMIT 20""".stripMargin)
   }
 
+  /** TPC-H Q1 (pricing summary) via SQL text — the canonical big-scan
+    * aggregate: one pushed-down range predicate, one 4-group rollup, no
+    * join. The scan is the whole cost; everything else is map-side
+    * combine. Money sums through DECIMAL (2dp×2dp×2dp charge is exact at
+    * 6dp); averages as floor-rounded double ratios of exact sums, the
+    * shared cross-engine discipline. */
+  def tpchQ1(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(
+      """SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |       FLOOR(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |             / COUNT(*) * 1000000.0 + 0.5) / CAST(1000000 AS DOUBLE) AS avg_qty,
+        |       FLOOR(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |             / COUNT(*) * 1000000.0 + 0.5) / CAST(1000000 AS DOUBLE) AS avg_price,
+        |       FLOOR(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+        |             / COUNT(*) * 1000000.0 + 0.5) / CAST(1000000 AS DOUBLE) AS avg_disc,
+        |       COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
+  /** TPC-H Q18 (large-volume customer) via SQL text — group-having-top-k
+    * over a 3-way join: the HAVING subquery pre-aggregates lineitem to
+    * order grain and survives as a semi-join filter BEFORE the customer
+    * join fans in, and the final LIMIT plans as TakeOrderedAndProject
+    * (per-partition heaps), never a global sort. Quantity sums through
+    * DECIMAL so the >300 boundary is exact in both engines. */
+  def tpchQ18(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(
+      """SELECT c_name AS name, c_custkey AS custkey, o_orderkey AS orderkey,
+        |       CAST(CAST(o_orderdate AS DATE) AS STRING) AS orderdate_str,
+        |       o_totalprice AS totalprice,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM customer, orders, lineitem
+        |WHERE o_orderkey IN (
+        |    SELECT l_orderkey FROM lineitem
+        |    GROUP BY l_orderkey
+        |    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+        |  AND c_custkey = o_custkey
+        |  AND o_orderkey = l_orderkey
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY totalprice DESC, orderkey ASC
+        |LIMIT 100""".stripMargin)
+  }
+
   /** LATERAL correlated subquery via SQL text: each region's top-2
     * customers by balance — the top-N-per-group idiom written the way a
     * SQL user writes it (Catalyst rewrites the correlated LIMIT into a
