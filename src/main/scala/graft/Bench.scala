@@ -22,6 +22,11 @@ object Bench {
     // JVM/codegen warm-up outside the timed region (first query otherwise
     // pays several seconds of classloading + codegen compilation).
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    // RocksDB native-lib + provider first-use is likewise a JVM-wide
+    // one-time cost; without this the alphabetically-first stateful
+    // streaming query absorbs ~6 s that isn't its plan's.
+    try graft.streaming.EventsStream.warmStateStore(spark)
+    catch { case e: Throwable => System.err.println(s"[bench] rocks warm-up failed: $e") }
     // Optional comma-separated query-name filter for local iteration
     // (driver runs always leave it unset → full sweep).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
