@@ -42,7 +42,13 @@ object ScaleBench {
     "q_triangle_count", "q_funnel_steps", "q_kcore", "q_basket_pairs",
     "q_path_trigrams",
     "q_dedup_containment", "q_analyze_stats", "q_mask_spans",
-    "q_modularity", "q_prototype_prune")
+    "q_modularity", "q_prototype_prune",
+    // round-11/12 wave: window-over-pre-aggregate and sweep-line shapes
+    // (events/orders/lineitem ride per-copy key offsets → 10× the work),
+    // plus the banded tight-dup path over the 10× augmented corpus
+    "q_rfm_segments", "q_abc_class", "q_interval_union",
+    "q_peak_concurrency", "q_audience_overlap", "q_drawdown",
+    "q_dedup_embedding_tight")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

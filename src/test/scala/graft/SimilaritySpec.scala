@@ -34,7 +34,7 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf == ivf2)
   }
 
-  test("PQ recall@5 >= 0.6 vs brute force, and is deterministic") {
+  test("PQ recall@5 >= 0.8 vs brute force, and is deterministic") {
     val brute = Similarity.bruteTopK(spark, sf, 5, 10)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -42,7 +42,7 @@ class SimilaritySpec extends SparkSpec {
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (brute & pq).size.toDouble / brute.size
-    assert(recall >= 0.6, s"PQ recall@5 = $recall")
+    assert(recall >= 0.8, s"PQ recall@5 = $recall")
     val pq2 = Similarity.pqTopK(spark, sf, 5, 10)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
