@@ -170,6 +170,14 @@ object SparkEntry {
     "q_sql_tpch_q18"  -> SqlInterface.tpchQ18 _,
     "q_sql_tpch_q5"   -> SqlInterface.tpchQ5 _,
     "q_sql_tpch_q10"  -> SqlInterface.tpchQ10 _,
+    "q_sql_tpch_q4"   -> SqlInterface.tpchQ4 _,
+    "q_sql_tpch_q6"   -> SqlInterface.tpchQ6 _,
+    "q_sql_tpch_q7"   -> SqlInterface.tpchQ7 _,
+    "q_sql_tpch_q14"  -> SqlInterface.tpchQ14 _,
+    "q_sql_tpch_q16"  -> SqlInterface.tpchQ16 _,
+    "q_sql_tpch_q19"  -> SqlInterface.tpchQ19 _,
+    "q_sql_tpch_q13"  -> SqlInterface.tpchQ13 _,
+    "q_sql_tpch_q22"  -> SqlInterface.tpchQ22 _,
     "q_fk_audit"      -> Scale.fkAudit _,
     "q_hhi_brand"     -> Breadth.hhiBrand _,
     "q_token_coverage" -> TextAnalysis.tokenCoverage _,
@@ -978,6 +986,87 @@ object SparkEntry {
         |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
         |ORDER BY totalprice DESC, orderkey ASC
         |LIMIT 100""".stripMargin,
+    "q_sql_tpch_q6" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q_sql_tpch_q4" ->
+      """SELECT o_orderpriority AS priority, COUNT(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q_sql_tpch_q14" ->
+      """SELECT FLOOR(100.0
+        |         * CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |                         THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+        |                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        |         / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+        |         * 1000000.0 + 0.5) / 1000000.0 AS promo_share_pct,
+        |       COUNT(*) AS n_items
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey
+        |  AND l_shipdate >= TIMESTAMP '1996-09-01'
+        |  AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin,
+    "q_sql_tpch_q7" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |       CAST(SUM(volume) AS DOUBLE) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |         CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
+        |         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS volume
+        |  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        |  WHERE s_suppkey = l_suppkey
+        |    AND o_orderkey = l_orderkey
+        |    AND c_custkey = o_custkey
+        |    AND s_nationkey = n1.n_nationkey
+        |    AND c_nationkey = n2.n_nationkey
+        |    AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        |      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |) shipping
+        |GROUP BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q_sql_tpch_q16" ->
+      """SELECT p_brand AS brand, p_type AS type, p_size AS size,
+        |       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#1'
+        |  AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size""".stripMargin,
+    "q_sql_tpch_q19" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_items
+        |FROM lineitem, part
+        |WHERE p_partkey = l_partkey
+        |  AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+        |    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+        |    OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30))""".stripMargin,
+    "q_sql_tpch_q13" ->
+      """SELECT c_count, COUNT(*) AS custdist
+        |FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |      FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |      GROUP BY c_custkey) c_orders
+        |GROUP BY c_count""".stripMargin,
+    "q_sql_tpch_q22" ->
+      """SELECT c_nationkey AS nationkey, COUNT(*) AS numcust,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |                   FROM customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |                  AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY c_nationkey""".stripMargin,
     "q_sql_tpch_q3" ->
       """SELECT l_orderkey AS orderkey,
         |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,

@@ -795,15 +795,25 @@ object Dedup {
     * family: hyperplane-LSH banded candidates + exact cosine verify
     * ([[Similarity.lshEmbeddingPairsOver]]), the plan a 100 TB semantic
     * dedup actually runs (banding + equi-joins, NO corpus-wide cross
-    * join — plan-shape pinned). At dup-grade thresholds the band miss
-    * probability for a true pair is (1−p^6)^32 with p = 1−θ/π ≥ 0.98
-    * (θ ≈ 2.5° for augmented views) ≈ 1e-33 — and with FIXED seeded
-    * planes the outcome is deterministic, so the exhaustive DuckDB pair
-    * oracle matches exactly, giving the banded path real oracle weight
-    * (not just the recall-floor spec). */
+    * join — plan-shape pinned). Band width is the threshold-dependent
+    * dial: at dup-grade thresholds the views sit θ ≈ 1-2° apart
+    * (per-bit agreement p = 1−θ/π ≥ 0.99), so WIDE 24-bit bands still
+    * catch every true pair — miss probability (1−p^24)^32 ≈ 1e-21, and
+    * with FIXED seeded planes the outcome is deterministic, so the
+    * exhaustive DuckDB pair oracle matches exactly, giving the banded
+    * path real oracle weight (not just the recall-floor spec) — while a
+    * random cross-source pair collides per band at only 2^-24. The
+    * loose-threshold default (6-bit bands, [[Similarity
+    * .lshEmbeddingPairs]]) admits random pairs at 2^-6 per band — that
+    * is Ω(n²/64) candidate volume, measured as a single-task 25-minute
+    * stall at the 10× scale bench before this dial existed; 24-bit
+    * bands cut the same mining to seconds with zero recall loss AT THIS
+    * threshold (they would gut recall at 0.4, which is why the width is
+    * per-query, not global). */
   def tightEmbeddingPairs(spark: SparkSession, dir: String,
       threshold: Double = 0.8): DataFrame =
-    Similarity.lshEmbeddingPairsOver(augmentedCorpus(spark, dir), threshold)
+    Similarity.lshEmbeddingPairsOver(augmentedCorpus(spark, dir), threshold,
+      nBits = 768, nBands = 32)
 
   /** SEMANTIC-DEDUP CLUSTERS — the SemDeDup-style end of the embedding
     * near-dup path: connected components over the cosine pair graph

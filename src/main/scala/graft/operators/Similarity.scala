@@ -106,7 +106,15 @@ object Similarity {
     // each output word IS one band's value, already packed into a scalar
     // long join key.
     val rowsPerBand = nBits / nBands
+    // Repartition BEFORE signature computation: the corpus may arrive as
+    // one partition (a single <128 MB parquet file — exactly what the 10×
+    // scale-bench generator writes), and without this exchange the band
+    // self-join below can plan as a broadcast join over that single
+    // partition, funneling the whole mining into ONE task (measured: a
+    // 25-minute single-task stall at sf1). One skinny (id, vec) shuffle
+    // buys a plan whose parallelism is independent of input file layout.
     val base = corpus
+      .repartition(col("vec_id"))
       .withColumn("nrm", sqrt(norm2("emb_d")))
       .withColumn("bands",
         graft.functions.HashExpressions.sign_bits(col("emb_d"), planes, rowsPerBand))

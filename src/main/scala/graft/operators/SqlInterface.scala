@@ -140,6 +140,171 @@ object SqlInterface {
         |LIMIT 100""".stripMargin)
   }
 
+  /** TPC-H Q6 (forecasting revenue change) via SQL text — the purest
+    * pushdown showcase: three range predicates and two columns, no join,
+    * no group key. At 100 TB the entire cost is the scan, so the plan
+    * must show all three predicates in PushedFilters and a 4-column
+    * ReadSchema (shipdate/discount/quantity/extendedprice); everything
+    * after the scan is one map-side-combined scalar aggregate. */
+  def tpchQ6(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin)
+  }
+
+  /** TPC-H Q4 (order-priority checking), adapted: the testdata lineitem
+    * has no commit/receipt dates, so "late" is shipped >60 days after the
+    * order date — same EXISTS-correlated-semi-join shape as the official
+    * Q4 (the predicate that matters: Catalyst plans the EXISTS as a
+    * LeftSemi join on l_orderkey, never a per-order subquery; the
+    * quarter predicate prunes orders before the join). */
+  def tpchQ4(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(
+      """SELECT o_orderpriority AS priority, COUNT(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority""".stripMargin)
+  }
+
+  /** TPC-H Q14 (promotion effect), adapted to the testdata's p_type
+    * domain (exact value 'PROMO' instead of LIKE 'PROMO%'): conditional
+    * aggregation over a month of shipments joined to part. The share is
+    * a ratio of two exact DECIMAL sums narrowed to double, rounded via
+    * the shared floor(x·1e6+0.5)/1e6 discipline (PLANS.md lesson 3) so
+    * the 1e-7-midpoint hazard cannot flake it. part broadcasts. */
+  def tpchQ14(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(
+      """SELECT FLOOR(100.0
+        |         * CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |                         THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+        |                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        |         / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+        |         * 1000000.0 + 0.5) / CAST(1000000 AS DOUBLE) AS promo_share_pct,
+        |       COUNT(*) AS n_items
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey
+        |  AND l_shipdate >= TIMESTAMP '1996-09-01'
+        |  AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin)
+  }
+
+  /** TPC-H Q7 (volume shipping) via SQL text — the two-role dimension
+    * pattern: nation joins TWICE (supplier's and customer's), both
+    * broadcast, with the symmetric pair predicate evaluated inside the
+    * join tree. Group key includes the shipment year
+    * (CAST(EXTRACT(YEAR ...)) — the shared cross-engine idiom). */
+  def tpchQ7(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(
+      """SELECT supp_nation, cust_nation, l_year,
+        |       CAST(SUM(volume) AS DOUBLE) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |         CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
+        |         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS volume
+        |  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        |  WHERE s_suppkey = l_suppkey
+        |    AND o_orderkey = l_orderkey
+        |    AND c_custkey = o_custkey
+        |    AND s_nationkey = n1.n_nationkey
+        |    AND c_nationkey = n2.n_nationkey
+        |    AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        |      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |) shipping
+        |GROUP BY supp_nation, cust_nation, l_year""".stripMargin)
+  }
+
+  /** TPC-H Q16 (parts/supplier relationship), adapted: the testdata has
+    * no partsupp table, so the part↔supplier relation is DISTINCT
+    * (l_partkey, l_suppkey) from lineitem — same shape (dedup before the
+    * dim join, NOT IN anti-join against a supplier blocklist, then
+    * COUNT(DISTINCT) per part attribute). The blocklist stands in for
+    * the official complaints filter as suppliers with negative balance. */
+  def tpchQ16(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(
+      """SELECT p_brand AS brand, p_type AS type, p_size AS size,
+        |       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#1'
+        |  AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size""".stripMargin)
+  }
+
+  /** TPC-H Q19 (discounted revenue), adapted to the testdata's part
+    * attributes (brand + size + quantity bands; no container/shipmode
+    * columns): the canonical DISJUNCTIVE-predicate join. What matters at
+    * scale: Catalyst extracts the common `p_partkey = l_partkey` conjunct
+    * as the join key and pushes the brand disjunction's union of ranges
+    * into the part scan, instead of planning a cartesian filter. */
+  def tpchQ19(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(
+      """SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_items
+        |FROM lineitem, part
+        |WHERE p_partkey = l_partkey
+        |  AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+        |    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+        |    OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30))""".stripMargin)
+  }
+
+  /** TPC-H Q13 (customer distribution) via SQL text — the double
+    * aggregation over a LEFT OUTER join: per-customer order counts
+    * (zeros preserved for never-ordered customers) re-aggregated into a
+    * count-of-counts histogram. The second aggregate runs over a
+    * customer-grain frame, so the histogram shuffle is tiny; the outer
+    * join is the only data-sized exchange. (The official o_comment
+    * filter has no testdata counterpart and is dropped.) */
+  def tpchQ13(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(
+      """SELECT c_count, COUNT(*) AS custdist
+        |FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |      FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |      GROUP BY c_custkey) c_orders
+        |GROUP BY c_count""".stripMargin)
+  }
+
+  /** TPC-H Q22 (global sales opportunity), adapted: dormant high-balance
+    * customers per nation — acctbal above the average of positive
+    * balances (uncorrelated scalar subquery → literal broadcast) AND no
+    * RECENT orders (NOT EXISTS with a date predicate → anti-join over
+    * the pruned recent slice; the official "no orders at all" is vacuous
+    * on this testdata, where every customer has ordered). The testdata
+    * has no phone column, so the country-code grouping becomes the
+    * nation key. Money sums through DECIMAL(18,2); the avg boundary is
+    * compared on the exact doubles both engines compute from identical
+    * sums. */
+  def tpchQ22(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(
+      """SELECT c_nationkey AS nationkey, COUNT(*) AS numcust,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |                   FROM customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |                  AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY c_nationkey""".stripMargin)
+  }
+
   /** LATERAL correlated subquery via SQL text: each region's top-2
     * customers by balance — the top-N-per-group idiom written the way a
     * SQL user writes it (Catalyst rewrites the correlated LIMIT into a

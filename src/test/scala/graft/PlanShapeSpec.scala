@@ -74,6 +74,31 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("tpch q6 pushes all three predicates into the scan and prunes to 4 columns") {
+    // Q6's 100 TB cost IS the scan: the shipdate range, discount band and
+    // quantity cap must appear in the parquet PushedFilters, and the
+    // ReadSchema must carry only the four referenced columns — a scan
+    // reading all 11 lineitem columns for this query is the wrong plan
+    val df = graft.operators.SqlInterface.tpchQ6(spark, sf)
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pushed = formatted.linesIterator.filter(_.contains("PushedFilters")).mkString
+    for (c <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(pushed.contains(c), s"$c not pushed:\n$formatted")
+    val readSchema = formatted.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_returnflag"),
+      s"scan reads unreferenced columns:\n$readSchema")
+    assert(df.count() == 1)
+  }
+
+  test("tpch q4 plans the EXISTS as a left-semi join, not a per-row subquery") {
+    val df = graft.operators.SqlInterface.tpchQ4(spark, sf)
+    val optimized = df.queryExecution.optimizedPlan
+    val semis = optimized.collect { case j: Join if j.joinType == LeftSemi => j }
+    assert(semis.nonEmpty, s"no LeftSemi join in Q4 plan:\n$optimized")
+    assert(df.count() > 0)
+  }
+
   test("token budget windows partition by band — no corpus-sized global window") {
     // the only un-partitioned window may run over the ≤21-row band
     // rollup; every corpus-sized window must carry a partition spec
