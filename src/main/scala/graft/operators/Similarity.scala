@@ -59,12 +59,13 @@ object Similarity {
         round(col("cos_raw"), 6).as("cos"))
   }
 
-  /** Random-hyperplane LSH near-dup pair mining — the O(n) scale path
-    * beside [[Dedup.embeddingPairs]]'s exact baseline. Each vector gets a
-    * `nBits`-bit sign signature against fixed seeded hyperplanes; vectors
-    * sharing any of the `nBands` signature bands become candidates, then
-    * exact cosine verifies. Deterministic (fixed planes), rows-only check;
-    * the spec asserts recall ≥ 0.8 vs the exact pairs.
+  /** Random-hyperplane LSH near-dup pair mining — the banded candidate
+    * path beside [[Dedup.embeddingPairs]]'s exact baseline. Each vector
+    * gets a `nBits`-bit sign signature against fixed seeded hyperplanes;
+    * vectors sharing any of the `nBands` signature bands become
+    * candidates, then exact cosine verifies. Deterministic (fixed
+    * planes), rows-only check; the spec asserts recall ≥ 0.8 vs the
+    * exact pairs.
     *
     * Parameter math at the cos ≥ 0.4 operating point (θ ≈ 66°, per-bit
     * agreement p = 1 − θ/π ≈ 0.63): 6-bit bands collide with probability
@@ -73,8 +74,21 @@ object Similarity {
     * real pairs: measured 0.86 / 0.93 at sf0.001 / sf0.01) while a
     * random pair (p = 0.5) passes a band with only 2⁻⁶ — the
     * band-width/band-count pair is the recall-vs-candidate-volume dial,
-    * and 6×32 is the cheapest config clearing the 0.8 floor with
-    * margin. */
+    * and 6×32 is the cheapest config clearing the 0.8 floor with margin.
+    *
+    * HONEST SCALE LIMIT of the 6-bit default: 2⁻⁶ random collisions per
+    * band is a constant-factor reduction, Ω(n²/64) candidates — the 10×
+    * scale bench measured exactly this blow-up before the tight path
+    * widened its bands ([[Dedup.tightEmbeddingPairs]]: 24-bit bands,
+    * 2⁻²⁴ random collisions, sub-linear measured ratio). The width is
+    * threshold-bound: at θ ≈ 66° wide bands gut recall (p²⁴ ≈ 1.6e-5),
+    * so a 100 TB LOOSE-threshold semantic dedup cannot ride hyperplane
+    * banding alone — it routes through IVF-clustered candidate
+    * generation ([[prunedEmbeddingPairs]] and the survival-gated
+    * [[Dedup.embeddingPairsShared]]) or accepts per-shard exactness.
+    * This function stays the loose-threshold default because at the
+    * recall floor it is measurably the cheapest correct config at test
+    * scale, and its candidate volume is the documented trade. */
   def lshEmbeddingPairs(
       spark: SparkSession,
       dir: String,
