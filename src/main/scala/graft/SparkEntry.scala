@@ -178,6 +178,10 @@ object SparkEntry {
     "q_sql_tpch_q19"  -> SqlInterface.tpchQ19 _,
     "q_sql_tpch_q13"  -> SqlInterface.tpchQ13 _,
     "q_sql_tpch_q22"  -> SqlInterface.tpchQ22 _,
+    // mergeable sketches (rows-only: no cross-engine sketch oracle;
+    // error floors spec-pinned in SketchSpec)
+    "q_sketch_rollup"     -> Sketches.hllRollup _,
+    "q_cms_heavy_hitters" -> ((s: SparkSession, d: String) => Sketches.cmsHeavyHitters(s, d)),
     "q_fk_audit"      -> Scale.fkAudit _,
     "q_hhi_brand"     -> Breadth.hhiBrand _,
     "q_token_coverage" -> TextAnalysis.tokenCoverage _,
