@@ -814,57 +814,71 @@ object Breadth {
         r6((-col("k.neg")).cast("double") / col("nb")).as("peak_mean_dev"))
   }
 
-  /** GLOBAL row order WITHOUT a single-task sort — the two-pass cumsum
-    * building block behind [[rfmSegments]] and [[abcClassification]]:
-    * range-repartition on the (total) order key, per-partition local
-    * `row_number`, then add per-partition prefix offsets. The offsets are
-    * computed on the PARTITION-COUNT-grain count frame via a tiny
-    * triangular join — so the plan holds NO unpartitioned Window or
-    * global Sort anywhere (PlanShapeSpec pins it) — and broadcast back.
-    * Appends `rnCol` (global 1-based position) and `nCol` (total rows).
+  /** Distributed NTILE(k) for SEVERAL orderings through ONE exchange —
+    * the global-order-without-a-single-task-sort building block behind
+    * [[rfmSegments]]. Each ordering is given as a monotone DECIMAL
+    * encoding (negate for descending; the entity key breaks ties), the
+    * encodings are STACKED into (metric, value, key) rows, and one
+    * range repartition + one partitioned `row_number` + broadcast
+    * per-partition prefix offsets (a tiny triangular join on the
+    * (partition, metric)-grain count frame) rank every ordering at
+    * once; a keyed pivot returns one tile column per ordering. The
+    * plan holds NO unpartitioned Window or global Sort anywhere
+    * (PlanShapeSpec pins it). Tile boundaries use the standard formula
+    * (first n mod k tiles take ceil(n/k) rows, the rest floor —
+    * identical in Spark and DuckDB), so results match a global
+    * `ntile(k)` bit-for-bit.
+    *
+    * Why stacked: k independent two-pass cumsums each pay a range-
+    * sampling job, an eager materialization and an offsets round —
+    * measured as 3× the fixed cost for RFM's three orderings. Batching
+    * the orderings through one exchange amortizes all of it.
     *
     * The ranged frame is localCheckpoint'd before fan-out: its two
     * consumers (local ranks, partition counts) must observe the SAME
-    * sampled range boundaries, and two independent executions of a range
-    * exchange are not guaranteed identical cut points. Correctness is
-    * boundary-independent anyway (the order is total, so a row's global
-    * position doesn't depend on where ranges were cut) — the checkpoint
-    * removes even the cosmetic risk and truncates lineage. */
-  private def withGlobalOrder(df: DataFrame, rnCol: String, nCol: String,
-      order: Column*): DataFrame = {
-    val local = df.repartitionByRange(32, order: _*)
+    * sampled range boundaries, and two independent executions of a
+    * range exchange are not guaranteed identical cut points.
+    * Correctness is boundary-independent anyway (the order is total,
+    * so a row's global position doesn't depend on where ranges were
+    * cut) — the checkpoint removes even the cosmetic risk. */
+  private def withStackedNtiles(df: DataFrame, keyCol: String, k: Int,
+      specs: Seq[(String, Column)]): DataFrame = {
+    val prep = df.select(
+      col(keyCol) +: specs.map { case (n, enc) =>
+        enc.cast(DecimalType(38, 6)).as(s"_v_$n") }: _*)
+    val stacked = prep.selectExpr(keyCol,
+      "stack(" + specs.size + ", " +
+        specs.map { case (n, _) => s"'$n', _v_$n" }.mkString(", ") +
+      ") AS (_metric, _v)")
+    val local = stacked
+      .repartitionByRange(32, col("_metric"), col("_v"), col(keyCol))
       .withColumn("_pid", spark_partition_id())
-      .withColumn("_lrn",
-        row_number().over(Window.partitionBy("_pid").orderBy(order: _*)))
+      .withColumn("_lrn", row_number().over(
+        Window.partitionBy("_pid", "_metric").orderBy(col("_v"), col(keyCol))))
       .localCheckpoint(true)
-    val counts = local.groupBy("_pid").agg(count(lit(1)).as("_cnt"))
-    val total = counts.agg(sum("_cnt").as(nCol))
+    val counts = local.groupBy("_pid", "_metric").agg(count(lit(1)).as("_cnt"))
+    val totals = counts.groupBy("_metric").agg(sum("_cnt").as("_n"))
     val offs = counts
-      .join(counts.select(col("_pid").as("_pid_b"), col("_cnt").as("_cnt_b")),
-        col("_pid_b") < col("_pid"), "left")
-      .groupBy("_pid")
+      .join(counts.select(col("_metric").as("_metric_b"),
+          col("_pid").as("_pid_b"), col("_cnt").as("_cnt_b")),
+        col("_metric_b") === col("_metric") && (col("_pid_b") < col("_pid")),
+        "left")
+      .groupBy("_pid", "_metric")
       .agg(coalesce(sum("_cnt_b"), lit(0L)).as("_off"))
-      .crossJoin(broadcast(total))
-    local.join(broadcast(offs), "_pid")
-      .withColumn(rnCol, col("_lrn") + col("_off"))
-      .drop("_pid", "_lrn", "_off")
-  }
-
-  /** Distributed NTILE(k): [[withGlobalOrder]] + the standard tile
-    * formula (first n mod k tiles take ceil(n/k) rows, the rest floor —
-    * identical in Spark and DuckDB), so results match a global
-    * `ntile(k)` bit-for-bit with no single-task Window. */
-  private def withDistributedNtile(
-      df: DataFrame, outCol: String, k: Int, order: Column*): DataFrame =
-    withGlobalOrder(df, "_i", "_n", order: _*)
-      .withColumn(outCol, expr(
+      .join(totals, "_metric")
+    val tiled = local.join(broadcast(offs), Seq("_pid", "_metric"))
+      .withColumn("_i", col("_lrn") + col("_off"))
+      .withColumn("_tile", expr(
         s"""CAST(CASE WHEN _i <= (_n % $k) * (_n div $k + 1)
            |     THEN (_i - 1) div (_n div $k + 1) + 1
            |     ELSE (_n % $k) +
            |          (_i - 1 - (_n % $k) * (_n div $k + 1))
            |            div GREATEST(_n div $k, 1) + 1
            |     END AS INT)""".stripMargin))
-      .drop("_i", "_n")
+    val firstAgg +: restAgg = specs.map { case (n, _) =>
+      max(when(col("_metric") === n, col("_tile"))).as(n) }
+    tiled.groupBy(keyCol).agg(firstAgg, restAgg: _*)
+  }
 
   /** Distributed running sum over a total order: per-partition local
     * running sums + broadcast prefix offsets from per-partition partials
@@ -897,28 +911,35 @@ object Breadth {
     * revenue total), each cut into quintiles over a tie-broken total
     * order (metric, custkey). Output: one row per (r, f, m) cell with
     * customer count and revenue share. Scale: one groupBy on custkey
-    * collapses the fact table, then three [[withDistributedNtile]]
-    * passes over the customer-grain frame — each a range shuffle +
-    * partitioned window + broadcast offsets, NO single-task global
-    * ntile window (the oracle's NTILE replays the same floor-based row
-    * partition, so segment boundaries stay bit-exact). */
+    * collapses the fact table, then ONE stacked
+    * [[withStackedNtiles]] pass ranks all three orderings — a single
+    * range shuffle + partitioned window + broadcast offsets, NO
+    * single-task global ntile window (the oracle's NTILE replays the
+    * same floor-based row partition, so segment boundaries stay
+    * bit-exact). */
   def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    // Materialize the customer-grain frame ONCE: downstream it feeds the
+    // high-water-mark agg plus three ntile passes whose range partitioner
+    // each runs a sampling job — without the checkpoint the orders
+    // aggregation re-executes 4×(measured as the dominant bench cost of
+    // the distributed-ntile rewrite)
     val perCust = Tables.load(spark, dir, "orders")
       .groupBy(col("o_custkey").as("custkey"))
       .agg(max(expr("unix_micros(o_orderdate) div 86400000000")).as("last_day"),
         count(lit(1)).as("n_orders"),
         sum(col("o_totalprice").cast(DecimalType(18, 2))).as("revenue"))
+      .localCheckpoint(true)
     val hwm = perCust.agg(max("last_day").as("max_day"))
     val base = perCust.crossJoin(broadcast(hwm))
       .withColumn("recency_days", col("max_day") - col("last_day"))
-    // recency: smaller = better → rank ascending so tile 1 = most recent
-    val scored = Seq[(String, Seq[Column])](
-      ("r", Seq(col("recency_days"), col("custkey"))),
-      ("f", Seq(col("n_orders").desc, col("custkey"))),
-      ("m", Seq(col("revenue").desc, col("custkey"))))
-      .foldLeft(base) { case (acc, (name, ord)) =>
-        withDistributedNtile(acc, name, 5, ord: _*)
-      }
+    // recency: smaller = better → ascending encoding so tile 1 = most
+    // recent; frequency/monetary negate for descending. All three
+    // orderings ride ONE stacked exchange (see withStackedNtiles).
+    val tiles = withStackedNtiles(base, "custkey", 5, Seq(
+      ("r", col("recency_days")),
+      ("f", -col("n_orders")),
+      ("m", -col("revenue"))))
+    val scored = base.join(tiles, "custkey")
     val total = scored.agg(sum("revenue").as("total_rev"))
     scored.crossJoin(broadcast(total))
       .groupBy("r", "f", "m")
@@ -1070,9 +1091,13 @@ object Breadth {
     * + broadcast DECIMAL prefix offsets — so even a billion-part frame
     * never funnels through a single-task Sort/Window. */
   def abcClassification(spark: SparkSession, dir: String): DataFrame = {
+    // Materialized once: the total agg, the range partitioner's sampling
+    // job and the running-sum shuffle would otherwise each re-run the
+    // full lineitem aggregation (measured 3× re-execution)
     val rev = Tables.load(spark, dir, "lineitem")
       .groupBy(col("l_partkey").as("partkey"))
       .agg(sum(revDec).as("rev"))
+      .localCheckpoint(true)
     val total = rev.agg(sum("rev").as("total_rev"))
     withDistributedRunningSum(rev, col("rev"), "cum",
         col("rev").desc, col("partkey"))
