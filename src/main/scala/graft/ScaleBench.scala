@@ -48,7 +48,10 @@ object ScaleBench {
     // plus the banded tight-dup path over the 10× augmented corpus
     "q_rfm_segments", "q_abc_class", "q_interval_union",
     "q_peak_concurrency", "q_audience_overlap", "q_drawdown",
-    "q_dedup_embedding_tight")
+    "q_dedup_embedding_tight",
+    // mergeable sketches: the pattern exists FOR scale — the rollup
+    // shuffles only (day,type) sketch rows, the CMS one ~1 MB sketch
+    "q_sketch_rollup", "q_cms_heavy_hitters")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -178,6 +178,8 @@ object SparkEntry {
     "q_sql_tpch_q19"  -> SqlInterface.tpchQ19 _,
     "q_sql_tpch_q13"  -> SqlInterface.tpchQ13 _,
     "q_sql_tpch_q22"  -> SqlInterface.tpchQ22 _,
+    "q_sql_tpch_q8"   -> SqlInterface.tpchQ8 _,
+    "q_sql_tpch_q9"   -> SqlInterface.tpchQ9 _,
     // mergeable sketches (rows-only: no cross-engine sketch oracle;
     // error floors spec-pinned in SketchSpec)
     "q_sketch_rollup"     -> Sketches.hllRollup _,
@@ -1056,6 +1058,47 @@ object SparkEntry {
         |  AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
         |    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
         |    OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30))""".stripMargin,
+    "q_sql_tpch_q8" ->
+      """SELECT o_year,
+        |       FLOOR(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+        |                           ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        |             / CAST(SUM(volume) AS DOUBLE)
+        |             * 1000000.0 + 0.5) / CAST(1000000 AS DOUBLE) AS mkt_share,
+        |       COUNT(*) AS n_items
+        |FROM (
+        |  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+        |         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS volume,
+        |         n2.n_name AS supp_nation
+        |  FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+        |  WHERE p_partkey = l_partkey
+        |    AND s_suppkey = l_suppkey
+        |    AND l_orderkey = o_orderkey
+        |    AND o_custkey = c_custkey
+        |    AND c_nationkey = n1.n_nationkey
+        |    AND n1.n_regionkey = r_regionkey
+        |    AND r_name = 'ASIA'
+        |    AND s_nationkey = n2.n_nationkey
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'
+        |    AND p_brand = 'Brand#12'
+        |) all_nations
+        |GROUP BY o_year""".stripMargin,
+    "q_sql_tpch_q9" ->
+      """SELECT nation, o_year,
+        |       CAST(SUM(amount) AS DOUBLE) AS sum_profit
+        |FROM (
+        |  SELECT n_name AS nation,
+        |         CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+        |         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+        |           - CAST(p_retailprice * 0.6 * l_quantity AS DECIMAL(18,4)) AS amount
+        |  FROM part, supplier, lineitem, orders, nation
+        |  WHERE s_suppkey = l_suppkey
+        |    AND p_partkey = l_partkey
+        |    AND o_orderkey = l_orderkey
+        |    AND s_nationkey = n_nationkey
+        |    AND p_name LIKE '%a%'
+        |) profit
+        |GROUP BY nation, o_year""".stripMargin,
     "q_sql_tpch_q13" ->
       """SELECT c_count, COUNT(*) AS custdist
         |FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count

@@ -265,6 +265,72 @@ object SqlInterface {
         |    OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30))""".stripMargin)
   }
 
+  /** TPC-H Q8 (national market share), adapted: the share of one
+    * supplier nation's revenue within a region's customer market per
+    * order year. The testdata keeps all of Q8's structure that matters —
+    * a 7-table join tree where region restricts the CUSTOMER side while
+    * the share numerator conditions on the SUPPLIER side, forcing the
+    * planner to keep both nation roles distinct — minus the part-type
+    * filter (folded to a part join on brand to keep a part-side
+    * predicate in the tree). Share = ratio of exact DECIMAL sums via
+    * the floor-rounding discipline. */
+  def tpchQ8(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(
+      """SELECT o_year,
+        |       FLOOR(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+        |                           ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        |             / CAST(SUM(volume) AS DOUBLE)
+        |             * 1000000.0 + 0.5) / CAST(1000000 AS DOUBLE) AS mkt_share,
+        |       COUNT(*) AS n_items
+        |FROM (
+        |  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+        |         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS volume,
+        |         n2.n_name AS supp_nation
+        |  FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+        |  WHERE p_partkey = l_partkey
+        |    AND s_suppkey = l_suppkey
+        |    AND l_orderkey = o_orderkey
+        |    AND o_custkey = c_custkey
+        |    AND c_nationkey = n1.n_nationkey
+        |    AND n1.n_regionkey = r_regionkey
+        |    AND r_name = 'ASIA'
+        |    AND s_nationkey = n2.n_nationkey
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'
+        |    AND p_brand = 'Brand#12'
+        |) all_nations
+        |GROUP BY o_year""".stripMargin)
+  }
+
+  /** TPC-H Q9 (product-type profit), adapted: profit per supplier
+    * nation per year over parts whose name carries a marker substring
+    * (LIKE on p_name — Q9's defining non-sargable predicate). The
+    * testdata has no partsupp.ps_supplycost, so profit is revenue minus
+    * a retail-price-based cost proxy (p_retailprice · quantity · 0.6) —
+    * the arithmetic shape (two decimal products subtracted per row,
+    * aggregated by a derived year) is Q9's; the cost factor is exact at
+    * 3 dp so DECIMAL stays lossless. */
+  def tpchQ9(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(
+      """SELECT nation, o_year,
+        |       CAST(SUM(amount) AS DOUBLE) AS sum_profit
+        |FROM (
+        |  SELECT n_name AS nation,
+        |         CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+        |         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+        |           - CAST(p_retailprice * 0.6 * l_quantity AS DECIMAL(18,4)) AS amount
+        |  FROM part, supplier, lineitem, orders, nation
+        |  WHERE s_suppkey = l_suppkey
+        |    AND p_partkey = l_partkey
+        |    AND o_orderkey = l_orderkey
+        |    AND s_nationkey = n_nationkey
+        |    AND p_name LIKE '%a%'
+        |) profit
+        |GROUP BY nation, o_year""".stripMargin)
+  }
+
   /** TPC-H Q13 (customer distribution) via SQL text — the double
     * aggregation over a LEFT OUTER join: per-customer order counts
     * (zeros preserved for never-ordered customers) re-aggregated into a
