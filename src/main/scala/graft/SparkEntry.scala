@@ -182,7 +182,8 @@ object SparkEntry {
     "q_sql_tpch_q9"   -> SqlInterface.tpchQ9 _,
     // mergeable sketches (rows-only: no cross-engine sketch oracle;
     // error floors spec-pinned in SketchSpec)
-    "q_sketch_rollup"     -> Sketches.hllRollup _,
+    "q_sketch_rollup"       -> Sketches.hllRollup _,
+    "q_sketch_rollup_saved" -> Sketches.hllRollupSaved _,
     "q_cms_heavy_hitters" -> ((s: SparkSession, d: String) => Sketches.cmsHeavyHitters(s, d)),
     "q_fk_audit"      -> Scale.fkAudit _,
     "q_hhi_brand"     -> Breadth.hhiBrand _,

@@ -52,6 +52,31 @@ object Sketches {
         col("est_users"))
   }
 
+  /** [[hllRollup]] THROUGH A PERSISTED SKETCH TABLE — the storable half
+    * of the pattern (mirroring the `q_ann_ivf_saved` precedent): the
+    * (day, type) sketch frame is written to parquet (binary sketch
+    * column + keys), re-read, and merged from the STORED bytes. At
+    * 100 TB this is the nightly job + the interactive half: build once,
+    * answer every date-range distinct question from the sketch table.
+    * Output equals [[hllRollup]] minus the exact audit column (the
+    * stored table no longer carries user ids — the point), and the spec
+    * pins saved == in-session estimates exactly. */
+  def hllRollupSaved(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Scratch.dir("hll_sketches")
+    Tables.load(spark, dir, "events")
+      .select(to_date(col("ts")).as("day"), col("event_type"), col("user_id"))
+      .groupBy("day", "event_type")
+      .agg(hll_sketch_agg(col("user_id"), 14).as("sk"))
+      .write.mode("overwrite").parquet(s"$tmp/daily")
+    val out = spark.read.parquet(s"$tmp/daily")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
+      .localCheckpoint(true)
+    Scratch.delete(tmp)
+    out
+  }
+
   /** COUNT-MIN-SKETCH heavy hitters over document tokens: one
     * map-side-combinable `count_min_sketch` aggregate compresses the
     * whole token stream into a ~1 MB sketch (eps 1e-4, confidence 0.99,

@@ -33,6 +33,15 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("hll rollup from the persisted sketch table equals the in-session rollup") {
+    val mem = graft.operators.Sketches.hllRollup(spark, sf)
+      .select("event_type", "n_days", "est_users").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val saved = graft.operators.Sketches.hllRollupSaved(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(saved == mem)
+  }
+
   test("hll rollup is deterministic across runs") {
     val a = graft.operators.Sketches.hllRollup(spark, sf).collect().toSet
     val b = graft.operators.Sketches.hllRollup(spark, sf).collect().toSet
