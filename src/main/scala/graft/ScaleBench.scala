@@ -50,8 +50,19 @@ object ScaleBench {
     "q_peak_concurrency", "q_audience_overlap", "q_drawdown",
     "q_dedup_embedding_tight",
     // mergeable sketches: the pattern exists FOR scale — the rollup
-    // shuffles only (day,type) sketch rows, the CMS one ~1 MB sketch
-    "q_sketch_rollup", "q_cms_heavy_hitters")
+    // shuffles only (day,type) sketch rows, the CMS one ~1 MB sketch.
+    // The PROBE-ONLY variant is benched (not q_cms_heavy_hitters, whose
+    // 17× r12 ratio measured its test-scale exact audit — a vocabulary-
+    // sized groupBy the 100 TB pattern drops; the audited version keeps
+    // carrying the correctness weight in CORRECTNESS/SketchSpec)
+    "q_sketch_rollup", "q_cms_probe_only",
+    // streaming state-store family: stream-stream inner+outer joins and
+    // the timer sessionizer — RocksDB state scaling was the one
+    // measured-ratio blind spot (events ride per-copy user_id offsets →
+    // 10× disjoint key populations, so state size scales 10× while the
+    // per-key watermark/timer logic is copy-invariant)
+    "q_stream_stream_join", "q_stream_stream_outer",
+    "q_stream_sessions_timers")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -180,11 +180,15 @@ object SparkEntry {
     "q_sql_tpch_q22"  -> SqlInterface.tpchQ22 _,
     "q_sql_tpch_q8"   -> SqlInterface.tpchQ8 _,
     "q_sql_tpch_q9"   -> SqlInterface.tpchQ9 _,
+    "q_sql_tpch_q17"  -> SqlInterface.tpchQ17 _,
+    "q_sql_tpch_q20"  -> SqlInterface.tpchQ20 _,
+    "q_sql_tpch_q21"  -> SqlInterface.tpchQ21 _,
     // mergeable sketches (rows-only: no cross-engine sketch oracle;
     // error floors spec-pinned in SketchSpec)
     "q_sketch_rollup"       -> Sketches.hllRollup _,
     "q_sketch_rollup_saved" -> Sketches.hllRollupSaved _,
     "q_cms_heavy_hitters" -> ((s: SparkSession, d: String) => Sketches.cmsHeavyHitters(s, d)),
+    "q_cms_probe_only"    -> ((s: SparkSession, d: String) => Sketches.cmsHeavyHittersProbeOnly(s, d)),
     "q_fk_audit"      -> Scale.fkAudit _,
     "q_hhi_brand"     -> Breadth.hhiBrand _,
     "q_token_coverage" -> TextAnalysis.tokenCoverage _,
@@ -243,7 +247,9 @@ object SparkEntry {
     "q_knn_classify"    -> ((s: SparkSession, d: String) => Similarity.knnClassify(s, d)),
     "q_knn_classify_ivf" -> ((s: SparkSession, d: String) => Similarity.knnClassifyIvf(s, d)),
     "q_tfidf_terms"     -> ((s: SparkSession, d: String) => TextAnalysis.tfidfTerms(s, d)),
-    "q_tfidf_features"  -> ((s: SparkSession, d: String) => TextAnalysis.tfidfFeatures(s, d)),
+    // the relational, fully-oracled vector assembly; the MLlib
+    // HashingTF/IDF pipeline sibling stays spec-covered (TfidfSpec)
+    "q_tfidf_features"  -> ((s: SparkSession, d: String) => TextAnalysis.tfidfVectors(s, d)),
     "q_stream_stream_join" -> graft.streaming.EventsStream.clickAttribution _,
     "q_stream_stream_outer" -> graft.streaming.EventsStream.clickAttributionOuter _,
     "q_bloom_join"      -> Scale.bloomPrunedJoin _,
@@ -1100,6 +1106,54 @@ object SparkEntry {
         |    AND p_name LIKE '%a%'
         |) profit
         |GROUP BY nation, o_year""".stripMargin,
+    // correlated scalar-agg decorrelation; 0.2*AVG over integral-double
+    // quantities is bit-deterministic, revenue through DECIMAL(18,2)
+    "q_sql_tpch_q17" ->
+      """SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 6) AS avg_yearly,
+        |       COUNT(*) AS n_small_lines
+        |FROM lineitem, part
+        |WHERE p_partkey = l_partkey
+        |  AND p_brand = 'Brand#12'
+        |  AND l_quantity < (SELECT 0.2 * AVG(l_quantity)
+        |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
+    // nested IN + two-key correlated scalar-agg; NULL in-window sums
+    // reject via > in both engines; integral-double quantity sums exact
+    "q_sql_tpch_q20" ->
+      """SELECT s_suppkey AS suppkey, s_name AS name, n_name AS nation
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (
+        |  SELECT ps.l_suppkey
+        |  FROM (SELECT l_suppkey, l_partkey, SUM(l_quantity) AS avail
+        |        FROM lineitem GROUP BY 1, 2) ps
+        |  WHERE ps.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        |    AND ps.avail > (SELECT 2 * SUM(l.l_quantity)
+        |                    FROM lineitem l
+        |                    WHERE l.l_partkey = ps.l_partkey
+        |                      AND l.l_suppkey = ps.l_suppkey
+        |                      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+        |                      AND l.l_shipdate < TIMESTAMP '1997-01-01'))""".stripMargin,
+    // EXISTS/NOT EXISTS self-joins on the fact; returned-line lateness
+    // proxy is lineitem-local like the official receipt>commit; integer
+    // counts with a pinned (numwait desc, name) top-20 frontier
+    "q_sql_tpch_q21" ->
+      """SELECT s_name AS name, COUNT(*) AS numwait
+        |FROM supplier, lineitem l1, orders, nation
+        |WHERE s_suppkey = l1.l_suppkey
+        |  AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |  AND s_nationkey = n_nationkey
+        |  AND n_name = 'NATION_3'
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, name ASC
+        |LIMIT 20""".stripMargin,
     "q_sql_tpch_q13" ->
       """SELECT c_count, COUNT(*) AS custdist
         |FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
@@ -2531,6 +2585,26 @@ object SparkEntry {
         |SELECT query_id, nbr_label AS pred_label, true_label,
         |       CAST(nbr_label = true_label AS INT) AS correct
         |FROM win WHERE vr = 1""".stripMargin,
+    // full l2-normalized tf-idf assembly: raw² rounded 12 dp → exact
+    // DECIMAL(28,12) norm sum, narrowed to 6 dp in the decimal domain
+    // before the double cast, floor-half-up final rounding
+    "q_tfidf_features" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(*) AS dfc FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |         tf.tf * (LN((n.n_docs + 1.0) / (df.dfc + 1.0)) + 1.0) AS raw
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |s2 AS (SELECT doc_id,
+        |              SUM(CAST(ROUND(raw * raw, 12) AS DECIMAL(28,12))) AS s2
+        |       FROM scored GROUP BY 1)
+        |SELECT scored.doc_id, scored.term,
+        |       FLOOR(raw / sqrt(CAST(CAST(ROUND(s2, 6) AS DECIMAL(18,6)) AS DOUBLE)) * 1000000 + 0.5)
+        |         / CAST(1000000 AS DOUBLE) AS weight
+        |FROM scored JOIN s2 USING (doc_id)""".stripMargin,
     "q_tfidf_terms" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

@@ -814,97 +814,6 @@ object Breadth {
         r6((-col("k.neg")).cast("double") / col("nb")).as("peak_mean_dev"))
   }
 
-  /** Distributed NTILE(k) for SEVERAL orderings through ONE exchange —
-    * the global-order-without-a-single-task-sort building block behind
-    * [[rfmSegments]]. Each ordering is given as a monotone DECIMAL
-    * encoding (negate for descending; the entity key breaks ties), the
-    * encodings are STACKED into (metric, value, key) rows, and one
-    * range repartition + one partitioned `row_number` + broadcast
-    * per-partition prefix offsets (a tiny triangular join on the
-    * (partition, metric)-grain count frame) rank every ordering at
-    * once; a keyed pivot returns one tile column per ordering. The
-    * plan holds NO unpartitioned Window or global Sort anywhere
-    * (PlanShapeSpec pins it). Tile boundaries use the standard formula
-    * (first n mod k tiles take ceil(n/k) rows, the rest floor —
-    * identical in Spark and DuckDB), so results match a global
-    * `ntile(k)` bit-for-bit.
-    *
-    * Why stacked: k independent two-pass cumsums each pay a range-
-    * sampling job, an eager materialization and an offsets round —
-    * measured as 3× the fixed cost for RFM's three orderings. Batching
-    * the orderings through one exchange amortizes all of it.
-    *
-    * The ranged frame is localCheckpoint'd before fan-out: its two
-    * consumers (local ranks, partition counts) must observe the SAME
-    * sampled range boundaries, and two independent executions of a
-    * range exchange are not guaranteed identical cut points.
-    * Correctness is boundary-independent anyway (the order is total,
-    * so a row's global position doesn't depend on where ranges were
-    * cut) — the checkpoint removes even the cosmetic risk. */
-  private def withStackedNtiles(df: DataFrame, keyCol: String, k: Int,
-      specs: Seq[(String, Column)]): DataFrame = {
-    val prep = df.select(
-      col(keyCol) +: specs.map { case (n, enc) =>
-        enc.cast(DecimalType(38, 6)).as(s"_v_$n") }: _*)
-    val stacked = prep.selectExpr(keyCol,
-      "stack(" + specs.size + ", " +
-        specs.map { case (n, _) => s"'$n', _v_$n" }.mkString(", ") +
-      ") AS (_metric, _v)")
-    val local = stacked
-      .repartitionByRange(32, col("_metric"), col("_v"), col(keyCol))
-      .withColumn("_pid", spark_partition_id())
-      .withColumn("_lrn", row_number().over(
-        Window.partitionBy("_pid", "_metric").orderBy(col("_v"), col(keyCol))))
-      .localCheckpoint(true)
-    val counts = local.groupBy("_pid", "_metric").agg(count(lit(1)).as("_cnt"))
-    val totals = counts.groupBy("_metric").agg(sum("_cnt").as("_n"))
-    val offs = counts
-      .join(counts.select(col("_metric").as("_metric_b"),
-          col("_pid").as("_pid_b"), col("_cnt").as("_cnt_b")),
-        col("_metric_b") === col("_metric") && (col("_pid_b") < col("_pid")),
-        "left")
-      .groupBy("_pid", "_metric")
-      .agg(coalesce(sum("_cnt_b"), lit(0L)).as("_off"))
-      .join(totals, "_metric")
-    val tiled = local.join(broadcast(offs), Seq("_pid", "_metric"))
-      .withColumn("_i", col("_lrn") + col("_off"))
-      .withColumn("_tile", expr(
-        s"""CAST(CASE WHEN _i <= (_n % $k) * (_n div $k + 1)
-           |     THEN (_i - 1) div (_n div $k + 1) + 1
-           |     ELSE (_n % $k) +
-           |          (_i - 1 - (_n % $k) * (_n div $k + 1))
-           |            div GREATEST(_n div $k, 1) + 1
-           |     END AS INT)""".stripMargin))
-    val firstAgg +: restAgg = specs.map { case (n, _) =>
-      max(when(col("_metric") === n, col("_tile"))).as(n) }
-    tiled.groupBy(keyCol).agg(firstAgg, restAgg: _*)
-  }
-
-  /** Distributed running sum over a total order: per-partition local
-    * running sums + broadcast prefix offsets from per-partition partials
-    * (same triangular-join shape as [[withGlobalOrder]]). DECIMAL
-    * partials keep the two-pass total bit-equal to a global
-    * `sum() OVER (ROWS UNBOUNDED PRECEDING)`. */
-  private def withDistributedRunningSum(
-      df: DataFrame, valCol: Column, outCol: String, order: Column*): DataFrame = {
-    val pw = Window.partitionBy("_pid").orderBy(order: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = df.repartitionByRange(32, order: _*)
-      .withColumn("_pid", spark_partition_id())
-      .withColumn("_v", valCol)
-      .withColumn("_lsum", sum("_v").over(pw))
-      .localCheckpoint(true)
-    val partials = local.groupBy("_pid").agg(sum("_v").as("_psum"))
-    val offs = partials
-      .join(partials.select(col("_pid").as("_pid_b"), col("_psum").as("_psum_b")),
-        col("_pid_b") < col("_pid"), "left")
-      .groupBy("_pid").agg(sum("_psum_b").as("_off"))
-    local.join(broadcast(offs), "_pid")
-      .withColumn(outCol,
-        when(col("_off").isNull, col("_lsum"))
-          .otherwise(col("_lsum") + col("_off")))
-      .drop("_pid", "_v", "_lsum", "_off")
-  }
 
   /** RFM SEGMENTATION — the classic customer scoring: Recency (days
     * since last order), Frequency (order count), Monetary (DECIMAL
@@ -912,7 +821,7 @@ object Breadth {
     * order (metric, custkey). Output: one row per (r, f, m) cell with
     * customer count and revenue share. Scale: one groupBy on custkey
     * collapses the fact table, then ONE stacked
-    * [[withStackedNtiles]] pass ranks all three orderings — a single
+    * [[GlobalOrder.withStackedNtiles]] pass ranks all three orderings — a single
     * range shuffle + partitioned window + broadcast offsets, NO
     * single-task global ntile window (the oracle's NTILE replays the
     * same floor-based row partition, so segment boundaries stay
@@ -935,7 +844,7 @@ object Breadth {
     // recency: smaller = better → ascending encoding so tile 1 = most
     // recent; frequency/monetary negate for descending. All three
     // orderings ride ONE stacked exchange (see withStackedNtiles).
-    val tiles = withStackedNtiles(base, "custkey", 5, Seq(
+    val tiles = GlobalOrder.withStackedNtiles(base, "custkey", 5, Seq(
       ("r", col("recency_days")),
       ("f", -col("n_orders")),
       ("m", -col("revenue"))))
@@ -1087,7 +996,7 @@ object Breadth {
     * the class boundary is decided on identical doubles in both engines.
     * Scale: part-grain pre-aggregate first (fact table collapses in one
     * map-side-combined shuffle); the ranked cumsum is the two-pass
-    * [[withDistributedRunningSum]] — range shuffle + partitioned window
+    * [[GlobalOrder.withDistributedRunningSum]] — range shuffle + partitioned window
     * + broadcast DECIMAL prefix offsets — so even a billion-part frame
     * never funnels through a single-task Sort/Window. */
   def abcClassification(spark: SparkSession, dir: String): DataFrame = {
@@ -1099,7 +1008,7 @@ object Breadth {
       .agg(sum(revDec).as("rev"))
       .localCheckpoint(true)
     val total = rev.agg(sum("rev").as("total_rev"))
-    withDistributedRunningSum(rev, col("rev"), "cum",
+    GlobalOrder.withDistributedRunningSum(rev, col("rev"), "cum",
         col("rev").desc, col("partkey"))
       .crossJoin(broadcast(total))
       .withColumn("cum_share",
@@ -1517,22 +1426,31 @@ object Breadth {
     * result is bit-exact.
     *
     * Scale shape: the ONLY full-data pass is the two-phase distinct
-    * (groupBy(type, value) with map-side combine); every window after
-    * that runs on value-cardinality frames (pooled distinct, per-source
-    * distinct), which stay bounded however large the fact grows. A
-    * row-level quantile norm would need a global sort; the
-    * distinct-value formulation is the one that survives 100 TB.
-    * Output: per type, the normalized distribution's moments (exact
-    * decimal selections, one rounded division). */
+    * (groupBy(type, value) with map-side combine); for continuous
+    * values, though, the distinct pool is ~fact-cardinality, so BOTH
+    * rank passes run through [[GlobalOrder.withGlobalRowNumber]] —
+    * range shuffle + partitioned window + broadcast prefix counts,
+    * never a single-task window. The per-type rank reuses the SAME
+    * machinery rather than `partitionBy(event_type)` (a handful of
+    * types would funnel pool-sized partitions through single tasks):
+    * types are contiguous under the (type, v) total order, so
+    * within-type rank = global rank − the type's min rank, recovered
+    * with one broadcast join. Output: per type, the normalized
+    * distribution's moments (exact decimal selections, one rounded
+    * division). */
   def quantileNorm(spark: SparkSession, dir: String): DataFrame = {
     val vals = Tables.load(spark, dir, "events")
       .select(col("event_type"), col("value").cast(DecimalType(18, 2)).as("v"))
     val srcD = vals.groupBy("event_type", "v").agg(count(lit(1)).as("cnt"))
-    val poolR = vals.select("v").distinct()
-      .withColumn("prn", row_number().over(Window.orderBy("v")) - 1)
+    val poolR = GlobalOrder
+      .withGlobalRowNumber(vals.select("v").distinct(), "_prn1", col("v"))
+      .withColumn("prn", col("_prn1") - 1).drop("_prn1")
     val nPool = poolR.agg(max("prn").as("maxp"))
-    val srcR = srcD.withColumn("srn",
-      row_number().over(Window.partitionBy("event_type").orderBy("v")) - 1)
+    val srcRn = GlobalOrder
+      .withGlobalRowNumber(srcD, "_rn", col("event_type"), col("v"))
+    val typeBase = srcRn.groupBy("event_type").agg(min("_rn").as("_base"))
+    val srcR = srcRn.join(broadcast(typeBase), "event_type")
+      .withColumn("srn", col("_rn") - col("_base")).drop("_rn", "_base")
     val nSrc = srcR.groupBy("event_type").agg(max("srn").as("maxs"))
     val mapped = srcR.join(broadcast(nSrc), "event_type")
       .crossJoin(broadcast(nPool))
@@ -1547,14 +1465,22 @@ object Breadth {
       max("v_norm").cast("double").as("norm_max"))
   }
 
+  /** PARETO FRONTIER over (price, size): the parts not dominated by any
+    * cheaper-or-equal part of larger-or-equal size — a strict running-max
+    * scan up the exact-decimal price order after a max-size-per-price
+    * pre-prune. Scale: the pre-prune collapses the fact to
+    * price-cardinality in one map-side-combinable shuffle; the frontier
+    * scan is [[GlobalOrder.withDistributedRunningMaxPrev]] — range
+    * shuffle + partitioned strict-prefix window + broadcast per-partition
+    * max offsets — so even a billion-price frame never funnels through a
+    * single-task Sort/Window. */
   def paretoFrontier(spark: SparkSession, dir: String): DataFrame = {
     val best = Tables.load(spark, dir, "part")
       .select(col("p_retailprice").cast(DecimalType(18, 2)).as("price"),
         col("p_size").as("sz"))
       .groupBy("price").agg(max("sz").as("sz"))
-    val w = Window.orderBy(col("price").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    best.withColumn("prev_max", max("sz").over(w))
+    GlobalOrder
+      .withDistributedRunningMaxPrev(best, col("sz"), "prev_max", col("price").asc)
       .filter(col("prev_max").isNull || col("sz") > col("prev_max"))
       .select(col("price").cast("double").as("price"), col("sz"))
   }

@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Distributed GLOBAL-ORDER machinery — rank/ntile/running-aggregate over
+  * a total order WITHOUT a single-task window or global sort. Every
+  * helper here plans the same two-pass shape:
+  *
+  *   1. `repartitionByRange` on the ordering (each partition holds a
+  *      contiguous range of the total order),
+  *   2. a PARTITIONED window computes the local rank / running value,
+  *   3. per-partition partials (counts / sums / maxes — one tiny row per
+  *      partition) are joined triangularly into prefix offsets and
+  *      BROADCAST back,
+  *   4. local + offset = the exact global value.
+  *
+  * The ranged frame is `localCheckpoint`'d before fan-out: its two
+  * consumers (local window, partition partials) must observe the SAME
+  * sampled range boundaries, and two independent executions of a range
+  * exchange are not guaranteed identical cut points. Correctness is
+  * boundary-independent anyway (the order is total, so a row's global
+  * position doesn't depend on where ranges were cut) — the checkpoint
+  * removes even the cosmetic risk, and it also stops the range
+  * partitioner's sampling job from re-running lazy upstream aggregates
+  * (measured 3-4× re-execution without it; see PLANS.md).
+  *
+  * At 100 TB this is the ONLY acceptable shape for global order: the
+  * per-partition offset frame stays one row per partition however large
+  * the data grows, while `Window.orderBy(...)` with no partition spec
+  * funnels the whole frame through one task.
+  *
+  * Callers must supply a TOTAL order (break ties with the entity key):
+  * with ties, local ranks near a range boundary would depend on the
+  * sampled cut points.
+  */
+private[graft] object GlobalOrder {
+
+  /** The standard NTILE(k) row partition (first n mod k tiles take
+    * ⌈n/k⌉ rows, the rest ⌊n/k⌋ — identical in Spark and DuckDB) as a
+    * SQL expression over a 1-based global position `i` and total `n`,
+    * so callers that already hold distributed global positions can cut
+    * tiles arithmetically instead of windowing. */
+  def ntileExpr(iCol: String, nCol: String, k: Int): Column = expr(
+    s"""CAST(CASE WHEN $iCol <= ($nCol % $k) * ($nCol div $k + 1)
+       |     THEN ($iCol - 1) div ($nCol div $k + 1) + 1
+       |     ELSE ($nCol % $k) +
+       |          ($iCol - 1 - ($nCol % $k) * ($nCol div $k + 1))
+       |            div GREATEST($nCol div $k, 1) + 1
+       |     END AS INT)""".stripMargin)
+
+  /** Distributed NTILE(k) for SEVERAL orderings through ONE exchange.
+    * Each ordering is given as a monotone DECIMAL encoding (negate for
+    * descending; the entity key breaks ties), the encodings are STACKED
+    * into (metric, value, key) rows, and one range repartition + one
+    * partitioned `row_number` + broadcast per-partition prefix offsets
+    * rank every ordering at once; a keyed pivot returns one tile column
+    * per ordering. Results match a global `ntile(k)` bit-for-bit.
+    *
+    * Why stacked: k independent two-pass cumsums each pay a range-
+    * sampling job, an eager materialization and an offsets round —
+    * measured as 3× the fixed cost for RFM's three orderings. Batching
+    * the orderings through one exchange amortizes all of it.
+    *
+    * EXACTNESS PRECONDITION: encodings are compared as DECIMAL(38,6) —
+    * six fractional digits. Integral and ≤6-dp-decimal encodings (every
+    * current caller: day counts, order counts, 2-dp money, doc ids) are
+    * preserved exactly; an encoding with more fractional precision
+    * (e.g. a raw double metric) would be silently quantized, merging
+    * near-ties and shifting tile boundaries relative to the true
+    * ordering. Pre-round such a metric to 6 dp explicitly (making the
+    * tie its own, visible decision) before passing it here. */
+  def withStackedNtiles(df: DataFrame, keyCol: String, k: Int,
+      specs: Seq[(String, Column)]): DataFrame = {
+    val prep = df.select(
+      col(keyCol) +: specs.map { case (n, enc) =>
+        enc.cast(DecimalType(38, 6)).as(s"_v_$n") }: _*)
+    val stacked = prep.selectExpr(keyCol,
+      "stack(" + specs.size + ", " +
+        specs.map { case (n, _) => s"'$n', _v_$n" }.mkString(", ") +
+      ") AS (_metric, _v)")
+    val local = stacked
+      .repartitionByRange(32, col("_metric"), col("_v"), col(keyCol))
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_lrn", row_number().over(
+        Window.partitionBy("_pid", "_metric").orderBy(col("_v"), col(keyCol))))
+      .localCheckpoint(true)
+    val counts = local.groupBy("_pid", "_metric").agg(count(lit(1)).as("_cnt"))
+    val totals = counts.groupBy("_metric").agg(sum("_cnt").as("_n"))
+    val offs = counts
+      .join(counts.select(col("_metric").as("_metric_b"),
+          col("_pid").as("_pid_b"), col("_cnt").as("_cnt_b")),
+        col("_metric_b") === col("_metric") && (col("_pid_b") < col("_pid")),
+        "left")
+      .groupBy("_pid", "_metric")
+      .agg(coalesce(sum("_cnt_b"), lit(0L)).as("_off"))
+      .join(totals, "_metric")
+    val tiled = local.join(broadcast(offs), Seq("_pid", "_metric"))
+      .withColumn("_i", col("_lrn") + col("_off"))
+      .withColumn("_tile", ntileExpr("_i", "_n", k))
+    val firstAgg +: restAgg = specs.map { case (n, _) =>
+      max(when(col("_metric") === n, col("_tile"))).as(n) }
+    tiled.groupBy(keyCol).agg(firstAgg, restAgg: _*)
+  }
+
+  /** Distributed global `row_number()` over a total order: range
+    * repartition + partitioned local row_number + broadcast prefix
+    * COUNTS. `outCol` is 1-based, bit-equal to
+    * `row_number() OVER (ORDER BY order...)`. The vocabulary-rank /
+    * distinct-value-rank workhorse: at 100 TB the ranked frame may hold
+    * ~10⁸ rows, which a single-task window cannot. */
+  def withGlobalRowNumber(df: DataFrame, outCol: String, order: Column*): DataFrame = {
+    val local = df.repartitionByRange(32, order: _*)
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_lrn", row_number().over(
+        Window.partitionBy("_pid").orderBy(order: _*)))
+      .localCheckpoint(true)
+    val counts = local.groupBy("_pid").agg(count(lit(1)).as("_cnt"))
+    val offs = counts
+      .join(counts.select(col("_pid").as("_pid_b"), col("_cnt").as("_cnt_b")),
+        col("_pid_b") < col("_pid"), "left")
+      .groupBy("_pid").agg(coalesce(sum("_cnt_b"), lit(0L)).as("_off"))
+    local.join(broadcast(offs), "_pid")
+      .withColumn(outCol, col("_lrn") + col("_off"))
+      .drop("_pid", "_lrn", "_off")
+  }
+
+  /** Distributed running sum over a total order: per-partition local
+    * running sums + broadcast prefix offsets from per-partition partials
+    * (same triangular-join shape as [[withGlobalRowNumber]]'s counts).
+    * DECIMAL partials keep the two-pass total bit-equal to a global
+    * `sum() OVER (ROWS UNBOUNDED PRECEDING)`. */
+  def withDistributedRunningSum(
+      df: DataFrame, valCol: Column, outCol: String, order: Column*): DataFrame = {
+    val pw = Window.partitionBy("_pid").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = df.repartitionByRange(32, order: _*)
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_v", valCol)
+      .withColumn("_lsum", sum("_v").over(pw))
+      .localCheckpoint(true)
+    val partials = local.groupBy("_pid").agg(sum("_v").as("_psum"))
+    val offs = partials
+      .join(partials.select(col("_pid").as("_pid_b"), col("_psum").as("_psum_b")),
+        col("_pid_b") < col("_pid"), "left")
+      .groupBy("_pid").agg(sum("_psum_b").as("_off"))
+    local.join(broadcast(offs), "_pid")
+      .withColumn(outCol,
+        when(col("_off").isNull, col("_lsum"))
+          .otherwise(col("_lsum") + col("_off")))
+      .drop("_pid", "_v", "_lsum", "_off")
+  }
+
+  /** Distributed STRICT-PREFIX running max (`max() OVER (ORDER BY ...
+    * ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)`): the
+    * frontier-scan shape. Local prev-row running max per range
+    * partition; the offset is the plain max of every PRECEDING
+    * partition's total max (all of a preceding partition's rows precede
+    * every local row, so the strict-prefix distinction only matters
+    * inside the local window). `greatest` skips nulls, so a partition's
+    * first row (null local prev-max) inherits the offset alone, and the
+    * global first row stays null — bit-equal to the single-task
+    * window's frame. */
+  def withDistributedRunningMaxPrev(
+      df: DataFrame, valCol: Column, outCol: String, order: Column*): DataFrame = {
+    val pw = Window.partitionBy("_pid").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = df.repartitionByRange(32, order: _*)
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_v", valCol)
+      .withColumn("_lmax", max("_v").over(pw))
+      .localCheckpoint(true)
+    val partials = local.groupBy("_pid").agg(max("_v").as("_pmax"))
+    val offs = partials
+      .join(partials.select(col("_pid").as("_pid_b"), col("_pmax").as("_pmax_b")),
+        col("_pid_b") < col("_pid"), "left")
+      .groupBy("_pid").agg(max("_pmax_b").as("_off"))
+    local.join(broadcast(offs), "_pid")
+      .withColumn(outCol, greatest(col("_lmax"), col("_off")))
+      .drop("_pid", "_v", "_lmax", "_off")
+  }
+}

@@ -371,6 +371,98 @@ object SqlInterface {
         |GROUP BY c_nationkey""".stripMargin)
   }
 
+  /** TPC-H Q17 (small-quantity-order revenue) via SQL text — THE
+    * correlated scalar-aggregate subquery benchmark shape: each
+    * lineitem compares its quantity against 0.2× the MEAN QUANTITY OF
+    * ITS OWN PART. Catalyst must decorrelate this into one per-part
+    * aggregate joined back to the fact (PlanShapeSpec pins the
+    * Aggregate-under-Join shape) — naively it is one aggregate query
+    * per row. The brand filter stands in for the official
+    * brand+container pair (no p_container column in this testdata).
+    * Quantities are integral doubles → their sums and the single
+    * 0.2×(sum/count) division are bit-deterministic in both engines;
+    * revenue sums ride DECIMAL(18,2) with one final /7.0 double. */
+  def tpchQ17(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(
+      """SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 6) AS avg_yearly,
+        |       COUNT(*) AS n_small_lines
+        |FROM lineitem, part
+        |WHERE p_partkey = l_partkey
+        |  AND p_brand = 'Brand#12'
+        |  AND l_quantity < (SELECT 0.2 * AVG(l_quantity)
+        |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin)
+  }
+
+  /** TPC-H Q20 (potential part promotion) via SQL text, adapted: the
+    * NESTED-subquery chain — an IN over a grouped derived table, which
+    * itself holds an IN (part-name LIKE prune) AND a two-key correlated
+    * scalar-aggregate comparison. The testdata has no
+    * partsupp.ps_availqty, so "availability" is the supplier's all-time
+    * shipped quantity of the part (the same (suppkey, partkey) grain)
+    * and a supplier qualifies when that stock exceeds 2× what it
+    * shipped inside the target year — preserving Q20's defining
+    * decorrelation work: Catalyst must turn the correlated SUM into a
+    * per-(part, supplier) aggregate joined on BOTH keys, plan both INs
+    * as semi-joins, and keep the date range pushed into the inner scan.
+    * Quantity sums are integral doubles → exact; a part never shipped
+    * in-window yields a NULL subquery, which the > comparison rejects
+    * in both engines. */
+  def tpchQ20(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(
+      """SELECT s_suppkey AS suppkey, s_name AS name, n_name AS nation
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (
+        |  SELECT ps.l_suppkey
+        |  FROM (SELECT l_suppkey, l_partkey, SUM(l_quantity) AS avail
+        |        FROM lineitem GROUP BY 1, 2) ps
+        |  WHERE ps.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        |    AND ps.avail > (SELECT 2 * SUM(l.l_quantity)
+        |                    FROM lineitem l
+        |                    WHERE l.l_partkey = ps.l_partkey
+        |                      AND l.l_suppkey = ps.l_suppkey
+        |                      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+        |                      AND l.l_shipdate < TIMESTAMP '1997-01-01'))""".stripMargin)
+  }
+
+  /** TPC-H Q21 (suppliers who kept orders waiting) via SQL text,
+    * adapted: the multi-way EXISTS / NOT EXISTS self-join on the fact
+    * table — the hardest decorrelation shape in the suite (two
+    * correlated subqueries against the SAME table as the outer block,
+    * one positive, one negated, both with an inequality on a second
+    * column). "Late" is proxied by `l_returnflag = 'R'` (the testdata
+    * has no commit/receipt dates; a RETURNED line is lineitem-local
+    * exactly like the official receipt>commit predicate): count, per
+    * supplier of one nation, its returned lines in finished
+    * multi-supplier orders where it was the ONLY supplier with a
+    * return. Catalyst must plan the EXISTS as a left-semi and the NOT
+    * EXISTS as a left-anti join on o_orderkey (PlanShapeSpec pins
+    * both); the final top-20 is a TakeOrderedAndProject. All-integer
+    * counts → bit-exact. */
+  def tpchQ21(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(
+      """SELECT s_name AS name, COUNT(*) AS numwait
+        |FROM supplier, lineitem l1, orders, nation
+        |WHERE s_suppkey = l1.l_suppkey
+        |  AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |  AND s_nationkey = n_nationkey
+        |  AND n_name = 'NATION_3'
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, name ASC
+        |LIMIT 20""".stripMargin)
+  }
+
   /** LATERAL correlated subquery via SQL text: each region's top-2
     * customers by balance — the top-N-per-group idiom written the way a
     * SQL user writes it (Catalyst rewrites the correlated LIMIT into a
@@ -427,8 +519,15 @@ object SqlInterface {
   * eager localCheckpoint of the join makes deletion safe).
   */
 private[operators] object Scratch {
+  // Per-PROCESS root: two concurrent drivers running the same round-trip
+  // query must not overwrite/delete each other's scratch files mid-read
+  // (the subdir names are query-fixed: 'csv', 'fmt', 'hll_sketches').
+  // Within one JVM the root is stable, so repeated bench runs reuse the
+  // same dirs; callers still delete their subdir once the round-trip
+  // result is materialized, so per-process roots don't accumulate data.
   private val root =
-    java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_scratch")
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_scratch_p${ProcessHandle.current().pid()}")
 
   def dir(name: String): String = {
     val p = root.resolve(name)

@@ -239,6 +239,49 @@ object TextAnalysis {
         expr("array_position(arr, array_max(arr)) - 1").cast("int").as("argmax_bucket"))
   }
 
+  /** L2-NORMALIZED TF-IDF VECTORS, relationally assembled — the FULL
+    * per-document feature vector the top-5 [[tfidfTerms]] view only
+    * samples, emitted as its unnested sparse representation
+    * (doc_id, term, weight) with Σ weight² = 1 per doc. This is the
+    * exact-arithmetic sibling of the MLlib [[tfidfFeatures]] pipeline
+    * (which hashes terms into buckets and is therefore only
+    * spec-checkable): every number here is DuckDB-replicable, so the
+    * whole featurization is oracle-checked end to end.
+    *
+    * Float discipline: tf·idf products are fixed-shape doubles (the
+    * [[tfidfTerms]] precedent); the per-doc norm sums raw² rounded
+    * 12 dp as DECIMAL(28,12) (exact, order-independent), is narrowed
+    * to 6 dp IN THE DECIMAL DOMAIN before the double cast (a
+    * DECIMAL(28,12) unscaled value can exceed 2⁵³, where the
+    * decimal→double cast rounds differently per engine — PLANS.md
+    * float-boundary lesson #1), and the final ratio goes through
+    * floor(x·1e6 + 0.5)/1e6 half-up rounding (lesson #3: ROUND(double)
+    * midpoint divergence). Scale shape: one corpus-sized (doc, term)
+    * aggregate, one vocabulary-sized doc-frequency re-aggregate with a
+    * broadcast 1-row total, one doc-keyed norm re-aggregate — two
+    * data-sized shuffles (term join, doc join), no windows, no driver
+    * state. */
+  def tfidfVectors(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val docs = Tables.load(spark, dir, "documents")
+    val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfc"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("raw",
+        col("tf") * (log((col("n_docs") + lit(1.0)) / (col("dfc") + lit(1.0))) + lit(1.0)))
+    val norms = scored
+      .select(col("doc_id"),
+        round(col("raw") * col("raw"), 12).cast(DecimalType(28, 12)).as("r2"))
+      .groupBy("doc_id").agg(sum("r2").as("s2"))
+    scored.join(norms, "doc_id")
+      .withColumn("nrm", sqrt(round(col("s2"), 6).cast("double")))
+      .select(col("doc_id"), col("term"),
+        (floor(col("raw") / col("nrm") * lit(1e6) + lit(0.5)) / lit(1e6)).as("weight"))
+  }
+
   /** Content fingerprinting (fully oracle-checked):
     *   - `kr_fp`: Karp–Rabin polynomial rolling hash of the token stream;
     *   - `winnow`: winnowing sketch — min-hash of each 5-wide window over
@@ -1037,10 +1080,13 @@ object TextAnalysis {
     * top `k` tokens by frequency (freq desc, token asc tiebreak — the
     * candidates a sampler actually draws). Scale shape: one
     * token-keyed count with map-side partials (vocabulary-sized, not
-    * corpus-sized), a global top-k, and a broadcast total.
-    * Float discipline: weights are 6-dp-rounded doubles summed as
-    * DECIMAL(18,6) — exact and order-independent — with one double
-    * division at the end. */
+    * corpus-sized), then `orderBy + limit` — planned as
+    * TakeOrderedAndProject (per-partition k-row heaps + one k-row
+    * driver merge), NEVER a global row_number window, which would sort
+    * the whole ~10⁸-type vocabulary in one task to keep 50 rows — and
+    * a broadcast total. Float discipline: weights are 6-dp-rounded
+    * doubles summed as DECIMAL(18,6) — exact and order-independent —
+    * with one double division at the end. */
   def negSamplingTable(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val freqs = Tables.load(spark, dir, "documents")
@@ -1048,9 +1094,7 @@ object TextAnalysis {
       .groupBy("token").agg(count(lit(1)).as("freq"))
       .withColumn("w", round(pow(col("freq").cast("double"), 0.75), 6)
         .cast(DecimalType(18, 6)))
-    val wQ = Window.orderBy(col("freq").desc, col("token").asc)
-    val top = freqs.withColumn("rk", row_number().over(wQ))
-      .filter(col("rk") <= k)
+    val top = freqs.orderBy(col("freq").desc, col("token").asc).limit(k)
     val tot = top.agg(sum("w").as("w_tot"))
     top.crossJoin(broadcast(tot))
       .select(col("token"), col("freq"),
@@ -1129,12 +1173,25 @@ object TextAnalysis {
     * Each token type is attributed to the decile of its FIRST document
     * (one min-aggregate over the token postings — no cumulative
     * distinct-count window, which wouldn't scale); cumulative sums then
-    * run over the 10-row decile frame. All integers → bit-exact. */
+    * run over the 10-row decile frame. All integers → bit-exact.
+    *
+    * Decile assignment is the other scale hazard: `ntile(10)` over an
+    * unpartitioned doc_id window funnels the CORPUS-sized doc frame
+    * through one task. Instead the doc frame gets a distributed global
+    * row_number ([[GlobalOrder.withGlobalRowNumber]]: range shuffle +
+    * partitioned window + broadcast prefix counts) and the decile is cut
+    * arithmetically from (position, total) with the standard NTILE row
+    * partition ([[GlobalOrder.ntileExpr]]) — bit-identical boundaries,
+    * no single-task window anywhere. */
   def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("t"))
-    val dec = docs.select(col("doc_id"), size(col("t")).as("n_toks"))
-      .withColumn("decile", ntile(10).over(Window.orderBy("doc_id")))
+    val ranked = GlobalOrder.withGlobalRowNumber(
+      docs.select(col("doc_id"), size(col("t")).as("n_toks")), "_i", col("doc_id"))
+    val nDocs = ranked.agg(count(lit(1)).as("_n"))
+    val dec = ranked.crossJoin(broadcast(nDocs))
+      .withColumn("decile", GlobalOrder.ntileExpr("_i", "_n", 10))
+      .drop("_i", "_n")
     val firstOcc = docs.select(col("doc_id"), explode(col("t")).as("w"))
       .groupBy("w").agg(min("doc_id").as("first_doc"))
     val newTypes = firstOcc
@@ -1174,18 +1231,25 @@ object TextAnalysis {
     * most frequent types account for, at k ∈ {10, 20, 50}: the
     * Zipf-mass curve that sizes a tokenizer's core vocabulary (and the
     * complement of [[oovRate]]: coverage(k) = 1 − oov at vocab k).
-    * Vocabulary-sized count with map-side partials, one global top-k
-    * window over the vocabulary frame, broadcast 1-row total; integer
+    * Vocabulary-sized count with map-side partials; the top-k head is
+    * `orderBy + limit(max k)` — TakeOrderedAndProject, per-partition
+    * 50-row heaps + one 50-row driver merge — and the row_number that
+    * labels ranks runs over THAT 50-row head only (the
+    * [[graft.operators.Similarity]] hybridSearch pattern), never over
+    * the full ~10⁸-type vocabulary; broadcast 1-row total; integer
     * sums, one rounded division per k. */
   def tokenCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val kVals = Seq(10, 20, 50)
     val freqs = Tables.load(spark, dir, "documents")
       .select(explode(split(col("text"), " ")).as("token"))
       .groupBy("token").agg(count(lit(1)).as("freq"))
-    val ranked = freqs.withColumn("rk",
-      row_number().over(Window.orderBy(col("freq").desc, col("token").asc)))
+    val ranked = freqs
+      .orderBy(col("freq").desc, col("token").asc).limit(kVals.max)
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("freq").desc, col("token").asc)))
     val total = freqs.agg(sum("freq").as("total_tokens"))
-    val ks = spark.range(0, 3).select(
-      element_at(array(lit(10), lit(20), lit(50)), (col("id") + 1).cast("int")).as("k"))
+    val ks = spark.range(0, kVals.size).select(
+      element_at(array(kVals.map(lit(_)): _*), (col("id") + 1).cast("int")).as("k"))
     ranked.join(broadcast(ks), col("rk") <= col("k"))
       .groupBy("k")
       .agg(sum("freq").as("covered_tokens"))
@@ -1202,14 +1266,19 @@ object TextAnalysis {
     * a tiny head dominates. Closed-form least squares on exact sums
     * (the `Breadth.trendSlope` discipline): ln terms and their products
     * rounded 12 dp, summed as DECIMAL(28,12), one fixed-shape double
-    * expression at the end. Vocabulary-sized frames throughout. */
+    * expression at the end. Vocabulary-sized frames throughout — and
+    * unlike [[tokenCoverage]], the regression needs EVERY type's rank,
+    * so the ranking runs through the distributed two-pass
+    * [[GlobalOrder.withGlobalRowNumber]] (range shuffle + partitioned
+    * window + broadcast prefix counts), not a single-task global
+    * row_number over the ~10⁸-type vocabulary. */
   def zipfSlope(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val freqs = Tables.load(spark, dir, "documents")
       .select(explode(split(col("text"), " ")).as("token"))
       .groupBy("token").agg(count(lit(1)).as("freq"))
-    val r = freqs.withColumn("rk",
-      row_number().over(Window.orderBy(col("freq").desc, col("token").asc)))
+    val r = GlobalOrder.withGlobalRowNumber(
+      freqs, "rk", col("freq").desc, col("token").asc)
     val t = r.select(
         round(log(col("rk").cast("double")), 12).as("x"),
         round(log(col("freq").cast("double")), 12).as("y"))

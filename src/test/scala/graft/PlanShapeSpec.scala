@@ -99,6 +99,92 @@ class PlanShapeSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("tpch q17 decorrelates the scalar-agg subquery into a per-part aggregate join") {
+    // the correlated 0.2*AVG must become ONE aggregate over lineitem
+    // joined back on l_partkey — never a per-row re-aggregation
+    val df = graft.operators.SqlInterface.tpchQ17(spark, sf)
+    val optimized = df.queryExecution.optimizedPlan
+    val aggUnderJoin = optimized.collect { case j: Join => j }.exists(_.exists {
+      case a: Aggregate => a.groupingExpressions.nonEmpty
+      case _ => false
+    })
+    assert(aggUnderJoin, s"no grouped Aggregate under a Join (decorrelation failed):\n$optimized")
+    assert(df.count() == 1)
+  }
+
+  test("tpch q21 plans EXISTS as left-semi and NOT EXISTS as left-anti joins") {
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    val df = graft.operators.SqlInterface.tpchQ21(spark, sf)
+    val optimized = df.queryExecution.optimizedPlan
+    val semis = optimized.collect { case j: Join if j.joinType == LeftSemi => j }
+    val antis = optimized.collect { case j: Join if j.joinType == LeftAnti => j }
+    assert(semis.nonEmpty, s"no LeftSemi join in Q21 plan:\n$optimized")
+    assert(antis.nonEmpty, s"no LeftAnti join in Q21 plan:\n$optimized")
+    assert(df.count() > 0)
+  }
+
+  test("zipf/quantile-norm/pareto plans hold no unpartitioned Window and no global Sort") {
+    // the round-12 rfm/abc defect class, propagated: vocabulary- and
+    // value-grain global ranks must ride the GlobalOrder two-pass (range
+    // shuffle + partitioned window + broadcast offsets), never a
+    // single-task Window/Sort. The partitioned local windows live behind
+    // a localCheckpoint, so the observable plan must be window-free.
+    import org.apache.spark.sql.catalyst.plans.logical.{Sort => LSort, Window => LWindow}
+    for (df <- Seq(
+        graft.operators.TextAnalysis.zipfSlope(spark, sf),
+        graft.operators.Breadth.quantileNorm(spark, sf),
+        graft.operators.Breadth.paretoFrontier(spark, sf))) {
+      val optimized = df.queryExecution.optimizedPlan
+      val globalWindows = optimized.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      assert(globalWindows.isEmpty, s"unpartitioned window:\n$optimized")
+      val globalSorts = optimized.collect { case s: LSort if s.global => s }
+      assert(globalSorts.isEmpty, s"global sort:\n$optimized")
+      assert(df.count() > 0)
+    }
+  }
+
+  test("vocab growth cuts deciles arithmetically — global windows only over the decile rollup") {
+    // the corpus-sized doc frame must NOT flow through an unpartitioned
+    // ntile window; the only global windows allowed are the cumulative
+    // sums over the 10-row decile aggregate
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = graft.operators.TextAnalysis.vocabGrowth(spark, sf)
+    val optimized = df.queryExecution.optimizedPlan
+    val globalWindows = optimized.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    globalWindows.foreach { w =>
+      assert(w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+        s"global window over non-aggregated input:\n$w")
+    }
+    assert(df.count() == 10)
+  }
+
+  test("neg-sampling and token-coverage top-k plans as TakeOrderedAndProject, not a vocabulary window") {
+    // both only need a ≤50-row head: the plan must carry per-partition
+    // top-k heaps + one k-row driver merge (TakeOrderedAndProject); the
+    // rank window in tokenCoverage may run only over that bounded head
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Window => LWindow}
+    for (df <- Seq(
+        graft.operators.TextAnalysis.negSamplingTable(spark, sf),
+        graft.operators.TextAnalysis.tokenCoverage(spark, sf))) {
+      val physical = df.queryExecution.executedPlan.toString
+      assert(physical.contains("TakeOrderedAndProject"),
+        s"no TakeOrderedAndProject in top-k plan:\n$physical")
+      val optimized = df.queryExecution.optimizedPlan
+      val globalWindows = optimized.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      globalWindows.foreach { w =>
+        assert(w.child.collectFirst { case l: GlobalLimit => l }.nonEmpty,
+          s"global window over un-limited input:\n$w")
+      }
+      assert(df.count() > 0)
+    }
+  }
+
   test("token budget windows partition by band — no corpus-sized global window") {
     // the only un-partitioned window may run over the ≤21-row band
     // rollup; every corpus-sized window must carry a partition spec

@@ -26,10 +26,15 @@ class SketchSpec extends SparkSpec {
       val est = r.getAs[Long]("est_cnt")
       val n = r.getAs[Long]("n_tokens")
       assert(est >= exact, s"CMS undercount on ${r.getAs[String]("token")}: $est < $exact")
-      // eps = 1e-4 at 0.99 confidence; 20 probes ⇒ a deterministic-seed
-      // violation here means the sketch parameters or probe are wrong
-      assert(est <= exact + (1e-4 * n).toLong + 1,
-        s"CMS overcount beyond eps*N on ${r.getAs[String]("token")}: $est vs $exact (N=$n)")
+      // eps = 1e-4; the 0.99-confidence bound is est <= exact + eps*N PER
+      // probe, so across 20 probes the a-priori pass chance is only
+      // ~0.99^20 ≈ 82%. The fixed seed makes the current testdata
+      // deterministic, but a fixture REGENERATION could legitimately land
+      // in the unlucky tail without any code bug — hence 2× slack (heavy
+      // hitters sit far below even eps*N in practice; a real parameter or
+      // probe bug overshoots by orders of magnitude, not 2×).
+      assert(est <= exact + 2 * (1e-4 * n).toLong + 1,
+        s"CMS overcount beyond 2*eps*N on ${r.getAs[String]("token")}: $est vs $exact (N=$n)")
     }
   }
 
