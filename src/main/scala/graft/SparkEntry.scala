@@ -183,6 +183,10 @@ object SparkEntry {
     "q_sql_tpch_q17"  -> SqlInterface.tpchQ17 _,
     "q_sql_tpch_q20"  -> SqlInterface.tpchQ20 _,
     "q_sql_tpch_q21"  -> SqlInterface.tpchQ21 _,
+    "q_sql_tpch_q2"   -> SqlInterface.tpchQ2 _,
+    "q_sql_tpch_q11"  -> SqlInterface.tpchQ11 _,
+    "q_sql_tpch_q12"  -> SqlInterface.tpchQ12 _,
+    "q_sql_tpch_q15"  -> SqlInterface.tpchQ15 _,
     // mergeable sketches (rows-only: no cross-engine sketch oracle;
     // error floors spec-pinned in SketchSpec)
     "q_sketch_rollup"       -> Sketches.hllRollup _,
@@ -1106,6 +1110,72 @@ object SparkEntry {
         |    AND p_name LIKE '%a%'
         |) profit
         |GROUP BY nation, o_year""".stripMargin,
+    // correlated scalar-MIN over a shared derived cost table; raw IEEE
+    // unit costs — MIN + equality are exact selections in both engines
+    "q_sql_tpch_q2" ->
+      """WITH cost AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         MIN(l_extendedprice / l_quantity) AS unit_cost
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT s_acctbal, s_name AS name, n_name AS nation,
+        |       p_partkey AS partkey, unit_cost
+        |FROM part, cost, supplier, nation, region
+        |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        |  AND p_size = 30
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'EUROPE'
+        |  AND unit_cost = (SELECT MIN(c2.unit_cost)
+        |                   FROM cost c2, supplier s2, nation n2, region r2
+        |                   WHERE c2.l_partkey = p_partkey
+        |                     AND c2.l_suppkey = s2.s_suppkey
+        |                     AND s2.s_nationkey = n2.n_nationkey
+        |                     AND n2.n_regionkey = r2.r_regionkey
+        |                     AND r2.r_name = 'EUROPE')
+        |ORDER BY s_acctbal DESC, name, partkey
+        |LIMIT 100""".stripMargin,
+    // HAVING vs an uncorrelated scalar subquery; both sides stay
+    // DECIMAL-exact through the threshold compare
+    "q_sql_tpch_q11" ->
+      """SELECT l_partkey AS partkey,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS value
+        |FROM lineitem, supplier, nation
+        |WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |  AND n_name = 'NATION_5'
+        |GROUP BY l_partkey
+        |HAVING SUM(CAST(l_extendedprice AS DECIMAL(18,2))) > (
+        |  SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 0.001
+        |  FROM lineitem, supplier, nation
+        |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |    AND n_name = 'NATION_5')""".stripMargin,
+    // two-branch conditional aggregation over the late-line join;
+    // all-integer counts
+    "q_sql_tpch_q12" ->
+      """SELECT l_linestatus AS linestatus,
+        |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders, lineitem
+        |WHERE o_orderkey = l_orderkey
+        |  AND l_shipdate >= o_orderdate + INTERVAL 90 DAY
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1""".stripMargin,
+    // view-maximum: the revenue CTE joins once and feeds an uncorrelated
+    // scalar MAX; DECIMAL equality keeps ties engine-independent
+    "q_sql_tpch_q15" ->
+      """WITH revenue0 AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey AS suppkey, s_name AS name,
+        |       CAST(total_revenue AS DOUBLE) AS total_revenue
+        |FROM supplier, revenue0
+        |WHERE s_suppkey = supplier_no
+        |  AND total_revenue = (SELECT MAX(total_revenue) FROM revenue0)""".stripMargin,
     // correlated scalar-agg decorrelation; 0.2*AVG over integral-double
     // quantities is bit-deterministic, revenue through DECIMAL(18,2)
     "q_sql_tpch_q17" ->

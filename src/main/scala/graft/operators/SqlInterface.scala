@@ -463,6 +463,122 @@ object SqlInterface {
         |LIMIT 20""".stripMargin)
   }
 
+  /** TPC-H Q2 (minimum-cost supplier) via SQL text, adapted: the
+    * correlated scalar-MIN subquery over a shared derived cost table —
+    * for each part of one size, the EUROPE supplier(s) whose unit cost
+    * equals the region-wide minimum for that part. partsupp has no
+    * testdata counterpart, so unit cost is MIN(l_extendedprice /
+    * l_quantity) at the (part, supplier) grain — same grain as
+    * ps_supplycost, derived from the fact. The defining optimizer work
+    * survives intact: the correlated MIN decorrelates into a per-part
+    * aggregate over the region-pruned cost table joined back on
+    * p_partkey, the region/nation dims broadcast on BOTH sides, and
+    * the top-100 is a TakeOrderedAndProject over a pinned
+    * (acctbal desc, name, partkey) order. Unit costs are raw IEEE
+    * divisions — identical bit patterns in both engines, and MIN +
+    * equality are exact selections, so no rounding is needed (and
+    * ROUND(double) would only add midpoint risk). */
+  def tpchQ2(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(
+      """WITH cost AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         MIN(l_extendedprice / l_quantity) AS unit_cost
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT s_acctbal, s_name AS name, n_name AS nation,
+        |       p_partkey AS partkey, unit_cost
+        |FROM part, cost, supplier, nation, region
+        |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        |  AND p_size = 30
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'EUROPE'
+        |  AND unit_cost = (SELECT MIN(c2.unit_cost)
+        |                   FROM cost c2, supplier s2, nation n2, region r2
+        |                   WHERE c2.l_partkey = p_partkey
+        |                     AND c2.l_suppkey = s2.s_suppkey
+        |                     AND s2.s_nationkey = n2.n_nationkey
+        |                     AND n2.n_regionkey = r2.r_regionkey
+        |                     AND r2.r_name = 'EUROPE')
+        |ORDER BY s_acctbal DESC, name, partkey
+        |LIMIT 100""".stripMargin)
+  }
+
+  /** TPC-H Q11 (important stock identification) via SQL text, adapted
+    * to the lineitem-derived (supplier, part) grain: per-part value
+    * held by one nation's suppliers, kept when it exceeds a FRACTION OF
+    * THE GLOBAL TOTAL — the HAVING-against-uncorrelated-scalar-subquery
+    * shape, where the subquery re-runs the same join/filter chain and
+    * both sides must stay DECIMAL-exact for the threshold compare to be
+    * engine-independent (decimal × decimal(4,4) is exact; no doubles
+    * until output). At scale the threshold side is a second pruned scan
+    * reduced to ONE row — broadcastable — while the group side shuffles
+    * only the (partkey, sum) frame. */
+  def tpchQ11(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(
+      """SELECT l_partkey AS partkey,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS value
+        |FROM lineitem, supplier, nation
+        |WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |  AND n_name = 'NATION_5'
+        |GROUP BY l_partkey
+        |HAVING SUM(CAST(l_extendedprice AS DECIMAL(18,2))) > (
+        |  SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 0.001
+        |  FROM lineitem, supplier, nation
+        |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |    AND n_name = 'NATION_5')""".stripMargin)
+  }
+
+  /** TPC-H Q12 (shipping modes and order priority) via SQL text,
+    * adapted: the two-branch CONDITIONAL AGGREGATION over a
+    * fact-to-fact join — per linestatus (no l_shipmode column), how
+    * many LATE lines (shipped ≥ 90 days after the order date — the
+    * official commit/receipt lateness has no testdata counterpart)
+    * belong to urgent/high-priority orders vs the rest. The CASE
+    * branches fold into one map-side-combinable aggregate; the date
+    * range prunes lineitem at the scan. All-integer counts →
+    * bit-exact. */
+  def tpchQ12(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(
+      """SELECT l_linestatus AS linestatus,
+        |       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS high_line_count,
+        |       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS low_line_count
+        |FROM orders, lineitem
+        |WHERE o_orderkey = l_orderkey
+        |  AND l_shipdate >= o_orderdate + INTERVAL 90 DAY
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1""".stripMargin)
+  }
+
+  /** TPC-H Q15 (top supplier) via SQL text — the view-maximum shape:
+    * a revenue CTE referenced twice, once as the join input and once
+    * under an uncorrelated scalar MAX. The equality filter compares
+    * DECIMAL sums — exact, so "the" top supplier is engine-independent
+    * even on ties (all maximal suppliers survive, per the official
+    * query's semantics). The revenue aggregate collapses the
+    * quarter-pruned fact to supplier grain before any join; the MAX
+    * side reduces the same frame to one broadcastable row. */
+  def tpchQ15(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(
+      """WITH revenue0 AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey AS suppkey, s_name AS name,
+        |       CAST(total_revenue AS DOUBLE) AS total_revenue
+        |FROM supplier, revenue0
+        |WHERE s_suppkey = supplier_no
+        |  AND total_revenue = (SELECT MAX(total_revenue) FROM revenue0)""".stripMargin)
+  }
+
   /** LATERAL correlated subquery via SQL text: each region's top-2
     * customers by balance — the top-N-per-group idiom written the way a
     * SQL user writes it (Catalyst rewrites the correlated LIMIT into a

@@ -112,6 +112,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(df.count() == 1)
   }
 
+  test("tpch q2 decorrelates the scalar-MIN into a per-part aggregate join") {
+    // the region-wide minimum must become ONE aggregate over the pruned
+    // cost table joined back on p_partkey — never a per-part re-scan
+    val df = graft.operators.SqlInterface.tpchQ2(spark, sf)
+    val optimized = df.queryExecution.optimizedPlan
+    val aggUnderJoin = optimized.collect { case j: Join => j }.exists(_.exists {
+      case a: Aggregate => a.groupingExpressions.nonEmpty
+      case _ => false
+    })
+    assert(aggUnderJoin, s"no grouped Aggregate under a Join (decorrelation failed):\n$optimized")
+    assert(df.count() > 0)
+  }
+
   test("tpch q21 plans EXISTS as left-semi and NOT EXISTS as left-anti joins") {
     import org.apache.spark.sql.catalyst.plans.LeftAnti
     val df = graft.operators.SqlInterface.tpchQ21(spark, sf)
