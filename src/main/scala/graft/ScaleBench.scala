@@ -62,7 +62,14 @@ object ScaleBench {
     // 10× disjoint key populations, so state size scales 10× while the
     // per-key watermark/timer logic is copy-invariant)
     "q_stream_stream_join", "q_stream_stream_outer",
-    "q_stream_sessions_timers")
+    "q_stream_sessions_timers",
+    // round-13 GlobalOrder rewrites: the two-pass rank/running-max pays
+    // a fixed range-exchange cost at sf0.1 — these entries measure the
+    // payoff side (ratios should sit well under 10× because the fixed
+    // half amortizes; vocab/zipf ride the 10× token stream, quantile
+    // the 10× event values, pareto the 10× part prices)
+    "q_vocab_growth", "q_zipf_slope", "q_quantile_norm",
+    "q_pareto_frontier")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1441,9 +1441,16 @@ object Breadth {
   def quantileNorm(spark: SparkSession, dir: String): DataFrame = {
     val vals = Tables.load(spark, dir, "events")
       .select(col("event_type"), col("value").cast(DecimalType(18, 2)).as("v"))
+    // The ONE fact-table pass, materialized: everything downstream —
+    // the pooled distinct (a re-aggregation of this value-grain frame,
+    // NOT a second corpus scan), both range partitioners' sampling jobs
+    // and both rank passes — reads the checkpointed distinct frame
+    // (without this the lazy events aggregation re-executed 4-5×; the
+    // q_rfm_segments lesson in PLANS.md)
     val srcD = vals.groupBy("event_type", "v").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
     val poolR = GlobalOrder
-      .withGlobalRowNumber(vals.select("v").distinct(), "_prn1", col("v"))
+      .withGlobalRowNumber(srcD.select("v").distinct(), "_prn1", col("v"))
       .withColumn("prn", col("_prn1") - 1).drop("_prn1")
     val nPool = poolR.agg(max("prn").as("maxp"))
     val srcRn = GlobalOrder
