@@ -1133,8 +1133,9 @@ object SparkEntry {
         |                     AND r2.r_name = 'EUROPE')
         |ORDER BY s_acctbal DESC, name, partkey
         |LIMIT 100""".stripMargin,
-    // HAVING vs an uncorrelated scalar subquery; both sides stay
-    // DECIMAL-exact through the threshold compare
+    // HAVING vs an uncorrelated scalar subquery; the 2x-mean threshold
+    // is scale-invariant and both compare sides are doubles derived
+    // identically from exact DECIMAL sums
     "q_sql_tpch_q11" ->
       """SELECT l_partkey AS partkey,
         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS value
@@ -1142,8 +1143,9 @@ object SparkEntry {
         |WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
         |  AND n_name = 'NATION_5'
         |GROUP BY l_partkey
-        |HAVING SUM(CAST(l_extendedprice AS DECIMAL(18,2))) > (
-        |  SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 0.001
+        |HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) > (
+        |  SELECT 2 * (CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |              / COUNT(DISTINCT l_partkey))
         |  FROM lineitem, supplier, nation
         |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
         |    AND n_name = 'NATION_5')""".stripMargin,

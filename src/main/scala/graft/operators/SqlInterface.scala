@@ -505,14 +505,17 @@ object SqlInterface {
 
   /** TPC-H Q11 (important stock identification) via SQL text, adapted
     * to the lineitem-derived (supplier, part) grain: per-part value
-    * held by one nation's suppliers, kept when it exceeds a FRACTION OF
-    * THE GLOBAL TOTAL — the HAVING-against-uncorrelated-scalar-subquery
-    * shape, where the subquery re-runs the same join/filter chain and
-    * both sides must stay DECIMAL-exact for the threshold compare to be
-    * engine-independent (decimal × decimal(4,4) is exact; no doubles
-    * until output). At scale the threshold side is a second pruned scan
-    * reduced to ONE row — broadcastable — while the group side shuffles
-    * only the (partkey, sum) frame. */
+    * held by one nation's suppliers, kept when it exceeds 2× the MEAN
+    * per-part value — the HAVING-against-uncorrelated-scalar-subquery
+    * shape, with a threshold that is SCALE-INVARIANT (the official
+    * query divides its fraction by SF by hand; a fixed fraction of the
+    * total returns zero rows the moment the part population grows).
+    * Both compare sides are doubles cast from exact DECIMAL sums with
+    * one IEEE division — identical in both engines; a decimal-domain
+    * division would hit the engines' different decimal-quotient scale
+    * rules. At scale the threshold side is a second pruned scan reduced
+    * to ONE row — broadcastable — while the group side shuffles only
+    * the (partkey, sum) frame. */
   def tpchQ11(spark: SparkSession, dir: String): DataFrame = {
     registerViews(spark, dir)
     spark.sql(
@@ -522,8 +525,9 @@ object SqlInterface {
         |WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
         |  AND n_name = 'NATION_5'
         |GROUP BY l_partkey
-        |HAVING SUM(CAST(l_extendedprice AS DECIMAL(18,2))) > (
-        |  SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 0.001
+        |HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) > (
+        |  SELECT 2 * (CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |              / COUNT(DISTINCT l_partkey))
         |  FROM lineitem, supplier, nation
         |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
         |    AND n_name = 'NATION_5')""".stripMargin)
