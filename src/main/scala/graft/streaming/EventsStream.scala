@@ -30,6 +30,26 @@ object EventsStream {
     * 100 TB job turns — in the other direction. The conf is read at
     * query START, so scoping it around start()/processAllAvailable() is
     * exact. */
+  /** File-stream source for `<table>.parquet` under `dir`, robust to
+    * BOTH layouts the engine meets: the driver's single parquet FILE
+    * (streamed via a parent-dir glob filter — a direct file path fails,
+    * FileStreamSource's basePath must be a directory) and an
+    * engine-written parquet DIRECTORY of part files (streamed directly —
+    * a glob filter on the parent matches no plain file there and yields
+    * a silently EMPTY stream; that failure mode surfaced as a null
+    * watermark-sentinel max against the 10× scale corpus, PLANS.md
+    * round-13 note). */
+  private def tableStream(spark: SparkSession, dir: String,
+      table: String, schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.DataFrame = {
+    val p = s"$dir/$table.parquet"
+    if (new java.io.File(p).isDirectory)
+      spark.readStream.schema(schema).parquet(p)
+    else
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", s"$table.parquet").parquet(dir)
+  }
+
   private def withStreamPartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
@@ -41,9 +61,7 @@ object EventsStream {
     * complete mode. Matches the batch `q_events_hourly` oracle exactly. */
   def hourlyCounts(spark: SparkSession, dir: String): DataFrame = {
     withStreamPartitions(spark, 8) {
-      val src = spark.readStream
-        .schema(Tables.events)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val src = tableStream(spark, dir, "events", Tables.events)
       val agg = src
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -64,9 +82,7 @@ object EventsStream {
     * a union of the two shifted tumbling buckets. */
   def slidingCounts(spark: SparkSession, dir: String): DataFrame = {
     withStreamPartitions(spark, 8) {
-      val src = spark.readStream
-        .schema(Tables.events)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val src = tableStream(spark, dir, "events", Tables.events)
       val agg = src
         .withWatermark("ts", "2 hours")
         .groupBy(window(col("ts"), "2 hours", "1 hour"))
@@ -92,9 +108,7 @@ object EventsStream {
     import spark.implicits._
     val gapMicros = gapMinutes * 60L * 1000000L
     withStreamPartitions(spark, 8) {
-    val src = spark.readStream
-      .schema(Tables.events)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val src = tableStream(spark, dir, "events", Tables.events)
       .select(col("user_id"), unix_micros(col("ts")).as("tsMicros"),
         col("value"))
       .as[Event]
@@ -133,9 +147,7 @@ object EventsStream {
     * tracks the watermark horizon, not the full history. */
   def dedupCounts(spark: SparkSession, dir: String): DataFrame = {
     withStreamPartitions(spark, 8) {
-      val src = spark.readStream
-        .schema(Tables.events)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val src = tableStream(spark, dir, "events", Tables.events)
       val doubled = src
         .withColumn("delivery", explode(array(lit(0), lit(1))))
         .drop("delivery")
@@ -195,9 +207,7 @@ object EventsStream {
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try withStreamPartitions(spark, 8) {
-      val src = spark.readStream
-        .schema(Tables.events)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val src = tableStream(spark, dir, "events", Tables.events)
         .select(col("user_id"), unix_micros(col("ts")).as("tsMicros"),
           col("value"))
         .as[Event]
@@ -387,7 +397,7 @@ object EventsStream {
     import spark.implicits._
     val gapMicros = gapMinutes * 60L * 1000000L
     val raw = spark.read.schema(Tables.events)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .parquet(s"$dir/events.parquet")
     // the one-row sentinel depends only on (dir → max event time): write
     // it once per session, not once per run — the max-scan and the
     // parquet commit were pure per-call overhead on repeat runs
@@ -405,8 +415,7 @@ object EventsStream {
         .coalesce(1).write.mode("overwrite").parquet(path)
       path
     }
-    val src = spark.readStream.schema(raw.schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val src = tableStream(spark, dir, "events", raw.schema)
       .union(spark.readStream.schema(raw.schema).parquet(scratch))
       .withWatermark("ts", "1 hour")
       .select(col("user_id"), col("ts"), col("event_id"), col("value"))
@@ -469,9 +478,7 @@ object EventsStream {
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try withStreamPartitions(spark, 8) {
-      val src = spark.readStream
-        .schema(Tables.events)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val src = tableStream(spark, dir, "events", Tables.events)
         .select(col("user_id"), col("event_type"), col("value"))
         .as[EventT]
       val out = src.groupByKey(_.user_id)
@@ -502,9 +509,7 @@ object EventsStream {
     * join oracle exactly. */
   def streamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
     withStreamPartitions(spark, 8) {
-      val src = spark.readStream
-        .schema(Tables.events)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val src = tableStream(spark, dir, "events", Tables.events)
       val dim = Tables.load(spark, dir, "customer")
         .select(col("c_custkey"), col("c_mktsegment"))
       val agg = src
@@ -528,9 +533,7 @@ object EventsStream {
   def foreachBatchTotals(spark: SparkSession, dir: String): DataFrame = {
     val out = java.nio.file.Files.createTempDirectory("graft_fb").toString
     withStreamPartitions(spark, 8) {
-    val src = spark.readStream
-      .schema(Tables.events)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val src = tableStream(spark, dir, "events", Tables.events)
     val q = src.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.groupBy("event_type")
@@ -590,8 +593,7 @@ object EventsStream {
       val src = (if (new java.io.File(docPath).isDirectory)
           spark.readStream.schema(Tables.documents).parquet(docPath)
         else
-          spark.readStream.schema(Tables.documents)
-            .option("pathGlobFilter", "documents.parquet").parquet(dir))
+          tableStream(spark, dir, "documents", Tables.documents))
         .filter(col("source") === newSource)
       val q = src.writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -621,9 +623,7 @@ object EventsStream {
     * in epoch µs by the oracle, so the 30-minute boundary is bit-exact. */
   def clickAttribution(spark: SparkSession, dir: String): DataFrame = {
     withStreamPartitions(spark, 8) {
-      val src = spark.readStream
-        .schema(Tables.events)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val src = tableStream(spark, dir, "events", Tables.events)
       val clicks = src.filter(col("event_type") === "click")
         .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
           col("ts").as("c_ts"))
@@ -668,7 +668,7 @@ object EventsStream {
   def clickAttributionOuter(spark: SparkSession, dir: String): DataFrame =
     withStreamPartitions(spark, 8) {
       val raw = spark.read.schema(Tables.events)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .parquet(s"$dir/events.parquet")
       val maxMicros = raw.agg(max(unix_micros(col("ts")))).head().getLong(0)
       val scratch = graft.operators.Scale.scratchDir("graft_outer_sentinel")
       val cols = raw.columns.map(col)
@@ -680,8 +680,7 @@ object EventsStream {
       sentinel.select(cols: _*)
         .union(sentinel.withColumn("event_type", lit("purchase")).select(cols: _*))
         .coalesce(1).write.mode("overwrite").parquet(scratch)
-      val src = spark.readStream.schema(raw.schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val src = tableStream(spark, dir, "events", raw.schema)
         .union(spark.readStream.schema(raw.schema).parquet(scratch))
       val clicks = src.filter(col("event_type") === "click")
         .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
