@@ -69,7 +69,32 @@ object ScaleBench {
     // half amortizes; vocab/zipf ride the 10× token stream, quantile
     // the 10× event values, pareto the 10× part prices)
     "q_vocab_growth", "q_zipf_slope", "q_quantile_norm",
-    "q_pareto_frontier")
+    "q_pareto_frontier",
+    // the full TPC-H suite at 10×: per-copy key offsets keep every join
+    // graph intact (10 disjoint copies), dims (nation/region) and the
+    // date domain are copy-invariant, so selectivities hold and each
+    // shape measures 10× the join/agg work under the SAME optimizer
+    // choices AQE would face on a growing warehouse. Scalar-subquery
+    // thresholds (Q11's 2×-mean, Q15's MAX, Q17/Q20's per-key aggs) are
+    // per-copy-invariant by construction, so result cardinality scales
+    // ~10× rather than degenerating to 0 or n².
+    "q_sql_tpch_q1", "q_sql_tpch_q2", "q_sql_tpch_q3", "q_sql_tpch_q4",
+    "q_sql_tpch_q5", "q_sql_tpch_q6", "q_sql_tpch_q7", "q_sql_tpch_q8",
+    "q_sql_tpch_q9", "q_sql_tpch_q10", "q_sql_tpch_q11", "q_sql_tpch_q12",
+    "q_sql_tpch_q13", "q_sql_tpch_q14", "q_sql_tpch_q15", "q_sql_tpch_q16",
+    "q_sql_tpch_q17", "q_sql_tpch_q18", "q_sql_tpch_q19", "q_sql_tpch_q20",
+    "q_sql_tpch_q21", "q_sql_tpch_q22",
+    // heavy curation / analytic shapes not yet ratio-measured: the
+    // copy-prefixed token streams make span/ngram work honestly 10×
+    // (cross-copy Jaccard 0), the events/orders copies make the
+    // percentile/window shapes 10× the fact. q_fuzzy_canonical is
+    // deliberately absent: it operates at DISTINCT-name grain and part
+    // names repeat verbatim across copies, so its 10× ratio would
+    // trivially measure ~1×, not the operator.
+    "q_corpus_curation", "q_dup_spans", "q_token_budget",
+    "q_repetition_signals", "q_tfidf_features", "q_hybrid_search",
+    "q_decontaminate_bloom", "q_winsorize", "q_robust_outliers",
+    "q_cohort_retention", "q_asof_join", "q_scd2_apply")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -205,5 +230,8 @@ object ScaleBench {
 
     spark.read.schema(Tables.nation).parquet(s"$src/nation.parquet")
       .write.mode("overwrite").parquet(s"$out/nation.parquet")
+
+    spark.read.schema(Tables.region).parquet(s"$src/region.parquet")
+      .write.mode("overwrite").parquet(s"$out/region.parquet")
   }
 }
