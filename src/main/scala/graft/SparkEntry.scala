@@ -193,6 +193,7 @@ object SparkEntry {
     "q_sketch_rollup_saved" -> Sketches.hllRollupSaved _,
     "q_cms_heavy_hitters" -> ((s: SparkSession, d: String) => Sketches.cmsHeavyHitters(s, d)),
     "q_cms_probe_only"    -> ((s: SparkSession, d: String) => Sketches.cmsHeavyHittersProbeOnly(s, d)),
+    "q_kmv_overlap"       -> ((s: SparkSession, d: String) => Sketches.kmvAssortmentOverlap(s, d)),
     "q_fk_audit"      -> Scale.fkAudit _,
     "q_hhi_brand"     -> Breadth.hhiBrand _,
     "q_token_coverage" -> TextAnalysis.tokenCoverage _,

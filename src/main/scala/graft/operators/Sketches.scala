@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Mergeable-sketch aggregation — the 100 TB distinct-counting and
@@ -148,5 +148,115 @@ object Sketches {
     org.apache.spark.util.sketch.CountMinSketch
       .readFrom(new java.io.ByteArrayInputStream(bytes))
       .estimateCount(token)
+  }
+
+  /** KMV (theta) SET-OPERATION ESTIMATES — pairwise part-assortment
+    * overlap between customer nations: for every nation pair, the
+    * estimated distinct-part counts, union, INTERSECTION, differences
+    * and Jaccard, answered from one constant-size
+    * [[graft.functions.KmvSketch]] per nation instead of the exact
+    * pair self-join ([[Breadth.audienceOverlap]]'s shape) that shuffles
+    * the deduplicated value stream twice and joins it against itself.
+    * This is the sketch layer's set-algebra member: HLL union can't
+    * intersect (inclusion-exclusion error explodes as |A∩B| shrinks);
+    * the k-minimum-values sample supports all of it in one pass.
+    *
+    * Estimators (Beyer et al. 2007; arrays ascending, u(v) = v/2⁶⁴+0.5):
+    * per-set (k-1)/u(k-th min), exact when the sketch is unsaturated;
+    * union from the k smallest of the merged sketches; intersection
+    * ρ/k · |A∪B|est where ρ counts common values inside the union
+    * sample's threshold θ. When the union sample holds fewer than k
+    * values both sketches are EXHAUSTIVE and every output is exact —
+    * the small-set degeneracy handled explicitly below.
+    *
+    * 100 TB shape: lineitem→orders→customer is the one fact-grain
+    * shuffle (nation broadcast); the KMV aggregation then moves only
+    * ≤4k-long buffers per (nation × map partition) — NO distinct() and
+    * no value-grain shuffle — and the 25-row sketch frame broadcasts
+    * into a 300-row pair join. The exact audit columns (n_a, n_b,
+    * n_both via the distinct self-join) are the test-scale check the
+    * 100 TB pattern DROPS — there the sketch frame is the product,
+    * persisted like [[hllRollupSaved]]'s table.
+    *
+    * Rows-only + spec floors ([[graft.SketchSpec]]): xxhash64 is
+    * Spark-side (no DuckDB twin), but the output is fully deterministic
+    * (fixed seed, order-independent sketch). */
+  /** One KMV sketch of `xxhash64(valCol)` per `keyCol` group — ascending
+    * `sk: array<bigint>` of the ≤k smallest distinct hashes. Plans as
+    * partial ObjectHashAggregate → Exchange → final: only ≤4k-long
+    * buffers cross the shuffle, never the (possibly duplicated) value
+    * stream — pinned by `PlanShapeSpec`. */
+  private[graft] def kmvSketches(df: DataFrame, keyCol: String,
+      valCol: String, k: Int): DataFrame = {
+    val kmv = udaf(new graft.functions.KmvSketch.KmvMinValues(k))
+    df.select(col(keyCol), xxhash64(col(valCol)).as("_h"))
+      .groupBy(keyCol).agg(kmv(col("_h")).as("_s"))
+      .select(col(keyCol), col("_s.mins").as("sk"))
+  }
+
+  def kmvAssortmentOverlap(spark: SparkSession, dir: String, k: Int = 1024): DataFrame = {
+    val labeled = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.load(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.load(spark, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("l_partkey"))
+      // one materialization feeds both the sketch build and the exact
+      // audit branch (three joins otherwise run twice); at 100 TB the
+      // audit branch doesn't exist and neither does this checkpoint
+      .localCheckpoint(true)
+
+    val sk = kmvSketches(labeled, "nation", "l_partkey", k)
+      .localCheckpoint(true) // 25 rows, feeds both sides of the pair join
+
+    // exact audit: the distinct self-join the sketch replaces
+    val np = labeled.distinct().localCheckpoint(true)
+    val sizes = np.groupBy("nation").agg(count(lit(1)).as("n"))
+    val exact = np.select(col("nation").as("nation_a"), col("l_partkey"))
+      .join(np.select(col("nation").as("nation_b"), col("l_partkey")), "l_partkey")
+      .filter(col("nation_a") < col("nation_b"))
+      .groupBy("nation_a", "nation_b").agg(count(lit(1)).as("n_both"))
+      .join(broadcast(sizes.select(col("nation").as("nation_a"), col("n").as("n_a"))), "nation_a")
+      .join(broadcast(sizes.select(col("nation").as("nation_b"), col("n").as("n_b"))), "nation_b")
+
+    val kD = lit(k.toDouble)
+    def u(c: Column): Column =
+      c.cast("double") / lit(1.8446744073709552e19) + lit(0.5)
+    def estSet(skc: Column): Column =
+      when(size(skc) < k, size(skc).cast("double"))
+        .otherwise((kD - 1) / u(element_at(skc, k)))
+
+    sk.select(col("nation").as("nation_a"), col("sk").as("sk_a"))
+      .join(broadcast(sk.select(col("nation").as("nation_b"), col("sk").as("sk_b"))),
+        col("nation_a") < col("nation_b"))
+      .withColumn("sk_u",
+        slice(array_sort(array_distinct(concat(col("sk_a"), col("sk_b")))), 1, k))
+      .withColumn("m_u", size(col("sk_u")))
+      .withColumn("theta", element_at(col("sk_u"), col("m_u")))
+      .withColumn("inter_all", array_intersect(col("sk_a"), col("sk_b")))
+      .withColumn("rho",
+        size(filter(col("inter_all"), v => v <= col("theta"))))
+      .withColumn("est_a", estSet(col("sk_a")))
+      .withColumn("est_b", estSet(col("sk_b")))
+      .withColumn("est_union",
+        when(col("m_u") < k, col("m_u").cast("double"))
+          .otherwise((kD - 1) / u(col("theta"))))
+      .withColumn("est_inter",
+        when(col("m_u") < k, size(col("inter_all")).cast("double"))
+          .otherwise(col("rho").cast("double") / kD * col("est_union")))
+      .withColumn("est_only_a", greatest(col("est_a") - col("est_inter"), lit(0.0)))
+      .withColumn("est_only_b", greatest(col("est_b") - col("est_inter"), lit(0.0)))
+      .withColumn("est_jaccard", col("est_inter") / col("est_union"))
+      .join(broadcast(exact), Seq("nation_a", "nation_b"))
+      .select(col("nation_a"), col("nation_b"), col("n_a"), col("n_b"),
+        col("n_both"), col("est_a"), col("est_b"), col("est_union"),
+        col("est_inter"), col("est_only_a"), col("est_only_b"),
+        col("est_jaccard"))
   }
 }

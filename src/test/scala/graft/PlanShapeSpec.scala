@@ -215,4 +215,21 @@ class PlanShapeSpec extends SparkSpec {
     }
     assert(df.count() > 0)
   }
+
+  test("kmv sketch build shuffles buffers, not the value stream") {
+    // the whole point of the KMV Aggregator: partial ObjectHashAggregate
+    // BEFORE the exchange (map-side sketch build), final after — and no
+    // distinct/extra exchange of the raw values anywhere below it
+    val sk = graft.operators.Sketches.kmvSketches(
+      Tables.load(spark, sf, "lineitem"), "l_suppkey", "l_partkey", 64)
+    val physical = sk.queryExecution.executedPlan.toString
+    val aggIdx = "ObjectHashAggregate".r.findAllMatchIn(physical).map(_.start).toSeq
+    assert(aggIdx.length == 2, s"expected partial+final object agg:\n$physical")
+    val exIdx = physical.indexOf("Exchange")
+    assert(exIdx > aggIdx.head && exIdx < aggIdx.last,
+      s"no exchange between partial and final sketch agg:\n$physical")
+    assert("Exchange".r.findAllMatchIn(physical).length == 1,
+      s"extra value-grain shuffle in sketch build:\n$physical")
+    assert(sk.count() > 0)
+  }
 }

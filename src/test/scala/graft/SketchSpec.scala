@@ -52,4 +52,75 @@ class SketchSpec extends SparkSpec {
     val b = graft.operators.Sketches.hllRollup(spark, sf).collect().toSet
     assert(a == b)
   }
+
+  test("kmv aggregator: k smallest distinct values, invariant to order, duplication and merge shape") {
+    val k = 32
+    val agg = new graft.functions.KmvSketch.KmvMinValues(k)
+    val rnd = new scala.util.Random(7)
+    val values = Array.fill(5000)(rnd.nextLong())
+    val expected = values.distinct.sorted.take(k).toSeq
+    // one buffer, in order
+    val b1 = values.foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(b1).mins.toSeq == expected)
+    // shuffled + every value duplicated, merged from 7 uneven partials
+    val shuffled = rnd.shuffle((values ++ values).toSeq).toArray
+    val parts = shuffled.grouped(shuffled.length / 7 + 1).map(
+      _.foldLeft(agg.zero)(agg.reduce)).toSeq
+    val merged = parts.reduce(agg.merge)
+    assert(agg.finish(merged).mins.toSeq == expected)
+    // fewer distinct values than k: sketch is the whole set
+    val small = Array(5L, 3L, 5L, 9L, 3L)
+    val bs = small.foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(bs).mins.toSeq == Seq(3L, 5L, 9L))
+  }
+
+  test("kmv overlap: exact on unsaturated sketches (sets smaller than k)") {
+    // sf0.001 nations hold ~24 distinct parts each — far under k=1024,
+    // so every sketch is exhaustive and every estimate must be EXACT
+    val rows = graft.operators.Sketches.kmvAssortmentOverlap(spark, sf).collect()
+    assert(rows.length == 25 * 24 / 2)
+    rows.foreach { r =>
+      val (na, nb, nBoth) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Long]("n_both"))
+      assert(na < 1024, s"fixture grew past k — saturated path, not this test's claim")
+      assert(r.getAs[Double]("est_a") == na.toDouble)
+      assert(r.getAs[Double]("est_b") == nb.toDouble)
+      assert(r.getAs[Double]("est_inter") == nBoth.toDouble)
+      assert(r.getAs[Double]("est_union") == (na + nb - nBoth).toDouble)
+    }
+  }
+
+  test("kmv overlap: saturated estimates within floors of exact (sf0.01, k=1024)") {
+    // sf0.01 nations hold ~1300-1550 distinct parts — saturated at
+    // k=1024, the real estimator path. Measured max rel errs across all
+    // 300 pairs: set 2.9%, union 3.4%, intersection 7.9%, jaccard abs
+    // 4.2% (KMV theory: ~1/sqrt(k) = 3.1% per set; intersection error
+    // compounds via rho). Floors carry ~2.5x slack for fixture
+    // regeneration (fixed xxhash64 seed makes current data
+    // deterministic, but new data re-rolls the sample).
+    val rows = graft.operators.Sketches
+      .kmvAssortmentOverlap(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.length == 25 * 24 / 2)
+    var saturated = 0
+    rows.foreach { r =>
+      val (na, nb, nBoth) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Long]("n_both"))
+      if (na >= 1024) saturated += 1
+      def rel(est: Double, exact: Long) = math.abs(est - exact) / exact.toDouble
+      assert(rel(r.getAs[Double]("est_a"), na) < 0.08)
+      assert(rel(r.getAs[Double]("est_b"), nb) < 0.08)
+      assert(rel(r.getAs[Double]("est_union"), na + nb - nBoth) < 0.10)
+      assert(rel(r.getAs[Double]("est_inter"), nBoth) < 0.20,
+        s"${r.getAs[String]("nation_a")}x${r.getAs[String]("nation_b")}: " +
+          s"est_inter ${r.getAs[Double]("est_inter")} vs $nBoth")
+      val trueJ = nBoth.toDouble / (na + nb - nBoth)
+      assert(math.abs(r.getAs[Double]("est_jaccard") - trueJ) < 0.12)
+    }
+    assert(saturated == rows.length,
+      s"only $saturated/${rows.length} pairs saturated — estimator path not exercised")
+  }
+
+  test("kmv overlap is deterministic across runs") {
+    val a = graft.operators.Sketches.kmvAssortmentOverlap(spark, sf).collect().toSet
+    val b = graft.operators.Sketches.kmvAssortmentOverlap(spark, sf).collect().toSet
+    assert(a == b)
+  }
 }
