@@ -94,7 +94,13 @@ object ScaleBench {
     "q_corpus_curation", "q_dup_spans", "q_token_budget",
     "q_repetition_signals", "q_tfidf_features", "q_hybrid_search",
     "q_decontaminate_bloom", "q_winsorize", "q_robust_outliers",
-    "q_cohort_retention", "q_asof_join", "q_scd2_apply")
+    "q_cohort_retention", "q_asof_join", "q_scd2_apply",
+    // KMV set-operation sketches (estimate-only — the audited sibling's
+    // exact self-join is the test-scale half 100 TB drops, the CMS
+    // precedent) and the streaming HLL sketch-table build: per-copy
+    // partkey/user offsets make assortments and daily cohorts honestly
+    // 10×, while the sketch/pair/state sizes stay constant per key
+    "q_kmv_overlap_est", "q_stream_hll_daily")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -164,6 +164,8 @@ object SparkEntry {
     "q_stream_sessions_tws" -> ((s: SparkSession, d: String) => graft.streaming.EventsStream.sessionizeTws(s, d)),
     "q_stream_sessions_timers" -> ((s: SparkSession, d: String) => graft.streaming.EventsStream.sessionizeTimers(s, d)),
     "q_stream_static_join"  -> graft.streaming.EventsStream.streamStaticJoin _,
+    // rows-only (sketch estimates; StreamingSpec pins vs batch exact)
+    "q_stream_hll_daily"    -> graft.streaming.EventsStream.hllDailyUsers _,
     // SQL-text interface + CSV source/sink parity
     "q_sql_tpch_q1"   -> SqlInterface.tpchQ1 _,
     "q_sql_tpch_q3"   -> SqlInterface.tpchQ3 _,
@@ -194,6 +196,7 @@ object SparkEntry {
     "q_cms_heavy_hitters" -> ((s: SparkSession, d: String) => Sketches.cmsHeavyHitters(s, d)),
     "q_cms_probe_only"    -> ((s: SparkSession, d: String) => Sketches.cmsHeavyHittersProbeOnly(s, d)),
     "q_kmv_overlap"       -> ((s: SparkSession, d: String) => Sketches.kmvAssortmentOverlap(s, d)),
+    "q_kmv_overlap_est"   -> ((s: SparkSession, d: String) => Sketches.kmvOverlapEstimates(s, d)),
     "q_fk_audit"      -> Scale.fkAudit _,
     "q_hhi_brand"     -> Breadth.hhiBrand _,
     "q_token_coverage" -> TextAnalysis.tokenCoverage _,

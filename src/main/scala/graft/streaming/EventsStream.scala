@@ -525,6 +525,40 @@ object EventsStream {
     }
   }
 
+  /** STREAMING SKETCH-TABLE BUILD — the continuous half of the
+    * [[graft.operators.Sketches]] pattern: the event stream maintains
+    * one HLL sketch of `user_id` per (day, event_type) through a
+    * watermarked windowed aggregation, and each output row carries the
+    * sketch's ESTIMATE. At 100 TB this is how the persisted sketch
+    * table ([[graft.operators.Sketches.hllRollupSaved]]) stays current
+    * without nightly re-scans: the HLL buffer is a
+    * TypedImperativeAggregate, so the state store holds one ~16 KB
+    * serialized sketch per open (day, type) window — constant per key,
+    * merged incrementally as micro-batches arrive — and the watermark
+    * retires closed days. Estimates are rows-only by the sketch-family
+    * contract; `StreamingSpec` pins them against the batch exact
+    * distinct per (day, type) within the HLL error envelope and against
+    * [[graft.operators.Sketches.hllRollup]]'s estimates for the same
+    * datasketches inputs. */
+  def hllDailyUsers(spark: SparkSession, dir: String): DataFrame = {
+    withStreamPartitions(spark, 8) {
+      val src = tableStream(spark, dir, "events", Tables.events)
+      val agg = src
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), 14))
+            .as("est_users"),
+          count(lit(1)).as("n_events"))
+        .select(unix_timestamp(col("window.start")).as("day_start"),
+          col("event_type"), col("est_users"), col("n_events"))
+      val name = s"stream_hll_${System.nanoTime()}"
+      val q = agg.writeStream.outputMode(OutputMode.Complete())
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(name)
+    }
+  }
+
   /** `foreachBatch` sink: each micro-batch is partially aggregated and
     * written to its own parquet path keyed by batch id (idempotent
     * overwrite = exactly-once on retry), then the partials are merged.

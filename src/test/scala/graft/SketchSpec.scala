@@ -123,4 +123,37 @@ class SketchSpec extends SparkSpec {
     val b = graft.operators.Sketches.kmvAssortmentOverlap(spark, sf).collect().toSet
     assert(a == b)
   }
+
+  test("kmv estimate-only variant matches the audited query's estimate columns exactly") {
+    val estCols = Seq("nation_a", "nation_b", "est_a", "est_b", "est_union",
+      "est_inter", "est_only_a", "est_only_b", "est_jaccard")
+    val audited = graft.operators.Sketches.kmvAssortmentOverlap(spark, sf)
+      .select(estCols.head, estCols.tail: _*).collect().map(_.toSeq).toSet
+    val estOnly = graft.operators.Sketches.kmvOverlapEstimates(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(estOnly == audited)
+  }
+
+  test("streaming hll sketch table: estimates within 5% of batch exact per (day, type)") {
+    val streamed = graft.streaming.EventsStream.hllDailyUsers(spark, sf).collect()
+    assert(streamed.nonEmpty)
+    val exact = Tables.load(spark, sf, "events")
+      .select(org.apache.spark.sql.functions.expr(
+        "unix_timestamp(date_trunc('DAY', ts))").as("day_start"),
+        org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.col("user_id"))
+      .groupBy("day_start", "event_type")
+      .agg(org.apache.spark.sql.functions.countDistinct("user_id").as("n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed.length == exact.size,
+      s"windowed grain mismatch: ${streamed.length} stream rows vs ${exact.size} exact")
+    streamed.foreach { r =>
+      val key = (r.getAs[Long]("day_start"), r.getAs[String]("event_type"))
+      val est = r.getAs[Long]("est_users").toDouble
+      val ex = exact(key).toDouble
+      assert(math.abs(est - ex) / math.max(ex, 1.0) < 0.05,
+        s"$key: streamed HLL est $est vs exact $ex")
+    }
+  }
 }
