@@ -533,9 +533,13 @@ object EventsStream {
     * table ([[graft.operators.Sketches.hllRollupSaved]]) stays current
     * without nightly re-scans: the HLL buffer is a
     * TypedImperativeAggregate, so the state store holds one ~16 KB
-    * serialized sketch per open (day, type) window — constant per key,
-    * merged incrementally as micro-batches arrive — and the watermark
-    * retires closed days. Estimates are rows-only by the sketch-family
+    * serialized sketch per (day, type) window — constant per key,
+    * merged incrementally as micro-batches arrive. The harness runs
+    * Complete mode for the memory sink (like the rest of this family),
+    * where the watermark bounds late data but does NOT evict state; the
+    * long-running production shape is Update mode into the sketch
+    * table, where the same watermark also retires closed days' state.
+    * Estimates are rows-only by the sketch-family
     * contract; `StreamingSpec` pins them against the batch exact
     * distinct per (day, type) within the HLL error envelope and against
     * [[graft.operators.Sketches.hllRollup]]'s estimates for the same
