@@ -130,7 +130,11 @@ object Sketches {
     val sk = tokens.agg(
       count_min_sketch(col("token"), lit(0.0001d), lit(0.99d), lit(42)).as("sk_bytes"),
       count(lit(1)).as("n_tokens"))
-    val candidates = docs.filter(col("doc_id") < 200)
+    // first 200 docs BY ID (TakeOrderedAndProject), not `doc_id < 200`:
+    // a fixture whose ids start above 200 would make a value predicate
+    // silently return an empty candidate set
+    val candidates = docs.select(col("doc_id"), col("text"))
+      .orderBy("doc_id").limit(200)
       .select(explode(split(lower(col("text")), "\\s+")).as("token"))
       .filter(length(col("token")) > 0)
       .distinct()
@@ -200,18 +204,22 @@ object Sketches {
     // audit branch doesn't exist and neither does this checkpoint
     val labeled = nationParts(spark, dir).localCheckpoint(true)
 
-    // exact audit: the distinct self-join the sketch replaces
+    // exact audit: the distinct self-join the sketch replaces. n_both
+    // joins LEFT with a 0 default — the pair self-join only emits pairs
+    // sharing at least one part, but a zero-overlap pair is still a
+    // valid audit row (the estimates frame enumerates ALL pairs)
     val np = labeled.distinct().localCheckpoint(true)
     val sizes = np.groupBy("nation").agg(count(lit(1)).as("n"))
-    val exact = np.select(col("nation").as("nation_a"), col("l_partkey"))
+    val both = np.select(col("nation").as("nation_a"), col("l_partkey"))
       .join(np.select(col("nation").as("nation_b"), col("l_partkey")), "l_partkey")
       .filter(col("nation_a") < col("nation_b"))
       .groupBy("nation_a", "nation_b").agg(count(lit(1)).as("n_both"))
-      .join(broadcast(sizes.select(col("nation").as("nation_a"), col("n").as("n_a"))), "nation_a")
-      .join(broadcast(sizes.select(col("nation").as("nation_b"), col("n").as("n_b"))), "nation_b")
 
     kmvPairEstimates(labeled, k)
-      .join(broadcast(exact), Seq("nation_a", "nation_b"))
+      .join(broadcast(sizes.select(col("nation").as("nation_a"), col("n").as("n_a"))), "nation_a")
+      .join(broadcast(sizes.select(col("nation").as("nation_b"), col("n").as("n_b"))), "nation_b")
+      .join(broadcast(both), Seq("nation_a", "nation_b"), "left")
+      .withColumn("n_both", coalesce(col("n_both"), lit(0L)))
       .select(col("nation_a"), col("nation_b"), col("n_a"), col("n_b"),
         col("n_both"), col("est_a"), col("est_b"), col("est_union"),
         col("est_inter"), col("est_only_a"), col("est_only_b"),

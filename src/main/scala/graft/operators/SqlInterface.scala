@@ -649,6 +649,13 @@ private[operators] object Scratch {
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft_scratch_p${ProcessHandle.current().pid()}")
 
+  // Per-process roots are unique forever, so a crash between dir() and
+  // the caller's delete would strand data no later run reclaims (the old
+  // fixed root was clobbered by the next run). Normal JVM exits sweep
+  // the whole root here; a kill -9 still leaks, which the fixed-name
+  // scheme also did.
+  Runtime.getRuntime.addShutdownHook(new Thread(() => delete(root.toString)))
+
   def dir(name: String): String = {
     val p = root.resolve(name)
     java.nio.file.Files.createDirectories(p)

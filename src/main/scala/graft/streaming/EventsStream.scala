@@ -623,15 +623,7 @@ object EventsStream {
       val corpus = shingled(Tables.load(spark, dir, "documents")
         .filter(col("source") =!= newSource))
         .localCheckpoint(true) // materialized ONCE, read by every batch
-      // the file-stream source needs a DIRECTORY base path: when the
-      // table is a Spark-written directory of part files, stream it
-      // directly; when it is the driver testdata's single file, stream
-      // the parent dir with a name filter
-      val docPath = s"$dir/documents.parquet"
-      val src = (if (new java.io.File(docPath).isDirectory)
-          spark.readStream.schema(Tables.documents).parquet(docPath)
-        else
-          tableStream(spark, dir, "documents", Tables.documents))
+      val src = tableStream(spark, dir, "documents", Tables.documents)
         .filter(col("source") === newSource)
       val q = src.writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
