@@ -2560,10 +2560,11 @@ object SparkEntry {
         |               (a, t) -> a + t), 6) AS d2
         |      FROM e JOIN cent USING (label)),
         |r AS (SELECT vec_id, label, d2,
-        |             PERCENT_RANK() OVER (PARTITION BY label ORDER BY d2) AS prank
+        |             PERCENT_RANK() OVER (PARTITION BY label ORDER BY d2) AS prank,
+        |             COUNT(*) OVER (PARTITION BY label) AS n_cls
         |      FROM d)
         |SELECT vec_id, label, d2, ROUND(prank, 6) AS prank
-        |FROM r WHERE prank >= 0.2""".stripMargin,
+        |FROM r WHERE prank >= 0.2 OR n_cls = 1""".stripMargin,
     "q_embedding_stats" ->
       """WITH n AS (
         |  SELECT label,

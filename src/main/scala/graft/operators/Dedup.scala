@@ -162,16 +162,21 @@ object Dedup {
     val banded = docs.withColumn("band",
         explode(expr("transform(sequence(0, 3), k -> named_struct('band_idx', k, 'band_val', (simhash >> (k * 16)) & 65535))")))
       .select(col("doc_id"), col("simhash"), col("band.band_idx"), col("band.band_val"))
-    val a = banded.as("a")
-    val b = banded.as("b")
-    a.join(b,
-        col("a.band_idx") === col("b.band_idx") &&
-        col("a.band_val") === col("b.band_val") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
+    // the band frame feeds BOTH self-join sides — cached for the same
+    // reason as minhashPairs (each side otherwise re-runs the per-token
+    // md5 + simhash vote over the whole corpus)
+    Tables.withCached(banded) {
+      val a = banded.as("a")
+      val b = banded.as("b")
+      a.join(b,
+          col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= maxHamming)
+    }
   }
 
   // ---- n-gram Jaccard (blocked, oracle-checkable) --------------------
@@ -237,22 +242,27 @@ object Dedup {
       .withColumn("rk", row_number().over(wDoc))
       .filter(col("rk") <= col("sz") - ceil(col("sz") * threshold) + 1)
       .select("lang", "shingle", "doc_id", "sz")
-    val a = prefix.select(col("lang"), col("shingle"),
-      col("doc_id").as("id_a"), col("sz").as("sz_a"))
-    val b = prefix.select(col("lang"), col("shingle"),
-      col("doc_id").as("id_b"), col("sz").as("sz_b"))
-    val cands = a.join(b, Seq("lang", "shingle"))
-      .filter(col("id_a") < col("id_b") &&
-        col("sz_a") * threshold <= col("sz_b") &&
-        col("sz_b") * threshold <= col("sz_a"))
-      .select("id_a", "id_b")
-      .distinct()
-    val shA = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val shB = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    cands.join(shA, "id_a").join(shB, "id_b")
-      .withColumn("jaccard", jaccard("sh_a", "sh_b"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    // the prefix frame feeds BOTH self-join sides — cached so the df
+    // aggregation + per-doc ordering window run once, not per side
+    // (the minhashPairs/simhashPairs band-frame rationale)
+    Tables.withCached(prefix) {
+      val a = prefix.select(col("lang"), col("shingle"),
+        col("doc_id").as("id_a"), col("sz").as("sz_a"))
+      val b = prefix.select(col("lang"), col("shingle"),
+        col("doc_id").as("id_b"), col("sz").as("sz_b"))
+      val cands = a.join(b, Seq("lang", "shingle"))
+        .filter(col("id_a") < col("id_b") &&
+          col("sz_a") * threshold <= col("sz_b") &&
+          col("sz_b") * threshold <= col("sz_a"))
+        .select("id_a", "id_b")
+        .distinct()
+      val shA = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val shB = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      cands.join(shA, "id_a").join(shB, "id_b")
+        .withColumn("jaccard", jaccard("sh_a", "sh_b"))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    }
   }
 
   /** ASYMMETRIC CONTAINMENT near-dup: directed pairs where the smaller
@@ -637,13 +647,14 @@ object Dedup {
     * is exact; at 100 TB the key would be the 64-bit shingle hash, same
     * plan shape (the [[duplicatedSpans]] note). */
   def hotShingleProfile(spark: SparkSession, dir: String, topK: Int = 20): DataFrame = {
+    // the SAME shingling definition the dedup joins block on
+    // ([[graft.functions.VecText.shingles3]]) — an inline re-derivation
+    // here could silently diverge from the sets the stop list guards;
+    // explode drops the empty arrays short docs produce
     val g = Tables.load(spark, dir, "documents")
       .withColumn("tk", split(col("text"), " "))
-      .filter(size(col("tk")) >= 3)
       .select(col("doc_id"), col("lang"),
-        explode(array_distinct(expr(
-          "transform(sequence(0, size(tk) - 3), i -> concat_ws(' ', tk[i], tk[i + 1], tk[i + 2]))")))
-          .as("shingle"))
+        explode(shingles3("tk")).as("shingle"))
     val dfreq = g.groupBy("lang", "shingle").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("lang").orderBy(col("df").desc, col("shingle").asc)
     dfreq.withColumn("rank", row_number().over(w))
@@ -769,10 +780,13 @@ object Dedup {
       pairs.localCheckpoint(true)
     }
 
-  /** Deterministic 3-view AUGMENTED corpus over `embeddings` — each
-    * vector plus two near-copies (per-coordinate multipliers 0.97…1.03
-    * derived from exact integer arithmetic, so the DuckDB oracle replays
-    * the derivation bit-for-bit). This is the contrastive-training /
+  /** Deterministic 3-view AUGMENTED corpus over `embeddings` — THREE
+    * perturbed near-copies per vector (per-coordinate multipliers
+    * 0.97…1.03 derived from exact integer arithmetic, so the DuckDB
+    * oracle replays the derivation bit-for-bit; view 0 is perturbed
+    * too — no row equals the source embedding, so don't join views
+    * back to `embeddings` expecting bit-equality). This is the
+    * contrastive-training /
     * re-crawl shape where DUP-GRADE near-duplicates genuinely exist:
     * views of the same source sit at cos ≈ 0.999 while cross-source
     * cosines keep the base corpus's ≤ ~0.6 spread — the regime tight-

@@ -277,6 +277,10 @@ object Graph {
     val edges = orders.join(li, col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
       .distinct()
+      // both unionAll branches read it — without the checkpoint each
+      // re-runs the fact join + distinct (the re-scan hazard the other
+      // graph operators checkpoint against)
+      .localCheckpoint(true)
     val deg = edges.select(col("a").as("n")).unionAll(edges.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
     // floor(log2(d)) as binary-digit count minus one: exact integer
@@ -285,6 +289,7 @@ object Graph {
     val buckets = deg
       .withColumn("bucket", (length(bin(col("d"))) - 1).cast("long"))
       .groupBy("bucket").agg(count(lit(1)).as("n_nodes"))
+      .localCheckpoint(true) // ≤64 rows; feeds the final select AND the total
     val tot = buckets.agg(sum("n_nodes").as("n_total"))
     buckets.crossJoin(broadcast(tot))
       .select(col("bucket"), col("n_nodes"),

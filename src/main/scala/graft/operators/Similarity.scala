@@ -109,6 +109,12 @@ object Similarity {
       threshold: Double,
       nBits: Int = 192,
       nBands: Int = 32): DataFrame = {
+    // integer division below would otherwise SILENTLY mis-band: e.g.
+    // nBits=200, nBands=32 packs 34 words with a 2-bit final band on
+    // which random pairs collide with p=1/4 — the quadratic candidate
+    // blow-up the banding exists to avoid
+    require(nBands > 0 && nBits % nBands == 0,
+      s"nBits ($nBits) must be a positive multiple of nBands ($nBands)")
     val rnd = new scala.util.Random(7)
     val dim = 64
     val planes = Array.fill(nBits, dim)(rnd.nextGaussian())
@@ -245,6 +251,24 @@ object Similarity {
         .select(col("vec_id"), col("emb_d")),
       dir, threshold, nlist)
 
+  /** k×k bucket-pair frame with centroid angle and both radii — shared
+    * by the survival GATE ([[bucketPairSurvivalOver]]) and the pruned
+    * JOIN it gates ([[prunedEmbeddingPairsOver]]), so the radius bound
+    * the gate measures is definitionally the bound the join applies (an
+    * edit to the clamp or slack in one copy could otherwise silently
+    * desynchronize the routing in `Dedup.embeddingPairsShared`). The
+    * broadcast hint keeps the only cross-shaped node over the k-row
+    * centroid frame, never the corpus. */
+  private def bucketPairAngles(g: PrunedGeom): DataFrame = {
+    val ca = g.cUnit.join(g.radii, "list_id")
+      .select(col("list_id").as("la"), col("cu").as("cua"), col("radius").as("ra"))
+    val cb = g.cUnit.join(g.radii, "list_id")
+      .select(col("list_id").as("lb"), col("cu").as("cub"), col("radius").as("rb"))
+    ca.crossJoin(broadcast(cb))
+      .withColumn("cang",
+        acos(least(lit(1.0), greatest(lit(-1.0), dot("cua", "cub")))))
+  }
+
   /** [[bucketPairSurvival]] over an arbitrary `(vec_id, emb_d)` corpus. */
   def bucketPairSurvivalOver(
       spark: SparkSession, corpus: DataFrame, memoKey: String,
@@ -252,13 +276,7 @@ object Similarity {
     val k = if (nlist > 0) nlist else autoNlist(corpus.count())
     val g = prunedGeom(spark, corpus, memoKey, k)
     val thetaMax = math.acos(threshold) + 1e-9
-    val ca = g.cUnit.join(g.radii, "list_id")
-      .select(col("list_id").as("la"), col("cu").as("cua"), col("radius").as("ra"))
-    val cb = g.cUnit.join(g.radii, "list_id")
-      .select(col("list_id").as("lb"), col("cu").as("cub"), col("radius").as("rb"))
-    val r = ca.crossJoin(broadcast(cb))
-      .withColumn("cang",
-        acos(least(lit(1.0), greatest(lit(-1.0), dot("cua", "cub")))))
+    val r = bucketPairAngles(g)
       .agg(count(lit(1)).as("n"),
         sum(when(col("cang") - col("ra") - col("rb") <= lit(thetaMax), 1L)
           .otherwise(0L)).as("kept"))
@@ -280,22 +298,12 @@ object Similarity {
       threshold: Double, nlist: Int = 0): DataFrame = {
     val k = if (nlist > 0) nlist else autoNlist(corpus.count())
     val g = prunedGeom(spark, corpus, memoKey, k)
-    val cUnit = g.cUnit
     val memberAng = g.memberAng
-    val radii = g.radii
     val thetaMax = math.acos(threshold) + 1e-9
-    val ca = cUnit.join(radii, "list_id")
-      .select(col("list_id").as("la"), col("cu").as("cua"), col("radius").as("ra"))
-    val cb = cUnit.join(radii, "list_id")
-      .select(col("list_id").as("lb"), col("cu").as("cub"), col("radius").as("rb"))
-    // k×k bucket-pair frame (tiny): drop pairs the radius bound clears
-    // whole (broadcast hint ⇒ BroadcastNestedLoopJoin, so the ONLY
-    // cross-shaped node in the plan is over the k-row centroid frame,
-    // never the corpus); survivors carry the centroid angle for the
-    // member-level refine
-    val keep = ca.crossJoin(broadcast(cb))
-      .withColumn("cang",
-        acos(least(lit(1.0), greatest(lit(-1.0), dot("cua", "cub")))))
+    // bucket-level cut over the shared [[bucketPairAngles]] frame: drop
+    // pairs the radius bound clears whole; survivors carry the centroid
+    // angle for the member-level refine
+    val keep = bucketPairAngles(g)
       .filter(col("cang") - col("ra") - col("rb") <= lit(thetaMax))
       .select("la", "lb", "cang")
     // Candidate mining is SKINNY (bucket id, vec_id, one double) and the
@@ -364,6 +372,27 @@ object Similarity {
         (col("nbr_label") === col("true_label")).cast("int").as("correct"))
   }
 
+  /** IVF probe-list selection, shared VERBATIM by every IVF consumer
+    * ([[ivfTopK]], [[knnClassifyIvf]], [[hardNegativesIvf]]) so the
+    * probe metric can never diverge between them. Ranks the broadcast
+    * centroids per probe by squared Euclidean — the same metric KMeans
+    * used to assign corpus vectors to lists. ‖q−c‖² = ‖q‖² + ‖c‖² −
+    * 2·q·c and ‖q‖=1 is constant per probe, so rank by ‖c‖² − 2·dot
+    * ascending. (Raw dot desc is NOT equivalent: centroids are not
+    * unit-norm, and max-dot biases toward large-norm centroids.)
+    * Carries every `probes` column through; emits one row per
+    * (probe, selected list). */
+  private def selectProbeLists(
+      probes: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame = {
+    val wc = Window.partitionBy("query_id")
+      .orderBy(col("cdist").asc, col("list_id").asc)
+    probes.crossJoin(broadcast(centroids))
+      .withColumn("cdist", norm2("centroid") - lit(2.0) * dot("unit_q", "centroid"))
+      .withColumn("crnk", row_number().over(wc))
+      .filter(col("crnk") <= nprobe)
+      .drop("cdist", "crnk", "centroid")
+  }
+
   /** [[knnClassify]] with the exact cross-join candidate stage swapped
     * for the IVF inverted-list scan — the promised scale path, in code:
     * probes rank the broadcast centroids, scan only `nprobe` lists, and
@@ -387,14 +416,7 @@ object Similarity {
     val labels = Tables.load(spark, dir, "embeddings").select("vec_id", "label")
     val probes = lists.filter(col("neighbor_id") < nProbes)
       .select(col("neighbor_id").as("query_id"), col("unit_c").as("unit_q"))
-    // rank centroids per probe by squared Euclidean, same as ivfTopK
-    val wc = Window.partitionBy("query_id")
-      .orderBy(col("cdist").asc, col("list_id").asc)
-    val probeLists = probes.crossJoin(broadcast(centroids))
-      .withColumn("cdist", norm2("centroid") - lit(2.0) * dot("unit_q", "centroid"))
-      .withColumn("crnk", row_number().over(wc))
-      .filter(col("crnk") <= nprobe)
-      .select("query_id", "unit_q", "list_id")
+    val probeLists = selectProbeLists(probes, centroids, nprobe)
     // candidate stage: selected inverted lists only, train vectors only
     val wTop = Window.partitionBy("query_id")
       .orderBy(col("cos_raw").desc, col("neighbor_id").asc)
@@ -570,17 +592,7 @@ object Similarity {
       k: Int, nProbes: Int, nprobe: Int): DataFrame = {
     val probes = lists.filter(col("neighbor_id") < nProbes)
       .select(col("neighbor_id").as("query_id"), col("unit_c").as("unit_q"))
-    // Rank centroids per probe by squared Euclidean distance — the same
-    // metric KMeans used to assign corpus vectors to lists. ‖q−c‖² =
-    // ‖q‖² + ‖c‖² − 2·q·c and ‖q‖=1 is constant per probe, so rank by
-    // ‖c‖² − 2·dot ascending. (Raw dot desc is NOT equivalent: centroids
-    // are not unit-norm, and max-dot biases toward large-norm centroids.)
-    val wc = Window.partitionBy("query_id").orderBy(col("cdist").asc, col("list_id").asc)
-    val probeLists = probes.crossJoin(broadcast(centroids))
-      .withColumn("cdist", norm2("centroid") - lit(2.0) * dot("unit_q", "centroid"))
-      .withColumn("crnk", row_number().over(wc))
-      .filter(col("crnk") <= nprobe)
-      .select("query_id", "unit_q", "list_id")
+    val probeLists = selectProbeLists(probes, centroids, nprobe)
     // Scan only the selected inverted lists.
     val w = Window.partitionBy("query_id").orderBy(col("cos_raw").desc, col("neighbor_id").asc)
     probeLists.join(lists, "list_id")
@@ -702,23 +714,27 @@ object Similarity {
         .filter(col("query_id") =!= col("neighbor_id"))
         .mapPartitions { it =>
           val cb = bcCb.value
-          var lutFor: (Long, Array[Array[Double]]) = (-1L, null)
+          // LUTs memoized PER PROBE ID, not single-entry: the broadcast
+          // nested-loop join emits rows probe-MINOR (q0,q1,...,q0,...),
+          // so a "last probe seen" cache misses on every row and
+          // rebuilds the nSub×nCodes table per candidate. The map is
+          // bounded by nProbes (~10) per partition.
+          val luts = scala.collection.mutable.HashMap.empty[Long, Array[Array[Double]]]
           it.map { r =>
             val qid = r.getLong(0)
-            val q = r.getSeq[Double](1).toArray
-            if (lutFor._1 != qid) { // rebuild LUT once per probe run
-              val lut = Array.tabulate(nSub, nCodes) { (s, j) =>
+            val lut = luts.getOrElseUpdate(qid, {
+              val q = r.getSeq[Double](1).toArray
+              Array.tabulate(nSub, nCodes) { (s, j) =>
                 var d = 0.0; var i = 0
                 while (i < subDim) {
                   val diff = q(s * subDim + i) - cb(s)(j)(i); d += diff * diff; i += 1
                 }
                 d
               }
-              lutFor = (qid, lut)
-            }
+            })
             val cs = r.getSeq[Int](3)
             var d = 0.0; var s = 0
-            while (s < nSub) { d += lutFor._2(s)(cs(s)); s += 1 }
+            while (s < nSub) { d += lut(s)(cs(s)); s += 1 }
             org.apache.spark.sql.Row(qid, r.getLong(2), d)
           }
         }(adcEnc)
@@ -846,13 +862,7 @@ object Similarity {
       .join(labels, col("vec_id") === col("neighbor_id"))
       .select(col("neighbor_id").as("query_id"), col("unit_c").as("unit_q"),
         col("label").as("true_label"))
-    val wc = Window.partitionBy("query_id")
-      .orderBy(col("cdist").asc, col("list_id").asc)
-    val probeLists = probes.crossJoin(broadcast(centroids))
-      .withColumn("cdist", norm2("centroid") - lit(2.0) * dot("unit_q", "centroid"))
-      .withColumn("crnk", row_number().over(wc))
-      .filter(col("crnk") <= nprobe)
-      .select("query_id", "unit_q", "true_label", "list_id")
+    val probeLists = selectProbeLists(probes, centroids, nprobe)
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_raw").desc, col("neighbor_id").asc)
     probeLists
@@ -979,14 +989,21 @@ object Similarity {
     * Determinism: distances are the exact 6-dp-rounded [[labelDistances]]
     * values; the cut is `percent_rank` (value-based, so ties share a
     * rank — no row_number arbitrariness) and rows with rank < `pruneFrac`
-    * are dropped. Scale shape: one 64x posexplode agg for centroids
-    * (broadcast back), one map-side distance pass, one per-label window —
-    * a single shuffle on the label key; AQE handles label skew. */
+    * are dropped — EXCEPT singleton classes, whose only member has
+    * prank 0 and would vanish entirely (pruning 100% of a class is
+    * never "drop the closest fraction"; a 1-member class has no
+    * redundant prototype to spend away). Scale shape: one 64x
+    * posexplode agg for centroids (broadcast back), one map-side
+    * distance pass, one per-label window — a single shuffle on the
+    * label key (the class-size count rides the same partition); AQE
+    * handles label skew. */
   def prototypePrune(spark: SparkSession, dir: String, pruneFrac: Double = 0.2): DataFrame = {
     val w = Window.partitionBy("label").orderBy(col("d2").asc)
+    val wc = Window.partitionBy("label")
     labelDistances(spark, dir)
       .withColumn("prank", percent_rank().over(w))
-      .filter(col("prank") >= pruneFrac)
+      .withColumn("n_cls", count(lit(1)).over(wc))
+      .filter(col("prank") >= pruneFrac || col("n_cls") === 1)
       .select(col("vec_id"), col("label"), col("d2"),
         round(col("prank"), 6).as("prank"))
   }
