@@ -557,7 +557,7 @@ object SparkEntry {
         |FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
         |                  WHERE o.o_custkey = c.c_custkey
-        |                    AND o.o_orderdate >= TIMESTAMP '2001-01-01')""".stripMargin,
+        |                    AND o.o_orderdate >= TIMESTAMP '1998-01-01')""".stripMargin,
     "q_region_revenue" ->
       """SELECT r.r_name AS region,
         |       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
@@ -1381,7 +1381,7 @@ object SparkEntry {
     "q_stratified_sample" ->
       """SELECT c_mktsegment AS mktsegment, COUNT(*) AS n_sampled
         |FROM customer
-        |WHERE (c_custkey * 2654435761) % 4294967296 <
+        |WHERE ((c_custkey % 1048573) * 2654435761) % 4294967296 <
         |      CASE c_mktsegment
         |        WHEN 'BUILDING'   THEN CAST(214748360 AS BIGINT)
         |        WHEN 'AUTOMOBILE' THEN CAST(429496720 AS BIGINT)
@@ -1601,9 +1601,9 @@ object SparkEntry {
         |GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())""".stripMargin,
     "q_hash_sample" ->
       """SELECT c_custkey AS custkey, c_mktsegment AS mktsegment,
-        |       (c_custkey * 2654435761) % 4294967296 AS hash_val
+        |       ((c_custkey % 1048573) * 2654435761) % 4294967296 AS hash_val
         |FROM customer
-        |WHERE (c_custkey * 2654435761) % 4294967296 < 429496720""".stripMargin,
+        |WHERE ((c_custkey % 1048573) * 2654435761) % 4294967296 < 429496720""".stripMargin,
     "q_repetition_signals" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |base AS (SELECT doc_id, len(t) AS n_tokens,
@@ -1788,17 +1788,18 @@ object SparkEntry {
         |               (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) *
         |              CAST(sx AS DOUBLE)) / n, 6) AS intercept
         |FROM s""".stripMargin,
+    // calendar self-join (month = prev + 12 months), not LAG(12): a row
+    // lag mis-aligns every comparison after a zero-order gap month
     "q_yoy_growth" ->
       """WITH m AS (
         |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
         |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
         |  FROM orders GROUP BY 1)
-        |SELECT month, CAST(revenue AS DOUBLE) AS revenue,
-        |       CAST(LAG(revenue, 12) OVER (ORDER BY month) AS DOUBLE) AS prev_year,
-        |       ROUND((CAST(revenue AS DOUBLE) -
-        |              CAST(LAG(revenue, 12) OVER (ORDER BY month) AS DOUBLE)) /
-        |             CAST(LAG(revenue, 12) OVER (ORDER BY month) AS DOUBLE), 6) AS yoy_growth
-        |FROM m""".stripMargin,
+        |SELECT m.month, CAST(m.revenue AS DOUBLE) AS revenue,
+        |       CAST(p.revenue AS DOUBLE) AS prev_year,
+        |       ROUND((CAST(m.revenue AS DOUBLE) - CAST(p.revenue AS DOUBLE)) /
+        |             CAST(p.revenue AS DOUBLE), 6) AS yoy_growth
+        |FROM m LEFT JOIN m p ON m.month = CAST(p.month + INTERVAL 12 MONTH AS DATE)""".stripMargin,
     // row-lag self-join on the bounded daily aggregate; exact decimal
     // sums, one double correlation per lag (see Breadth.revenueAutocorr)
     "q_revenue_autocorr" ->
@@ -1968,7 +1969,7 @@ object SparkEntry {
         |       WHERE r.rn = GREATEST(1, (5 * c.n) // 100)),
         |hi AS (SELECT r.event_type, r.value AS p95
         |       FROM r JOIN c USING (event_type)
-        |       WHERE r.rn = (95 * c.n) // 100)
+        |       WHERE r.rn = GREATEST(1, (95 * c.n) // 100))
         |SELECT e.event_type, COUNT(*) AS n_events,
         |       ANY_VALUE(lo.p05) AS p05, ANY_VALUE(hi.p95) AS p95,
         |       CAST(COUNT(CASE WHEN e.value < lo.p05 THEN 1 END) AS BIGINT) AS n_clip_low,
@@ -2119,7 +2120,7 @@ object SparkEntry {
     "q_source_caps" ->
       """WITH h AS (
         |  SELECT doc_id, source,
-        |         (doc_id * 2654435761) % 4294967296 AS hash_val
+        |         ((doc_id % 1048573) * 2654435761) % 4294967296 AS hash_val
         |  FROM documents),
         |r AS (SELECT source, doc_id,
         |             CAST(ROW_NUMBER() OVER (PARTITION BY source
@@ -3378,12 +3379,16 @@ object SparkEntry {
         |                     WHERE p.event_type = c.event_type AND rn = 1)
         |            AS INT) AS is_peak
         |FROM c JOIN t ON c.event_type = t.event_type""".stripMargin,
+    // sqrt rounds to 6-dp DECIMAL before the normalizing sum (raw double
+    // sums of irrational sqrts are accumulation-order dependent)
     "q_source_mixing" ->
-      """WITH s AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
-        |t AS (SELECT SUM(SQRT(CAST(n_docs AS DOUBLE))) AS tot FROM s)
+      """WITH s AS (SELECT source, COUNT(*) AS n_docs,
+        |                  CAST(ROUND(SQRT(CAST(COUNT(*) AS DOUBLE)), 6) AS DECIMAL(18,6)) AS w
+        |           FROM documents GROUP BY 1),
+        |t AS (SELECT SUM(w) AS tot FROM s)
         |SELECT s.source, s.n_docs,
-        |       ROUND(SQRT(CAST(s.n_docs AS DOUBLE)) / t.tot, 6) AS mix_weight,
-        |       CAST(FLOOR(SQRT(CAST(s.n_docs AS DOUBLE)) / t.tot * 100000) AS BIGINT) AS docs_per_100k
+        |       ROUND(CAST(s.w AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS mix_weight,
+        |       CAST(FLOOR(CAST(s.w AS DOUBLE) / CAST(t.tot AS DOUBLE) * 100000) AS BIGINT) AS docs_per_100k
         |FROM s CROSS JOIN t""".stripMargin,
     "q_lateral_topn" ->
       """SELECT r.r_name AS region, t.custkey, t.acctbal

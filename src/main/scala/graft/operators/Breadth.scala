@@ -158,12 +158,16 @@ object Breadth {
       .select(col("c_custkey").as("custkey"), col("c_mktsegment").as("mktsegment"))
   }
 
-  /** Left-anti: customers with no 2001 orders (NOT EXISTS over a pushed-down
-    * date predicate; unfiltered anti-join would be trivially empty here). */
+  /** Left-anti: customers with no 1998+ orders (NOT EXISTS over a
+    * pushed-down date predicate). The cutoff sits INSIDE the data's
+    * 1992-1999 date domain so both outcomes occur: an unfiltered
+    * anti-join is trivially empty (every customer has some order), and
+    * a beyond-domain cutoff was trivially FULL — either way a broken
+    * anti-join could pass its oracle. */
   def antiJoin(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.load(spark, dir, "customer")
     val o = Tables.load(spark, dir, "orders")
-      .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+      .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
       .select(col("o_custkey"))
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .select(col("c_custkey").as("custkey"), col("c_acctbal").as("acctbal"))
@@ -418,24 +422,29 @@ object Breadth {
   }
 
   /** YEAR-OVER-YEAR MONTHLY REVENUE — monthly order totals with the
-    * same-month-last-year comparison (lag 12 over the month series) and
-    * the growth ratio. Sums are DECIMAL(18,2) (exact, order-independent);
-    * the growth division happens once, in double, on identical operands.
+    * same-CALENDAR-month-last-year comparison and the growth ratio.
+    * Sums are DECIMAL(18,2) (exact, order-independent); the growth
+    * division happens once, in double, on identical operands.
     *
-    * The window runs UNPARTITIONED — safe here because its input is the
-    * monthly aggregate (one row per month, ~100 rows for any horizon),
-    * not the fact; the data-sized work is the single groupBy(month). */
+    * The comparison is a calendar self-join (month = prev + 12 months),
+    * NOT `lag(12)` over the month series: a row lag silently shifts
+    * every later comparison to the wrong month the moment one month has
+    * zero orders — a plausible-looking wrong ratio with nothing null to
+    * flag it. A gap month now simply yields a null prev_year. The
+    * self-join runs on the ~100-row monthly aggregate, so the
+    * data-sized work is still the single groupBy(month). */
   def yoyGrowth(spark: SparkSession, dir: String): DataFrame = {
     val monthly = Tables.load(spark, dir, "orders")
       .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
       .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("revenue"))
-    val w = Window.orderBy("month")
-    monthly
-      .withColumn("prev_year", lag("revenue", 12).over(w))
+      .localCheckpoint(true) // ~100 rows, feeds both self-join sides
+    val prev = monthly.select(add_months(col("month"), 12).as("month"),
+      col("revenue").as("prev_rev"))
+    monthly.join(prev, Seq("month"), "left")
       .select(col("month"), col("revenue").cast("double").as("revenue"),
-        col("prev_year").cast("double").as("prev_year"),
-        round((col("revenue").cast("double") - col("prev_year").cast("double")) /
-          col("prev_year").cast("double"), 6).as("yoy_growth"))
+        col("prev_rev").cast("double").as("prev_year"),
+        round((col("revenue").cast("double") - col("prev_rev").cast("double")) /
+          col("prev_rev").cast("double"), 6).as("yoy_growth"))
   }
 
   /** EQUI-WIDTH VALUE HISTOGRAM — 10 bins per event type between the
@@ -726,9 +735,13 @@ object Breadth {
     val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
     val ranked = e.withColumn("rn", row_number().over(w))
       .join(broadcast(counts), "event_type")
+    // BOTH selection ranks floor at 1: with n=1 the raw p95 rank
+    // (95*1) div 100 = 0 matches no row_number, the hi frame goes
+    // empty for that type and the inner join would silently DROP the
+    // whole type (the singleton-class hazard prototypePrune had)
     val lo = ranked.filter(col("rn") === greatest(lit(1L), expr("(5 * n) div 100")))
       .select(col("event_type"), col("value").as("p05"))
-    val hi = ranked.filter(col("rn") === expr("(95 * n) div 100"))
+    val hi = ranked.filter(col("rn") === greatest(lit(1L), expr("(95 * n) div 100")))
       .select(col("event_type"), col("value").as("p95"))
     e.join(broadcast(lo), "event_type").join(broadcast(hi), "event_type")
       .groupBy("event_type")
@@ -1359,7 +1372,8 @@ object Breadth {
 
   /** LAST-OBSERVATION-CARRIED-FORWARD gap fill — per-user forward fill
     * of a sparsely-observed measure (here `value`, nulled out on 'view'
-    * events to stand in for a sensor that doesn't report on every row):
+    * and 'click' events to stand in for a sensor that doesn't report on
+    * every row):
     * the standard time-series cleaning pass before feature windows.
     * `last(_, ignoreNulls)` over a user-partitioned running frame —
     * user-wide parallelism, no global window, values pass through
@@ -1376,19 +1390,6 @@ object Breadth {
         last("v", ignoreNulls = true).over(w).as("v_filled"))
   }
 
-  /** PARETO FRONTIER (2-D skyline): the parts no other part dominates —
-    * cheaper-or-equal AND bigger-or-equal with at least one strict — on
-    * (p_retailprice ↓, p_size ↑). The multi-objective "best offers"
-    * query optimizers call SKYLINE.
-    *
-    * Scale shape: a 2-D skyline needs only the MAX size at each distinct
-    * price — `groupBy(price).max(size)` is a distributed pre-prune that
-    * collapses the corpus to ndv(price) rows (every non-max pair is
-    * dominated by its price-mate, strictly on size), and the classic
-    * sort-scan — keep a row iff its size strictly exceeds the running
-    * max over all cheaper rows — runs as ONE window over that tiny
-    * frame. Prices compare as exact 2-dp decimals; no float arithmetic
-    * anywhere → hash-exact oracle. */
   /** HERFINDAHL–HIRSCHMAN CONCENTRATION per brand — Σ (supplier revenue
     * share)² over each brand's suppliers: the market-concentration
     * index (≈1/n for even markets, →1 for monopolies) that flags brands

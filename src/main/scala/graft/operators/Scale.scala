@@ -396,7 +396,11 @@ object Scale {
     * Exact-integer arithmetic keeps the oracle bit-identical. */
   def hashSample(spark: SparkSession, dir: String, pct: Int = 10): DataFrame =
     Tables.load(spark, dir, "customer")
-      .withColumn("h", pmod(col("c_custkey") * lit(2654435761L), lit(4294967296L)))
+      // key reduced mod a prime BEFORE the Knuth multiply so the product
+      // never overflows a long (ANSI-safe at any id range — the
+      // weightedSample guard)
+      .withColumn("h", pmod((col("c_custkey") % lit(1048573L)) * lit(2654435761L),
+        lit(4294967296L)))
       .filter(col("h") < lit(4294967296L / 100 * pct))
       .select(col("c_custkey").as("custkey"),
         col("c_mktsegment").as("mktsegment"), col("h").as("hash_val"))
@@ -417,7 +421,11 @@ object Scale {
       when(col("c_mktsegment") === seg, lit(4294967296L / 100 * pct)).otherwise(acc)
     }
     Tables.load(spark, dir, "customer")
-      .withColumn("h", pmod(col("c_custkey") * lit(2654435761L), lit(4294967296L)))
+      // key reduced mod a prime BEFORE the Knuth multiply so the product
+      // never overflows a long (ANSI-safe at any id range — the
+      // weightedSample guard)
+      .withColumn("h", pmod((col("c_custkey") % lit(1048573L)) * lit(2654435761L),
+        lit(4294967296L)))
       .filter(col("h") < rateCol)
       .groupBy(col("c_mktsegment").as("mktsegment"))
       .agg(count(lit(1)).as("n_sampled"))
@@ -432,12 +440,18 @@ object Scale {
   def binnedRangeJoin(spark: SparkSession, dir: String, width: Int = 50): DataFrame = {
     // The band dim must cover the data domain or the inner join silently
     // drops out-of-range rows (bit us at sf0.1: values crossed the old
-    // static 10-band ceiling). One O(n) scalar reduce sizes it — cheap at
-    // any scale, and the dim stays a broadcast table.
-    val maxValue = Tables.load(spark, dir, "events")
-      .agg(max("value")).head().getDouble(0)
-    val nBands = math.floor(maxValue / width).toLong + 1
-    val bands = spark.range(0, nBands).select(
+    // static 10-band ceiling — and the SAME silent drop re-appears on a
+    // NEGATIVE value if the dim only spans [0, max]: floor(-3.5/50) = -1
+    // has no band row). One O(n) scalar reduce sizes BOTH ends — cheap
+    // at any scale, and the dim stays a broadcast table. An empty feed
+    // yields an empty dim and an empty result, not a null-max NPE.
+    val mm = Tables.load(spark, dir, "events")
+      .agg(min("value"), max("value")).head()
+    val (mnBand, mxBand) =
+      if (mm.isNullAt(0)) (0L, -1L)
+      else (math.floor(mm.getDouble(0) / width).toLong,
+        math.floor(mm.getDouble(1) / width).toLong)
+    val bands = spark.range(mnBand, mxBand + 1).select(
       col("id").cast("int").as("band_id"),
       (col("id") * width).cast("double").as("lo"),
       ((col("id") + 1) * width).cast("double").as("hi"))

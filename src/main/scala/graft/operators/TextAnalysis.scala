@@ -60,9 +60,11 @@ object TextAnalysis {
 
   /** PER-LANGUAGE QUALITY CALIBRATION — standardize the quality score
     * against each language's own distribution (z-score) and keep docs
-    * within one sigma of their language mean: the per-language-threshold
-    * cut a multilingual curation pass needs, because one absolute
-    * quality bar over-filters the languages the heuristic scores low.
+    * at most one sigma BELOW their language mean (the cut is one-sided:
+    * a doc scoring far above its language's mean is high quality, not
+    * an outlier to drop): the per-language-threshold cut a multilingual
+    * curation pass needs, because one absolute quality bar over-filters
+    * the languages the heuristic scores low.
     *
     * Float discipline for an exact oracle: per-language moments are
     * EXACT decimal sums (quality is a 6-dp value → DECIMAL(18,6) and its
@@ -317,18 +319,23 @@ object TextAnalysis {
     * proportional, α = 0 is uniform), normalized, plus the resulting
     * per-100k-document allocation. One tiny aggregate over per-source
     * counts; the normalizing total is a 1-row cross join, never a
-    * collect. sqrt outputs round to 6 dp per the float discipline;
-    * allocations FLOOR to integers (floor is midpoint-free, unlike
-    * round). */
+    * collect. The per-source sqrt rounds to 6-dp DECIMAL BEFORE the
+    * normalizing sum (the [[mixtureWeights]] discipline: a raw double
+    * sum of irrational sqrts is accumulation-order dependent, so the
+    * 6-dp ratios could flip at a rounding boundary between runs or
+    * engines); only the final ratio is floating-point. Allocations
+    * FLOOR to integers (floor is midpoint-free, unlike round). */
   def sourceMixing(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
     val counts = Tables.load(spark, dir, "documents")
       .groupBy("source").agg(count(lit(1)).as("n_docs"))
-    val total = counts.agg(
-      sum(sqrt(col("n_docs").cast("double"))).as("tot"))
-    counts.crossJoin(total)
+      .withColumn("w", round(sqrt(col("n_docs").cast("double")), 6)
+        .cast(DecimalType(18, 6)))
+    val total = counts.agg(sum("w").as("tot"))
+    counts.crossJoin(broadcast(total))
       .select(col("source"), col("n_docs"),
-        round(sqrt(col("n_docs").cast("double")) / col("tot"), 6).as("mix_weight"),
-        floor(sqrt(col("n_docs").cast("double")) / col("tot") * 100000)
+        round(col("w").cast("double") / col("tot").cast("double"), 6).as("mix_weight"),
+        floor(col("w").cast("double") / col("tot").cast("double") * 100000)
           .cast("long").as("docs_per_100k"))
   }
 
@@ -950,7 +957,7 @@ object TextAnalysis {
       .orderBy(col("hash_val"), col("doc_id"))
     Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("source"),
-        expr("(doc_id * 2654435761) % 4294967296").as("hash_val"))
+        expr("((doc_id % 1048573) * 2654435761) % 4294967296").as("hash_val"))
       .withColumn("rk", row_number().over(w).cast("int"))
       .filter(col("rk") <= cap)
       .select(col("source"), col("doc_id"), col("rk"))
@@ -985,13 +992,10 @@ object TextAnalysis {
       .join(broadcast(cum), "n_tok")
       .crossJoin(broadcast(n))
       .withColumn("r", col("cum_before") + col("rk_in"))
-      .withColumn("q", expr("n_total div 10"))
-      .withColumn("m", expr("n_total % 10"))
-      .withColumn("decile",
-        when(col("r") <= col("m") * (col("q") + 1),
-          expr("(r - 1) div (q + 1) + 1"))
-          .otherwise(expr("m + (r - m * (q + 1) - 1) div q + 1"))
-          .cast("int"))
+      // the shared closed-form NTILE row partition (GlobalOrder.ntileExpr,
+      // proven bit-equal to engine ntile by the RFM work) — not an inline
+      // re-derivation that could drift from it
+      .withColumn("decile", graft.operators.GlobalOrder.ntileExpr("r", "n_total", 10))
       .groupBy("decile")
       .agg(count(lit(1)).as("n_docs"),
         min("n_tok").as("min_len"), max("n_tok").as("max_len"),
