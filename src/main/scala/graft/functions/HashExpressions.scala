@@ -23,6 +23,17 @@ import org.apache.spark.sql.types._
   */
 object HashExpressions {
 
+  /** Loud rejection of null ELEMENTS. checkInputDataTypes accepts
+    * containsNull arrays (producers usually emit containsNull=false of
+    * the same type), but the tight loops below would otherwise NPE deep
+    * in XXH64 on a null string or silently read a null numeric element
+    * as 0 — both worse than an actionable error. One branch per
+    * element. */
+  private def rejectNullElement(arr: ArrayData, i: Int, fn: String): Unit =
+    if (arr.isNullAt(i))
+      throw new IllegalArgumentException(
+        s"$fn: null element at index $i - filter nulls from the input array first")
+
   /** Distinct hashed word-n-grams of a token-array column, in one tight
     * loop: per-token xxhash64, then a mixed rolling combine of n
     * consecutive token hashes, deduplicated preserving first occurrence.
@@ -48,6 +59,7 @@ object HashExpressions {
       val tok = new Array[Long](len)
       var i = 0
       while (i < len) {
+        rejectNullElement(arr, i, "shingle_hash")
         val s = arr.getUTF8String(i)
         tok(i) = org.apache.spark.sql.catalyst.expressions.XXH64
           .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
@@ -106,6 +118,7 @@ object HashExpressions {
       val n = arr.numElements()
       var i = 0
       while (i < n) {
+        rejectNullElement(arr, i, "minhash_sig")
         val h = java.lang.Math.floorMod(arr.getLong(i), p) // into [0,p): a*h stays in Long
         var j = 0
         while (j < nPerm) {
@@ -150,6 +163,7 @@ object HashExpressions {
       val n = arr.numElements()
       var i = 0
       while (i < n) {
+        rejectNullElement(arr, i, "simhash64")
         val h = arr.getLong(i)
         var k = 0
         while (k < 64) {
@@ -183,7 +197,10 @@ object HashExpressions {
     * elements), promoted to double per element — bit-identical to
     * `aggregate(zip_with(a, b, (x,y) -> CAST(x AS DOUBLE)*CAST(y AS DOUBLE)),
     * 0D, (acc,v) -> acc+v)` and to DuckDB's `list_dot_product`, but a tight
-    * codegen'd loop instead of 2·n interpreted lambda calls. */
+    * codegen'd loop instead of 2·n interpreted lambda calls. Ragged
+    * inputs ERROR (where the zip_with form null-pads to NULL): a length
+    * mismatch between embedding vectors is a data bug, not a similarity
+    * of the shorter prefix. */
   case class DotProduct(left: Expression, right: Expression)
       extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
@@ -205,10 +222,18 @@ object HashExpressions {
       right.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
     def compute(l: ArrayData, r: ArrayData): Double = {
-      val n = math.min(l.numElements(), r.numElements())
+      // ragged inputs are a data bug: silently truncating to the shorter
+      // array returns a plausible-looking wrong similarity (and diverges
+      // from the zip_with formulation, which null-pads to NULL)
+      if (l.numElements() != r.numElements())
+        throw new IllegalArgumentException(
+          s"dot_product: length mismatch ${l.numElements()} vs ${r.numElements()}")
+      val n = l.numElements()
       var acc = 0.0
       var i = 0
       while (i < n) {
+        rejectNullElement(l, i, "dot_product")
+        rejectNullElement(r, i, "dot_product")
         val x = if (leftIsFloat) l.getFloat(i).toDouble else l.getDouble(i)
         val y = if (rightIsFloat) r.getFloat(i).toDouble else r.getDouble(i)
         acc += x * y
@@ -259,6 +284,8 @@ object HashExpressions {
       val nWords = (nBits + bitsPerWord - 1) / bitsPerWord
       val out = new Array[Long](nWords)
       val dim = math.min(arr.numElements(), if (nBits > 0) planes(0).length else 0)
+      var v = 0
+      while (v < dim) { rejectNullElement(arr, v, "sign_bits"); v += 1 }
       var j = 0
       while (j < nBits) {
         val p = planes(j)

@@ -197,14 +197,17 @@ object AsOfJoin {
     require(salt >= 1, s"salt must be >= 1, got $salt")
     if (salt > 1) {
       import org.apache.spark.sql.functions.{array, col, explode, lit, pmod, xxhash64}
+      // salt as a LONG literal: an Int literal over an IntegerType key
+      // multiplies in 32-bit arithmetic and silently wraps, colliding
+      // distinct keys onto one salted lane
       val l2 = left
         .withColumn("__lane",
           pmod(xxhash64(col(leftKey), col(leftTime)), lit(salt.toLong)))
-        .withColumn("__skey", col(leftKey) * salt + col("__lane"))
+        .withColumn("__skey", col(leftKey) * lit(salt.toLong) + col("__lane"))
       val r2 = right
         .withColumn("__rep",
           explode(array((0 until salt).map(i => lit(i.toLong)): _*)))
-        .withColumn("__skey", col(rightKey) * salt + col("__rep"))
+        .withColumn("__skey", col(rightKey) * lit(salt.toLong) + col("__rep"))
       return asof(l2, r2, "__skey", "__skey", leftTime, rightTime,
         rightTieBreak, joinType)
         .drop("__lane", "__rep", "__skey")
@@ -225,9 +228,26 @@ object AsOfJoin {
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(
           s"column $n not in ${p.output.map(_.name).mkString(", ")}"))
+    // the executor compares RAW long-backed values, so mismatched column
+    // types don't error — they silently compare day-numbers against
+    // micros (every right row "precedes" every left row) or
+    // ClassCastException mid-task. Reject at the API instead.
+    val longBacked = Set("bigint", "int", "smallint", "tinyint",
+      "timestamp", "timestamp_ntz", "date")
+    def checkPair(role: String, a: Attribute, b: Attribute): Unit = {
+      require(a.dataType == b.dataType,
+        s"as-of $role columns must have identical types: " +
+          s"${a.name} is ${a.dataType.simpleString}, ${b.name} is ${b.dataType.simpleString}")
+      require(longBacked.contains(a.dataType.simpleString),
+        s"as-of $role columns must be integral/timestamp/date, " +
+          s"got ${a.dataType.simpleString}")
+    }
+    val (lk, rk) = (attr(lPlan, leftKey), attr(rPlan, rightKey))
+    val (lt, rt) = (attr(lPlan, leftTime), attr(rPlan, rightTime))
+    checkPair("key", lk, rk)
+    checkPair("time", lt, rt)
     ColumnBridge.ofRows(spark, AsOfJoinPlan(lPlan, rPlan,
-      attr(lPlan, leftKey), attr(rPlan, rightKey),
-      attr(lPlan, leftTime), attr(rPlan, rightTime), attr(rPlan, rightTieBreak),
+      lk, rk, lt, rt, attr(rPlan, rightTieBreak),
       isOuter))
   }
 }

@@ -30,6 +30,12 @@ import org.apache.spark.sql.graft.ColumnBridge
   * any partitioning works, there is no required distribution — and the
   * interval side is a broadcast dim, exactly the regime (big fact,
   * small-but-irregular dim) where the nested loop hurts most.
+  *
+  * PRECISION DOMAIN: point/lo/hi compare as doubles inside the probe, so
+  * integral inputs are exact only up to 2⁵³. Keys beyond that (e.g.
+  * nano-epoch longs ~1.7e18) round, and containment at interval edges
+  * can flip — use micro-epoch (or smaller) keys, which stay exact past
+  * year 2200.
   */
 final case class IntervalJoinPlan(
     left: LogicalPlan,

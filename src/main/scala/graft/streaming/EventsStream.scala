@@ -42,12 +42,32 @@ object EventsStream {
   private def tableStream(spark: SparkSession, dir: String,
       table: String, schema: org.apache.spark.sql.types.StructType)
       : org.apache.spark.sql.DataFrame = {
-    val p = s"$dir/$table.parquet"
-    if (new java.io.File(p).isDirectory)
-      spark.readStream.schema(schema).parquet(p)
+    // layout probe via the Hadoop FileSystem of the PATH'S scheme, not
+    // java.io.File — a local-only probe answers false for every
+    // hdfs://../s3a:// directory and would re-create the silently-empty
+    // stream on exactly the remote storage a 100 TB job reads
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val isDir =
+      try fs.getFileStatus(p).isDirectory
+      catch { case _: java.io.FileNotFoundException => false }
+    if (isDir)
+      spark.readStream.schema(schema).parquet(p.toString)
     else
       spark.readStream.schema(schema)
         .option("pathGlobFilter", s"$table.parquet").parquet(dir)
+  }
+
+  /** Drain a started memory-sink query, then MATERIALIZE and unregister
+    * its table: the uniquely-named temp views otherwise accumulate full
+    * result copies in driver memory for the session's lifetime (bench
+    * sweeps run each entry point 10+ times per sweep). */
+  private def drainAndDrop(spark: SparkSession,
+      q: org.apache.spark.sql.streaming.StreamingQuery, name: String): DataFrame = {
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table(name).localCheckpoint(true)
+    spark.catalog.dropTempView(name)
+    out
   }
 
   private def withStreamPartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
@@ -72,8 +92,7 @@ object EventsStream {
       val name = s"stream_hourly_${System.nanoTime()}"
       val q = agg.writeStream.outputMode(OutputMode.Complete())
         .format("memory").queryName(name).start()
-      try q.processAllAvailable() finally q.stop()
-      spark.table(name)
+      drainAndDrop(spark, q, name)
   }
   }
 
@@ -93,17 +112,24 @@ object EventsStream {
       val name = s"stream_sliding_${System.nanoTime()}"
       val q = agg.writeStream.outputMode(OutputMode.Complete())
         .format("memory").queryName(name).start()
-      try q.processAllAvailable() finally q.stop()
-      spark.table(name)
+      drainAndDrop(spark, q, name)
   }
   }
 
   final case class Event(user_id: Long, tsMicros: Long, value: Double)
   final case class SessionSummary(user_id: Long, n_sessions: Int, n_events: Int)
+  /** Cross-batch session state: the running totals PLUS the last event
+    * time — without `lastTs` a session spanning two micro-batches is
+    * counted twice (each batch would restart the gap scan cold). */
+  final case class SessionState(n_sessions: Int, n_events: Int, lastTs: Long)
 
   /** Stateful sessionization via flatMapGroupsWithState: count 30-minute-gap
     * sessions per user. Events are sorted inside the group before the scan
-    * so the result is independent of arrival/partition order. */
+    * so the result is independent of arrival/partition order WITHIN a
+    * batch, and the persisted last-event time carries the gap scan
+    * across micro-batches (multi-file triggers, restarts). The
+    * update-mode memory sink appends one row per (user, batch); the
+    * keep-last window returns only each user's final summary. */
   def sessionize(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
     import spark.implicits._
     val gapMicros = gapMinutes * 60L * 1000000L
@@ -112,28 +138,30 @@ object EventsStream {
       .select(col("user_id"), unix_micros(col("ts")).as("tsMicros"),
         col("value"))
       .as[Event]
-    val fn: (Long, Iterator[Event], GroupState[SessionSummary]) => Iterator[SessionSummary] =
+    val fn: (Long, Iterator[Event], GroupState[SessionState]) => Iterator[SessionSummary] =
       (uid, events, state) => {
         val sorted = events.toSeq.sortBy(_.tsMicros)
-        var sessions = 0
-        var last = Long.MinValue
+        val prev = state.getOption.getOrElse(SessionState(0, 0, Long.MinValue))
+        var sessions = prev.n_sessions
+        var last = prev.lastTs
         sorted.foreach { e =>
           if (last == Long.MinValue || e.tsMicros - last > gapMicros) sessions += 1
           last = e.tsMicros
         }
-        val prev = state.getOption.getOrElse(SessionSummary(uid, 0, 0))
-        val next = SessionSummary(uid, prev.n_sessions + sessions,
-          prev.n_events + sorted.size)
+        val next = SessionState(sessions, prev.n_events + sorted.size, last)
         state.update(next)
-        Iterator.single(next)
+        Iterator.single(SessionSummary(uid, next.n_sessions, next.n_events))
       }
     val out = src.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(fn)
     val name = s"stream_sessions_${System.nanoTime()}"
     val q = out.toDF().writeStream.outputMode(OutputMode.Update())
       .format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("n_events").desc)
+    drainAndDrop(spark, q, name)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
     }
   }
 
@@ -158,8 +186,7 @@ object EventsStream {
       val name = s"stream_dedup_${System.nanoTime()}"
       val q = agg.writeStream.outputMode(OutputMode.Complete())
         .format("memory").queryName(name).start()
-      try q.processAllAvailable() finally q.stop()
-      spark.table(name)
+      drainAndDrop(spark, q, name)
   }
   }
 
@@ -170,27 +197,27 @@ object EventsStream {
     * `q_stream_sessions` oracle row-for-row. */
   final class SessionProcessor(gapMicros: Long)
       extends StatefulProcessor[Long, Event, SessionSummary] {
-    @transient private var summary: ValueState[SessionSummary] = _
+    @transient private var summary: ValueState[SessionState] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      summary = getHandle.getValueState[SessionSummary]("summary",
-        Encoders.product[SessionSummary], TTLConfig.NONE)
+      summary = getHandle.getValueState[SessionState]("summary",
+        Encoders.product[SessionState], TTLConfig.NONE)
 
     override def handleInputRows(uid: Long, rows: Iterator[Event],
         timerValues: TimerValues): Iterator[SessionSummary] = {
       val sorted = rows.toSeq.sortBy(_.tsMicros)
-      var sessions = 0
-      var last = Long.MinValue
+      // lastTs persists across micro-batches (the [[SessionState]] note)
+      val prev =
+        if (summary.exists()) summary.get() else SessionState(0, 0, Long.MinValue)
+      var sessions = prev.n_sessions
+      var last = prev.lastTs
       sorted.foreach { e =>
         if (last == Long.MinValue || e.tsMicros - last > gapMicros) sessions += 1
         last = e.tsMicros
       }
-      val prev =
-        if (summary.exists()) summary.get() else SessionSummary(uid, 0, 0)
-      val next = SessionSummary(uid, prev.n_sessions + sessions,
-        prev.n_events + sorted.size)
+      val next = SessionState(sessions, prev.n_events + sorted.size, last)
       summary.update(next)
-      Iterator.single(next)
+      Iterator.single(SessionSummary(uid, next.n_sessions, next.n_events))
     }
   }
 
@@ -217,8 +244,12 @@ object EventsStream {
       val name = s"stream_sessions_tws_${System.nanoTime()}"
       val q = out.toDF().writeStream.outputMode(OutputMode.Update())
         .format("memory").queryName(name).start()
-      try q.processAllAvailable() finally q.stop()
-      spark.table(name)
+      // update-mode sink appends one row per (user, batch); keep the last
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("n_events").desc)
+      drainAndDrop(spark, q, name)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
     } finally prev match {
       case Some(p) => spark.conf.set(key, p)
       case None    => spark.conf.unset(key)
@@ -346,15 +377,14 @@ object EventsStream {
     // spin-up 3+ times per partition — with a few thousand session keys,
     // provider startup dominates state work at 8. The keyed state itself
     // is partition-count-independent.
-    try withStreamPartitions(spark, 8) {
+    try withStreamPartitions(spark, 4) {
       val out = src.groupByKey(_.user_id)
         .transformWithState(new TimerSessionProcessor(gapMicros),
           TimeMode.EventTime(), OutputMode.Append())
       val name = s"stream_sessions_timers_${System.nanoTime()}"
       val q = out.toDF().writeStream.outputMode(OutputMode.Append())
         .format("memory").queryName(name).start()
-      try q.processAllAvailable() finally q.stop()
-      spark.table(name).filter(col("user_id") =!= -1L)
+      drainAndDrop(spark, q, name).filter(col("user_id") =!= -1L)
     } finally prev match {
       case Some(p) => spark.conf.set(key, p)
       case None    => spark.conf.unset(key)
@@ -398,17 +428,22 @@ object EventsStream {
     val gapMicros = gapMinutes * 60L * 1000000L
     val raw = spark.read.schema(Tables.events)
       .parquet(s"$dir/events.parquet")
-    // the one-row sentinel depends only on (dir → max event time): write
-    // it once per session, not once per run — the max-scan and the
-    // parquet commit were pure per-call overhead on repeat runs
-    val scratch = sentinelMemo.getOrCompute(spark, s"timer_sentinel|$dir") {
+    // the one-row sentinel depends only on (dir, gap → max event time):
+    // write it once per session, not once per run — the max-scan and the
+    // parquet commit were pure per-call overhead on repeat runs. The
+    // sentinel sits at max + gap + 2h: the watermark (1h delay) then
+    // reaches max + gap + 1h > any session's close timer (last + gap,
+    // last ≤ max) at ANY gap — a fixed +3h offset silently left trailing
+    // sessions unclosed once gapMinutes ≥ 120. (The memo assumes the dir
+    // is immutable in-session, like every Tables.load cache here.)
+    val scratch = sentinelMemo.getOrCompute(spark, s"timer_sentinel|$dir|$gapMinutes") {
       val maxMicros = raw.agg(max(unix_micros(col("ts")))).head().getLong(0)
       val path = graft.operators.Scale.scratchDir(
         s"graft_timer_sentinel_${math.abs(dir.hashCode)}")
       val cols = raw.columns.map(col)
       spark.range(1).select(
           lit(-1L).as("event_id"),
-          timestamp_micros(lit(maxMicros + 10800000000L)).as("ts"), // +3 h
+          timestamp_micros(lit(maxMicros + gapMicros + 7200000000L)).as("ts"),
           lit(-1L).as("user_id"), lit("click").as("event_type"),
           lit(0.0).as("value"), lit("{}").as("props"))
         .select(cols: _*)
@@ -487,12 +522,11 @@ object EventsStream {
       val name = s"stream_type_totals_${System.nanoTime()}"
       val q = out.toDF().writeStream.outputMode(OutputMode.Update())
         .format("memory").queryName(name).start()
-      try q.processAllAvailable() finally q.stop()
       // update-mode memory sink appends each emission; keep the LAST per key
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id", "event_type")
         .orderBy(col("n_events").desc)
-      spark.table(name)
+      drainAndDrop(spark, q, name)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1).drop("rn")
     } finally prev match {
@@ -520,8 +554,7 @@ object EventsStream {
       val name = s"stream_static_${System.nanoTime()}"
       val q = agg.writeStream.outputMode(OutputMode.Complete())
         .format("memory").queryName(name).start()
-      try q.processAllAvailable() finally q.stop()
-      spark.table(name)
+      drainAndDrop(spark, q, name)
     }
   }
 
@@ -558,8 +591,7 @@ object EventsStream {
       val name = s"stream_hll_${System.nanoTime()}"
       val q = agg.writeStream.outputMode(OutputMode.Complete())
         .format("memory").queryName(name).start()
-      try q.processAllAvailable() finally q.stop()
-      spark.table(name)
+      drainAndDrop(spark, q, name)
     }
   }
 
@@ -671,8 +703,7 @@ object EventsStream {
       val name = s"stream_join_${System.nanoTime()}"
       val q = joined.writeStream.outputMode(OutputMode.Append())
         .format("memory").queryName(name).start()
-      try q.processAllAvailable() finally q.stop()
-      spark.table(name)
+      drainAndDrop(spark, q, name)
     }
   }
 
@@ -730,8 +761,7 @@ object EventsStream {
       val name = s"stream_outer_${System.nanoTime()}"
       val q = joined.writeStream.outputMode(OutputMode.Append())
         .format("memory").queryName(name).start()
-      try q.processAllAvailable() finally q.stop()
-      spark.table(name).filter(col("click_id") =!= -1L)
+      drainAndDrop(spark, q, name).filter(col("click_id") =!= -1L)
     }
 
   /** RESTARTABLE checkpointed aggregation — the exactly-once-across-
