@@ -316,7 +316,11 @@ object SparkEntry {
         .format("memory").queryName(name)
         .trigger(Trigger.AvailableNow()).start()
       try q.processAllAvailable() finally q.stop()
-      s.table(name)
+      // materialize + drop the memory-sink view (EventsStream.drainAndDrop
+      // rationale: repeated runs otherwise accumulate driver-side copies)
+      val outGen = s.table(name).localCheckpoint(true)
+      s.catalog.dropTempView(name)
+      outGen
     }),
     // round 8: native point-in-interval join — irregular numeric bands +
     // time validity windows (same custom plan, two domains)
@@ -2792,13 +2796,13 @@ object SparkEntry {
       """WITH g AS (SELECT range AS id FROM range(10000, 60000))
         |SELECT ['click','view','purchase','signup','error'][CAST((id * 31) % 5 AS INT) + 1] AS event_type,
         |       COUNT(*) AS n,
-        |       CAST(SUM(CAST(CAST((id * 2654435761) % 100000 AS DOUBLE) / 100.0 AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |       CAST(SUM(CAST(CAST(((id % 1048573) * 2654435761) % 100000 AS DOUBLE) / 100.0 AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM g GROUP BY 1""".stripMargin,
     "q_gen_stream" ->
       """WITH g AS (SELECT range AS id FROM range(0, 100000))
         |SELECT ['click','view','purchase','signup','error'][CAST((id * 31) % 5 AS INT) + 1] AS event_type,
         |       COUNT(*) AS n,
-        |       CAST(SUM(CAST(CAST((id * 2654435761) % 100000 AS DOUBLE) / 100.0 AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |       CAST(SUM(CAST(CAST(((id % 1048573) * 2654435761) % 100000 AS DOUBLE) / 100.0 AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM g GROUP BY 1""".stripMargin,
     // full replica of the Karp-Rabin + winnowing pipeline: base-31 char
     // polynomial token hashes, 4-gram rolling hashes, 5-window winnow

@@ -48,15 +48,17 @@ object FeaturePipeline {
   /** Positional feature list — quirk Q3: everything after the 4th column. */
   def featureCols(df: DataFrame): Array[String] = df.columns.drop(dropLeading)
 
-  private val prepared =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val prepared = new graft.SessionMemo[DataFrame]()
 
   /** Assemble + standard-scale; returns the cached, partition-pinned frame
     * with `features_unscaled` and `features` vector columns. Memoized per
-    * sf dir within the JVM — the scan/assignments/report queries all share
-    * one scaler fit and one Spark cache, like a real pipeline would. */
+    * (session, sf dir) — keying by dir alone handed a SECOND SparkSession
+    * a frame bound to the first (stopped session ⇒ IllegalStateException;
+    * live one ⇒ the query silently runs under the wrong session's conf).
+    * The scan/assignments/report queries all share one scaler fit and one
+    * Spark cache, like a real pipeline would. */
   def prepareData(spark: SparkSession, dir: String): DataFrame =
-    prepared.computeIfAbsent(dir, d => prepareDataUncached(spark, d))
+    prepared.getOrCompute(spark, dir)(prepareDataUncached(spark, dir))
 
   private def prepareDataUncached(spark: SparkSession, dir: String): DataFrame = {
     val table = featureTable(spark, dir).coalesce(4).cache()
@@ -68,6 +70,13 @@ object FeaturePipeline {
     val scaler = new StandardScaler()
       .setWithStd(true).setWithMean(true)
       .setInputCol("features_unscaled").setOutputCol("features")
-    scaler.fit(assembled).transform(assembled).cache()
+    val scaled = scaler.fit(assembled).transform(assembled).cache()
+    // materialize the final cache, then RELEASE the intermediate one —
+    // a bare .cache() with no unpersist leaks blocks into the shared
+    // CacheManager for the session's lifetime (Tables.scala's hygiene
+    // note); the scaler fit already consumed the table cache above
+    scaled.count()
+    table.unpersist(blocking = false)
+    scaled
   }
 }

@@ -27,18 +27,19 @@ object KMeansScan {
       centers: Array[Array[Double]],
       modelPath: String)
 
-  private val scanCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[ScanResult]]()
+  // per-(session, dir) like prepareData: scan results carry model paths
+  // whose frames were fit under one session
+  private val scanCache = new graft.SessionMemo[Seq[ScanResult]]()
 
   /** Memoized full k=2..6 scan per sf dir (deterministic under the pinned
     * seed, so re-running it would reproduce identical results — the three
     * report/scan/best-k queries share one scan like one pipeline run). */
   def scanCached(spark: SparkSession, dir: String): Seq[ScanResult] =
-    scanCache.computeIfAbsent(dir, { d =>
-      val data = FeaturePipeline.prepareData(spark, d)
+    scanCache.getOrCompute(spark, dir) {
+      val data = FeaturePipeline.prepareData(spark, dir)
       val tmp = java.nio.file.Files.createTempDirectory("graft_models").toString
       scan(data, 2, 6, tmp)
-    })
+    }
 
   /** The per-k fits are independent, so they run as CONCURRENT Spark jobs
     * (Spark's scheduler interleaves their stages across idle cores — on a
@@ -111,11 +112,18 @@ object KMeansScan {
     resultsFrame(spark, scanCached(spark, dir), featureNames.toSeq)
   }
 
-  /** Rows-only verify query: per-customer cluster assignment at k=4. */
+  /** Rows-only verify query: per-customer cluster assignment at k=4 —
+    * RELOADED from the model the k-scan already fit and persisted (same
+    * seed, same cached features ⇒ identical model; KMeansScanSpec pins
+    * reload-equality). Refitting here re-ran the whole Lloyd iteration
+    * per call, and it also exercises the model-SOURCE path (S4) on a
+    * driver-checked query. */
   def assignmentsQuery(spark: SparkSession, dir: String): DataFrame = {
     val data = FeaturePipeline.prepareData(spark, dir)
-    val model = new KMeans().setK(4).setSeed(1L).setFeaturesCol("features")
-      .fit(data)
+    val model = loadModel(scanCached(spark, dir)
+      .find(_.k == 4)
+      .getOrElse(throw new IllegalStateException("k-scan lacks k=4"))
+      .modelPath)
     model.transform(data)
       .select(col("custkey"), col("prediction").as("cluster"),
         // scalar feature digest — array columns break downstream

@@ -67,8 +67,11 @@ object Affinity {
       .join(broadcast(singles.select(col("brand").as("b"), col("n1").as("n_b"))), "b")
       .crossJoin(broadcast(nOrders))
       .select(col("a"), col("b"), col("n_ab"),
+        // denominator multiplies as DOUBLES: a Long*Long product of two
+        // popular brands' counts overflows at warehouse scale and the
+        // wrap emits a plausible-looking negative lift with no error
         round(col("n_ab").cast("double") * col("n_orders") /
-          (col("n_a") * col("n_b")), 6).as("lift"),
+          (col("n_a").cast("double") * col("n_b").cast("double")), 6).as("lift"),
         round(col("n_ab").cast("double") / col("n_a"), 6).as("conf_a_to_b"))
   }
 

@@ -175,7 +175,11 @@ object Multimodal {
     * scalar row the DuckDB oracle can recompute (payload = UTF-8 of ASCII
     * text, so byte == codepoint). */
   def featuresQuery(spark: SparkSession, dir: String): DataFrame = {
-    val f = resize(decodeFeatures(spark, dir))
+    // materialized ONCE: the two union branches otherwise each re-scan
+    // documents and re-run the decode kernel (no exchange in the
+    // scan→mapPartitions lineage, so nothing is reused between them —
+    // the basketPairs shared-frame pattern)
+    val f = resize(decodeFeatures(spark, dir)).localCheckpoint(true)
     val f16 = f.select(col("media_id"), col("kind"), col("n_bytes"),
       lit("f16").as("level"), posexplode(col("features")).as(Seq("bucket", "feat")))
     val f4 = f.select(col("media_id"), col("kind"), col("n_bytes"),

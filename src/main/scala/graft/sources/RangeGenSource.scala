@@ -61,11 +61,14 @@ object RangeGenSource {
     Array("click", "view", "purchase", "signup", "error")
 
   /** The id→row arithmetic — one place, mirrored verbatim by the DuckDB
-    * oracle (`q_gen_source`). Knuth multiplicative constant keeps `value`
-    * well-mixed while staying in exact-integer range for any id < 2^32. */
+    * oracle (`q_gen_source`). The id pre-reduces mod a prime BEFORE the
+    * Knuth multiply (the sampler guard elsewhere): the raw product
+    * overflows a long at id ≈ 3.47e9 — BELOW the 2^32 bound the old doc
+    * claimed — wrapping `value` negative here while the oracle's BIGINT
+    * raises instead. Exact at ANY id now. */
   def userId(id: Long): Long = id % 97
   def eventType(id: Long): String = EventTypes(((id * 31) % 5).toInt)
-  def value(id: Long): Double = ((id * 2654435761L) % 100000L) / 100.0
+  def value(id: Long): Double = (((id % 1048573L) * 2654435761L) % 100000L) / 100.0
 }
 
 final class RangeGenTable(rows: Long, slices: Int, batchRows: Long)
