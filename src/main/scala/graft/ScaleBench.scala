@@ -100,7 +100,15 @@ object ScaleBench {
     // precedent) and the streaming HLL sketch-table build: per-copy
     // partkey/user offsets make assortments and daily cohorts honestly
     // 10×, while the sketch/pair/state sizes stay constant per key
-    "q_kmv_overlap_est", "q_stream_hll_daily")
+    "q_kmv_overlap_est", "q_stream_hll_daily",
+    // the rest of the streaming family — the round-13 ratio blind spot:
+    // windowed/sliding aggregation, both sessionizer APIs, the
+    // stream-static broadcast join and the foreachBatch sink. Each entry
+    // also records its peak state-store footprint (rows/bytes from the
+    // progress metrics) at both scales — watermark-scoped aggregation
+    // state and per-user session state are the 100 TB memory story.
+    "q_stream_hourly", "q_stream_sliding", "q_stream_sessions",
+    "q_stream_static_join", "q_stream_foreachbatch", "q_stream_sessions_tws")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -120,30 +128,58 @@ object ScaleBench {
     // (region, round 13) must be backfilled, not trusted — a missing dim
     // would abort the whole sweep at the first query that reads it
     generate(spark, src, out, copies)
-    java.nio.file.Files.write(java.nio.file.Paths.get(s"$out/_READY"), Array.emptyByteArray)
 
     try SparkEntry.entry(spark).count() catch { case _: Throwable => } // warm-up
 
-    def timeAt(dir: String): Seq[(String, Double, Double)] = Queries.map { n =>
+    final case class Timing(name: String, t1: Double, t2: Double,
+      state: Option[graft.streaming.EventsStream.StateFootprint])
+    def timeAt(dir: String): Seq[Timing] = Queries.map { n =>
       val fn = SparkEntry.queries(n)
       def once(): Double = {
         val t0 = System.nanoTime()
         fn(spark, dir).count()
         (System.nanoTime() - t0) / 1e9
       }
+      // reset, then read AFTER the timed runs: a stale footprint from the
+      // previous (streaming) query must not be billed to a batch query
+      graft.streaming.EventsStream.lastStateFootprint = None
       val (t1, t2) = (once(), once())
-      (n, t1, t2)
+      Timing(n, t1, t2, graft.streaming.EventsStream.lastStateFootprint)
     }
     val small = timeAt(src)
     val big = timeAt(out)
 
+    // ANN recall@k vs the exact brute-force top-k at BOTH scales: the
+    // latency ratio alone would hide an index whose fixed nlist/nprobe
+    // degrades as the corpus grows — recall is the number a user trusts
+    def recallAt(dir: String): Map[String, Double] = {
+      val brute = SparkEntry.queries("q_ann_brute")(spark, dir)
+        .select("query_id", "neighbor_id").localCheckpoint(true)
+      val denom = brute.count().toDouble
+      Seq("q_ann_ivf", "q_ann_pq").map { n =>
+        val approx = SparkEntry.queries(n)(spark, dir)
+          .select("query_id", "neighbor_id")
+        n -> brute.join(approx, Seq("query_id", "neighbor_id")).count() / denom
+      }.toMap
+    }
+    val recallSmall = recallAt(src)
+    val recallBig = recallAt(out)
+
     def f3(v: Double): String = f"$v%.3f"
-    val perQuery = small.zip(big).map { case ((n, s1, s2), (_, b1, b2)) =>
-      val (sMin, bMin) = (math.min(s1, s2), math.min(b1, b2))
-      s""""$n":{"sf01_sec":${f3(sMin)},"sf1_sec":${f3(bMin)},"ratio":${f3(bMin / sMin)},"sf01_runs":[${f3(s1)},${f3(s2)}],"sf1_runs":[${f3(b1)},${f3(b2)}]}"""
+    val perQuery = small.zip(big).map { case (s, b) =>
+      val (sMin, bMin) = (math.min(s.t1, s.t2), math.min(b.t1, b.t2))
+      val state = (s.state, b.state) match {
+        case (Some(ss), Some(bs)) =>
+          s""","state_rows":{"sf01":${ss.rows},"sf1":${bs.rows}},"state_bytes":{"sf01":${ss.bytes},"sf1":${bs.bytes}}"""
+        case _ => ""
+      }
+      s""""${s.name}":{"sf01_sec":${f3(sMin)},"sf1_sec":${f3(bMin)},"ratio":${f3(bMin / sMin)},"sf01_runs":[${f3(s.t1)},${f3(s.t2)}],"sf1_runs":[${f3(b.t1)},${f3(b.t2)}]$state}"""
+    }.mkString("{", ",", "}")
+    val recallJson = Seq("q_ann_ivf", "q_ann_pq").map { n =>
+      s""""$n":{"sf01":${f3(recallSmall(n))},"sf1":${f3(recallBig(n))}}"""
     }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"scaleup_ratio","copies":$copies,"src":"$src","queries":$perQuery}"""
+      s"""{"metric":"scaleup_ratio","copies":$copies,"src":"$src","recall_at_5":$recallJson,"queries":$perQuery}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("/root/repo/SCALEBENCH_sf1.json"),
       (line + "\n").getBytes("UTF-8"))
@@ -155,10 +191,12 @@ object ScaleBench {
     val cp = spark.range(copies).select(col("id").as("copy"))
     def raw(name: String, schema: StructType): DataFrame =
       spark.read.schema(schema).parquet(s"$src/$name.parquet").crossJoin(cp)
-    // skip tables already staged (an interrupted or pre-extension run
-    // left a partial cache); each block below is independent
+    // skip tables already staged; a table counts as staged only when its
+    // _SUCCESS marker exists — a run killed mid-write leaves a partial
+    // parquet directory a bare-existence check would silently bench
+    // against. Each block below is independent.
     def missing(name: String): Boolean =
-      !new java.io.File(s"$out/$name.parquet").exists()
+      !new java.io.File(s"$out/$name.parquet/_SUCCESS").exists()
 
     if (missing("documents"))
     raw("documents", Tables.documents)

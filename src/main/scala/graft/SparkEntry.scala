@@ -197,6 +197,9 @@ object SparkEntry {
     "q_cms_probe_only"    -> ((s: SparkSession, d: String) => Sketches.cmsHeavyHittersProbeOnly(s, d)),
     "q_kmv_overlap"       -> ((s: SparkSession, d: String) => Sketches.kmvAssortmentOverlap(s, d)),
     "q_kmv_overlap_est"   -> ((s: SparkSession, d: String) => Sketches.kmvOverlapEstimates(s, d)),
+    // the audit half alone IS oracle-able (plain distinct/self-join
+    // algebra) — hash-gates the pair enumeration + zero-overlap default
+    "q_kmv_audit"         -> ((s: SparkSession, d: String) => Sketches.kmvAudit(s, d)),
     "q_fk_audit"      -> Scale.fkAudit _,
     "q_hhi_brand"     -> Breadth.hhiBrand _,
     "q_token_coverage" -> TextAnalysis.tokenCoverage _,
@@ -2346,6 +2349,29 @@ object SparkEntry {
          |b AS (SELECT CAST(floor(SUM(n_tok) * 0.5) AS BIGINT) AS budget FROM base)
          |SELECT doc_id, band, n_tok, cum_end
          |FROM w, b WHERE cum_end <= budget""".stripMargin,
+    // the exact audit half of the KMV overlap family: distinct
+    // (nation, part) assortments, pair sizes via self-join, every
+    // nation pair enumerated (zero-overlap pairs carry n_both = 0)
+    "q_kmv_audit" ->
+      """WITH np AS (
+        |  SELECT DISTINCT n.n_name AS nation, l.l_partkey
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+        |sizes AS (SELECT nation, CAST(COUNT(*) AS BIGINT) AS n FROM np GROUP BY 1),
+        |bo AS (
+        |  SELECT a.nation AS nation_a, b.nation AS nation_b,
+        |         CAST(COUNT(*) AS BIGINT) AS n_both
+        |  FROM np a JOIN np b
+        |    ON a.l_partkey = b.l_partkey AND a.nation < b.nation
+        |  GROUP BY 1, 2)
+        |SELECT sa.nation AS nation_a, sb.nation AS nation_b,
+        |       sa.n AS n_a, sb.n AS n_b,
+        |       COALESCE(bo.n_both, CAST(0 AS BIGINT)) AS n_both
+        |FROM sizes sa
+        |JOIN sizes sb ON sa.nation < sb.nation
+        |LEFT JOIN bo ON bo.nation_a = sa.nation AND bo.nation_b = sb.nation""".stripMargin,
     "q_locf_fill" ->
       """SELECT event_id, user_id,
         |       CASE WHEN event_type IN ('view', 'click') THEN NULL ELSE value END AS v,

@@ -320,21 +320,27 @@ object Breadth {
 
   /** AS-OF join (point-in-time): for each event, the user's most recent
     * order at or before the event time. Composed from built-ins
-    * (equi-join + inequality + row_number pick — preference (a) of the
-    * custom-operator ladder: Spark's plan for this is a shuffled equi-join
-    * plus a bounded window, no custom SparkPlan needed). Ties on the asof
-    * key break by descending orderkey — fully deterministic. */
+    * (equi-join + inequality + argmax pick — preference (a) of the
+    * custom-operator ladder: Spark's plan for this is a shuffled
+    * equi-join plus ONE keyed aggregation, no custom SparkPlan needed).
+    * The pick is `max(struct(orderdate, orderkey))` rather than a
+    * per-event row_number window: the aggregate's map-side partial
+    * collapses each event's candidate orders BEFORE the shuffle (the
+    * join output is already co-located by user, and an event's rows all
+    * share its user), so the second exchange carries one row per matched
+    * event instead of the full event×order join product the window
+    * shuffled-and-sorted. Ties on the asof key break by LARGEST orderkey
+    * (struct max) — fully deterministic, same row the descending
+    * row_number picked. */
   def asofJoin(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(spark, dir, "events").select("event_id", "user_id", "ts")
     val o = Tables.load(spark, dir, "orders")
       .select("o_custkey", "o_orderkey", "o_orderdate")
-    val w = Window.partitionBy("event_id")
-      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
     e.join(o, e("user_id") === o("o_custkey") && o("o_orderdate") <= e("ts"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .groupBy("event_id", "user_id")
+      .agg(max(struct(col("o_orderdate"), col("o_orderkey"))).as("_pick"))
       .select(col("event_id"), col("user_id"),
-        col("o_orderkey").as("orderkey"))
+        col("_pick.o_orderkey").as("orderkey"))
   }
 
   /** HLL approximate distinct + exact baseline (tolerance asserted in

@@ -64,16 +64,34 @@ private[graft] object GlobalOrder {
     * measured as 3× the fixed cost for RFM's three orderings. Batching
     * the orderings through one exchange amortizes all of it.
     *
-    * EXACTNESS PRECONDITION: encodings are compared as DECIMAL(38,6) —
-    * six fractional digits. Integral and ≤6-dp-decimal encodings (every
-    * current caller: day counts, order counts, 2-dp money, doc ids) are
-    * preserved exactly; an encoding with more fractional precision
-    * (e.g. a raw double metric) would be silently quantized, merging
-    * near-ties and shifting tile boundaries relative to the true
-    * ordering. Pre-round such a metric to 6 dp explicitly (making the
-    * tie its own, visible decision) before passing it here. */
+    * EXACTNESS PRECONDITION (ENFORCED, not just documented): encodings
+    * are compared as DECIMAL(38,6) — six fractional digits. Integral and
+    * ≤6-dp-decimal encodings (every current caller: day counts, order
+    * counts, 2-dp money, doc ids) are preserved exactly; an encoding
+    * with more fractional precision (a >6-scale decimal, or any
+    * float/double) would be silently quantized, merging near-ties and
+    * shifting tile boundaries relative to the true ordering — so such an
+    * encoding is REJECTED at plan time. Pre-round such a metric to ≤6 dp
+    * explicitly (making the tie its own, visible decision) before
+    * passing it here. */
   def withStackedNtiles(df: DataFrame, keyCol: String, k: Int,
       specs: Seq[(String, Column)]): DataFrame = {
+    specs.foreach { case (n, enc) =>
+      val dt = df.select(enc).schema.head.dataType
+      val exact = dt match {
+        case d: DecimalType => d.scale <= 6
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => true
+        case _ => false
+      }
+      require(exact,
+        s"withStackedNtiles: ordering '$n' encodes as $dt, but comparisons " +
+          "run at DECIMAL(38,6) — a finer encoding would be silently " +
+          "quantized, merging near-ties. Pre-round/cast the encoding to an " +
+          "integral or <=6-scale decimal type explicitly before calling.")
+    }
     val prep = df.select(
       col(keyCol) +: specs.map { case (n, enc) =>
         enc.cast(DecimalType(38, 6)).as(s"_v_$n") }: _*)

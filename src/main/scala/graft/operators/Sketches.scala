@@ -236,6 +236,30 @@ object Sketches {
   def kmvOverlapEstimates(spark: SparkSession, dir: String, k: Int = 1024): DataFrame =
     kmvPairEstimates(nationParts(spark, dir), k)
 
+  /** The EXACT audit half of [[kmvAssortmentOverlap]] on its own — plain
+    * relational algebra (distinct, self-join, pair enumeration with a
+    * zero-overlap default), so the DuckDB oracle hash-gates the pair
+    * logic the sketch columns ride beside: every (nation_a < nation_b)
+    * pair appears exactly once, including pairs whose assortments share
+    * no part (the left join's 0 default). The pair frame comes from the
+    * 25-row sizes rollup's self-join (dim-sized, broadcast both sides),
+    * never from the fact. */
+  def kmvAudit(spark: SparkSession, dir: String): DataFrame = {
+    val np = nationParts(spark, dir).distinct().localCheckpoint(true)
+    val sizes = np.groupBy("nation").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // 25 rows, feeds both sides of the pair join
+    val both = np.select(col("nation").as("nation_a"), col("l_partkey"))
+      .join(np.select(col("nation").as("nation_b"), col("l_partkey")), "l_partkey")
+      .filter(col("nation_a") < col("nation_b"))
+      .groupBy("nation_a", "nation_b").agg(count(lit(1)).as("n_both"))
+    sizes.select(col("nation").as("nation_a"), col("n").as("n_a"))
+      .join(broadcast(sizes.select(col("nation").as("nation_b"), col("n").as("n_b"))),
+        col("nation_a") < col("nation_b"))
+      .join(broadcast(both), Seq("nation_a", "nation_b"), "left")
+      .select(col("nation_a"), col("nation_b"), col("n_a"), col("n_b"),
+        coalesce(col("n_both"), lit(0L)).as("n_both"))
+  }
+
   private def nationParts(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey"))

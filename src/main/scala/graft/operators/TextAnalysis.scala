@@ -866,36 +866,29 @@ object TextAnalysis {
   /** TOKEN-BUDGET CORPUS CUT — keep the best-quality documents until a
     * token budget (half the corpus here) is exhausted: the "train on the
     * top-N tokens" selection every data-constrained run makes. Ordering
-    * is (quality-band, doc_id); the cumulative token count is a TWO-PHASE
-    * distributed prefix sum — per-band running sums (windows partitioned
-    * by band, parallel across bands) plus broadcast per-band offsets from
-    * a band-count-sized rollup — because a single global
-    * `ORDER BY quality` window would serialize the corpus through one
-    * reducer at 100 TB. Integer token math end-to-end → bit-exact oracle
-    * (the oracle can afford the single global window at test scale). */
+    * is (quality-band, doc_id) — a TOTAL order (doc_id is unique), so the
+    * cumulative token count rides [[GlobalOrder.withDistributedRunningSum]]:
+    * one range repartition on the order, partitioned local running sums,
+    * broadcast per-partition prefix offsets. Every window lane holds one
+    * RANGE of the order (~n/partitions rows), not one of 21 fixed quality
+    * bands — the previous per-band windows bounded PARALLELISM (21 lanes)
+    * but not per-lane size (~5 TB per lane at 100 TB; measured as the
+    * bench's only super-linear 10× ratio). Integer token math end-to-end
+    * → bit-exact oracle (the oracle can afford the single global window
+    * at test scale). */
   def tokenBudget(spark: SparkSession, dir: String,
       fraction: Double = 0.5): DataFrame = {
+    // checkpoint: the quality-score frame feeds the budget aggregate, the
+    // range partitioner's sampling pass and the ranked main pass — three
+    // executions of the quality pipeline without it
     val base = qualityScore(spark, dir)
       .select(col("doc_id"), col("n_toks").as("n_tok"),
         floor((lit(1.0) - col("quality")) * 20).cast("int").as("band"))
-    val inBand = org.apache.spark.sql.expressions.Window
-      .partitionBy("band").orderBy("doc_id")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val bandTotals = base.groupBy("band").agg(sum("n_tok").as("band_tok"))
-    val bandOrder = org.apache.spark.sql.expressions.Window
-      .orderBy("band")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    // offsets: one row per band (≤21 rows) — the only un-partitioned
-    // window runs over that tiny frame, then broadcasts back.
-    val offsets = bandTotals
-      .withColumn("band_offset", coalesce(sum("band_tok").over(bandOrder), lit(0L)))
-      .select("band", "band_offset")
+      .localCheckpoint(true)
     val budget = base.agg(floor(sum("n_tok") * fraction).cast("long").as("budget"))
-    base
-      .withColumn("band_cum", sum("n_tok").over(inBand))
-      .join(broadcast(offsets), "band")
+    GlobalOrder.withDistributedRunningSum(base, col("n_tok"), "cum_end",
+        col("band"), col("doc_id"))
       .crossJoin(broadcast(budget))
-      .withColumn("cum_end", col("band_offset") + col("band_cum"))
       .filter(col("cum_end") <= col("budget"))
       .select(col("doc_id"), col("band"), col("n_tok"), col("cum_end"))
   }
@@ -947,18 +940,30 @@ object TextAnalysis {
     * data, not of partition order — so the keep-rank is a deterministic
     * Knuth-multiplicative hash of doc_id (an unseeded uniform shuffle
     * both engines compute identically), not sample() or monotonic ids.
-    * One window partitioned by source; a viral domain costs one fat
-    * window partition, not a hot shuffle key (row_number needs no full
-    * sort buffer — rank-k cutoff could swap in at 100 TB via the same
-    * hash with a per-source count-min threshold). */
-  def sourceCaps(spark: SparkSession, dir: String, cap: Int = 20): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("source")
-      .orderBy(col("hash_val"), col("doc_id"))
+    *
+    * TWO-PHASE top-cap, so a viral domain never funnels through one
+    * window partition: phase 1 ranks within (source, doc-hash sub-shard)
+    * — each lane holds ~n_source/`shards` rows however hot the source —
+    * and keeps the local top-cap; phase 2 ranks the survivors (≤
+    * shards×cap rows per source BY CONSTRUCTION) for the true keep-rank.
+    * Exact: any doc in a source's global top-cap has at most cap−1 docs
+    * ahead of it overall, hence at most cap−1 ahead in its own shard, so
+    * it survives phase 1 — and with every better-ranked doc surviving
+    * too, phase-2 ranks equal global ranks. */
+  def sourceCaps(spark: SparkSession, dir: String, cap: Int = 20,
+      shards: Int = 32): DataFrame = {
+    val order = Seq(col("hash_val"), col("doc_id"))
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy("source", "shard").orderBy(order: _*)
+    val wFinal = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(order: _*)
     Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("source"),
-        expr("((doc_id % 1048573) * 2654435761) % 4294967296").as("hash_val"))
-      .withColumn("rk", row_number().over(w).cast("int"))
+        expr("((doc_id % 1048573) * 2654435761) % 4294967296").as("hash_val"),
+        pmod(xxhash64(col("doc_id")), lit(shards)).as("shard"))
+      .withColumn("lrk", row_number().over(wLocal))
+      .filter(col("lrk") <= cap)
+      .withColumn("rk", row_number().over(wFinal).cast("int"))
       .filter(col("rk") <= cap)
       .select(col("source"), col("doc_id"), col("rk"))
   }

@@ -45,26 +45,52 @@ object EventsStream {
     // layout probe via the Hadoop FileSystem of the PATH'S scheme, not
     // java.io.File — a local-only probe answers false for every
     // hdfs://../s3a:// directory and would re-create the silently-empty
-    // stream on exactly the remote storage a 100 TB job reads
+    // stream on exactly the remote storage a 100 TB job reads. A path
+    // that is NEITHER a file nor a directory fails loudly here: falling
+    // through to the glob filter would match nothing and start the
+    // silently-empty stream this helper exists to eliminate.
     val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val isDir =
-      try fs.getFileStatus(p).isDirectory
-      catch { case _: java.io.FileNotFoundException => false }
-    if (isDir)
-      spark.readStream.schema(schema).parquet(p.toString)
-    else
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", s"$table.parquet").parquet(dir)
+    val status =
+      try Some(fs.getFileStatus(p))
+      catch { case _: java.io.FileNotFoundException => None }
+    status match {
+      case Some(s) if s.isDirectory =>
+        spark.readStream.schema(schema).parquet(p.toString)
+      case Some(_) =>
+        spark.readStream.schema(schema)
+          .option("pathGlobFilter", s"$table.parquet").parquet(dir)
+      case None =>
+        throw new IllegalArgumentException(
+          s"tableStream: no file or directory named $table.parquet under " +
+            s"$dir — refusing to start a silently empty stream")
+    }
   }
+
+  /** Peak state-store footprint of the most recently drained streaming
+    * query: per micro-batch the operators' row counts / bytes are
+    * summed, the per-batch peak is kept. `None` when the last query held
+    * no state (stateless transforms). Observability only — written by
+    * [[drainAndDrop]], read by the scale bench's state-size table; no
+    * correctness path depends on it. */
+  final case class StateFootprint(rows: Long, bytes: Long)
+  @volatile private[graft] var lastStateFootprint: Option[StateFootprint] = None
 
   /** Drain a started memory-sink query, then MATERIALIZE and unregister
     * its table: the uniquely-named temp views otherwise accumulate full
     * result copies in driver memory for the session's lifetime (bench
-    * sweeps run each entry point 10+ times per sweep). */
+    * sweeps run each entry point 10+ times per sweep). Also records the
+    * query's peak state footprint (see [[lastStateFootprint]]). */
   private def drainAndDrop(spark: SparkSession,
       q: org.apache.spark.sql.streaming.StreamingQuery, name: String): DataFrame = {
     try q.processAllAvailable() finally q.stop()
+    val perBatch = q.recentProgress.toSeq
+      .map(p => (p.stateOperators.map(_.numRowsTotal).sum,
+        p.stateOperators.map(_.memoryUsedBytes).sum))
+      .filter { case (r, b) => r > 0 || b > 0 }
+    lastStateFootprint =
+      if (perBatch.isEmpty) None
+      else Some(StateFootprint(perBatch.map(_._1).max, perBatch.map(_._2).max))
     val out = spark.table(name).localCheckpoint(true)
     spark.catalog.dropTempView(name)
     out
@@ -127,9 +153,20 @@ object EventsStream {
     * sessions per user. Events are sorted inside the group before the scan
     * so the result is independent of arrival/partition order WITHIN a
     * batch, and the persisted last-event time carries the gap scan
-    * across micro-batches (multi-file triggers, restarts). The
-    * update-mode memory sink appends one row per (user, batch); the
-    * keep-last window returns only each user's final summary. */
+    * across micro-batch boundaries.
+    *
+    * ORDERING PRECONDITION: correctness across batches requires each
+    * user's events to arrive in non-decreasing EVENT-TIME order across
+    * micro-batches — the single `lastTs` cannot re-order history, so a
+    * later batch delivering an EARLIER event computes a negative gap and
+    * silently merges (or splits) sessions. A file source batches by file
+    * listing, which honors this only when files are time-ordered per
+    * user (true for this table layout and for date-partitioned logs, the
+    * common case). A source without that guarantee needs the
+    * watermark-buffered [[TimerSessionProcessor]] instead, which sorts
+    * buffered events and only finalizes once the watermark closes the
+    * gap. The update-mode memory sink appends one row per (user, batch);
+    * the keep-last window returns only each user's final summary. */
   def sessionize(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
     import spark.implicits._
     val gapMicros = gapMinutes * 60L * 1000000L
@@ -194,7 +231,9 @@ object EventsStream {
     * (Spark 4 arbitrary-state v2): explicit named `ValueState` via the
     * processor handle instead of the single implicit `GroupState`. The
     * per-batch scan is identical, so output matches the
-    * `q_stream_sessions` oracle row-for-row. */
+    * `q_stream_sessions` oracle row-for-row — and it inherits the same
+    * per-user event-time-ordered-batch precondition ([[sessionize]]'s
+    * ORDERING PRECONDITION note). */
   final class SessionProcessor(gapMicros: Long)
       extends StatefulProcessor[Long, Event, SessionSummary] {
     @transient private var summary: ValueState[SessionState] = _

@@ -15,7 +15,7 @@ class ContractSpec extends SparkSpec {
   test("events ts decodes to a sane year range at every scale factor") {
     import org.apache.spark.sql.functions._
     Seq("sf0.001", "sf0.01", "sf0.1").foreach { s =>
-      val dir = s"/root/testdata/$s"
+      val dir = s"$sfBase/$s"
       if (new java.io.File(s"$dir/events.parquet").exists) {
         val r = Tables.load(spark, dir, "events")
           .agg(year(min(col("ts"))).as("lo"), year(max(col("ts"))).as("hi"))

@@ -198,22 +198,66 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
-  test("token budget windows partition by band — no corpus-sized global window") {
-    // the only un-partitioned window may run over the ≤21-row band
-    // rollup; every corpus-sized window must carry a partition spec
+  test("token budget rides the GlobalOrder two-pass — no window at all in the observable plan") {
+    // the round-13 weak class, closed: the prefix sum must NOT partition
+    // by the fixed 21-value quality band (bounded parallelism, unbounded
+    // per-lane rows) — it rides withDistributedRunningSum, whose local
+    // windows live behind the localCheckpoint, so the observable plan
+    // holds NO Window and NO global Sort of any kind
+    import org.apache.spark.sql.catalyst.plans.logical.{Sort => LSort, Window => LWindow}
     val df = graft.operators.TextAnalysis.tokenBudget(spark, sf)
     val optimized = df.queryExecution.optimizedPlan
-    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow, Aggregate}
-    val globalWindows = optimized.collect {
-      case w: LWindow if w.partitionSpec.isEmpty => w
-    }
-    // each global window must sit above an Aggregate (the band rollup),
-    // never directly over the documents scan
-    globalWindows.foreach { w =>
-      assert(w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
-        s"global window over non-aggregated input:\n$w")
-    }
+    val windows = optimized.collect { case w: LWindow => w }
+    assert(windows.isEmpty, s"window survived the two-pass rewrite:\n$optimized")
+    val globalSorts = optimized.collect { case s: LSort if s.global => s }
+    assert(globalSorts.isEmpty, s"global sort:\n$optimized")
     assert(df.count() > 0)
+  }
+
+  test("hot-shingle and source-cap top-k run two-phase: every window partitioned, phase 1 sub-sharded") {
+    // per-group top-k over an unbounded group (a language's vocabulary, a
+    // viral domain) must rank inside (group, hash sub-shard) lanes first
+    // and only rank the bounded survivors per group: no unpartitioned
+    // window anywhere, and at least one window keyed by TWO expressions
+    // (the sub-shard) below each single-key merge window
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    for (df <- Seq(
+        graft.operators.Dedup.hotShingleProfile(spark, sf),
+        graft.operators.TextAnalysis.sourceCaps(spark, sf))) {
+      val optimized = df.queryExecution.optimizedPlan
+      val windows = optimized.collect { case w: LWindow => w }
+      assert(windows.forall(_.partitionSpec.nonEmpty),
+        s"unpartitioned window:\n$optimized")
+      assert(windows.exists(_.partitionSpec.size >= 2),
+        s"no sub-sharded phase-1 window (single-key lanes are unbounded):\n$optimized")
+      // the merge window must sit above the phase-1 rank filter: a
+      // single-key window whose child contains the 2-key window
+      val merged = windows.exists(w => w.partitionSpec.size == 1 &&
+        w.child.collectFirst { case i: LWindow if i.partitionSpec.size >= 2 => i }.nonEmpty)
+      assert(merged, s"merge window not above the sub-sharded window:\n$optimized")
+      assert(df.count() > 0)
+    }
+  }
+
+  test("stacked-ntile encodings finer than 6 dp are rejected at plan time") {
+    // the DECIMAL(38,6) comparison domain is an ENFORCED precondition: a
+    // 7-dp decimal (or double) encoding would be silently quantized,
+    // merging near-ties — the call must fail loudly instead
+    import org.apache.spark.sql.functions._
+    val df = spark.range(10).select(col("id"),
+      col("id").cast("decimal(20,7)").as("fine"),
+      col("id").cast("double").as("dbl"))
+    for (enc <- Seq(org.apache.spark.sql.functions.col("fine"), col("dbl"))) {
+      val e = intercept[IllegalArgumentException] {
+        graft.operators.GlobalOrder.withStackedNtiles(df, "id", 5, Seq(("m", enc)))
+      }
+      assert(e.getMessage.contains("DECIMAL(38,6)"), e.getMessage)
+    }
+    // the sanctioned encodings still pass: integral and 2-dp decimal
+    val ok = graft.operators.GlobalOrder.withStackedNtiles(
+      spark.range(10).select(col("id"), col("id").cast("decimal(18,2)").as("m2")),
+      "id", 5, Seq(("a", org.apache.spark.sql.functions.col("id")), ("b", -col("m2"))))
+    assert(ok.count() == 10)
   }
 
   test("kmv sketch build shuffles buffers, not the value stream") {

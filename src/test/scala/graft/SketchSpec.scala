@@ -97,8 +97,14 @@ class SketchSpec extends SparkSpec {
     // compounds via rho). Floors carry ~2.5x slack for fixture
     // regeneration (fixed xxhash64 seed makes current data
     // deterministic, but new data re-rolls the sample).
+    // saturation needs the sf0.01 assortments (~1300+ distinct parts per
+    // nation); derive the dir from the suite's base and skip with a clear
+    // message where that scale isn't generated
+    val sf001 = s"$sfBase/sf0.01"
+    assume(new java.io.File(sf001).isDirectory,
+      s"$sf001 not present — saturated-KMV test needs the sf0.01 testdata")
     val rows = graft.operators.Sketches
-      .kmvAssortmentOverlap(spark, "/root/testdata/sf0.01").collect()
+      .kmvAssortmentOverlap(spark, sf001).collect()
     assert(rows.length == 25 * 24 / 2)
     var saturated = 0
     rows.foreach { r =>

@@ -12,5 +12,9 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
-  val sf: String = "/root/testdata/sf0.001"
+  /** Testdata root — overridable for machines/CI where the driver's
+    * layout lives elsewhere; suites that need a specific scale derive it
+    * from here (never a hardcoded absolute path). */
+  val sfBase: String = sys.env.getOrElse("SPARK_GRAFT_TESTDATA", "/root/testdata")
+  val sf: String = s"$sfBase/sf0.001"
 }
