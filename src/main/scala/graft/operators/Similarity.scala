@@ -234,6 +234,40 @@ object Similarity {
   private def autoNlist(n: Long): Int =
     math.max(16, math.min(256, (n / 125L).toInt))
 
+  /** Data-derived IVF SEARCH geometry (round 14) — `nlist = 2^⌈log2
+    * 2√n⌉` (floor 16, cap 1024) with `nprobe = 3/8·nlist`, replacing
+    * the fixed (16, 6) whose recall@5 decayed with corpus growth
+    * (measured 0.78 → 0.66 → 0.64 at 500 / 2 000 / 20 000 vectors: a
+    * 16-cell quantizer cannot separate the grown corpus's cluster
+    * population, so probed cells mix neighbors with bulk — on this
+    * near-isotropic corpus recall tracks BOTH cell granularity and the
+    * scanned fraction, and the fraction alone cannot recover it).
+    * Recall at this rule, measured against exact brute-force: ~0.9
+    * (500 → 64 lists; bracketed by (64, 16) = 0.90 and (96, 24) = 1.0),
+    * 0.92 (2 000 → 128 lists), 0.96 (20 000 → 512 lists). The scanned
+    * fraction stays a constant 3/8 by count while cells refine as √n,
+    * and the centroid table (nlist×dim doubles, ≤0.5 MB at the cap)
+    * stays broadcastable; at the 1024 cap the fraction becomes the
+    * remaining dial (the [[pqTopK]] rerank note has the same shape). */
+  private def autoSearchGeometry(n: Long): (Int, Int) = {
+    val target = 2.0 * math.sqrt(math.max(n, 1L).toDouble)
+    var nlist = 16
+    while (nlist < 1024 && nlist < target) nlist *= 2
+    (nlist, math.max(6, nlist * 3 / 8))
+  }
+
+  /** Resolve caller-supplied (nlist, nprobe) against the auto rule: 0
+    * (the default) means derive from the corpus row count — an explicit
+    * value always wins, so spec/serving calls can still pin geometry. */
+  private def resolveGeometry(spark: SparkSession, dir: String,
+      nlist: Int, nprobe: Int): (Int, Int) =
+    if (nlist > 0 && nprobe > 0) (nlist, nprobe)
+    else {
+      val (al, ap) = autoSearchGeometry(
+        Tables.load(spark, dir, "embeddings").count())
+      (if (nlist > 0) nlist else al, if (nprobe > 0) nprobe else ap)
+    }
+
   /** MEASURED applicability gate for [[prunedEmbeddingPairs]]: the
     * fraction of bucket pairs the triangle-inequality radius bound FAILS
     * to prune at `threshold`. ~1.0 on a weakly-clustered corpus (pruning
@@ -406,17 +440,18 @@ object Similarity {
       dir: String,
       k: Int = 5,
       nProbes: Int = 50,
-      nlist: Int = 16,
-      nprobe: Int = 6,
+      nlist: Int = 0,
+      nprobe: Int = 0,
       trainFraction: Double = 0.25,
       trainIters: Int = 5): DataFrame = {
-    val idx = ivfIndex(spark, dir, nlist, trainFraction, trainIters)
+    val (rl, rp) = resolveGeometry(spark, dir, nlist, nprobe)
+    val idx = ivfIndex(spark, dir, rl, trainFraction, trainIters)
     val lists = idx.lists
     val centroids = idx.centroids
     val labels = Tables.load(spark, dir, "embeddings").select("vec_id", "label")
     val probes = lists.filter(col("neighbor_id") < nProbes)
       .select(col("neighbor_id").as("query_id"), col("unit_c").as("unit_q"))
-    val probeLists = selectProbeLists(probes, centroids, nprobe)
+    val probeLists = selectProbeLists(probes, centroids, rp)
     // candidate stage: selected inverted lists only, train vectors only
     val wTop = Window.partitionBy("query_id")
       .orderBy(col("cos_raw").desc, col("neighbor_id").asc)
@@ -569,19 +604,24 @@ object Similarity {
     }
 
   /** IVF-Flat ANN: nlist-way KMeans coarse quantizer, nprobe-list search.
-    * Deterministic under the pinned seed; rows-only check (approximate
-    * results are not SQL-expressible). */
+    * Geometry defaults to the recall-calibrated [[autoSearchGeometry]]
+    * rule (nlist ≈ √n rounded up to a power of two, nprobe = 3/8·nlist);
+    * pass explicit values to pin it. Deterministic under the pinned
+    * seed; rows-only check (approximate results are not
+    * SQL-expressible), recall floors in `SimilaritySpec` + measured at
+    * 10× in SCALEBENCH_sf1.json. */
   def ivfTopK(
       spark: SparkSession,
       dir: String,
       k: Int = 5,
       nProbes: Int = 10,
-      nlist: Int = 16,
-      nprobe: Int = 6,
+      nlist: Int = 0,
+      nprobe: Int = 0,
       trainFraction: Double = 0.25,
       trainIters: Int = 5): DataFrame = {
-    val idx = ivfIndex(spark, dir, nlist, trainFraction, trainIters)
-    ivfSearch(idx.lists, idx.centroids, k, nProbes, nprobe)
+    val (rl, rp) = resolveGeometry(spark, dir, nlist, nprobe)
+    val idx = ivfIndex(spark, dir, rl, trainFraction, trainIters)
+    ivfSearch(idx.lists, idx.centroids, k, nProbes, rp)
   }
 
   /** The nprobe-list search over an IVF index, shared by the in-session
@@ -617,9 +657,10 @@ object Similarity {
       dir: String,
       k: Int = 5,
       nProbes: Int = 10,
-      nlist: Int = 16,
-      nprobe: Int = 6): DataFrame = {
-    val idx = ivfIndex(spark, dir, nlist, 0.25, 5)
+      nlist: Int = 0,
+      nprobe: Int = 0): DataFrame = {
+    val (rl, rp) = resolveGeometry(spark, dir, nlist, nprobe)
+    val idx = ivfIndex(spark, dir, rl, 0.25, 5)
     val out = Scale.scratchDir("graft_ivf")
     idx.lists.write.mode("overwrite")
       .partitionBy("list_id").parquet(s"$out/lists")
@@ -627,7 +668,7 @@ object Similarity {
     ivfSearch(
       spark.read.parquet(s"$out/lists"),
       spark.read.parquet(s"$out/centroids"),
-      k, nProbes, nprobe)
+      k, nProbes, rp)
   }
 
   /** Product-quantization ANN: 64 dims → `nSub` subspaces, each encoded as
@@ -635,10 +676,19 @@ object Similarity {
     * deterministic driver-local Lloyd's k-means on a bounded key-ordered
     * sample — [[trainSubCodebook]]). Probes rank candidates by asymmetric
     * distance (per-subspace lookup-table sums), keep `rerank` finalists,
-    * then exact cosine re-ranks the finalists. Measured recall@5 vs brute
-    * at the defaults: 0.96 (sf0.01), 0.82 (sf0.1) — the rerank budget is
-    * the recall-vs-cost dial on this near-isotropic corpus, where ADC
-    * noise is large relative to the neighbor/bulk cosine margin.
+    * then exact cosine re-ranks the finalists. The rerank budget is the
+    * recall-vs-cost dial on this near-isotropic corpus, where ADC noise
+    * is large relative to the neighbor/bulk cosine margin — so a FIXED
+    * budget decays as the corpus grows (measured recall@5 at rerank=128:
+    * 0.96 at 500 vectors, 0.82 at 2 000, 0.68 at 20 000). The default is
+    * therefore DATA-DERIVED: rerank = max(128, ⌈n/8⌉) — the exact
+    * re-rank touches a bounded 1/8 corpus fraction per probe, measured
+    * 0.96 / 0.94 / 0.96 recall at 500 / 2 000 / 20 000 (the isotropy
+    * price; a clustered real-embedding corpus needs far less, and at
+    * 100 TB the cheaper lever is widening `nCodes` so the ADC ranking
+    * itself sharpens — 8-bit codebooks are the standard trade this
+    * 32-code default keeps small for the exact-oracle fixtures). Pass an
+    * explicit `rerank` to pin the budget instead.
     *
     * Scale story: the corpus is stored as nSub bytes per vector (64× less
     * than float32 dims), the LUT join is a broadcast of probes × codebook,
@@ -652,8 +702,12 @@ object Similarity {
       nProbes: Int = 10,
       nSub: Int = 8,
       nCodes: Int = 32,
-      rerank: Int = 128): DataFrame = {
+      rerank: Int = 0): DataFrame = {
     val subDim = 64 / nSub
+    val rr =
+      if (rerank > 0) rerank
+      else math.max(128L,
+        (Tables.load(spark, dir, "embeddings").count() + 7L) / 8L).toInt
     val base = normalized(spark, dir)
     Tables.withCached(base) {
       // Codebook: per-subspace Lloyd's k-means on a BOUNDED key-ordered
@@ -740,7 +794,7 @@ object Similarity {
         }(adcEnc)
       val wAdc = Window.partitionBy("query_id").orderBy(col("adc").asc, col("neighbor_id").asc)
       val finalists = cands.withColumn("arnk", row_number().over(wAdc))
-        .filter(col("arnk") <= rerank)
+        .filter(col("arnk") <= rr)
         .select("query_id", "neighbor_id")
       // Exact rerank of the finalists only.
       val exact = base.select(col("vec_id").as("neighbor_id"), col("unit").as("unit_c"))
@@ -850,11 +904,12 @@ object Similarity {
       spark: SparkSession,
       dir: String,
       nProbes: Int = 50,
-      nlist: Int = 16,
-      nprobe: Int = 6,
+      nlist: Int = 0,
+      nprobe: Int = 0,
       trainFraction: Double = 0.25,
       trainIters: Int = 5): DataFrame = {
-    val idx = ivfIndex(spark, dir, nlist, trainFraction, trainIters)
+    val (rl, rp) = resolveGeometry(spark, dir, nlist, nprobe)
+    val idx = ivfIndex(spark, dir, rl, trainFraction, trainIters)
     val lists = idx.lists
     val centroids = idx.centroids
     val labels = Tables.load(spark, dir, "embeddings").select("vec_id", "label")
@@ -862,7 +917,7 @@ object Similarity {
       .join(labels, col("vec_id") === col("neighbor_id"))
       .select(col("neighbor_id").as("query_id"), col("unit_c").as("unit_q"),
         col("label").as("true_label"))
-    val probeLists = selectProbeLists(probes, centroids, nprobe)
+    val probeLists = selectProbeLists(probes, centroids, rp)
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_raw").desc, col("neighbor_id").asc)
     probeLists

@@ -49,6 +49,30 @@ class SimilaritySpec extends SparkSpec {
     assert(pq == pq2)
   }
 
+  test("auto geometry holds the recall floors on the grown corpus (sf0.01)") {
+    // the round-14 rule exists BECAUSE fixed (16, 6) / rerank=128 decayed
+    // with corpus growth (IVF 0.78 → 0.64, PQ 0.96 → 0.68 measured at
+    // 1.5k → 150k vectors); pin the auto defaults at the first grown
+    // scale so a future constant regression fails here, not in a
+    // scale-bench readout. Floors carry slack under the measured values
+    // (IVF ≈ 0.9+, PQ 0.96) for fixture regeneration.
+    val sf001 = s"$sfBase/sf0.01"
+    assume(new java.io.File(sf001).isDirectory,
+      s"$sf001 not present — grown-corpus recall test needs the sf0.01 testdata")
+    val brute = Similarity.bruteTopK(spark, sf001, 5, 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val s = df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (brute & s).size.toDouble / brute.size
+    }
+    val ivf = recallOf(Similarity.ivfTopK(spark, sf001, 5, 10))
+    assert(ivf >= 0.8, s"IVF auto-geometry recall@5 at sf0.01 = $ivf")
+    val pq = recallOf(Similarity.pqTopK(spark, sf001, 5, 10))
+    assert(pq >= 0.85, s"PQ auto-rerank recall@5 at sf0.01 = $pq")
+  }
+
   test("minhash LSH finds exactly the exhaustive high-Jaccard pairs") {
     val lsh = Dedup.minhashPairs(spark, sf, 0.8)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -157,10 +181,12 @@ class SimilaritySpec extends SparkSpec {
     // same dial as the kNN/hard-negative agreement specs: 12 of 16 lists
     // make the candidate sets near-exhaustive, so the rows-only q_ann_ivf
     // family gets a pinned quality floor beyond the driver's rows>0 check
+    // (BOTH params pinned — the auto rule would pick a finer geometry
+    // whose 3/8 scan is deliberately NOT near-exhaustive)
     val brute = Similarity.bruteTopK(spark, sf, 5, 10)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ivf = Similarity.ivfTopK(spark, sf, 5, 10, nprobe = 12)
+    val ivf = Similarity.ivfTopK(spark, sf, 5, 10, nlist = 16, nprobe = 12)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (brute & ivf).size.toDouble / brute.size
@@ -187,7 +213,7 @@ class SimilaritySpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     // nprobe is the recall knob: at 12/16 lists the candidate sets are
     // near-exhaustive and the vote must reproduce the exact classifier
-    val ivf = Similarity.knnClassifyIvf(spark, sf, nprobe = 12)
+    val ivf = Similarity.knnClassifyIvf(spark, sf, nlist = 16, nprobe = 12)
       .select("query_id", "pred_label").collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     // the IVF variant must classify every probe the exact variant does
@@ -214,7 +240,7 @@ class SimilaritySpec extends SparkSpec {
     // same recall knob as the kNN agreement spec: at 12/16 lists the
     // candidate sets are near-exhaustive and the top-1 negative must
     // reproduce the exact miner's choice
-    val ivf = Similarity.hardNegativesIvf(spark, sf, nprobe = 12)
+    val ivf = Similarity.hardNegativesIvf(spark, sf, nlist = 16, nprobe = 12)
       .select("query_id", "neighbor_id").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(ivf.keySet == exact.keySet,
