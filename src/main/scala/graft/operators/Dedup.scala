@@ -640,19 +640,14 @@ object Dedup {
     * [[dedupIncremental]] hot-shingle guard (and any stop-shingle cut) —
     * a pipeline operator in its own right, because the stop list must be
     * recomputed as the corpus drifts. One vocabulary-scale rollup
-    * ((lang, shingle) → df), then a TWO-PHASE per-language top-k: phase
-    * 1 ranks within (lang, shingle-hash bucket) — each lane holds
-    * ~vocab/`buckets` types, never the whole per-language vocabulary —
-    * and keeps the local top-topK; phase 2 ranks the survivors (≤
-    * buckets×topK rows per language BY CONSTRUCTION: a bounded merge of
-    * per-bucket heads, not a vocabulary-sized sort). Exact because any
-    * shingle in the global per-language top-topK has at most topK−1
-    * shingles ahead of it overall, hence at most topK−1 ahead within its
-    * own bucket — it always survives phase 1, along with everything
-    * ranked above it, so phase-2 ranks equal global ranks. Shingles
-    * travel as strings here so the DuckDB oracle is exact; at 100 TB the
-    * key would be the 64-bit shingle hash, same plan shape (the
-    * [[duplicatedSpans]] note). */
+    * ((lang, shingle) → df), then the TWO-PHASE per-language top-k of
+    * [[GlobalOrder.withShardedGroupTopK]]: phase 1 ranks within (lang,
+    * shingle-hash bucket) lanes — each holds ~vocab/`buckets` types,
+    * never the whole per-language vocabulary — phase 2 merges the ≤
+    * buckets×topK survivors per language (exactness argument at the
+    * helper). Shingles travel as strings here so the DuckDB oracle is
+    * exact; at 100 TB the key would be the 64-bit shingle hash, same
+    * plan shape (the [[duplicatedSpans]] note). */
   def hotShingleProfile(spark: SparkSession, dir: String, topK: Int = 20,
       buckets: Int = 32): DataFrame = {
     // the SAME shingling definition the dedup joins block on
@@ -664,17 +659,8 @@ object Dedup {
       .select(col("doc_id"), col("lang"),
         explode(shingles3("tk")).as("shingle"))
     val dfreq = g.groupBy("lang", "shingle").agg(count(lit(1)).as("df"))
-    val wLocal = Window.partitionBy("lang", "bkt")
-      .orderBy(col("df").desc, col("shingle").asc)
-    val wFinal = Window.partitionBy("lang")
-      .orderBy(col("df").desc, col("shingle").asc)
-    dfreq
-      .withColumn("bkt", pmod(xxhash64(col("shingle")), lit(buckets)))
-      .withColumn("lrk", row_number().over(wLocal))
-      .filter(col("lrk") <= topK)
-      .drop("bkt", "lrk")
-      .withColumn("rank", row_number().over(wFinal))
-      .filter(col("rank") <= topK)
+    GlobalOrder.withShardedGroupTopK(dfreq, Seq("lang"), col("shingle"),
+      topK, "rank", buckets)(col("df").desc, col("shingle").asc)
   }
 
   /** DUPLICATED-SPAN DETECTION — per-document fraction of exact

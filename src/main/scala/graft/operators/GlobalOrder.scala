@@ -171,6 +171,37 @@ private[graft] object GlobalOrder {
       .drop("_pid", "_v", "_lsum", "_off")
   }
 
+  /** TWO-PHASE sharded per-group top-k — exact `row_number() <= k`
+    * within each group of a possibly-UNBOUNDED group (a language's
+    * vocabulary, a viral domain) without ever sorting a whole group in
+    * one window lane. Phase 1 ranks inside (group, hash-of-`shardKey`
+    * sub-shard) lanes — each holds ~|group|/shards rows however hot the
+    * group — and keeps the local top-k; phase 2 ranks the survivors (≤
+    * shards×k rows per group BY CONSTRUCTION: a bounded merge of
+    * per-shard heads). Exact because any row in a group's global top-k
+    * has at most k−1 rows ahead of it overall, hence at most k−1 ahead
+    * in its own shard — it always survives phase 1, along with
+    * everything ranked above it, so phase-2 ranks equal global ranks.
+    * `order` must be a total order within each group (break ties with
+    * the entity key) and `rankCol` is the 1-based global group rank. */
+  def withShardedGroupTopK(df: DataFrame, groupCols: Seq[String],
+      shardKey: Column, k: Int, rankCol: String, shards: Int = 32)(
+      order: Column*): DataFrame = {
+    require(k > 0, s"withShardedGroupTopK: k=$k must be positive")
+    require(shards > 0, s"withShardedGroupTopK: shards=$shards must be " +
+      "positive — a non-positive modulus would null the shard column and " +
+      "silently collapse phase 1 into the unbounded single-lane shape")
+    val lane = Window
+      .partitionBy(groupCols.map(col) :+ col("_shard"): _*).orderBy(order: _*)
+    val merge = Window.partitionBy(groupCols.map(col): _*).orderBy(order: _*)
+    df.withColumn("_shard", pmod(xxhash64(shardKey), lit(shards)))
+      .withColumn("_lrk", row_number().over(lane))
+      .filter(col("_lrk") <= k)
+      .drop("_shard", "_lrk")
+      .withColumn(rankCol, row_number().over(merge))
+      .filter(col(rankCol) <= k)
+  }
+
   /** Distributed STRICT-PREFIX running max (`max() OVER (ORDER BY ...
     * ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)`): the
     * frontier-scan shape. Local prev-row running max per range

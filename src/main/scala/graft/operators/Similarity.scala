@@ -256,17 +256,33 @@ object Similarity {
     (nlist, math.max(6, nlist * 3 / 8))
   }
 
+  /** Corpus row count per (session, dir) — the auto rules below need it
+    * on EVERY default-geometry call, while the table never changes
+    * within a session; memoized like the index itself so serving calls
+    * don't re-run a count job per query. */
+  private val countMemo = new graft.SessionMemo[java.lang.Long]()
+  private def corpusCount(spark: SparkSession, dir: String): Long =
+    countMemo.getOrCompute(spark, dir) {
+      java.lang.Long.valueOf(Tables.load(spark, dir, "embeddings").count())
+    }.longValue()
+
   /** Resolve caller-supplied (nlist, nprobe) against the auto rule: 0
-    * (the default) means derive from the corpus row count — an explicit
-    * value always wins, so spec/serving calls can still pin geometry. */
+    * (the default) means derive — an explicit value always wins, so
+    * spec/serving calls can still pin geometry. A lone pinned `nlist`
+    * keeps the calibrated 3/8 scan fraction of the PINNED value (never
+    * of the auto nlist — mixing the two would produce an incoherent
+    * fraction); a lone pinned `nprobe` resolves nlist from the data and
+    * is validated against it, so an impossible pair fails loudly
+    * instead of silently degenerating to a full scan. */
   private def resolveGeometry(spark: SparkSession, dir: String,
-      nlist: Int, nprobe: Int): (Int, Int) =
-    if (nlist > 0 && nprobe > 0) (nlist, nprobe)
-    else {
-      val (al, ap) = autoSearchGeometry(
-        Tables.load(spark, dir, "embeddings").count())
-      (if (nlist > 0) nlist else al, if (nprobe > 0) nprobe else ap)
-    }
+      nlist: Int, nprobe: Int): (Int, Int) = {
+    val rl = if (nlist > 0) nlist else autoSearchGeometry(corpusCount(spark, dir))._1
+    val rp = if (nprobe > 0) nprobe else math.max(6, math.min(rl, rl * 3 / 8))
+    require(rp <= rl,
+      s"IVF geometry: nprobe=$rp exceeds nlist=$rl — pin both params " +
+        "coherently (a probe cannot scan more lists than exist)")
+    (rl, rp)
+  }
 
   /** MEASURED applicability gate for [[prunedEmbeddingPairs]]: the
     * fraction of bucket pairs the triangle-inequality radius bound FAILS
@@ -704,10 +720,14 @@ object Similarity {
       nCodes: Int = 32,
       rerank: Int = 0): DataFrame = {
     val subDim = 64 / nSub
+    // Long math + clamp: at extreme corpus counts ⌈n/8⌉ must saturate at
+    // Int.MaxValue, not wrap negative (a negative budget would silently
+    // return zero finalists)
     val rr =
       if (rerank > 0) rerank
-      else math.max(128L,
-        (Tables.load(spark, dir, "embeddings").count() + 7L) / 8L).toInt
+      else math.min(
+        math.max(128L, (corpusCount(spark, dir) + 7L) / 8L),
+        Int.MaxValue.toLong).toInt
     val base = normalized(spark, dir)
     Tables.withCached(base) {
       // Codebook: per-subspace Lloyd's k-means on a BOUNDED key-ordered

@@ -203,49 +203,24 @@ object Sketches {
     // audit branch (three joins otherwise run twice); at 100 TB the
     // audit branch doesn't exist and neither does this checkpoint
     val labeled = nationParts(spark, dir).localCheckpoint(true)
-
-    // exact audit: the distinct self-join the sketch replaces. n_both
-    // joins LEFT with a 0 default — the pair self-join only emits pairs
-    // sharing at least one part, but a zero-overlap pair is still a
-    // valid audit row (the estimates frame enumerates ALL pairs)
-    val np = labeled.distinct().localCheckpoint(true)
-    val sizes = np.groupBy("nation").agg(count(lit(1)).as("n"))
-    val both = np.select(col("nation").as("nation_a"), col("l_partkey"))
-      .join(np.select(col("nation").as("nation_b"), col("l_partkey")), "l_partkey")
-      .filter(col("nation_a") < col("nation_b"))
-      .groupBy("nation_a", "nation_b").agg(count(lit(1)).as("n_both"))
-
     kmvPairEstimates(labeled, k)
-      .join(broadcast(sizes.select(col("nation").as("nation_a"), col("n").as("n_a"))), "nation_a")
-      .join(broadcast(sizes.select(col("nation").as("nation_b"), col("n").as("n_b"))), "nation_b")
-      .join(broadcast(both), Seq("nation_a", "nation_b"), "left")
-      .withColumn("n_both", coalesce(col("n_both"), lit(0L)))
+      .join(broadcast(auditPairs(labeled)), Seq("nation_a", "nation_b"))
       .select(col("nation_a"), col("nation_b"), col("n_a"), col("n_b"),
         col("n_both"), col("est_a"), col("est_b"), col("est_union"),
         col("est_inter"), col("est_only_a"), col("est_only_b"),
         col("est_jaccard"))
   }
 
-  /** [[kmvAssortmentOverlap]] WITHOUT the exact audit half — the shape
-    * that actually runs at 100 TB (the [[cmsHeavyHittersProbeOnly]]
-    * precedent): one linear fact pass builds the 25 sketches, the
-    * 300-row pair algebra answers every overlap question, and nothing
-    * re-scans rows or self-joins the distinct value stream. This is the
-    * variant the 10× spot-bench measures; the audited sibling keeps
-    * carrying the correctness weight in SketchSpec. */
-  def kmvOverlapEstimates(spark: SparkSession, dir: String, k: Int = 1024): DataFrame =
-    kmvPairEstimates(nationParts(spark, dir), k)
-
-  /** The EXACT audit half of [[kmvAssortmentOverlap]] on its own — plain
-    * relational algebra (distinct, self-join, pair enumeration with a
-    * zero-overlap default), so the DuckDB oracle hash-gates the pair
-    * logic the sketch columns ride beside: every (nation_a < nation_b)
-    * pair appears exactly once, including pairs whose assortments share
-    * no part (the left join's 0 default). The pair frame comes from the
-    * 25-row sizes rollup's self-join (dim-sized, broadcast both sides),
-    * never from the fact. */
-  def kmvAudit(spark: SparkSession, dir: String): DataFrame = {
-    val np = nationParts(spark, dir).distinct().localCheckpoint(true)
+  /** The exact audit algebra, shared by [[kmvAssortmentOverlap]]'s
+    * ride-along columns and the standalone oracled [[kmvAudit]] — ONE
+    * definition, so the DuckDB hash gate on the latter also guards the
+    * former. Distinct (nation, part) assortments, per-nation sizes,
+    * overlap via the distinct self-join, and EVERY (nation_a < nation_b)
+    * pair enumerated from the dim-sized sizes rollup — the self-join
+    * only emits pairs sharing at least one part, so zero-overlap pairs
+    * enter through the left join's 0 default. */
+  private def auditPairs(labeled: DataFrame): DataFrame = {
+    val np = labeled.distinct().localCheckpoint(true)
     val sizes = np.groupBy("nation").agg(count(lit(1)).as("n"))
       .localCheckpoint(true) // 25 rows, feeds both sides of the pair join
     val both = np.select(col("nation").as("nation_a"), col("l_partkey"))
@@ -259,6 +234,23 @@ object Sketches {
       .select(col("nation_a"), col("nation_b"), col("n_a"), col("n_b"),
         coalesce(col("n_both"), lit(0L)).as("n_both"))
   }
+
+  /** [[kmvAssortmentOverlap]] WITHOUT the exact audit half — the shape
+    * that actually runs at 100 TB (the [[cmsHeavyHittersProbeOnly]]
+    * precedent): one linear fact pass builds the 25 sketches, the
+    * 300-row pair algebra answers every overlap question, and nothing
+    * re-scans rows or self-joins the distinct value stream. This is the
+    * variant the 10× spot-bench measures; the audited sibling keeps
+    * carrying the correctness weight in SketchSpec. */
+  def kmvOverlapEstimates(spark: SparkSession, dir: String, k: Int = 1024): DataFrame =
+    kmvPairEstimates(nationParts(spark, dir), k)
+
+  /** The EXACT audit half of [[kmvAssortmentOverlap]] on its own —
+    * [[auditPairs]] over the fact-derived assortments, nothing else.
+    * Plain relational algebra end-to-end, so the DuckDB oracle
+    * hash-gates the shared pair logic the sketch columns ride beside. */
+  def kmvAudit(spark: SparkSession, dir: String): DataFrame =
+    auditPairs(nationParts(spark, dir))
 
   private def nationParts(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "lineitem")

@@ -941,30 +941,20 @@ object TextAnalysis {
     * Knuth-multiplicative hash of doc_id (an unseeded uniform shuffle
     * both engines compute identically), not sample() or monotonic ids.
     *
-    * TWO-PHASE top-cap, so a viral domain never funnels through one
-    * window partition: phase 1 ranks within (source, doc-hash sub-shard)
-    * — each lane holds ~n_source/`shards` rows however hot the source —
-    * and keeps the local top-cap; phase 2 ranks the survivors (≤
-    * shards×cap rows per source BY CONSTRUCTION) for the true keep-rank.
-    * Exact: any doc in a source's global top-cap has at most cap−1 docs
-    * ahead of it overall, hence at most cap−1 ahead in its own shard, so
-    * it survives phase 1 — and with every better-ranked doc surviving
-    * too, phase-2 ranks equal global ranks. */
+    * TWO-PHASE top-cap via [[GlobalOrder.withShardedGroupTopK]], so a
+    * viral domain never funnels through one window partition: phase 1
+    * ranks within (source, doc-hash sub-shard) lanes — each holds
+    * ~n_source/`shards` rows however hot the source — phase 2 ranks the
+    * ≤ shards×cap survivors per source for the true keep-rank
+    * (exactness argument at the helper; a count+threshold cutoff could
+    * not produce the contract's exact 1..cap keep-rank column). */
   def sourceCaps(spark: SparkSession, dir: String, cap: Int = 20,
       shards: Int = 32): DataFrame = {
-    val order = Seq(col("hash_val"), col("doc_id"))
-    val wLocal = org.apache.spark.sql.expressions.Window
-      .partitionBy("source", "shard").orderBy(order: _*)
-    val wFinal = org.apache.spark.sql.expressions.Window
-      .partitionBy("source").orderBy(order: _*)
-    Tables.load(spark, dir, "documents")
+    val base = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("source"),
-        expr("((doc_id % 1048573) * 2654435761) % 4294967296").as("hash_val"),
-        pmod(xxhash64(col("doc_id")), lit(shards)).as("shard"))
-      .withColumn("lrk", row_number().over(wLocal))
-      .filter(col("lrk") <= cap)
-      .withColumn("rk", row_number().over(wFinal).cast("int"))
-      .filter(col("rk") <= cap)
+        expr("((doc_id % 1048573) * 2654435761) % 4294967296").as("hash_val"))
+    GlobalOrder.withShardedGroupTopK(base, Seq("source"), col("doc_id"),
+        cap, "rk", shards)(col("hash_val"), col("doc_id"))
       .select(col("source"), col("doc_id"), col("rk"))
   }
 

@@ -72,7 +72,14 @@ object EventsStream {
     * summed, the per-batch peak is kept. `None` when the last query held
     * no state (stateless transforms). Observability only — written by
     * [[drainAndDrop]], read by the scale bench's state-size table; no
-    * correctness path depends on it. */
+    * correctness path depends on it. Two measurement caveats, fine for
+    * the bench's ≤ ~12-batch replays but worth knowing: the peak is
+    * over `recentProgress`, which retains only the last
+    * `spark.sql.streaming.numRecentProgressUpdates` (default 100)
+    * batches — a longer-running query whose state peaked earlier would
+    * under-report; and rows/bytes maxima are taken independently, so
+    * the pair may span two different batches (a footprint envelope, not
+    * one observed batch). */
   final case class StateFootprint(rows: Long, bytes: Long)
   @volatile private[graft] var lastStateFootprint: Option[StateFootprint] = None
 

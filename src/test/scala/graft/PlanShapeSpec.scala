@@ -260,6 +260,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(ok.count() == 10)
   }
 
+  test("as-of join picks via partial-aggregated argmax, not a join-product window") {
+    // the most-recent-order pick must be a max(struct) aggregate whose
+    // map-side partial collapses each event's candidate orders BEFORE
+    // the exchange — a row_number window would shuffle and sort the full
+    // event x order join product instead
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = graft.operators.Breadth.asofJoin(spark, sf)
+    val optimized = df.queryExecution.optimizedPlan
+    assert(optimized.collect { case w: LWindow => w }.isEmpty,
+      s"window in as-of plan:\n$optimized")
+    val physical = df.queryExecution.executedPlan.toString
+    assert(!physical.contains("Window"), s"window in physical as-of plan:\n$physical")
+    // partial + final aggregate pair present (struct-max rides the
+    // object/sort aggregate path; both halves must appear)
+    val nAgg = "Aggregate".r.findAllMatchIn(physical).length
+    assert(nAgg >= 2, s"no partial+final aggregate pair:\n$physical")
+    assert(df.count() > 0)
+  }
+
   test("kmv sketch build shuffles buffers, not the value stream") {
     // the whole point of the KMV Aggregator: partial ObjectHashAggregate
     // BEFORE the exchange (map-side sketch build), final after — and no
