@@ -667,7 +667,16 @@ object Similarity {
     * access pattern — plus the tiny centroid table), read back cold, and
     * served through the SAME search logic as the in-session path.
     * Parquet round-trips doubles exactly, so results are IDENTICAL to
-    * [[ivfTopK]] (pinned by spec); rows-only check in the harness. */
+    * [[ivfTopK]] (pinned by spec); rows-only check in the harness.
+    *
+    * The lists are clustered on `list_id` before the partitioned write:
+    * without it every one of the 32 writing tasks holds rows of most of
+    * the `nlist` cells (KMeans assignment is independent of the input
+    * partitioning), so the sink emits up to tasks×nlist small files —
+    * at the auto-geometry's 128+ lists that is thousands of
+    * kilobyte-sized parquet footers per save, and a served probe pays a
+    * per-file open for each. One hash exchange on the write side gives
+    * each cell directory a handful of task-sized files instead. */
   def ivfTopKSaved(
       spark: SparkSession,
       dir: String,
@@ -678,7 +687,7 @@ object Similarity {
     val (rl, rp) = resolveGeometry(spark, dir, nlist, nprobe)
     val idx = ivfIndex(spark, dir, rl, 0.25, 5)
     val out = Scale.scratchDir("graft_ivf")
-    idx.lists.write.mode("overwrite")
+    idx.lists.repartition(col("list_id")).write.mode("overwrite")
       .partitionBy("list_id").parquet(s"$out/lists")
     idx.centroids.write.mode("overwrite").parquet(s"$out/centroids")
     ivfSearch(
