@@ -156,6 +156,10 @@ object ScaleBench {
       val brute = SparkEntry.queries("q_ann_brute")(spark, dir)
         .select("query_id", "neighbor_id").localCheckpoint(true)
       val denom = brute.count().toDouble
+      // fail loudly rather than emit 0/0 = NaN unquoted into the JSON
+      // artifact (an empty embeddings table would otherwise pass every
+      // rows-only .count() timing and corrupt the output line silently)
+      require(denom > 0, s"recallAt($dir): brute-force top-k is empty")
       Seq("q_ann_ivf", "q_ann_pq").map { n =>
         val approx = SparkEntry.queries(n)(spark, dir)
           .select("query_id", "neighbor_id")
@@ -168,10 +172,16 @@ object ScaleBench {
     def f3(v: Double): String = f"$v%.3f"
     val perQuery = small.zip(big).map { case (s, b) =>
       val (sMin, bMin) = (math.min(s.t1, s.t2), math.min(b.t1, b.t2))
+      // emit whichever scales actually reported a footprint — a query
+      // with state at one scale only (all-zero batches or progress
+      // retention at the other) must not read back as stateless
       val state = (s.state, b.state) match {
-        case (Some(ss), Some(bs)) =>
-          s""","state_rows":{"sf01":${ss.rows},"sf1":${bs.rows}},"state_bytes":{"sf01":${ss.bytes},"sf1":${bs.bytes}}"""
-        case _ => ""
+        case (None, None) => ""
+        case (os, ob) =>
+          def pair(field: graft.streaming.EventsStream.StateFootprint => Long): String =
+            Seq(os.map(x => s""""sf01":${field(x)}"""), ob.map(x => s""""sf1":${field(x)}"""))
+              .flatten.mkString("{", ",", "}")
+          s""","state_rows":${pair(_.rows)},"state_bytes":${pair(_.bytes)}"""
       }
       s""""${s.name}":{"sf01_sec":${f3(sMin)},"sf1_sec":${f3(bMin)},"ratio":${f3(bMin / sMin)},"sf01_runs":[${f3(s.t1)},${f3(s.t2)}],"sf1_runs":[${f3(b.t1)},${f3(b.t2)}]$state}"""
     }.mkString("{", ",", "}")

@@ -277,7 +277,11 @@ object Similarity {
   private def resolveGeometry(spark: SparkSession, dir: String,
       nlist: Int, nprobe: Int): (Int, Int) = {
     val rl = if (nlist > 0) nlist else autoSearchGeometry(corpusCount(spark, dir))._1
-    val rp = if (nprobe > 0) nprobe else math.max(6, math.min(rl, rl * 3 / 8))
+    // floor of 6 probes for tiny geometries, but never above nlist
+    // itself (max-then-min: the reverse order would push a small pinned
+    // nlist's auto nprobe to 6 > nlist and fail the coherence check
+    // below for a parameter the caller never passed)
+    val rp = if (nprobe > 0) nprobe else math.min(rl, math.max(6, rl * 3 / 8))
     require(rp <= rl,
       s"IVF geometry: nprobe=$rp exceeds nlist=$rl — pin both params " +
         "coherently (a probe cannot scan more lists than exist)")
@@ -696,10 +700,78 @@ object Similarity {
       k, nProbes, rp)
   }
 
+  private final case class PqIndex(
+    codebook: Array[Array[Array[Double]]], codes: DataFrame)
+  private val pqMemo = new graft.SessionMemo[PqIndex]()
+
+  /** PQ INDEX — trained codebook + encoded corpus, built ONCE per
+    * (session, dir, nSub, nCodes) and memoized exactly like
+    * [[ivfIndex]]: a serving engine trains and encodes at ingest, not
+    * per query, and re-encoding the whole corpus per search call is the
+    * 100 TB mistake the memo removes.
+    *
+    * Codebook: per-subspace Lloyd's k-means on a BOUNDED key-ordered
+    * sample, trained driver-local — codebooks are constant-size
+    * (nSub × nCodes × subDim doubles), so a ≤1024-vector sample is the
+    * standard PQ training recipe at ANY corpus scale; a
+    * first-nCodes-vectors "codebook" cost recall sharply as the corpus
+    * grew (measured recall@5: 0.54 at sf0.01, 0.40 at sf0.1).
+    * Deterministic: key-ordered sample, strided init, fixed iteration
+    * count, ties by lower code index. Encoding is map-side (no
+    * shuffle), nSub small ints per corpus vector, materialized via
+    * checkpoint with blocks owned by the memoized frame. */
+  private def pqIndex(
+      spark: SparkSession, dir: String, nSub: Int, nCodes: Int): PqIndex =
+    pqMemo.getOrCompute(spark, s"$dir|$nSub|$nCodes") {
+      val subDim = 64 / nSub
+      val base = normalized(spark, dir).cache()
+      try {
+        val sample: Array[Array[Double]] = base
+          .filter(col("vec_id") < 1024).orderBy("vec_id")
+          .select("unit").collect()
+          .map(_.getSeq[Double](0).toArray)
+        val codebook: Array[Array[Array[Double]]] = Array.tabulate(nSub) { s =>
+          trainSubCodebook(
+            sample.map(v => java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim)),
+            nCodes)
+        }
+        val bcCb = spark.sparkContext.broadcast(codebook)
+        import org.apache.spark.sql.types._
+        val codeSchema = StructType(Seq(
+          StructField("neighbor_id", LongType),
+          StructField("codes", ArrayType(IntegerType))))
+        val codeEnc = org.apache.spark.sql.Encoders.row(codeSchema)
+        val codes = base.select(col("vec_id"), col("unit"))
+          .mapPartitions { it =>
+            val cb = bcCb.value
+            it.map { r =>
+              val v = r.getSeq[Double](1).toArray
+              val cs = Array.tabulate(nSub) { s =>
+                var best = 0; var bestD = Double.MaxValue
+                var j = 0
+                while (j < cb(s).length) {
+                  var d = 0.0; var i = 0
+                  while (i < subDim) {
+                    val diff = v(s * subDim + i) - cb(s)(j)(i); d += diff * diff; i += 1
+                  }
+                  if (d < bestD) { bestD = d; best = j }
+                  j += 1
+                }
+                best
+              }
+              org.apache.spark.sql.Row(r.getLong(0), cs.toSeq)
+            }
+          }(codeEnc)
+          .localCheckpoint(true)
+        PqIndex(codebook, codes)
+      } finally base.unpersist(blocking = false)
+    }
+
   /** Product-quantization ANN: 64 dims → `nSub` subspaces, each encoded as
     * the nearest of `nCodes` codewords (codebooks trained per subspace by
     * deterministic driver-local Lloyd's k-means on a bounded key-ordered
-    * sample — [[trainSubCodebook]]). Probes rank candidates by asymmetric
+    * sample — [[trainSubCodebook]], index built once per session via
+    * [[pqIndex]]). Probes rank candidates by asymmetric
     * distance (per-subspace lookup-table sums), keep `rerank` finalists,
     * then exact cosine re-ranks the finalists. The rerank budget is the
     * recall-vs-cost dial on this near-isotropic corpus, where ADC noise
@@ -737,53 +809,12 @@ object Similarity {
       else math.min(
         math.max(128L, (corpusCount(spark, dir) + 7L) / 8L),
         Int.MaxValue.toLong).toInt
+    val idx = pqIndex(spark, dir, nSub, nCodes)
+    val bcCb = spark.sparkContext.broadcast(idx.codebook)
+    val codes = idx.codes
     val base = normalized(spark, dir)
     Tables.withCached(base) {
-      // Codebook: per-subspace Lloyd's k-means on a BOUNDED key-ordered
-      // sample, trained driver-local — codebooks are constant-size
-      // (nSub × nCodes × subDim doubles), so a ≤1024-vector sample is
-      // the standard PQ training recipe at ANY corpus scale; the
-      // previous first-nCodes-vectors "codebook" cost recall sharply as
-      // the corpus grew (measured recall@5: 0.54 at sf0.01, 0.40 at
-      // sf0.1). Deterministic: key-ordered sample, strided init, fixed
-      // iteration count, ties by lower code index.
-      val sample: Array[Array[Double]] = base
-        .filter(col("vec_id") < 1024).orderBy("vec_id")
-        .select("unit").collect()
-        .map(_.getSeq[Double](0).toArray)
-      val codebook: Array[Array[Array[Double]]] = Array.tabulate(nSub) { s =>
-        trainSubCodebook(
-          sample.map(v => java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim)),
-          nCodes)
-      }
-      val bcCb = spark.sparkContext.broadcast(codebook)
       import org.apache.spark.sql.types._
-      val codeSchema = StructType(Seq(
-        StructField("neighbor_id", LongType),
-        StructField("codes", ArrayType(IntegerType))))
-      val codeEnc = org.apache.spark.sql.Encoders.row(codeSchema)
-      // Encode: nSub byte-sized codes per corpus vector (map-side, no shuffle).
-      val codes = base.select(col("vec_id"), col("unit"))
-        .mapPartitions { it =>
-          val cb = bcCb.value
-          it.map { r =>
-            val v = r.getSeq[Double](1).toArray
-            val cs = Array.tabulate(nSub) { s =>
-              var best = 0; var bestD = Double.MaxValue
-              var j = 0
-              while (j < cb(s).length) {
-                var d = 0.0; var i = 0
-                while (i < subDim) {
-                  val diff = v(s * subDim + i) - cb(s)(j)(i); d += diff * diff; i += 1
-                }
-                if (d < bestD) { bestD = d; best = j }
-                j += 1
-              }
-              best
-            }
-            org.apache.spark.sql.Row(r.getLong(0), cs.toSeq)
-          }
-        }(codeEnc)
       // Probes score candidates by ADC: sum over subspaces of the exact
       // distance from the probe's subvector to the candidate's codeword.
       val probes = base.filter(col("vec_id") < nProbes)

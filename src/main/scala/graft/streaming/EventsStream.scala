@@ -90,6 +90,11 @@ object EventsStream {
     * query's peak state footprint (see [[lastStateFootprint]]). */
   private def drainAndDrop(spark: SparkSession,
       q: org.apache.spark.sql.streaming.StreamingQuery, name: String): DataFrame = {
+    // cleared up front so a failure below can never leave the PREVIOUS
+    // drained query's footprint to be read as this one's; entry points
+    // that bypass this helper never publish a footprint, so readers must
+    // sample immediately after the drained call they mean to attribute
+    lastStateFootprint = None
     try q.processAllAvailable() finally q.stop()
     val perBatch = q.recentProgress.toSeq
       .map(p => (p.stateOperators.map(_.numRowsTotal).sum,

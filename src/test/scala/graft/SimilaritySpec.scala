@@ -52,7 +52,7 @@ class SimilaritySpec extends SparkSpec {
   test("auto geometry holds the recall floors on the grown corpus (sf0.01)") {
     // the round-14 rule exists BECAUSE fixed (16, 6) / rerank=128 decayed
     // with corpus growth (IVF 0.78 → 0.64, PQ 0.96 → 0.68 measured at
-    // 1.5k → 150k vectors); pin the auto defaults at the first grown
+    // 500 → 20 000 vectors); pin the auto defaults at the first grown
     // scale so a future constant regression fails here, not in a
     // scale-bench readout. Floors carry slack under the measured values
     // (IVF ≈ 0.9+, PQ 0.96) for fixture regeneration.
