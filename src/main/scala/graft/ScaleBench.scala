@@ -29,6 +29,11 @@ import org.apache.spark.sql.types.StructType
 object ScaleBench {
   private val Stride = 1000000000L
 
+  // one list drives BOTH the recall computation and the JSON emitter —
+  // adding a variant to only one of two copies would throw a Map lookup
+  // at artifact-write time, after the whole sweep's timings completed
+  private val AnnVariants = Seq("q_ann_ivf", "q_ann_pq")
+
   // q_dedup_embedding is deliberately NOT here: an exact cosine pair join
   // at threshold 0.4 over this (weakly-clustered) embedding space is
   // Ω(n²) for every engine — see Dedup.embeddingPairs — so a 10× ratio
@@ -160,7 +165,7 @@ object ScaleBench {
       // artifact (an empty embeddings table would otherwise pass every
       // rows-only .count() timing and corrupt the output line silently)
       require(denom > 0, s"recallAt($dir): brute-force top-k is empty")
-      Seq("q_ann_ivf", "q_ann_pq").map { n =>
+      AnnVariants.map { n =>
         val approx = SparkEntry.queries(n)(spark, dir)
           .select("query_id", "neighbor_id")
         n -> brute.join(approx, Seq("query_id", "neighbor_id")).count() / denom
@@ -185,7 +190,7 @@ object ScaleBench {
       }
       s""""${s.name}":{"sf01_sec":${f3(sMin)},"sf1_sec":${f3(bMin)},"ratio":${f3(bMin / sMin)},"sf01_runs":[${f3(s.t1)},${f3(s.t2)}],"sf1_runs":[${f3(b.t1)},${f3(b.t2)}]$state}"""
     }.mkString("{", ",", "}")
-    val recallJson = Seq("q_ann_ivf", "q_ann_pq").map { n =>
+    val recallJson = AnnVariants.map { n =>
       s""""$n":{"sf01":${f3(recallSmall(n))},"sf1":${f3(recallBig(n))}}"""
     }.mkString("{", ",", "}")
     val line =

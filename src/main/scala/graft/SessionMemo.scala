@@ -59,5 +59,13 @@ final class SessionMemo[V <: AnyRef] {
     }
   }
 
+  /** Drop every entry owned by `spark` (test hook: determinism specs
+    * need the next getOrCompute to REBUILD, not replay the memo). */
+  private[graft] def clearSession(spark: SparkSession): Unit = {
+    val prefix = org.apache.spark.sql.graft.ColumnBridge.sessionUUID(spark) + "|"
+    val keys = m.keySet().iterator()
+    while (keys.hasNext) if (keys.next().startsWith(prefix)) keys.remove()
+  }
+
   private[graft] def size: Int = m.size()
 }

@@ -191,6 +191,13 @@ private[graft] object GlobalOrder {
     require(shards > 0, s"withShardedGroupTopK: shards=$shards must be " +
       "positive — a non-positive modulus would null the shard column and " +
       "silently collapse phase 1 into the unbounded single-lane shape")
+    // the scratch columns are withColumn'd then dropped — a caller frame
+    // that already carries one of these names (or rankCol) would have
+    // its column silently overwritten and removed from the output
+    for (c <- Seq("_shard", "_lrk", rankCol) if df.columns.contains(c))
+      throw new IllegalArgumentException(
+        s"withShardedGroupTopK: input already has a column named '$c' — " +
+          "rename it (or pick another rankCol); the helper owns that name")
     val lane = Window
       .partitionBy(groupCols.map(col) :+ col("_shard"): _*).orderBy(order: _*)
     val merge = Window.partitionBy(groupCols.map(col): _*).orderBy(order: _*)

@@ -253,8 +253,17 @@ object Similarity {
     val target = 2.0 * math.sqrt(math.max(n, 1L).toDouble)
     var nlist = 16
     while (nlist < 1024 && nlist < target) nlist *= 2
-    (nlist, math.max(6, nlist * 3 / 8))
+    (nlist, autoNprobe(nlist))
   }
+
+  /** THE 3/8-scan rule, single source of truth: floor of 6 probes for
+    * tiny geometries but never above nlist itself (max-then-min — the
+    * reverse order would push a small nlist's default to 6 > nlist and
+    * fail the coherence check for a parameter the caller never passed).
+    * Both the auto geometry and [[resolveGeometry]]'s lone-pinned-nlist
+    * path derive from here, so they can never drift apart. */
+  private def autoNprobe(nlist: Int): Int =
+    math.min(nlist, math.max(6, nlist * 3 / 8))
 
   /** Corpus row count per (session, dir) — the auto rules below need it
     * on EVERY default-geometry call, while the table never changes
@@ -277,11 +286,7 @@ object Similarity {
   private def resolveGeometry(spark: SparkSession, dir: String,
       nlist: Int, nprobe: Int): (Int, Int) = {
     val rl = if (nlist > 0) nlist else autoSearchGeometry(corpusCount(spark, dir))._1
-    // floor of 6 probes for tiny geometries, but never above nlist
-    // itself (max-then-min: the reverse order would push a small pinned
-    // nlist's auto nprobe to 6 > nlist and fail the coherence check
-    // below for a parameter the caller never passed)
-    val rp = if (nprobe > 0) nprobe else math.min(rl, math.max(6, rl * 3 / 8))
+    val rp = if (nprobe > 0) nprobe else autoNprobe(rl)
     require(rp <= rl,
       s"IVF geometry: nprobe=$rp exceeds nlist=$rl — pin both params " +
         "coherently (a probe cannot scan more lists than exist)")
@@ -700,9 +705,23 @@ object Similarity {
       k, nProbes, rp)
   }
 
+  /** The broadcast — not the raw array — lives in the index: serving
+    * calls reuse ONE executor-resident copy instead of re-broadcasting
+    * an identical codebook per query (undestroyed broadcasts accumulate
+    * in every BlockManager for the session's lifetime). */
   private final case class PqIndex(
-    codebook: Array[Array[Array[Double]]], codes: DataFrame)
+    codebookBc: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]],
+    codes: DataFrame)
   private val pqMemo = new graft.SessionMemo[PqIndex]()
+
+  /** Test hook: forget every memoized index owned by `spark`, forcing
+    * the next call to REBUILD — the determinism specs must compare two
+    * independent builds, and a memo hit would make them vacuously equal. */
+  private[graft] def clearIndexMemosForTest(spark: SparkSession): Unit = {
+    pqMemo.clearSession(spark)
+    ivfMemo.clearSession(spark)
+    geomMemo.clearSession(spark)
+  }
 
   /** PQ INDEX — trained codebook + encoded corpus, built ONCE per
     * (session, dir, nSub, nCodes) and memoized exactly like
@@ -730,6 +749,12 @@ object Similarity {
           .filter(col("vec_id") < 1024).orderBy("vec_id")
           .select("unit").collect()
           .map(_.getSeq[Double](0).toArray)
+        // fail with the cause, not an opaque AIOOBE inside Lloyd's init:
+        // a corpus whose vec_ids don't start near 0 (or an empty table)
+        // yields an empty training sample
+        require(sample.nonEmpty,
+          s"pqIndex($dir): no training vectors with vec_id < 1024 — " +
+            "the codebook sample assumes ids start at 0")
         val codebook: Array[Array[Array[Double]]] = Array.tabulate(nSub) { s =>
           trainSubCodebook(
             sample.map(v => java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim)),
@@ -763,7 +788,7 @@ object Similarity {
             }
           }(codeEnc)
           .localCheckpoint(true)
-        PqIndex(codebook, codes)
+        PqIndex(bcCb, codes)
       } finally base.unpersist(blocking = false)
     }
 
@@ -810,7 +835,7 @@ object Similarity {
         math.max(128L, (corpusCount(spark, dir) + 7L) / 8L),
         Int.MaxValue.toLong).toInt
     val idx = pqIndex(spark, dir, nSub, nCodes)
-    val bcCb = spark.sparkContext.broadcast(idx.codebook)
+    val bcCb = idx.codebookBc
     val codes = idx.codes
     val base = normalized(spark, dir)
     Tables.withCached(base) {

@@ -28,6 +28,9 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (brute & ivf).size.toDouble / brute.size
     assert(recall >= 0.6, s"IVF recall@5 = $recall")
+    // drop the memoized index first — a memo hit would compare the same
+    // build with itself and pass even if the build were nondeterministic
+    Similarity.clearIndexMemosForTest(spark)
     val ivf2 = Similarity.ivfTopK(spark, sf, 5, 10)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -43,6 +46,9 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (brute & pq).size.toDouble / brute.size
     assert(recall >= 0.8, s"PQ recall@5 = $recall")
+    // drop the memoized index first — a memo hit would compare the same
+    // build with itself and pass even if the build were nondeterministic
+    Similarity.clearIndexMemosForTest(spark)
     val pq2 = Similarity.pqTopK(spark, sf, 5, 10)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
