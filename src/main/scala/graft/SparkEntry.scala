@@ -318,12 +318,7 @@ object SparkEntry {
       val q = agg.writeStream.outputMode(OutputMode.Complete())
         .format("memory").queryName(name)
         .trigger(Trigger.AvailableNow()).start()
-      try q.processAllAvailable() finally q.stop()
-      // materialize + drop the memory-sink view (EventsStream.drainAndDrop
-      // rationale: repeated runs otherwise accumulate driver-side copies)
-      val outGen = s.table(name).localCheckpoint(true)
-      s.catalog.dropTempView(name)
-      outGen
+      graft.streaming.EventsStream.drainAndDrop(s, q, name)
     }),
     // round 8: native point-in-interval join — irregular numeric bands +
     // time validity windows (same custom plan, two domains)
@@ -414,6 +409,53 @@ object SparkEntry {
       |SELECT user_id, CAST(SUM(new_s) AS INT) AS n_sessions,
       |       CAST(COUNT(*) AS INT) AS n_events
       |FROM g GROUP BY 1""".stripMargin
+
+  // one text per "must agree" variant pair: an oracle edit applied to one
+  // byte-identical copy but not its twin would silently pin the sibling
+  // query to the old algebra (same drift-prevention rationale as
+  // ngramOracleSql / sessionsOracleSql above)
+  private val hourlyOracleSql =
+    """SELECT CAST(FLOOR(EPOCH(ts) / 3600) * 3600 AS BIGINT) AS bucket_start,
+      |       event_type,
+      |       COUNT(*) AS n_events,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  private val asofOracleSql =
+    """WITH cand AS (
+      |  SELECT e.event_id, e.user_id, o.o_orderkey,
+      |         ROW_NUMBER() OVER (PARTITION BY e.event_id
+      |                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      |  FROM events e
+      |  JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+      |SELECT event_id, user_id, o_orderkey AS orderkey
+      |FROM cand WHERE rn = 1""".stripMargin
+
+  private lazy val decontaminateOracleSql =
+    s"""WITH $shinglesCte,
+       |ev AS (SELECT DISTINCT s FROM (
+       |  SELECT UNNEST(sh2.s) AS s
+       |  FROM sh sh2 JOIN documents d USING (doc_id)
+       |  WHERE d.source = 'src0')),
+       |tr AS (
+       |  SELECT sh3.doc_id, len(sh3.s) AS n_shingles, UNNEST(sh3.s) AS s
+       |  FROM sh sh3 JOIN documents d USING (doc_id)
+       |  WHERE d.source != 'src0')
+       |SELECT tr2.doc_id, COUNT(*) AS n_shared, tr2.n_shingles,
+       |       CAST(COUNT(*) AS DOUBLE) / tr2.n_shingles AS contamination
+       |FROM tr tr2 JOIN ev USING (s)
+       |GROUP BY tr2.doc_id, tr2.n_shingles""".stripMargin
+
+  private val intervalJoinOracleSql =
+    """WITH bands AS (
+      |  SELECT p_partkey AS band_id,
+      |         CAST((p_partkey % 44) * 11 + (p_size % 9) AS DOUBLE) AS lo,
+      |         CAST((p_partkey % 44) * 11 + (p_size % 9) + p_size AS DOUBLE) AS hi
+      |  FROM part WHERE p_partkey % 29 = 0)
+      |SELECT b.band_id, b.lo, b.hi, COUNT(*) AS n_events,
+      |       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+      |GROUP BY 1, 2, 3""".stripMargin
 
   private val userStatsCte =
     s"""$orderRevCte,
@@ -634,12 +676,7 @@ object SparkEntry {
          |SELECT custkey, 'min_buy' AS stat, min_buy AS value FROM stats
          |UNION ALL
          |SELECT custkey, 'max_buy' AS stat, max_buy AS value FROM stats""".stripMargin,
-    "q_events_hourly" ->
-      """SELECT CAST(FLOOR(EPOCH(ts) / 3600) * 3600 AS BIGINT) AS bucket_start,
-        |       event_type,
-        |       COUNT(*) AS n_events,
-        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_events_hourly" -> hourlyOracleSql,
     "q_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
@@ -977,12 +1014,8 @@ object SparkEntry {
         |FROM f4 f JOIN meta m USING (doc_id)""".stripMargin,
     "q_stream_sessions" -> sessionsOracleSql,
     "q_stream_sessions_tws" -> sessionsOracleSql,
-    "q_stream_hourly" ->
-      """SELECT CAST(FLOOR(EPOCH(ts) / 3600) * 3600 AS BIGINT) AS bucket_start,
-        |       event_type,
-        |       COUNT(*) AS n_events,
-        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-        |FROM events GROUP BY 1, 2""".stripMargin,
+    // the streamed tumbling windows replay the batch hourly algebra
+    "q_stream_hourly" -> hourlyOracleSql,
     "q_sql_tpch_q1" ->
       """SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -1503,24 +1536,9 @@ object SparkEntry {
       """SELECT c_mktsegment AS mktsegment, COUNT(*) AS n_customers,
         |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
         |FROM customer GROUP BY 1""".stripMargin,
-    "q_asof_join" ->
-      """WITH cand AS (
-        |  SELECT e.event_id, e.user_id, o.o_orderkey,
-        |         ROW_NUMBER() OVER (PARTITION BY e.event_id
-        |                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
-        |  FROM events e
-        |  JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
-        |SELECT event_id, user_id, o_orderkey AS orderkey
-        |FROM cand WHERE rn = 1""".stripMargin,
-    "q_asof_join_native" ->
-      """WITH cand AS (
-        |  SELECT e.event_id, e.user_id, o.o_orderkey,
-        |         ROW_NUMBER() OVER (PARTITION BY e.event_id
-        |                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
-        |  FROM events e
-        |  JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
-        |SELECT event_id, user_id, o_orderkey AS orderkey
-        |FROM cand WHERE rn = 1""".stripMargin,
+    "q_asof_join" -> asofOracleSql,
+    // the native SortMergeAsof plan must agree with the composed path
+    "q_asof_join_native" -> asofOracleSql,
     "q_asof_join_left" ->
       """WITH cand AS (
         |  SELECT e.event_id, e.user_id, o.o_orderkey,
@@ -1628,36 +1646,10 @@ object SparkEntry {
         |       t2.bigram AS top_bigram, t2.n AS top_bigram_n,
         |       CAST(t2.n AS DOUBLE) / (b.n_tokens - 1) AS top_bigram_frac
         |FROM base b JOIN top t2 ON b.doc_id = t2.doc_id AND t2.rn = 1""".stripMargin,
-    "q_decontaminate" ->
-      s"""WITH $shinglesCte,
-         |ev AS (SELECT DISTINCT s FROM (
-         |  SELECT UNNEST(sh2.s) AS s
-         |  FROM sh sh2 JOIN documents d USING (doc_id)
-         |  WHERE d.source = 'src0')),
-         |tr AS (
-         |  SELECT sh3.doc_id, len(sh3.s) AS n_shingles, UNNEST(sh3.s) AS s
-         |  FROM sh sh3 JOIN documents d USING (doc_id)
-         |  WHERE d.source != 'src0')
-         |SELECT tr2.doc_id, COUNT(*) AS n_shared, tr2.n_shingles,
-         |       CAST(COUNT(*) AS DOUBLE) / tr2.n_shingles AS contamination
-         |FROM tr tr2 JOIN ev USING (s)
-         |GROUP BY tr2.doc_id, tr2.n_shingles""".stripMargin,
+    "q_decontaminate" -> decontaminateOracleSql,
     // bloom prefilter is result-invariant (false positives die in the
     // exact join) → same oracle as q_decontaminate
-    "q_decontaminate_bloom" ->
-      s"""WITH $shinglesCte,
-         |ev AS (SELECT DISTINCT s FROM (
-         |  SELECT UNNEST(sh2.s) AS s
-         |  FROM sh sh2 JOIN documents d USING (doc_id)
-         |  WHERE d.source = 'src0')),
-         |tr AS (
-         |  SELECT sh3.doc_id, len(sh3.s) AS n_shingles, UNNEST(sh3.s) AS s
-         |  FROM sh sh3 JOIN documents d USING (doc_id)
-         |  WHERE d.source != 'src0')
-         |SELECT tr2.doc_id, COUNT(*) AS n_shared, tr2.n_shingles,
-         |       CAST(COUNT(*) AS DOUBLE) / tr2.n_shingles AS contamination
-         |FROM tr tr2 JOIN ev USING (s)
-         |GROUP BY tr2.doc_id, tr2.n_shingles""".stripMargin,
+    "q_decontaminate_bloom" -> decontaminateOracleSql,
     "q_lm_novelty" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -2858,28 +2850,10 @@ object SparkEntry {
         |       list_reduce(list_prepend(CAST(0 AS BIGINT), wn),
         |                   (a, x) -> (a + x) % 9007199254740881) AS winnow_digest
         |FROM w""".stripMargin,
-    "q_interval_join" ->
-      """WITH bands AS (
-        |  SELECT p_partkey AS band_id,
-        |         CAST((p_partkey % 44) * 11 + (p_size % 9) AS DOUBLE) AS lo,
-        |         CAST((p_partkey % 44) * 11 + (p_size % 9) + p_size AS DOUBLE) AS hi
-        |  FROM part WHERE p_partkey % 29 = 0)
-        |SELECT b.band_id, b.lo, b.hi, COUNT(*) AS n_events,
-        |       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-        |FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
-        |GROUP BY 1, 2, 3""".stripMargin,
+    "q_interval_join" -> intervalJoinOracleSql,
     // salting is result-invariant (decimal partials) → same oracle as
     // q_interval_join
-    "q_interval_join_salted" ->
-      """WITH bands AS (
-        |  SELECT p_partkey AS band_id,
-        |         CAST((p_partkey % 44) * 11 + (p_size % 9) AS DOUBLE) AS lo,
-        |         CAST((p_partkey % 44) * 11 + (p_size % 9) + p_size AS DOUBLE) AS hi
-        |  FROM part WHERE p_partkey % 29 = 0)
-        |SELECT b.band_id, b.lo, b.hi, COUNT(*) AS n_events,
-        |       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-        |FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
-        |GROUP BY 1, 2, 3""".stripMargin,
+    "q_interval_join_salted" -> intervalJoinOracleSql,
     "q_interval_join_time" ->
       """WITH wins AS (
         |  SELECT o_orderkey AS win_id,
@@ -3431,10 +3405,10 @@ object SparkEntry {
         |  LIMIT 2) t""".stripMargin,
     "q_recursive_cte" ->
       """WITH RECURSIVE months(m) AS (
-        |  SELECT DATE '1995-01-01'
+        |  SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) FROM orders
         |  UNION ALL
         |  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
-        |  WHERE m < DATE '2001-07-01')
+        |  WHERE m < (SELECT CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) FROM orders))
         |SELECT CAST(m AS VARCHAR) AS month_start,
         |       COUNT(o.o_orderkey) AS n_orders,
         |       CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_price

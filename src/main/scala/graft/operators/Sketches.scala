@@ -62,7 +62,7 @@ object Sketches {
     * stored table no longer carries user ids — the point), and the spec
     * pins saved == in-session estimates exactly. */
   def hllRollupSaved(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = Scratch.dir("hll_sketches") // per-process root — see Scratch
+    val tmp = Scratch.dir(spark, "hll_sketches") // per-process root — see Scratch
     Tables.load(spark, dir, "events")
       .select(to_date(col("ts")).as("day"), col("event_type"), col("user_id"))
       .groupBy("day", "event_type")

@@ -603,15 +603,18 @@ object SqlInterface {
   /** RECURSIVE CTE via SQL text (Spark 4's WITH RECURSIVE): a month
     * spine generated by recursion — the set-based replacement for a
     * driver-side date loop — left-joined to per-month order totals so
-    * empty months survive with zeros. */
+    * empty months survive with zeros. The spine bounds are DERIVED from
+    * the data (min/max order month): a hard-coded end bound silently
+    * dropped orders past it — and because the oracle shared the
+    * constant, the parity check could never catch the truncation. */
   def recursiveMonths(spark: SparkSession, dir: String): DataFrame = {
     registerViews(spark, dir)
     spark.sql(
       """WITH RECURSIVE months(m) AS (
-        |  SELECT CAST('1995-01-01' AS DATE)
+        |  SELECT CAST(date_trunc('MONTH', MIN(o_orderdate)) AS DATE) FROM orders
         |  UNION ALL
         |  SELECT CAST(m + INTERVAL '1' MONTH AS DATE) FROM months
-        |  WHERE m < CAST('2001-07-01' AS DATE))
+        |  WHERE m < (SELECT CAST(date_trunc('MONTH', MAX(o_orderdate)) AS DATE) FROM orders))
         |SELECT CAST(m AS STRING) AS month_start,
         |       COUNT(o.o_orderkey) AS n_orders,
         |       CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_price
@@ -656,8 +659,14 @@ private[operators] object Scratch {
   // scheme also did.
   Runtime.getRuntime.addShutdownHook(new Thread(() => delete(root.toString)))
 
-  def dir(name: String): String = {
-    val p = root.resolve(name)
+  /** Session-scoped subdir: the per-process root defends against
+    * cross-process races, but two SESSIONS in one JVM (Thrift/Connect —
+    * a target [[graft.SessionMemo]] explicitly supports) running the
+    * same round-trip query would share a query-fixed name and delete
+    * each other's files between write and re-read. */
+  def dir(spark: org.apache.spark.sql.SparkSession, name: String): String = {
+    val sid = org.apache.spark.sql.graft.ColumnBridge.sessionUUID(spark)
+    val p = root.resolve(s"${sid}_$name")
     java.nio.file.Files.createDirectories(p)
     p.toString
   }
@@ -699,7 +708,7 @@ object CsvIo {
     val stats = Relational.userStats(spark, dir)
       .withColumn("last_seen",
         timestamp_seconds(lit(1100000000L) + col("custkey")))
-    val tmp = Scratch.dir("csv")
+    val tmp = Scratch.dir(spark, "csv")
     // repartition(1), NOT coalesce(1): coalesce propagates upstream and
     // would collapse the whole join+agg pipeline into a single task; the
     // round-robin exchange keeps upstream parallel and only the final
@@ -740,7 +749,7 @@ object CsvIo {
   def formatRoundTrip(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
     val stats = Relational.userStats(spark, dir)
-    val tmp = Scratch.dir("fmt")
+    val tmp = Scratch.dir(spark, "fmt")
     // Cache once: without it the agg pipeline re-runs per sink (two full
     // recomputes); repartition(1) keeps each sink to one file so the
     // re-reads list one object instead of 32 shuffle-partition files.

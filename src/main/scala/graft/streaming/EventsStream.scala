@@ -88,7 +88,7 @@ object EventsStream {
     * result copies in driver memory for the session's lifetime (bench
     * sweeps run each entry point 10+ times per sweep). Also records the
     * query's peak state footprint (see [[lastStateFootprint]]). */
-  private def drainAndDrop(spark: SparkSession,
+  private[graft] def drainAndDrop(spark: SparkSession,
       q: org.apache.spark.sql.streaming.StreamingQuery, name: String): DataFrame = {
     // cleared up front so a failure below can never leave the PREVIOUS
     // drained query's footprint to be read as this one's; entry points
