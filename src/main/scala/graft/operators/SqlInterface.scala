@@ -45,9 +45,7 @@ object SqlInterface {
     * (region/nation broadcast; the c↔s nation equality prunes the big
     * join's output before aggregation). Money through DECIMAL(18,4),
     * same discipline as [[tpchQ3]]. */
-  def tpchQ5(spark: SparkSession, dir: String): DataFrame = {
-    registerViews(spark, dir)
-    spark.sql(
+  private[graft] val tpchQ5Sql =
       """SELECT n_name AS nation,
         |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         |FROM customer, orders, lineitem, supplier, nation, region
@@ -60,7 +58,11 @@ object SqlInterface {
         |  AND r_name = 'ASIA'
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
-        |GROUP BY n_name""".stripMargin)
+        |GROUP BY n_name""".stripMargin
+
+  def tpchQ5(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(tpchQ5Sql)
   }
 
   /** TPC-H Q10 (returned-item reporting) via SQL text — the top-20
@@ -71,9 +73,7 @@ object SqlInterface {
     * partition heaps + one 20-row merge), never a global sort. Money
     * through DECIMAL(18,4); revenue-then-key ordering pinned so ties
     * cannot reorder the LIMIT frontier. */
-  def tpchQ10(spark: SparkSession, dir: String): DataFrame = {
-    registerViews(spark, dir)
-    spark.sql(
+  private[graft] val tpchQ10Sql =
       """SELECT c_custkey AS custkey, c_name AS name, n_name AS nation,
         |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
         |       c_acctbal AS acctbal
@@ -86,7 +86,11 @@ object SqlInterface {
         |  AND c_nationkey = n_nationkey
         |GROUP BY c_custkey, c_name, c_acctbal, n_name
         |ORDER BY revenue DESC, custkey ASC
-        |LIMIT 20""".stripMargin)
+        |LIMIT 20""".stripMargin
+
+  def tpchQ10(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(tpchQ10Sql)
   }
 
   /** TPC-H Q1 (pricing summary) via SQL text — the canonical big-scan
@@ -146,16 +150,18 @@ object SqlInterface {
     * must show all three predicates in PushedFilters and a 4-column
     * ReadSchema (shipdate/discount/quantity/extendedprice); everything
     * after the scan is one map-side-combined scalar aggregate. */
-  def tpchQ6(spark: SparkSession, dir: String): DataFrame = {
-    registerViews(spark, dir)
-    spark.sql(
+  private[graft] val tpchQ6Sql =
       """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
         |       COUNT(*) AS n_items
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07
-        |  AND l_quantity < 24""".stripMargin)
+        |  AND l_quantity < 24""".stripMargin
+
+  def tpchQ6(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(tpchQ6Sql)
   }
 
   /** TPC-H Q4 (order-priority checking), adapted: the testdata lineitem
@@ -164,9 +170,7 @@ object SqlInterface {
     * Q4 (the predicate that matters: Catalyst plans the EXISTS as a
     * LeftSemi join on l_orderkey, never a per-order subquery; the
     * quarter predicate prunes orders before the join). */
-  def tpchQ4(spark: SparkSession, dir: String): DataFrame = {
-    registerViews(spark, dir)
-    spark.sql(
+  private[graft] val tpchQ4Sql =
       """SELECT o_orderpriority AS priority, COUNT(*) AS n_orders
         |FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
@@ -174,7 +178,11 @@ object SqlInterface {
         |  AND EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey
         |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
-        |GROUP BY o_orderpriority""".stripMargin)
+        |GROUP BY o_orderpriority""".stripMargin
+
+  def tpchQ4(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(tpchQ4Sql)
   }
 
   /** TPC-H Q14 (promotion effect), adapted to the testdata's p_type
@@ -204,9 +212,7 @@ object SqlInterface {
     * broadcast, with the symmetric pair predicate evaluated inside the
     * join tree. Group key includes the shipment year
     * (CAST(EXTRACT(YEAR ...)) — the shared cross-engine idiom). */
-  def tpchQ7(spark: SparkSession, dir: String): DataFrame = {
-    registerViews(spark, dir)
-    spark.sql(
+  private[graft] val tpchQ7Sql =
       """SELECT supp_nation, cust_nation, l_year,
         |       CAST(SUM(volume) AS DOUBLE) AS revenue
         |FROM (
@@ -224,7 +230,11 @@ object SqlInterface {
         |    AND l_shipdate >= TIMESTAMP '1996-01-01'
         |    AND l_shipdate < TIMESTAMP '1998-01-01'
         |) shipping
-        |GROUP BY supp_nation, cust_nation, l_year""".stripMargin)
+        |GROUP BY supp_nation, cust_nation, l_year""".stripMargin
+
+  def tpchQ7(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(tpchQ7Sql)
   }
 
   /** TPC-H Q16 (parts/supplier relationship), adapted: the testdata has
@@ -233,9 +243,7 @@ object SqlInterface {
     * dim join, NOT IN anti-join against a supplier blocklist, then
     * COUNT(DISTINCT) per part attribute). The blocklist stands in for
     * the official complaints filter as suppliers with negative balance. */
-  def tpchQ16(spark: SparkSession, dir: String): DataFrame = {
-    registerViews(spark, dir)
-    spark.sql(
+  private[graft] val tpchQ16Sql =
       """SELECT p_brand AS brand, p_type AS type, p_size AS size,
         |       COUNT(DISTINCT l_suppkey) AS supplier_cnt
         |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
@@ -244,7 +252,11 @@ object SqlInterface {
         |  AND p_type <> 'PROMO'
         |  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
         |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
-        |GROUP BY p_brand, p_type, p_size""".stripMargin)
+        |GROUP BY p_brand, p_type, p_size""".stripMargin
+
+  def tpchQ16(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(tpchQ16Sql)
   }
 
   /** TPC-H Q19 (discounted revenue), adapted to the testdata's part
@@ -253,16 +265,18 @@ object SqlInterface {
     * scale: Catalyst extracts the common `p_partkey = l_partkey` conjunct
     * as the join key and pushes the brand disjunction's union of ranges
     * into the part scan, instead of planning a cartesian filter. */
-  def tpchQ19(spark: SparkSession, dir: String): DataFrame = {
-    registerViews(spark, dir)
-    spark.sql(
+  private[graft] val tpchQ19Sql =
       """SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
         |       COUNT(*) AS n_items
         |FROM lineitem, part
         |WHERE p_partkey = l_partkey
         |  AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
         |    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
-        |    OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30))""".stripMargin)
+        |    OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30))""".stripMargin
+
+  def tpchQ19(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(tpchQ19Sql)
   }
 
   /** TPC-H Q8 (national market share), adapted: the share of one
@@ -274,9 +288,7 @@ object SqlInterface {
     * filter (folded to a part join on brand to keep a part-side
     * predicate in the tree). Share = ratio of exact DECIMAL sums via
     * the floor-rounding discipline. */
-  def tpchQ8(spark: SparkSession, dir: String): DataFrame = {
-    registerViews(spark, dir)
-    spark.sql(
+  private[graft] val tpchQ8Sql =
       """SELECT o_year,
         |       FLOOR(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
         |                           ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
@@ -300,7 +312,11 @@ object SqlInterface {
         |    AND o_orderdate < TIMESTAMP '1998-01-01'
         |    AND p_brand = 'Brand#12'
         |) all_nations
-        |GROUP BY o_year""".stripMargin)
+        |GROUP BY o_year""".stripMargin
+
+  def tpchQ8(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(tpchQ8Sql)
   }
 
   /** TPC-H Q9 (product-type profit), adapted: profit per supplier
@@ -311,9 +327,7 @@ object SqlInterface {
     * the arithmetic shape (two decimal products subtracted per row,
     * aggregated by a derived year) is Q9's; the cost factor is exact at
     * 3 dp so DECIMAL stays lossless. */
-  def tpchQ9(spark: SparkSession, dir: String): DataFrame = {
-    registerViews(spark, dir)
-    spark.sql(
+  private[graft] val tpchQ9Sql =
       """SELECT nation, o_year,
         |       CAST(SUM(amount) AS DOUBLE) AS sum_profit
         |FROM (
@@ -328,7 +342,11 @@ object SqlInterface {
         |    AND s_nationkey = n_nationkey
         |    AND p_name LIKE '%a%'
         |) profit
-        |GROUP BY nation, o_year""".stripMargin)
+        |GROUP BY nation, o_year""".stripMargin
+
+  def tpchQ9(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(tpchQ9Sql)
   }
 
   /** TPC-H Q13 (customer distribution) via SQL text — the double
@@ -338,14 +356,16 @@ object SqlInterface {
     * customer-grain frame, so the histogram shuffle is tiny; the outer
     * join is the only data-sized exchange. (The official o_comment
     * filter has no testdata counterpart and is dropped.) */
-  def tpchQ13(spark: SparkSession, dir: String): DataFrame = {
-    registerViews(spark, dir)
-    spark.sql(
+  private[graft] val tpchQ13Sql =
       """SELECT c_count, COUNT(*) AS custdist
         |FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
         |      FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
         |      GROUP BY c_custkey) c_orders
-        |GROUP BY c_count""".stripMargin)
+        |GROUP BY c_count""".stripMargin
+
+  def tpchQ13(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(tpchQ13Sql)
   }
 
   /** TPC-H Q22 (global sales opportunity), adapted: dormant high-balance
@@ -358,9 +378,7 @@ object SqlInterface {
     * nation key. Money sums through DECIMAL(18,2); the avg boundary is
     * compared on the exact doubles both engines compute from identical
     * sums. */
-  def tpchQ22(spark: SparkSession, dir: String): DataFrame = {
-    registerViews(spark, dir)
-    spark.sql(
+  private[graft] val tpchQ22Sql =
       """SELECT c_nationkey AS nationkey, COUNT(*) AS numcust,
         |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
         |FROM customer c
@@ -368,7 +386,11 @@ object SqlInterface {
         |                   FROM customer WHERE c_acctbal > 0.0)
         |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
         |                  AND o.o_orderdate >= TIMESTAMP '1999-01-01')
-        |GROUP BY c_nationkey""".stripMargin)
+        |GROUP BY c_nationkey""".stripMargin
+
+  def tpchQ22(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(tpchQ22Sql)
   }
 
   /** TPC-H Q17 (small-quantity-order revenue) via SQL text — THE
@@ -382,16 +404,18 @@ object SqlInterface {
     * Quantities are integral doubles → their sums and the single
     * 0.2×(sum/count) division are bit-deterministic in both engines;
     * revenue sums ride DECIMAL(18,2) with one final /7.0 double. */
-  def tpchQ17(spark: SparkSession, dir: String): DataFrame = {
-    registerViews(spark, dir)
-    spark.sql(
+  private[graft] val tpchQ17Sql =
       """SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 6) AS avg_yearly,
         |       COUNT(*) AS n_small_lines
         |FROM lineitem, part
         |WHERE p_partkey = l_partkey
         |  AND p_brand = 'Brand#12'
         |  AND l_quantity < (SELECT 0.2 * AVG(l_quantity)
-        |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin)
+        |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin
+
+  def tpchQ17(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(tpchQ17Sql)
   }
 
   /** TPC-H Q20 (potential part promotion) via SQL text, adapted: the
@@ -408,9 +432,7 @@ object SqlInterface {
     * Quantity sums are integral doubles → exact; a part never shipped
     * in-window yields a NULL subquery, which the > comparison rejects
     * in both engines. */
-  def tpchQ20(spark: SparkSession, dir: String): DataFrame = {
-    registerViews(spark, dir)
-    spark.sql(
+  private[graft] val tpchQ20Sql =
       """SELECT s_suppkey AS suppkey, s_name AS name, n_name AS nation
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |WHERE s_suppkey IN (
@@ -423,7 +445,11 @@ object SqlInterface {
         |                    WHERE l.l_partkey = ps.l_partkey
         |                      AND l.l_suppkey = ps.l_suppkey
         |                      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
-        |                      AND l.l_shipdate < TIMESTAMP '1997-01-01'))""".stripMargin)
+        |                      AND l.l_shipdate < TIMESTAMP '1997-01-01'))""".stripMargin
+
+  def tpchQ20(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(tpchQ20Sql)
   }
 
   /** TPC-H Q21 (suppliers who kept orders waiting) via SQL text,
@@ -440,9 +466,7 @@ object SqlInterface {
     * EXISTS as a left-anti join on o_orderkey (PlanShapeSpec pins
     * both); the final top-20 is a TakeOrderedAndProject. All-integer
     * counts → bit-exact. */
-  def tpchQ21(spark: SparkSession, dir: String): DataFrame = {
-    registerViews(spark, dir)
-    spark.sql(
+  private[graft] val tpchQ21Sql =
       """SELECT s_name AS name, COUNT(*) AS numwait
         |FROM supplier, lineitem l1, orders, nation
         |WHERE s_suppkey = l1.l_suppkey
@@ -460,7 +484,11 @@ object SqlInterface {
         |  AND n_name = 'NATION_3'
         |GROUP BY s_name
         |ORDER BY numwait DESC, name ASC
-        |LIMIT 20""".stripMargin)
+        |LIMIT 20""".stripMargin
+
+  def tpchQ21(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(tpchQ21Sql)
   }
 
   /** TPC-H Q2 (minimum-cost supplier) via SQL text, adapted: the
@@ -478,9 +506,7 @@ object SqlInterface {
     * divisions — identical bit patterns in both engines, and MIN +
     * equality are exact selections, so no rounding is needed (and
     * ROUND(double) would only add midpoint risk). */
-  def tpchQ2(spark: SparkSession, dir: String): DataFrame = {
-    registerViews(spark, dir)
-    spark.sql(
+  private[graft] val tpchQ2Sql =
       """WITH cost AS (
         |  SELECT l_partkey, l_suppkey,
         |         MIN(l_extendedprice / l_quantity) AS unit_cost
@@ -500,7 +526,11 @@ object SqlInterface {
         |                     AND n2.n_regionkey = r2.r_regionkey
         |                     AND r2.r_name = 'EUROPE')
         |ORDER BY s_acctbal DESC, name, partkey
-        |LIMIT 100""".stripMargin)
+        |LIMIT 100""".stripMargin
+
+  def tpchQ2(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(tpchQ2Sql)
   }
 
   /** TPC-H Q11 (important stock identification) via SQL text, adapted
@@ -516,9 +546,7 @@ object SqlInterface {
     * rules. At scale the threshold side is a second pruned scan reduced
     * to ONE row — broadcastable — while the group side shuffles only
     * the (partkey, sum) frame. */
-  def tpchQ11(spark: SparkSession, dir: String): DataFrame = {
-    registerViews(spark, dir)
-    spark.sql(
+  private[graft] val tpchQ11Sql =
       """SELECT l_partkey AS partkey,
         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS value
         |FROM lineitem, supplier, nation
@@ -530,7 +558,11 @@ object SqlInterface {
         |              / COUNT(DISTINCT l_partkey))
         |  FROM lineitem, supplier, nation
         |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
-        |    AND n_name = 'NATION_5')""".stripMargin)
+        |    AND n_name = 'NATION_5')""".stripMargin
+
+  def tpchQ11(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(tpchQ11Sql)
   }
 
   /** TPC-H Q12 (shipping modes and order priority) via SQL text,
@@ -566,9 +598,7 @@ object SqlInterface {
     * query's semantics). The revenue aggregate collapses the
     * quarter-pruned fact to supplier grain before any join; the MAX
     * side reduces the same frame to one broadcastable row. */
-  def tpchQ15(spark: SparkSession, dir: String): DataFrame = {
-    registerViews(spark, dir)
-    spark.sql(
+  private[graft] val tpchQ15Sql =
       """WITH revenue0 AS (
         |  SELECT l_suppkey AS supplier_no,
         |         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS total_revenue
@@ -580,16 +610,18 @@ object SqlInterface {
         |       CAST(total_revenue AS DOUBLE) AS total_revenue
         |FROM supplier, revenue0
         |WHERE s_suppkey = supplier_no
-        |  AND total_revenue = (SELECT MAX(total_revenue) FROM revenue0)""".stripMargin)
+        |  AND total_revenue = (SELECT MAX(total_revenue) FROM revenue0)""".stripMargin
+
+  def tpchQ15(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(tpchQ15Sql)
   }
 
   /** LATERAL correlated subquery via SQL text: each region's top-2
     * customers by balance — the top-N-per-group idiom written the way a
     * SQL user writes it (Catalyst rewrites the correlated LIMIT into a
     * windowed join; no driver loop, no N scans of customer). */
-  def lateralTopN(spark: SparkSession, dir: String): DataFrame = {
-    registerViews(spark, dir)
-    spark.sql(
+  private[graft] val lateralTopNSql =
       """SELECT r.r_name AS region, t.custkey, t.acctbal
         |FROM region r,
         |LATERAL (
@@ -597,7 +629,11 @@ object SqlInterface {
         |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
         |  WHERE n.n_regionkey = r.r_regionkey
         |  ORDER BY c.c_acctbal DESC, c.c_custkey ASC
-        |  LIMIT 2) t""".stripMargin)
+        |  LIMIT 2) t""".stripMargin
+
+  def lateralTopN(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(lateralTopNSql)
   }
 
   /** RECURSIVE CTE via SQL text (Spark 4's WITH RECURSIVE): a month
@@ -625,14 +661,16 @@ object SqlInterface {
 
   /** Correlated scalar subquery via SQL text: customers above their
     * nation's average balance. */
-  def aboveNationAvg(spark: SparkSession, dir: String): DataFrame = {
-    registerViews(spark, dir)
-    spark.sql(
+  private[graft] val aboveNationAvgSql =
       """SELECT c_custkey AS custkey, c_nationkey AS nationkey, c_acctbal AS acctbal
         |FROM customer c1
         |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
         |                   FROM customer c2
-        |                   WHERE c2.c_nationkey = c1.c_nationkey)""".stripMargin)
+        |                   WHERE c2.c_nationkey = c1.c_nationkey)""".stripMargin
+
+  def aboveNationAvg(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(aboveNationAvgSql)
   }
 }
 
