@@ -174,7 +174,10 @@ object ScaleBench {
     val recallSmall = recallAt(src)
     val recallBig = recallAt(out)
 
-    def f3(v: Double): String = f"$v%.3f"
+    // Locale.ROOT like Bench.f3: a comma-decimal default locale would
+    // corrupt the JSON artifact
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val perQuery = small.zip(big).map { case (s, b) =>
       val (sMin, bMin) = (math.min(s.t1, s.t2), math.min(b.t1, b.t2))
       // emit whichever scales actually reported a footprint — a query

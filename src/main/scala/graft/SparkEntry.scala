@@ -22,6 +22,13 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Relational.customerFeatures(spark, "/root/testdata/sf0.001")
 
+  /** ONE parser for the SPARK_GRAFT_ONLY iteration filter, shared by the
+    * Verify and Bench mains — they previously disagreed on whitespace
+    * (Bench kept " q_x" untrimmed and silently dropped the query). */
+  private[graft] def onlyFilter: Option[Set[String]] =
+    sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_session_revenue"   -> Relational.sessionRevenue _,

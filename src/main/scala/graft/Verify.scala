@@ -16,8 +16,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // Iteration aid (mirrors Bench): run only the named queries.
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val only = SparkEntry.onlyFilter
     // A thrown query must never be mistaken for a 0-row success: every
     // failure is recorded in errors.json AND as a <name>_FAILED sentinel
     // next to where the parquet would have been, so the compare step can
@@ -26,9 +25,13 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // a sentinel left by a previous run into the same outDir must
+        // not outlive the fix — the compare reads sentinel-first
+        Files.deleteIfExists(Paths.get(s"$outDir/${name}_FAILED"))
+      } catch { case e: Throwable =>
         val msg = s"${e.getClass.getName}: ${String.valueOf(e.getMessage)}"
         System.err.println(s"[verify] $name failed: $msg")
         errors(name) = msg

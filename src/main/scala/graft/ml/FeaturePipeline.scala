@@ -70,12 +70,12 @@ object FeaturePipeline {
     val scaler = new StandardScaler()
       .setWithStd(true).setWithMean(true)
       .setInputCol("features_unscaled").setOutputCol("features")
-    val scaled = scaler.fit(assembled).transform(assembled).cache()
-    // materialize the final cache, then RELEASE the intermediate one —
-    // a bare .cache() with no unpersist leaks blocks into the shared
-    // CacheManager for the session's lifetime (Tables.scala's hygiene
-    // note); the scaler fit already consumed the table cache above
-    scaled.count()
+    // localCheckpoint, not .cache(): SessionMemo allows a concurrent
+    // duplicate compute (putIfAbsent keeps the first) — a losing
+    // thread's cache() entry would be pinned in the shared CacheManager
+    // forever, while an unreachable checkpointed frame's blocks are
+    // reclaimed by the ContextCleaner. Same hygiene as Tables.withCached.
+    val scaled = scaler.fit(assembled).transform(assembled).localCheckpoint(true)
     table.unpersist(blocking = false)
     scaled
   }

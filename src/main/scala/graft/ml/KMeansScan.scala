@@ -37,7 +37,13 @@ object KMeansScan {
   def scanCached(spark: SparkSession, dir: String): Seq[ScanResult] =
     scanCache.getOrCompute(spark, dir) {
       val data = FeaturePipeline.prepareData(spark, dir)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_models").toString
+      // shutdown-hook-cleaned scratch (Scale.scratchDir), NOT a bare
+      // createTempDirectory: each new session's scan wrote 5 models into
+      // a dir nothing ever deleted — unbounded /tmp growth on a
+      // long-lived host (the reference rmtree's its tmp dir,
+      // kmeans_utils.py:95-98); deletion must wait for JVM exit because
+      // q_kmeans_assignments reloads the persisted model within a session
+      val tmp = graft.operators.Scale.scratchDir("graft_models")
       scan(data, 2, 6, tmp)
     }
 
