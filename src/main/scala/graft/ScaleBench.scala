@@ -128,6 +128,23 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // the staged corpus is only valid for the params that generated it:
+    // a rerun with different copies/src would silently bench stale
+    // tables while the artifact records the NEW parameters. Fail loudly
+    // on mismatch (auto-deleting a multi-GB staged dir is not this
+    // tool's call); first run writes the sentinel.
+    val paramsFile = java.nio.file.Paths.get(out, "_PARAMS")
+    val params = s"copies=$copies;src=$src"
+    if (java.nio.file.Files.exists(paramsFile)) {
+      val staged = java.nio.file.Files.readString(paramsFile).trim
+      require(staged == params,
+        s"staged corpus at $out was generated with [$staged] but this " +
+          s"run asks for [$params] — remove $out (or point " +
+          "SPARK_GRAFT_SF1_DIR elsewhere) to regenerate")
+    } else {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+      java.nio.file.Files.writeString(paramsFile, params)
+    }
     // per-TABLE existence checks, not a single all-or-nothing sentinel:
     // a cached dir generated before a new table joined the generator
     // (region, round 13) must be backfilled, not trusted — a missing dim
@@ -196,8 +213,11 @@ object ScaleBench {
     val recallJson = AnnVariants.map { n =>
       s""""$n":{"sf01":${f3(recallSmall(n))},"sf1":${f3(recallBig(n))}}"""
     }.mkString("{", ",", "}")
+    // minimal JSON string escape for the interpolated path — a quote or
+    // backslash in SPARK_GRAFT_SF_DIR would corrupt the artifact line
+    val srcJson = src.replace("\\", "\\\\").replace("\"", "\\\"")
     val line =
-      s"""{"metric":"scaleup_ratio","copies":$copies,"src":"$src","recall_at_5":$recallJson,"queries":$perQuery}"""
+      s"""{"metric":"scaleup_ratio","copies":$copies,"src":"$srcJson","recall_at_5":$recallJson,"queries":$perQuery}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("/root/repo/SCALEBENCH_sf1.json"),
       (line + "\n").getBytes("UTF-8"))

@@ -37,6 +37,15 @@ final class SessionMemo[V <: AnyRef] {
       owners.putIfAbsent(sid, new java.lang.ref.WeakReference(spark))
       val computed = body
       val prev = m.putIfAbsent(full, computed)
+      // a concurrent evictStale may have swept this session's owner
+      // record between our registration and the value insert (the
+      // compute can run for minutes): without an owner, the entry would
+      // never be evicted — re-register while the session lives, or drop
+      // the entry we just published if it died mid-compute
+      if (!owners.containsKey(sid)) {
+        if (spark.sparkContext.isStopped) m.remove(full)
+        else owners.putIfAbsent(sid, new java.lang.ref.WeakReference(spark))
+      }
       if (prev != null) prev else computed
     }
   }

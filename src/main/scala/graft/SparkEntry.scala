@@ -2609,13 +2609,13 @@ object SparkEntry {
         |FROM ranked WHERE rank <= 10""".stripMargin,
     "q_gen_source" ->
       """WITH g AS (SELECT range AS id FROM range(10000, 60000))
-        |SELECT ['click','view','purchase','signup','error'][CAST((id * 31) % 5 AS INT) + 1] AS event_type,
+        |SELECT ['click','view','purchase','signup','error'][CAST(id % 5 AS INT) + 1] AS event_type,
         |       COUNT(*) AS n,
         |       CAST(SUM(CAST(CAST(((id % 1048573) * 2654435761) % 100000 AS DOUBLE) / 100.0 AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM g GROUP BY 1""".stripMargin,
     "q_gen_stream" ->
       """WITH g AS (SELECT range AS id FROM range(0, 100000))
-        |SELECT ['click','view','purchase','signup','error'][CAST((id * 31) % 5 AS INT) + 1] AS event_type,
+        |SELECT ['click','view','purchase','signup','error'][CAST(id % 5 AS INT) + 1] AS event_type,
         |       COUNT(*) AS n,
         |       CAST(SUM(CAST(CAST(((id % 1048573) * 2654435761) % 100000 AS DOUBLE) / 100.0 AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM g GROUP BY 1""".stripMargin,

@@ -79,7 +79,11 @@ private[graft] object GlobalOrder {
     specs.foreach { case (n, enc) =>
       val dt = df.select(enc).schema.head.dataType
       val exact = dt match {
-        case d: DecimalType => d.scale <= 6
+        // scale AND precision: DECIMAL(38,6) holds 32 integral digits, so
+        // a wider-integral-part decimal (e.g. DECIMAL(38,0) ≥ 10^32)
+        // would cast to NULL under non-ANSI mode, sort first, and land in
+        // tile 1 regardless of its true ordering
+        case d: DecimalType => d.scale <= 6 && d.precision - d.scale <= 32
         case org.apache.spark.sql.types.ByteType |
              org.apache.spark.sql.types.ShortType |
              org.apache.spark.sql.types.IntegerType |
@@ -89,8 +93,9 @@ private[graft] object GlobalOrder {
       require(exact,
         s"withStackedNtiles: ordering '$n' encodes as $dt, but comparisons " +
           "run at DECIMAL(38,6) — a finer encoding would be silently " +
-          "quantized, merging near-ties. Pre-round/cast the encoding to an " +
-          "integral or <=6-scale decimal type explicitly before calling.")
+          "quantized (merging near-ties) and a wider integral part would " +
+          "overflow to NULL. Pre-round/cast the encoding to an integral or " +
+          "<=6-scale, <=32-integral-digit decimal explicitly before calling.")
     }
     val prep = df.select(
       col(keyCol) +: specs.map { case (n, enc) =>

@@ -67,7 +67,11 @@ object RangeGenSource {
     * claimed — wrapping `value` negative here while the oracle's BIGINT
     * raises instead. Exact at ANY id now. */
   def userId(id: Long): Long = id % 97
-  def eventType(id: Long): String = EventTypes(((id * 31) % 5).toInt)
+  // plain id % 5: the old (id * 31) % 5 was value-identical (31 ≡ 1 mod
+  // 5) for every non-overflowing id but wrapped Long-negative at
+  // id ≥ ~2.97e17 and crashed the array index — the same overflow class
+  // the value() guard below already fixed
+  def eventType(id: Long): String = EventTypes((id % 5).toInt)
   def value(id: Long): Double = (((id % 1048573L) * 2654435761L) % 100000L) / 100.0
 }
 
@@ -181,6 +185,11 @@ final class RangeGenMicroBatchStream(
     val step = limit match {
       case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
         r.maxRows()
+      // Trigger.Once passes ReadAllAvailable: the offset must jump to the
+      // end — advancing one batch would silently drop every later row
+      // (the Once query terminates after its single batch)
+      case _: org.apache.spark.sql.connector.read.streaming.ReadAllAvailable =>
+        hi - s
       case _ => batchRows
     }
     GenOffset(math.min(hi, s + step))

@@ -108,6 +108,24 @@ object EventsStream {
     out
   }
 
+  /** Scope the RocksDB state-store provider to `body`, restoring the
+    * previous provider conf afterwards — the `transformWithState`
+    * queries all need it (the API's only supported provider, and the one
+    * a 100 TB stateful job wants: off-heap/on-disk state with changelog
+    * checkpointing). One helper, not a per-query copy of the
+    * save/set/try/finally ritual that had to be kept in sync by hand. */
+  private def withRocksDbProvider[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   private def withStreamPartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
@@ -280,11 +298,7 @@ object EventsStream {
   def sessionizeTws(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
     import spark.implicits._
     val gapMicros = gapMinutes * 60L * 1000000L
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try withStreamPartitions(spark, 8) {
+    withRocksDbProvider(spark) { withStreamPartitions(spark, 8) {
       val src = tableStream(spark, dir, "events", Tables.events)
         .select(col("user_id"), unix_micros(col("ts")).as("tsMicros"),
           col("value"))
@@ -301,10 +315,7 @@ object EventsStream {
       drainAndDrop(spark, q, name)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1).drop("rn")
-    } finally prev match {
-      case Some(p) => spark.conf.set(key, p)
-      case None    => spark.conf.unset(key)
-    }
+    } }
   }
 
   final case class TimerEvent(user_id: Long, ts: java.sql.Timestamp,
@@ -418,17 +429,13 @@ object EventsStream {
   private[graft] def runTimerSessions(spark: SparkSession,
       src: Dataset[TimerEvent], gapMicros: Long): DataFrame = {
     import spark.implicits._
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     // 4 state partitions, not the streaming default 8: every partition
     // spins its OWN RocksDB instance per micro-batch, and this query's
     // multi-batch replay (two sources + trailing no-data batch) pays that
     // spin-up 3+ times per partition — with a few thousand session keys,
     // provider startup dominates state work at 8. The keyed state itself
     // is partition-count-independent.
-    try withStreamPartitions(spark, 4) {
+    withRocksDbProvider(spark) { withStreamPartitions(spark, 4) {
       val out = src.groupByKey(_.user_id)
         .transformWithState(new TimerSessionProcessor(gapMicros),
           TimeMode.EventTime(), OutputMode.Append())
@@ -436,10 +443,7 @@ object EventsStream {
       val q = out.toDF().writeStream.outputMode(OutputMode.Append())
         .format("memory").queryName(name).start()
       drainAndDrop(spark, q, name).filter(col("user_id") =!= -1L)
-    } finally prev match {
-      case Some(p) => spark.conf.set(key, p)
-      case None    => spark.conf.unset(key)
-    }
+    } }
   }
 
   /** One-time state-store warm-up for bench runs: drives a 3-row scratch
@@ -559,11 +563,7 @@ object EventsStream {
     * sink keeps each key's last emission). */
   def typeTotals(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try withStreamPartitions(spark, 8) {
+    withRocksDbProvider(spark) { withStreamPartitions(spark, 8) {
       val src = tableStream(spark, dir, "events", Tables.events)
         .select(col("user_id"), col("event_type"), col("value"))
         .as[EventT]
@@ -580,10 +580,7 @@ object EventsStream {
       drainAndDrop(spark, q, name)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1).drop("rn")
-    } finally prev match {
-      case Some(p) => spark.conf.set(key, p)
-      case None    => spark.conf.unset(key)
-    }
+    } }
   }
 
   /** STREAM-STATIC join: the dim-enrichment pattern — each micro-batch of
@@ -652,7 +649,10 @@ object EventsStream {
     * Decimal partial sums keep the merge order-independent, so the result
     * equals the all-at-once batch aggregate bit-for-bit. */
   def foreachBatchTotals(spark: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_fb").toString
+    // shutdown-hook-cleaned scratch, not a bare createTempDirectory: each
+    // execution (2 runs × 2 scales per ScaleBench, 10+ per Bench sweep)
+    // otherwise leaks its per-batch partials until the OS cleans /tmp
+    val out = graft.operators.Scale.scratchDir("graft_fb")
     withStreamPartitions(spark, 8) {
     val src = tableStream(spark, dir, "events", Tables.events)
     val q = src.writeStream
