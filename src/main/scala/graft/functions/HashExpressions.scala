@@ -43,6 +43,10 @@ object HashExpressions {
     * 10^5 distinct shingles per corpus block. */
   case class ShingleHash(child: Expression, n: Int)
       extends UnaryExpression {
+    // n <= 0 would pass the len < n early-exit and read past the token
+    // array (i <= len - n with n = 0 reads tok(len)) — reject at plan
+    // construction, not as an AIOOBE mid-task
+    require(n >= 1, s"shingle_hash: n=$n must be >= 1")
 
     override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
       case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -101,6 +105,16 @@ object HashExpressions {
     * Empty input → p per slot. */
   case class MinHashSig(child: Expression, a: Array[Long], b: Array[Long], p: Long)
       extends UnaryExpression {
+    // the a·h+b arithmetic stays in Long only if p² + p < 2^63 (h and the
+    // coefficients live in [0,p)): a larger p (e.g. the Mersenne 2^61-1)
+    // silently wraps negative and biases every signature; enforce the
+    // whole contract here instead of documenting it at one call site
+    require(p > 0 && p <= 3037000499L,
+      s"minhash_sig: p=$p must be in (0, 3037000499] so a*h+b stays in Long")
+    require(a.length == b.length,
+      s"minhash_sig: coefficient arrays differ: ${a.length} vs ${b.length}")
+    require(a.forall(x => x >= 0 && x < p) && b.forall(x => x >= 0 && x < p),
+      "minhash_sig: coefficients must lie in [0, p)")
 
     override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
       case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
@@ -283,7 +297,14 @@ object HashExpressions {
       val nBits = planes.length
       val nWords = (nBits + bitsPerWord - 1) / bitsPerWord
       val out = new Array[Long](nWords)
-      val dim = math.min(arr.numElements(), if (nBits > 0) planes(0).length else 0)
+      // a vector/plane dimension mismatch is a data bug, not a signature
+      // of the common prefix — signing a truncated projection silently
+      // degrades candidate recall with no error anywhere downstream
+      // (same contract as DotProduct's ragged-input rejection)
+      val dim = if (nBits > 0) planes(0).length else 0
+      if (nBits > 0 && arr.numElements() != dim)
+        throw new IllegalArgumentException(
+          s"sign_bits: vector has ${arr.numElements()} dims but planes expect $dim")
       var v = 0
       while (v < dim) { rejectNullElement(arr, v, "sign_bits"); v += 1 }
       var j = 0

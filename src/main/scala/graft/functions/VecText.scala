@@ -34,7 +34,13 @@ object VecText {
   def shingles3(toks: String): Column =
     expr(s"CASE WHEN size($toks) >= 3 THEN array_distinct(transform(sequence(0, size($toks) - 3), i -> concat_ws(' ', $toks[i], $toks[i+1], $toks[i+2]))) ELSE array() END")
 
-  /** Exact Jaccard similarity of two array columns (distinct semantics). */
+  /** Exact Jaccard similarity of two array columns (distinct semantics).
+    * Two EMPTY arrays score 0.0, not 0/0 = NaN: Spark orders NaN above
+    * every number, so the raw division would let a pair of empty-shingle
+    * docs pass any `jaccard >= threshold` filter as a bogus near-dup
+    * (the engine's dedup callers pre-filter empties, but this helper is
+    * public API). */
   def jaccard(a: String, b: String): Column =
-    expr(s"CAST(size(array_intersect($a, $b)) AS DOUBLE) / size(array_union($a, $b))")
+    expr(s"CASE WHEN size(array_union($a, $b)) = 0 THEN CAST(0 AS DOUBLE) " +
+      s"ELSE CAST(size(array_intersect($a, $b)) AS DOUBLE) / size(array_union($a, $b)) END")
 }

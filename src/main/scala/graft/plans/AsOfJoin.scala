@@ -197,12 +197,25 @@ object AsOfJoin {
     require(salt >= 1, s"salt must be >= 1, got $salt")
     if (salt > 1) {
       import org.apache.spark.sql.functions.{array, col, explode, lit, pmod, xxhash64}
+      // the scratch names are withColumn'd then dropped — a caller frame
+      // already carrying one would have its column silently replaced on
+      // the input and removed from the output
+      for (c <- Seq("__lane", "__rep", "__skey")
+           if left.columns.contains(c) || right.columns.contains(c))
+        throw new IllegalArgumentException(
+          s"asof(salt=$salt): input already has a column named '$c' — " +
+            "rename it; the salted path owns that name")
       // salt as a LONG literal: an Int literal over an IntegerType key
       // multiplies in 32-bit arithmetic and silently wraps, colliding
-      // distinct keys onto one salted lane
+      // distinct keys onto one salted lane.
+      // Lane hash over ALL left columns, not just (key, time): a hot key
+      // with coarse-grained times (date-granularity) would collapse every
+      // row of the hot (key, date) pair back onto ONE lane while the
+      // ×salt right replication cost is still paid — whole-row hashing
+      // spreads duplicates and stays deterministic for task retries.
       val l2 = left
         .withColumn("__lane",
-          pmod(xxhash64(col(leftKey), col(leftTime)), lit(salt.toLong)))
+          pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*), lit(salt.toLong)))
         .withColumn("__skey", col(leftKey) * lit(salt.toLong) + col("__lane"))
       val r2 = right
         .withColumn("__rep",
@@ -219,15 +232,10 @@ object AsOfJoin {
         s"as-of joinType must be inner or left_outer, got $other")
     }
     val spark: SparkSession = left.sparkSession
-    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    PlanApi.registerStrategy(spark, AsOfJoinStrategy)
     val lPlan = left.queryExecution.analyzed
     val rPlan = right.queryExecution.analyzed
-    def attr(p: LogicalPlan, n: String): Attribute =
-      p.output.find(_.name == n).getOrElse(
-        throw new IllegalArgumentException(
-          s"column $n not in ${p.output.map(_.name).mkString(", ")}"))
+    import PlanApi.attr
     // the executor compares RAW long-backed values, so mismatched column
     // types don't error — they silently compare day-numbers against
     // micros (every right row "precedes" every left row) or

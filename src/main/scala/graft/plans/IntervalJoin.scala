@@ -134,18 +134,28 @@ final case class IntervalJoinExec(
         if (pv == null || n == 0) Iterator.empty
         else {
           val v = pv.asInstanceOf[Number].doubleValue
-          val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-          var idx = upperBound(v) - 1
-          // candidates have lo <= v by construction; stop as soon as no
-          // interval at or below idx can still reach past v
-          while (idx >= 0 && index.prefMaxHi(idx) > v) {
-            if (index.his(idx) > v) {
+          // lazy iterator, no buffer, no per-row copy: the projection's
+          // reused row is the standard operator contract (consumers that
+          // buffer copy for themselves) — high-fanout containment joins
+          // otherwise paid an ArrayBuffer plus one UnsafeRow copy per
+          // output row on the hot path. Candidates have lo <= v by
+          // construction; the scan stops once no interval at or below
+          // idx can still reach past v (prefMaxHi bound).
+          new Iterator[InternalRow] {
+            private var idx = upperBound(v) - 1
+            private def skipNonMatches(): Unit =
+              while (idx >= 0 && index.prefMaxHi(idx) > v && index.his(idx) <= v)
+                idx -= 1
+            skipNonMatches()
+            override def hasNext: Boolean = idx >= 0 && index.prefMaxHi(idx) > v
+            override def next(): InternalRow = {
+              val r = proj(joined(lRow, index.rows(idx)))
               numOutputRows += 1
-              out += proj(joined(lRow, index.rows(idx))).copy()
+              idx -= 1
+              skipNonMatches()
+              r
             }
-            idx -= 1
           }
-          out.iterator
         }
       }
     }
@@ -166,16 +176,24 @@ final private[plans] class SortedIntervals(
     val rows: Array[InternalRow])
 
 object IntervalJoinExec {
-  // per-executor memo of built indexes; a broadcast dim is small by
-  // contract, and the guard bounds worst-case growth across many
-  // distinct interval joins in one long-lived executor
+  // per-executor LRU memo of built indexes (access-ordered, evict the
+  // eldest past 64 entries): a broadcast dim is small by contract, but a
+  // long-lived executor running many DISTINCT interval joins must not
+  // pin every index forever, and the previous clear-everything eviction
+  // dropped hot entries of concurrent queries along with the cold ones
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int), SortedIntervals]
+    new java.util.LinkedHashMap[(Long, Int, Int), SortedIntervals](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Long, Int, Int), SortedIntervals]): Boolean =
+        size() > 64
+    }
   private[plans] def cachedIndex(
-      key: (Long, Int, Int), build: () => SortedIntervals): SortedIntervals = {
-    if (cache.size > 64) cache.clear()
-    cache.computeIfAbsent(key, _ => build())
-  }
+      key: (Long, Int, Int), build: () => SortedIntervals): SortedIntervals =
+    cache.synchronized {
+      val hit = cache.get(key)
+      if (hit != null) hit
+      else { val v = build(); cache.put(key, v); v }
+    }
 }
 
 object IntervalJoin {
@@ -189,16 +207,22 @@ object IntervalJoin {
       loCol: String,
       hiCol: String): DataFrame = {
     val spark: SparkSession = left.sparkSession
-    if (!spark.experimental.extraStrategies.contains(IntervalJoinStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ IntervalJoinStrategy
+    PlanApi.registerStrategy(spark, IntervalJoinStrategy)
     val lPlan = left.queryExecution.analyzed
     val rPlan = right.queryExecution.analyzed
-    def attr(p: LogicalPlan, n: String): Attribute =
-      p.output.find(_.name == n).getOrElse(
-        throw new IllegalArgumentException(
-          s"column $n not in ${p.output.map(_.name).mkString(", ")}"))
-    ColumnBridge.ofRows(spark, IntervalJoinPlan(lPlan, rPlan,
-      attr(lPlan, pointCol), attr(rPlan, loCol), attr(rPlan, hiCol)))
+    import PlanApi.attr
+    val (p, l, h) = (attr(lPlan, pointCol), attr(rPlan, loCol), attr(rPlan, hiCol))
+    // the probe compares Number-backed doubles: a decimal (Spark's
+    // Decimal is not a java.lang.Number) or string column would CCE
+    // mid-task AFTER the broadcast is built — reject at the API like
+    // AsOfJoin does for its long-backed columns
+    val numberBacked = Set("tinyint", "smallint", "int", "bigint",
+      "float", "double")
+    for (a <- Seq(p, l, h))
+      require(numberBacked.contains(a.dataType.simpleString),
+        s"pointInInterval: column ${a.name} must be a plain numeric type " +
+          s"(got ${a.dataType.simpleString}) — cast decimals/strings " +
+          "explicitly; values compare as doubles (exact to 2^53)")
+    ColumnBridge.ofRows(spark, IntervalJoinPlan(lPlan, rPlan, p, l, h))
   }
 }
