@@ -1221,11 +1221,11 @@ object SparkEntry {
         |FROM customer
         |WHERE ((c_custkey % 1048573) * 2654435761) % 4294967296 <
         |      CASE c_mktsegment
-        |        WHEN 'BUILDING'   THEN CAST(214748360 AS BIGINT)
-        |        WHEN 'AUTOMOBILE' THEN CAST(429496720 AS BIGINT)
-        |        WHEN 'MACHINERY'  THEN CAST(858993440 AS BIGINT)
-        |        WHEN 'FURNITURE'  THEN CAST(2147483600 AS BIGINT)
-        |        WHEN 'HOUSEHOLD'  THEN CAST(4294967200 AS BIGINT)
+        |        WHEN 'BUILDING'   THEN CAST(214748364 AS BIGINT)
+        |        WHEN 'AUTOMOBILE' THEN CAST(429496729 AS BIGINT)
+        |        WHEN 'MACHINERY'  THEN CAST(858993459 AS BIGINT)
+        |        WHEN 'FURNITURE'  THEN CAST(2147483648 AS BIGINT)
+        |        WHEN 'HOUSEHOLD'  THEN CAST(4294967296 AS BIGINT)
         |        ELSE CAST(0 AS BIGINT) END
         |GROUP BY 1""".stripMargin,
     "q_kafka_shape" ->
@@ -1576,15 +1576,18 @@ object SparkEntry {
         |      FROM e JOIN t0 USING (event_type)),
         |s AS (SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx,
         |             SUM(y) AS sy, SUM(CAST(x AS DECIMAL(18,0)) * y) AS sxy
-        |      FROM j GROUP BY 1)
+        |      FROM j GROUP BY 1),
+        |d AS (SELECT event_type, n, sx, sy,
+        |             CASE WHEN n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0
+        |                  THEN NULL
+        |                  ELSE (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |                       (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |             END AS raw_slope
+        |      FROM s)
         |SELECT event_type, n,
-        |       ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
-        |             (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 10) AS slope,
-        |       ROUND((CAST(sy AS DOUBLE) -
-        |              ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
-        |               (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) *
-        |              CAST(sx AS DOUBLE)) / n, 6) AS intercept
-        |FROM s""".stripMargin,
+        |       ROUND(raw_slope, 10) AS slope,
+        |       ROUND((CAST(sy AS DOUBLE) - raw_slope * CAST(sx AS DOUBLE)) / n, 6) AS intercept
+        |FROM d""".stripMargin,
     // calendar self-join (month = prev + 12 months), not LAG(12): a row
     // lag mis-aligns every comparison after a zero-order gap month
     "q_yoy_growth" ->
@@ -1689,9 +1692,9 @@ object SparkEntry {
         |h AS (SELECT hr, SUM(observed) AS n_hr FROM c GROUP BY 1),
         |t AS (SELECT SUM(observed) AS n FROM c)
         |SELECT c.event_type, CAST(c.hr AS INT) AS hr, c.observed,
-        |       ROUND(CAST(r.n_type * h.n_hr AS DOUBLE) / t.n, 6) AS expected,
-        |       ROUND((c.observed - CAST(r.n_type * h.n_hr AS DOUBLE) / t.n) /
-        |             SQRT(CAST(r.n_type * h.n_hr AS DOUBLE) / t.n), 6) AS residual
+        |       ROUND(CAST(r.n_type AS DOUBLE) * CAST(h.n_hr AS DOUBLE) / t.n, 6) AS expected,
+        |       ROUND((c.observed - CAST(r.n_type AS DOUBLE) * CAST(h.n_hr AS DOUBLE) / t.n) /
+        |             SQRT(CAST(r.n_type AS DOUBLE) * CAST(h.n_hr AS DOUBLE) / t.n), 6) AS residual
         |FROM c JOIN r USING (event_type) JOIN h USING (hr) CROSS JOIN t""".stripMargin,
     // bin assignment is the same double expression on the same operands
     // in both engines; the max value is clamped into the last bin
@@ -1701,7 +1704,9 @@ object SparkEntry {
         |  FROM events GROUP BY 1),
         |b AS (
         |  SELECT e.event_type,
-        |         LEAST(FLOOR((e.value - s.lo) * 10 / (s.hi - s.lo)), 9) AS bin,
+        |         CASE WHEN s.hi = s.lo THEN 0
+        |              ELSE LEAST(FLOOR((e.value - s.lo) * 10 / (s.hi - s.lo)), 9)
+        |         END AS bin,
         |         s.lo, s.hi
         |  FROM events e JOIN s USING (event_type))
         |SELECT event_type, CAST(bin AS BIGINT) AS bin,

@@ -91,7 +91,10 @@ object Breadth {
     val rich = c.filter(col("c_acctbal") > 5000).select(col("c_custkey"))
     val hasOrders = o.select(col("o_custkey").as("c_custkey"))
     val auto = c.filter(col("c_mktsegment") === "AUTOMOBILE").select(col("c_custkey"))
-    building.union(rich).distinct()
+    // no distinct() before intersect: INTERSECT already deduplicates both
+    // inputs, so a pre-distinct paid a second customer-scale
+    // exchange+aggregate for identical output
+    building.union(rich)
       .intersect(hasOrders)
       .except(auto)
       .select(col("c_custkey").as("custkey"))
@@ -331,7 +334,13 @@ object Breadth {
     * event instead of the full event×order join product the window
     * shuffled-and-sorted. Ties on the asof key break by LARGEST orderkey
     * (struct max) — fully deterministic, same row the descending
-    * row_number picked. */
+    * row_number picked.
+    *
+    * INNER semantics (the pinned oracle's JOIN): an event whose user has
+    * no order at or before its time is DROPPED. For the conventional
+    * keep-all-events as-of, use the native left variant
+    * (`AsOfJoin.asof(..., "left_outer")`, q_asof_join_left) — unmatched
+    * events survive there with a null orderkey. */
   def asofJoin(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(spark, dir, "events").select("event_id", "user_id", "ts")
     val o = Tables.load(spark, dir, "orders")
@@ -414,17 +423,20 @@ object Breadth {
         sum(expr("x * x")).as("sxx"),
         sum("y").as("sy"),
         sum(expr("CAST(x AS DECIMAL(18,0)) * y")).as("sxy"))
+    // ONE slope expression referenced by both outputs (the intercept
+    // previously carried a byte-for-byte copy an edit could desync), and
+    // a zero-denominator guard: a degenerate series (single event, or
+    // all events in one second) has n·Σx² = (Σx)² and the raw division
+    // emitted NaN rows — null is the honest "no trend is defined"
+    val num = col("n") * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val den = col("n") * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val slope = when(den =!= 0.0, num / den)
     s.select(col("event_type"), col("n"),
-      round((col("n") * col("sxy").cast("double") -
-          col("sx").cast("double") * col("sy").cast("double")) /
-        (col("n") * col("sxx").cast("double") -
-          col("sx").cast("double") * col("sx").cast("double")), 10).as("slope"),
-      round((col("sy").cast("double") -
-          ((col("n") * col("sxy").cast("double") -
-            col("sx").cast("double") * col("sy").cast("double")) /
-           (col("n") * col("sxx").cast("double") -
-            col("sx").cast("double") * col("sx").cast("double"))) *
-          col("sx").cast("double")) / col("n"), 6).as("intercept"))
+      round(slope, 10).as("slope"),
+      round((col("sy").cast("double") - slope * col("sx").cast("double")) / col("n"), 6)
+        .as("intercept"))
   }
 
   /** YEAR-OVER-YEAR MONTHLY REVENUE — monthly order totals with the
@@ -467,8 +479,15 @@ object Breadth {
       .agg(min("value").as("lo"), max("value").as("hi"))
     e.join(broadcast(stats), "event_type")
       .select(col("event_type"),
-        least(floor((col("value") - col("lo")) * bins / (col("hi") - col("lo"))),
-          lit(bins - 1L)).cast("long").as("bin"),
+        // singleton guard (the winsorize/quantileNorm hazard class): a
+        // type whose values are all equal has hi = lo, and the raw
+        // expression is 0/0 = NaN — where the engines then DISAGREE
+        // (Spark's (long) floor(NaN) is 0, DuckDB's LEAST(NaN, 9) is 9).
+        // Everything belongs in bin 0 of a zero-width histogram.
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(
+            floor((col("value") - col("lo")) * bins / (col("hi") - col("lo"))),
+            lit(bins - 1L)).cast("long")).as("bin"),
         col("lo"), col("hi"))
       .groupBy("event_type", "bin", "lo", "hi")
       .agg(count(lit(1)).as("n"))
@@ -518,16 +537,19 @@ object Breadth {
     val rowTot = cells.groupBy("event_type").agg(sum("observed").as("n_type"))
     val colTot = cells.groupBy("hr").agg(sum("observed").as("n_hr"))
     val total = cells.agg(sum("observed").as("n"))
+    // each margin casts to double BEFORE the multiply: the BIGINT product
+    // n_type * n_hr wraps past Long.MaxValue at ~1e12 events with hot
+    // margins (DuckDB's HUGEINT promotion would stay correct — silent
+    // engine/oracle divergence); one expression, referenced three times
+    val expectedRaw =
+      col("n_type").cast("double") * col("n_hr").cast("double") / col("n")
     cells
       .join(broadcast(rowTot), "event_type")
       .join(broadcast(colTot), "hr")
       .crossJoin(broadcast(total))
       .select(col("event_type"), col("hr"), col("observed"),
-        round((col("n_type") * col("n_hr")).cast("double") / col("n"), 6)
-          .as("expected"),
-        round((col("observed") -
-            (col("n_type") * col("n_hr")).cast("double") / col("n")) /
-          sqrt((col("n_type") * col("n_hr")).cast("double") / col("n")), 6)
+        round(expectedRaw, 6).as("expected"),
+        round((col("observed") - expectedRaw) / sqrt(expectedRaw), 6)
           .as("residual"))
   }
 
@@ -684,7 +706,7 @@ object Breadth {
     val denD = den.cast(DecimalType(14, 12)).cast("double")
     lagged.select(col("priority"), col("d").cast("string").as("day"),
       col("rev").cast("double").as("revenue"),
-      (floor(numD / denD * lit(1e6) + lit(0.5)) / lit(1e6)).as("ewma"))
+      r6(numD / denD).as("ewma"))
   }
 
   /** USER ACTIVITY RECENCY — how long ago each user was last seen,
@@ -1454,8 +1476,11 @@ object Breadth {
     // and both rank passes — reads the checkpointed distinct frame
     // (without this the lazy events aggregation re-executed 4-5×; the
     // q_rfm_segments lesson in PLANS.md)
-    val srcD = vals.groupBy("event_type", "v").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true)
+    // distinct value grain — a count column here would be dead weight
+    // (the moments below are over distinct values only), widening the
+    // checkpointed frame and suggesting multiplicity-weighting that
+    // doesn't exist
+    val srcD = vals.distinct().localCheckpoint(true)
     val poolR = GlobalOrder
       .withGlobalRowNumber(srcD.select("v").distinct(), "_prn1", col("v"))
       .withColumn("prn", col("_prn1") - 1).drop("_prn1")

@@ -417,8 +417,13 @@ object Scale {
   def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
     val rates = Map("BUILDING" -> 5L, "AUTOMOBILE" -> 10L, "MACHINERY" -> 20L,
       "FURNITURE" -> 50L, "HOUSEHOLD" -> 100L) // percent kept per stratum
+    // multiply BEFORE dividing: 2^32/100*pct truncates to 42949672·pct,
+    // so the 100% stratum's threshold was 4294967200 — keys hashing into
+    // the top 96-value band were silently dropped from a stratum
+    // documented as keeping everything (~2.2e-8 of keys, guaranteed hits
+    // at scale). 2^32·pct/100 is exact at pct=100 (and 50).
     val rateCol = rates.foldLeft(lit(0L)) { case (acc, (seg, pct)) =>
-      when(col("c_mktsegment") === seg, lit(4294967296L / 100 * pct)).otherwise(acc)
+      when(col("c_mktsegment") === seg, lit(4294967296L * pct / 100)).otherwise(acc)
     }
     Tables.load(spark, dir, "customer")
       // key reduced mod a prime BEFORE the Knuth multiply so the product
