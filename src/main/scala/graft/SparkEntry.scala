@@ -724,7 +724,8 @@ object SparkEntry {
          |SELECT a.doc_id AS id_in, b.doc_id AS id_out,
          |       ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s), 6) AS containment
          |FROM sh a JOIN sh b
-         |  ON a.lang = b.lang AND a.doc_id != b.doc_id AND len(a.s) <= len(b.s)
+         |  ON a.lang = b.lang
+         |  AND (len(a.s) < len(b.s) OR (len(a.s) = len(b.s) AND a.doc_id < b.doc_id))
          |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) >= 0.9""".stripMargin,
     // exhaustive cross-source replay of the asymmetric incremental check;
     // one verdict row per new-batch doc — zero-match keepers AND
@@ -1443,7 +1444,7 @@ object SparkEntry {
         |       1.0 - CAST(b.n_distinct AS DOUBLE) / b.n_tokens AS dup_token_frac,
         |       t2.bigram AS top_bigram, t2.n AS top_bigram_n,
         |       CAST(t2.n AS DOUBLE) / (b.n_tokens - 1) AS top_bigram_frac
-        |FROM base b JOIN top t2 ON b.doc_id = t2.doc_id AND t2.rn = 1""".stripMargin,
+        |FROM base b LEFT JOIN top t2 ON b.doc_id = t2.doc_id AND t2.rn = 1""".stripMargin,
     "q_decontaminate" -> decontaminateOracleSql,
     // bloom prefilter is result-invariant (false positives die in the
     // exact join) → same oracle as q_decontaminate
@@ -2090,7 +2091,9 @@ object SparkEntry {
     "q_weighted_sample" ->
       """WITH d AS (
         |  SELECT doc_id, lang, n_chars,
-        |         (doc_id % 1048573) * 2654435761 % 4294967296 + 1 AS h
+        |         ((((doc_id % 1048573) * 2654435761) % 4294967296
+        |           + (((doc_id // 1048573) % 1048573) * 2654435761) % 4294967296)
+        |          % 4294967296) + 1 AS h
         |  FROM documents),
         |kd AS (
         |  SELECT lang, doc_id,
@@ -2885,7 +2888,8 @@ object SparkEntry {
         |                 CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges
         |          FROM deg),
         |ec AS (SELECT COUNT(*) AS n_edges FROM e)
-        |SELECT shape.n_nodes, ec.n_edges, shape.n_wedges, t.n_tri AS n_triangles
+        |SELECT shape.n_nodes, ec.n_edges,
+        |       COALESCE(shape.n_wedges, 0) AS n_wedges, t.n_tri AS n_triangles
         |FROM shape CROSS JOIN ec CROSS JOIN t""".stripMargin,
     // fixed 4-round peel, unrolled; extra rounds past the fixpoint are
     // no-ops, so the replay is exact (see Graph.kCore)

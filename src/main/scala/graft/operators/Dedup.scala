@@ -300,9 +300,14 @@ object Dedup {
       col("doc_id").as("id_out"), col("sz").as("sz_out"))
     // Containment admits no symmetric size-ratio prune (the container may
     // be arbitrarily large), but the smaller-into-larger direction pins
-    // each unordered pair to one candidate row.
+    // each unordered pair to one candidate row — with an id tiebreak for
+    // EQUAL sizes: `sz_in <= sz_out` alone admitted both directions of an
+    // equal-size pair (exact duplicates are the common case), emitting
+    // two rows for one unordered pair and double-counting it in every
+    // downstream rollup.
     val cands = aPrefix.join(outSide, Seq("lang", "shingle"))
-      .filter(col("id_in") =!= col("id_out") && col("sz_in") <= col("sz_out"))
+      .filter(col("sz_in") < col("sz_out") ||
+        (col("sz_in") === col("sz_out") && col("id_in") < col("id_out")))
       .select("id_in", "id_out")
       .distinct()
     val shIn = docs.select(col("doc_id").as("id_in"), col("sh").as("sh_in"))

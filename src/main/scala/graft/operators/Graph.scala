@@ -11,6 +11,25 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Deduplicated customer↔supplier trade edge list — (2·custkey,
+    * 2·suppkey+1), the shared node encoding — built ONCE per (session,
+    * dir): kCore, assortativity and degreeDistribution all profile this
+    * same graph, and each previously re-ran the orders⋈lineitem fact
+    * join plus the corpus-wide distinct per call (the dashboard pattern
+    * runs several graph profiles in one session). Checkpoint blocks are
+    * owned by the memoized frame; session-scoping per
+    * [[graft.SessionMemo]]. */
+  private val tradeEdgesMemo = new graft.SessionMemo[DataFrame]()
+  private def tradeEdges(spark: SparkSession, dir: String): DataFrame =
+    tradeEdgesMemo.getOrCompute(spark, dir) {
+      val orders = Tables.load(spark, dir, "orders").select("o_orderkey", "o_custkey")
+      val li = Tables.load(spark, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      orders.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+        .localCheckpoint(true)
+    }
+
   /** FIXED-POINT PAGERANK over the bipartite part↔supplier graph from
     * lineitem (edge = "supplier ships part", deduplicated).
     *
@@ -118,7 +137,12 @@ object Graph {
       sum(expr("d * (d - 1) div 2")).as("n_wedges"))
     shape.crossJoin(edges.agg(count(lit(1)).as("n_edges")))
       .crossJoin(tri)
-      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"))
+      // SUM over zero rows is NULL: an empty edge set must report zero
+      // wedges/triangles, not NULLs that poison downstream arithmetic
+      // (the d3afe3e degenerate-input class)
+      .select(col("n_nodes"), col("n_edges"),
+        coalesce(col("n_wedges"), lit(0L)).as("n_wedges"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
   }
 
   /** K-CORE PEELING over the customer↔supplier bipartite graph (edge =
@@ -147,12 +171,7 @@ object Graph {
     * Output: every node still owning an edge after `rounds` peels, with
     * its within-core degree. */
   def kCore(spark: SparkSession, dir: String, k: Int = 30, rounds: Int = 4): DataFrame = {
-    val orders = Tables.load(spark, dir, "orders").select("o_orderkey", "o_custkey")
-    val li = Tables.load(spark, dir, "lineitem").select("l_orderkey", "l_suppkey")
-    val edges = orders.join(li, col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
-      .distinct()
-      .localCheckpoint(true)
+    val edges = tradeEdges(spark, dir)
     kCorePeel(edges, k, rounds)
       .select(expr("n div 2").as("id"),
         (col("n") % 2 === 0).cast("int").as("is_customer"), col("core_deg"))
@@ -237,12 +256,7 @@ object Graph {
     * keyed joins to attach endpoint degrees (the degree frame is
     * node-cardinality), one global agg with map-side partials. */
   def assortativity(spark: SparkSession, dir: String): DataFrame = {
-    val orders = Tables.load(spark, dir, "orders").select("o_orderkey", "o_custkey")
-    val li = Tables.load(spark, dir, "lineitem").select("l_orderkey", "l_suppkey")
-    val edges = orders.join(li, col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
-      .distinct()
-      .localCheckpoint(true) // feeds the degree count and both pair sides
+    val edges = tradeEdges(spark, dir)
     val und = edges.select(col("a").as("x"), col("b").as("y"))
       .unionAll(edges.select(col("b").as("x"), col("a").as("y")))
     val deg = und.groupBy(col("x").as("n")).agg(count(lit(1)).as("d"))
@@ -272,15 +286,7 @@ object Graph {
     * map-side partials — and a broadcast 1-row total for the share.
     * Bucket ids are exact integer log₂ via bit length, not float log. */
   def degreeDistribution(spark: SparkSession, dir: String): DataFrame = {
-    val orders = Tables.load(spark, dir, "orders").select("o_orderkey", "o_custkey")
-    val li = Tables.load(spark, dir, "lineitem").select("l_orderkey", "l_suppkey")
-    val edges = orders.join(li, col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
-      .distinct()
-      // both unionAll branches read it — without the checkpoint each
-      // re-runs the fact join + distinct (the re-scan hazard the other
-      // graph operators checkpoint against)
-      .localCheckpoint(true)
+    val edges = tradeEdges(spark, dir)
     val deg = edges.select(col("a").as("n")).unionAll(edges.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
     // floor(log2(d)) as binary-digit count minus one: exact integer

@@ -142,8 +142,12 @@ object TextAnalysis {
     * the engine rather than as four scripted passes over storage). */
   def curateCorpus(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    val exactKeep = docs.groupBy("text").agg(min("doc_id").as("doc_id"))
-      .select("doc_id")
+    // Dedup.exact's fingerprint shape, not groupBy(text): grouping on the
+    // full text column shuffles the whole corpus payload as the key —
+    // the exact hazard Dedup.exact exists to avoid (its shuffle carries
+    // (hash, id) pairs, never text)
+    val exactKeep = Dedup.exact(spark, dir)
+      .select(col("keep_id").as("doc_id"))
     val nearLosers = Dedup.ngramJaccardPairsPrefix(spark, dir, 0.5)
       .select(col("id_b").as("doc_id")).distinct()
     docs.select("doc_id")
@@ -325,18 +329,26 @@ object TextAnalysis {
     * 6-dp ratios could flip at a rounding boundary between runs or
     * engines); only the final ratio is floating-point. Allocations
     * FLOOR to integers (floor is midpoint-free, unlike round). */
-  def sourceMixing(spark: SparkSession, dir: String): DataFrame = {
+  def sourceMixing(spark: SparkSession, dir: String): DataFrame =
+    temperatureWeights(spark, dir)
+      .select(col("source"), col("n_docs"),
+        round(col("w").cast("double") / col("w_total").cast("double"), 6).as("mix_weight"),
+        floor(col("w").cast("double") / col("w_total").cast("double") * 100000)
+          .cast("long").as("docs_per_100k"))
+
+  /** ONE copy of the α=0.5 temperature-weight frame (per-source count,
+    * 6-dp-decimal √n weight, broadcast 1-row total) shared by
+    * [[mixtureWeights]] and [[sourceMixing]] — the two previously
+    * maintained the identical float-discipline pipeline independently,
+    * so a rounding fix to one could silently diverge the other. */
+  private def temperatureWeights(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val counts = Tables.load(spark, dir, "documents")
       .groupBy("source").agg(count(lit(1)).as("n_docs"))
       .withColumn("w", round(sqrt(col("n_docs").cast("double")), 6)
         .cast(DecimalType(18, 6)))
-    val total = counts.agg(sum("w").as("tot"))
+    val total = counts.agg(sum("w").as("w_total"))
     counts.crossJoin(broadcast(total))
-      .select(col("source"), col("n_docs"),
-        round(col("w").cast("double") / col("tot").cast("double"), 6).as("mix_weight"),
-        floor(col("w").cast("double") / col("tot").cast("double") * 100000)
-          .cast("long").as("docs_per_100k"))
   }
 
   /** Gopher-style REPETITION signals — the quality cut that catches
@@ -358,7 +370,11 @@ object TextAnalysis {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("n").desc, col("bigram").asc)
     val top = bgc.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-    base.join(top, "doc_id")
+    // LEFT join: a document under 2 tokens has no bigram, and an inner
+    // join silently removed it from the profile — a curation stage keyed
+    // on this operator saw the doc as missing rather than scored (its
+    // bigram columns are honestly NULL)
+    base.join(top, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
         (lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"))
           .as("dup_token_frac"),
@@ -456,17 +472,11 @@ object TextAnalysis {
     * handful of output rows hash-match despite double arithmetic.
     * Scale: sources are few; everything after the one count rollup is
     * constant-size. */
-  def mixtureWeights(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    val counts = Tables.load(spark, dir, "documents")
-      .groupBy("source").agg(count(lit(1)).as("n_docs"))
-      .withColumn("w", round(sqrt(col("n_docs")), 6).cast(DecimalType(18, 6)))
-    val total = counts.agg(sum("w").as("w_total"))
-    counts.crossJoin(broadcast(total))
+  def mixtureWeights(spark: SparkSession, dir: String): DataFrame =
+    temperatureWeights(spark, dir)
       .select(col("source"), col("n_docs"),
         col("w").cast("double").as("weight"),
         round(col("w").cast("double") / col("w_total").cast("double"), 6).as("share"))
-  }
 
   /** DETERMINISTIC TRAIN/VAL/TEST SPLIT — the reproducible assignment a
     * training pipeline needs: each document hashes to a uniform [0,1)
@@ -637,9 +647,14 @@ object TextAnalysis {
       .groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
       .localCheckpoint(true) // feeds B and the output: one corpus scan
     val nBg = bg.select(sum("n_ab").as("n_bigrams"))
+    // the unigram margins join WITHOUT a broadcast hint: uni is the full
+    // token vocabulary, which outgrows the broadcast limit at corpus
+    // scale — forcing it is the 100 TB mistake the tfidfTerms docstring
+    // names; AQE picks broadcast when it measures small. Only the 1-row
+    // totals are hinted.
     bg.filter(col("n_ab") >= minCount)
-      .join(broadcast(uni.select(col("w").as("w1"), col("n").as("n_a"))), "w1")
-      .join(broadcast(uni.select(col("w").as("w2"), col("n").as("n_b"))), "w2")
+      .join(uni.select(col("w").as("w1"), col("n").as("n_a")), "w1")
+      .join(uni.select(col("w").as("w2"), col("n").as("n_b")), "w2")
       .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBg))
       .select(col("w1"), col("w2"), col("n_ab"), col("n_a"), col("n_b"),
         round(log((col("n_ab").cast("double") / col("n_bigrams")) /
@@ -666,9 +681,16 @@ object TextAnalysis {
     Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), col("n_chars"),
         // id reduced mod a prime BEFORE the Knuth multiply so the
-        // product never overflows a long (ANSI-safe at any id range)
-        ((col("doc_id") % lit(1048573L)) * lit(2654435761L) % lit(4294967296L) + 1)
-          .as("h"))
+        // product never overflows a long (ANSI-safe at any id range).
+        // TWO rounds — residue and quotient mod the same prime — summed
+        // mod 2^32: a single round gave ids 1048573 apart the SAME
+        // deviate, so related doc pairs drew perfectly correlated keys
+        // past ~1M docs per language (the quotient term is 0 for
+        // doc_id < 1048573, keeping small-corpus draws unchanged).
+        // Each product ≤ 1048572·2654435761 ≈ 2.8e15 — no overflow.
+        expr("((((doc_id % 1048573) * 2654435761) % 4294967296" +
+          " + (((doc_id div 1048573) % 1048573) * 2654435761) % 4294967296)" +
+          " % 4294967296) + 1").as("h"))
       .withColumn("key",
         -log(col("h").cast("double") / lit(4294967297.0)) /
           log(lit(1.0) + col("n_chars")))
@@ -850,19 +872,6 @@ object TextAnalysis {
         terms.map(t => col(s"tf_$t")) :+ col("score"): _*)
   }
 
-  /** SEQUENCE PACKING — assign documents to fixed-token-budget training
-    * bins by cumulative token count, the deterministic first-fit packing
-    * a pre-training dataloader runs. Documents stream in doc_id order
-    * within a (lang, shard) packing lane; a doc starts in the bin its
-    * cumulative start offset falls into (docs longer than the remaining
-    * budget spill into the next bin — simple offset packing, no
-    * re-ordering).
-    *
-    * Scale shape: the running sum partitions by (lang, shard) — shard =
-    * doc_id mod `shards` keeps every lane bounded, so no single-reducer
-    * window at any corpus size (more shards = more parallelism, same
-    * semantics per lane). The rollup is one keyed aggregation. All
-    * integers — bit-exact. */
   /** TOKEN-BUDGET CORPUS CUT — keep the best-quality documents until a
     * token budget (half the corpus here) is exhausted: the "train on the
     * top-N tokens" selection every data-constrained run makes. Ordering
@@ -893,6 +902,19 @@ object TextAnalysis {
       .select(col("doc_id"), col("band"), col("n_tok"), col("cum_end"))
   }
 
+  /** SEQUENCE PACKING — assign documents to fixed-token-budget training
+    * bins by cumulative token count, the deterministic first-fit packing
+    * a pre-training dataloader runs. Documents stream in doc_id order
+    * within a (lang, shard) packing lane; a doc starts in the bin its
+    * cumulative start offset falls into (docs longer than the remaining
+    * budget spill into the next bin — simple offset packing, no
+    * re-ordering).
+    *
+    * Scale shape: the running sum partitions by (lang, shard) — shard =
+    * doc_id mod `shards` keeps every lane bounded, so no single-reducer
+    * window at any corpus size (more shards = more parallelism, same
+    * semantics per lane). The rollup is one keyed aggregation. All
+    * integers — bit-exact. */
   def packSequences(spark: SparkSession, dir: String,
       budget: Int = 512, shards: Int = 8): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
