@@ -2388,11 +2388,13 @@ object SparkEntry {
         |               (a, t) -> a + t), 6) AS d2
         |      FROM e JOIN cent USING (label)),
         |r AS (SELECT vec_id, label, d2,
-        |             PERCENT_RANK() OVER (PARTITION BY label ORDER BY d2) AS prank,
-        |             COUNT(*) OVER (PARTITION BY label) AS n_cls
-        |      FROM d)
+        |             PERCENT_RANK() OVER (PARTITION BY label ORDER BY d2) AS prank
+        |      FROM d),
+        |r2 AS (SELECT vec_id, label, d2, prank,
+        |              MAX(prank) OVER (PARTITION BY label) AS mxp
+        |       FROM r)
         |SELECT vec_id, label, d2, ROUND(prank, 6) AS prank
-        |FROM r WHERE prank >= 0.2 OR n_cls = 1""".stripMargin,
+        |FROM r2 WHERE prank >= 0.2 OR prank = mxp""".stripMargin,
     "q_embedding_stats" ->
       """WITH n AS (
         |  SELECT label,

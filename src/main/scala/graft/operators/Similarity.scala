@@ -32,10 +32,15 @@ object Similarity {
     normalizedOf(Tables.load(spark, dir, "embeddings")
       .withColumn("emb_d", expr("transform(embedding, x -> CAST(x AS DOUBLE))")))
 
-  /** Unit-normalization of an arbitrary `(vec_id, emb_d)` corpus frame. */
+  /** Unit-normalization of an arbitrary `(vec_id, emb_d)` corpus frame.
+    * ZERO-NORM vectors are DROPPED: a zero vector has no direction, and
+    * its NaN unit coordinates would poison the KMeans quantizer and —
+    * because Spark orders NaN above every double — rank FIRST in every
+    * descending cosine top-k they cross. */
   private def normalizedOf(corpus: DataFrame): DataFrame =
     corpus
       .withColumn("nrm", sqrt(norm2("emb_d")))
+      .filter(col("nrm") > 0.0)
       .withColumn("unit", expr("transform(emb_d, x -> x / nrm)"))
       .select(col("vec_id"), col("emb_d"), col("unit"))
 
@@ -232,7 +237,10 @@ object Similarity {
     * vectors per bucket, floor 16 (shares the ANN suite's index at small
     * scale factors), cap 256 (quantizer training cost bound). */
   private def autoNlist(n: Long): Int =
-    math.max(16, math.min(256, (n / 125L).toInt))
+    // cap in LONG before narrowing: (n/125).toInt wraps negative past
+    // ~2.7e11 vectors and the max/min would collapse nlist to 16 —
+    // n²-ish bucket pairs at exactly the scale the dial exists for
+    math.max(16, math.min(256L, n / 125L).toInt)
 
   /** Data-derived IVF SEARCH geometry (round 14) — `nlist = 2^⌈log2
     * 2√n⌉` (floor 16, cap 1024) with `nprobe = 3/8·nlist`, replacing
@@ -273,6 +281,17 @@ object Similarity {
   private def corpusCount(spark: SparkSession, dir: String): Long =
     countMemo.getOrCompute(spark, dir) {
       java.lang.Long.valueOf(Tables.load(spark, dir, "embeddings").count())
+    }.longValue()
+
+  /** [[corpusCount]] for an arbitrary corpus frame, memoized by the
+    * caller's memoKey — the gate + pruned-join pair previously ran a
+    * fresh full-scan count job EACH CALL for the same immutable corpus,
+    * contradicting the gate's "the cost of asking is one tiny
+    * aggregate" contract. */
+  private def corpusCountOver(
+      spark: SparkSession, corpus: DataFrame, memoKey: String): Long =
+    countMemo.getOrCompute(spark, s"over|$memoKey") {
+      java.lang.Long.valueOf(corpus.count())
     }.longValue()
 
   /** Resolve caller-supplied (nlist, nprobe) against the auto rule: 0
@@ -332,7 +351,7 @@ object Similarity {
   def bucketPairSurvivalOver(
       spark: SparkSession, corpus: DataFrame, memoKey: String,
       threshold: Double, nlist: Int = 0): Double = {
-    val k = if (nlist > 0) nlist else autoNlist(corpus.count())
+    val k = if (nlist > 0) nlist else autoNlist(corpusCountOver(spark, corpus, memoKey))
     val g = prunedGeom(spark, corpus, memoKey, k)
     val thetaMax = math.acos(threshold) + 1e-9
     val r = bucketPairAngles(g)
@@ -355,7 +374,7 @@ object Similarity {
   def prunedEmbeddingPairsOver(
       spark: SparkSession, corpus: DataFrame, memoKey: String,
       threshold: Double, nlist: Int = 0): DataFrame = {
-    val k = if (nlist > 0) nlist else autoNlist(corpus.count())
+    val k = if (nlist > 0) nlist else autoNlist(corpusCountOver(spark, corpus, memoKey))
     val g = prunedGeom(spark, corpus, memoKey, k)
     val memberAng = g.memberAng
     val thetaMax = math.acos(threshold) + 1e-9
@@ -753,6 +772,13 @@ object Similarity {
   private def pqIndex(
       spark: SparkSession, dir: String, nSub: Int, nCodes: Int): PqIndex =
     pqMemo.getOrCompute(spark, s"$dir|$nSub|$nCodes") {
+      // 64 / nSub truncates: a non-divisor silently excludes the trailing
+      // dims from training AND scoring (recall decays with no error), and
+      // nSub > 64 degenerates to subDim = 0 where every ADC distance is
+      // 0.0 — the lshEmbeddingPairsOver band-width contract, enforced here
+      require(nSub >= 1 && 64 % nSub == 0,
+        s"pqIndex: nSub=$nSub must divide the 64-dim embedding exactly")
+      require(nCodes >= 1, s"pqIndex: nCodes=$nCodes must be >= 1")
       val subDim = 64 / nSub
       val base = normalized(spark, dir).cache()
       try {
@@ -1151,10 +1177,15 @@ object Similarity {
   def prototypePrune(spark: SparkSession, dir: String, pruneFrac: Double = 0.2): DataFrame = {
     val w = Window.partitionBy("label").orderBy(col("d2").asc)
     val wc = Window.partitionBy("label")
+    // a class's FARTHEST rank tier always survives (prank = max prank):
+    // this subsumes the singleton guard AND covers a fully-tied class —
+    // e.g. both members of a 2-point class sit exactly equidistant from
+    // their midpoint centroid, so both held prank 0 and the bare
+    // `prank >= pruneFrac` cut deleted the whole class
     labelDistances(spark, dir)
       .withColumn("prank", percent_rank().over(w))
-      .withColumn("n_cls", count(lit(1)).over(wc))
-      .filter(col("prank") >= pruneFrac || col("n_cls") === 1)
+      .withColumn("mxp", max(col("prank")).over(wc))
+      .filter(col("prank") >= pruneFrac || col("prank") === col("mxp"))
       .select(col("vec_id"), col("label"), col("d2"),
         round(col("prank"), 6).as("prank"))
   }

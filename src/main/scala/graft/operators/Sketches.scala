@@ -34,12 +34,20 @@ object Sketches {
     * 100 TB shape: the daily aggregation is one map-side-combinable
     * shuffle on (day, type); the union re-aggregation shuffles only
     * days×types sketch rows (KBs each), never users. */
+  /** ONE copy of the (day, type) HLL sketch build (lgK = 14) shared by
+    * the in-session and persisted rollups — the two previously maintained
+    * the identical pipeline independently, so an lgK change to one could
+    * silently desynchronize the saved == in-session parity the spec pins. */
+  private def dailySketches(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .select(to_date(col("ts")).as("day"), col("event_type"), col("user_id"))
+      .groupBy("day", "event_type")
+      .agg(hll_sketch_agg(col("user_id"), 14).as("sk"))
+
   def hllRollup(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(spark, dir, "events")
       .select(to_date(col("ts")).as("day"), col("event_type"), col("user_id"))
-    val daily = ev
-      .groupBy("day", "event_type")
-      .agg(hll_sketch_agg(col("user_id"), 14).as("sk"))
+    val daily = dailySketches(spark, dir)
     val merged = daily
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_days"),
@@ -63,10 +71,7 @@ object Sketches {
     * pins saved == in-session estimates exactly. */
   def hllRollupSaved(spark: SparkSession, dir: String): DataFrame = {
     val tmp = Scratch.dir(spark, "hll_sketches") // per-process root — see Scratch
-    Tables.load(spark, dir, "events")
-      .select(to_date(col("ts")).as("day"), col("event_type"), col("user_id"))
-      .groupBy("day", "event_type")
-      .agg(hll_sketch_agg(col("user_id"), 14).as("sk"))
+    dailySketches(spark, dir)
       .write.mode("overwrite").parquet(s"$tmp/daily")
     val out = spark.read.parquet(s"$tmp/daily")
       .groupBy("event_type")
@@ -93,13 +98,23 @@ object Sketches {
     * broadcast 1-row sketch frame — 20 bounded rows, never data-sized;
     * the only driver transfer is the sketch itself inside the broadcast
     * (the k-centers precedent: constant-size, not data-sized). */
-  def cmsHeavyHitters(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
-    val tokens = Tables.load(spark, dir, "documents")
+  /** ONE copy of the token stream and its CMS build (eps 1e-4,
+    * confidence 0.99, seed 42) shared by the audited and probe-only
+    * variants — a drifted seed or regex in one copy would change
+    * estimates with nothing failing (the probe-only variant has no
+    * parity pin). */
+  private def tokenStream(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
       .select(explode(split(lower(col("text")), "\\s+")).as("token"))
       .filter(length(col("token")) > 0)
-    val sk = tokens.agg(
+  private def tokenCms(tokens: DataFrame): DataFrame =
+    tokens.agg(
       count_min_sketch(col("token"), lit(0.0001d), lit(0.99d), lit(42)).as("sk_bytes"),
       count(lit(1)).as("n_tokens"))
+
+  def cmsHeavyHitters(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val tokens = tokenStream(spark, dir)
+    val sk = tokenCms(tokens)
     val top = tokens.groupBy("token").agg(count(lit(1)).as("exact_cnt"))
       .orderBy(col("exact_cnt").desc, col("token").asc)
       .limit(k)
@@ -124,12 +139,7 @@ object Sketches {
     * audit, a super-linear cost the production pattern doesn't pay. */
   def cmsHeavyHittersProbeOnly(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    val tokens = docs
-      .select(explode(split(lower(col("text")), "\\s+")).as("token"))
-      .filter(length(col("token")) > 0)
-    val sk = tokens.agg(
-      count_min_sketch(col("token"), lit(0.0001d), lit(0.99d), lit(42)).as("sk_bytes"),
-      count(lit(1)).as("n_tokens"))
+    val sk = tokenCms(tokenStream(spark, dir))
     // first 200 docs BY ID (TakeOrderedAndProject), not `doc_id < 200`:
     // a fixture whose ids start above 200 would make a value predicate
     // silently return an empty candidate set
