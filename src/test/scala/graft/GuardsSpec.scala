@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{GlobalOrder, Similarity}
+
+/** Pins for the loud-failure contracts added in round 14: each guard
+  * exists because the silent behavior it replaced produced a
+  * plausible-looking WRONG answer (truncated signatures, vanished
+  * columns, NaN rankings) — these tests keep the guards loud. */
+class GuardsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("withShardedGroupTopK rejects inputs carrying its scratch names") {
+    val df = Seq((1L, "a", 2L)).toDF("k", "g", "_shard")
+    val e = intercept[IllegalArgumentException] {
+      GlobalOrder.withShardedGroupTopK(df, Seq("g"), col("k"), 1, "rk")(col("k"))
+    }
+    assert(e.getMessage.contains("_shard"))
+    val df2 = Seq((1L, "a", 2L)).toDF("k", "g", "rk")
+    val e2 = intercept[IllegalArgumentException] {
+      GlobalOrder.withShardedGroupTopK(df2, Seq("g"), col("k"), 1, "rk")(col("k"))
+    }
+    assert(e2.getMessage.contains("rk"))
+  }
+
+  test("shingle_hash rejects n < 1 at construction") {
+    val e = intercept[IllegalArgumentException] {
+      graft.functions.HashExpressions.shingle_hash(col("t"), 0)
+    }
+    assert(e.getMessage.contains("n=0"))
+  }
+
+  test("minhash_sig enforces its Long-arithmetic contract at construction") {
+    // p past the no-overflow bound (the Mersenne 2^61-1 is the natural
+    // wrong choice — a*h+b wraps negative and biases every signature)
+    intercept[IllegalArgumentException] {
+      graft.functions.HashExpressions.minhash_sig(
+        col("h"), Array(1L), Array(0L), (1L << 61) - 1)
+    }
+    // ragged coefficient arrays
+    intercept[IllegalArgumentException] {
+      graft.functions.HashExpressions.minhash_sig(
+        col("h"), Array(1L, 2L), Array(0L), 2147483647L)
+    }
+    // coefficients outside [0, p)
+    intercept[IllegalArgumentException] {
+      graft.functions.HashExpressions.minhash_sig(
+        col("h"), Array(-1L), Array(0L), 2147483647L)
+    }
+  }
+
+  test("sign_bits errors on a vector/plane dimension mismatch") {
+    val planes = Array(Array(1.0, 0.0, 0.0)) // 3-dim planes
+    val df = Seq(Tuple1(Seq(1.0, 2.0))).toDF("v") // 2-dim vector
+    val e = intercept[Exception] {
+      df.select(graft.functions.HashExpressions.sign_bits(col("v"), planes, 64))
+        .collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("jaccard of two empty arrays is NULL, never NaN") {
+    val df = Seq((Seq.empty[String], Seq.empty[String])).toDF("a", "b")
+    val row = df.select(graft.functions.VecText.jaccard("a", "b").as("j")).head()
+    assert(row.isNullAt(0),
+      "empty/empty jaccard must be NULL — NaN orders above every double " +
+        "and passes >= threshold filters as a bogus near-dup")
+  }
+
+  test("pointInInterval rejects decimal point/bound columns at the API") {
+    val pts = Seq(Tuple1(BigDecimal(1.5))).toDF("p")
+    val iv = Seq((0.0, 2.0)).toDF("lo", "hi")
+    val e = intercept[IllegalArgumentException] {
+      graft.plans.IntervalJoin.pointInInterval(pts, iv, "p", "lo", "hi")
+    }
+    assert(e.getMessage.contains("numeric"))
+  }
+
+  test("salted asof rejects inputs carrying its scratch names") {
+    val l = Seq((1L, 1L, 5L)).toDF("k", "t", "__skey")
+    val r = Seq((1L, 1L, 7L)).toDF("k2", "t2", "tb")
+    val e = intercept[IllegalArgumentException] {
+      graft.plans.AsOfJoin.asof(l, r, "k", "k2", "t", "t2", "tb", salt = 4)
+    }
+    assert(e.getMessage.contains("__skey"))
+  }
+
+  test("pqTopK rejects an nSub that does not divide the 64-dim embedding") {
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqTopK(spark, sf, nSub = 12)
+    }
+    assert(e.getMessage.contains("nSub=12"))
+  }
+
+  test("the range generator drains ALL rows under Trigger.Once") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    // rows >> batchRows: the ReadAllAvailable limit must jump to the end,
+    // not admit one batch and terminate (90% of the data silently lost)
+    val stream = spark.readStream.format("graft.sources.RangeGenSource")
+      .option("rows", "1000").option("batchRows", "100").load()
+    val name = s"guards_once_${System.nanoTime()}"
+    val q = stream.groupBy().count()
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName(name)
+      .trigger(Trigger.Once()).start()
+    q.awaitTermination()
+    val n = spark.table(name).head().getLong(0)
+    spark.catalog.dropTempView(name)
+    assert(n == 1000L, s"Trigger.Once drained $n of 1000 rows")
+  }
+}
