@@ -862,6 +862,11 @@ object Similarity {
       nSub: Int = 8,
       nCodes: Int = 32,
       rerank: Int = 0): DataFrame = {
+    // reject BEFORE the rerank default's corpus-count job below — the
+    // memo-body require alone would let an invalid nSub pay a full scan
+    // first (the same check guards the build itself in pqIndex)
+    require(nSub >= 1 && 64 % nSub == 0,
+      s"pqTopK: nSub=$nSub must divide the 64-dim embedding exactly")
     val subDim = 64 / nSub
     // Long math + clamp: at extreme corpus counts ⌈n/8⌉ must saturate at
     // Int.MaxValue, not wrap negative (a negative budget would silently

@@ -1,6 +1,5 @@
 package graft
 
-import org.scalatest.funsuite.AnyFunSuite
 
 /** Driver-contract hygiene: the oracle map must stay consistent with the
   * query map (a dangling oracle or misnamed query silently weakens t2). */
@@ -55,10 +54,27 @@ class ContractSpec extends SparkSpec {
         "(?i)\\bFROM\\b".r.findFirstMatchIn(p)
           .map(m => p.substring(m.start)).getOrElse("")
       }
-      val re = "(?i)(?<!\\()SELECT\\s+(SUM|COUNT|AVG|MIN|MAX)\\([^)]*\\)\\s*(,|FROM)".r
+      // paren-BALANCED scan, not a [^)]* regex: the character class stops
+      // at the first ')' inside a nested call, so SUM(COALESCE(x,0)) —
+      // the most common real aggregate form — could never match and was
+      // silently exempt from the guard
+      val start = "(?i)(?<!\\()SELECT\\s+(SUM|COUNT|AVG|MIN|MAX)\\(".r
+      def unaliasedAt(seg: String, openIdx: Int): Boolean = {
+        var i = openIdx; var depth = 0
+        while (i < seg.length && (depth > 0 || i == openIdx)) {
+          if (seg(i) == '(') depth += 1
+          else if (seg(i) == ')') depth -= 1
+          i += 1
+        }
+        if (depth != 0) return false // unbalanced — not this guard's job
+        val rest = seg.substring(i).dropWhile(_.isWhitespace)
+        rest.startsWith(",") || rest.toUpperCase.startsWith("FROM")
+      }
       scanned.foreach { seg =>
-        assert(re.findFirstIn(seg).isEmpty,
-          s"$name: unaliased aggregate in oracle SQL")
+        start.findAllMatchIn(seg).foreach { m =>
+          assert(!unaliasedAt(seg, m.end - 1),
+            s"$name: unaliased aggregate in oracle SQL near ...${seg.substring(m.start, math.min(seg.length, m.start + 60))}...")
+        }
       }
     }
   }

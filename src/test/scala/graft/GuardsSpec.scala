@@ -56,7 +56,13 @@ class GuardsSpec extends SparkSpec {
       df.select(graft.functions.HashExpressions.sign_bits(col("v"), planes, 64))
         .collect()
     }
-    assert(e.getMessage != null)
+    // the GUARD's message, not any incidental failure: a regressed guard
+    // would AIOOBE with an unrelated message and must fail here
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("dims")),
+      s"expected the sign_bits dimension guard, got: ${messages(e).mkString(" | ")}")
   }
 
   test("jaccard of two empty arrays is NULL, never NaN") {

@@ -7,16 +7,18 @@ class SimilaritySpec extends SparkSpec {
 
   test("brute-force top-k returns k ranked neighbors per probe") {
     val df = Similarity.bruteTopK(spark, sf, k = 5, nProbes = 10).cache()
-    assert(df.count() == 50)
-    val perQuery = df.groupBy("query_id").count().collect()
-    assert(perQuery.forall(_.getLong(1) == 5))
-    // ranks are 1..5 and cosine is non-increasing within a query
-    val rows = df.orderBy("query_id", "rnk").collect()
-    rows.grouped(5).foreach { g =>
-      assert(g.map(_.getInt(2)).toSeq == Seq(1, 2, 3, 4, 5))
-      val cosines = g.map(_.getDouble(3)).toSeq
-      assert(cosines == cosines.sorted.reverse)
-    }
+    try {
+      assert(df.count() == 50)
+      val perQuery = df.groupBy("query_id").count().collect()
+      assert(perQuery.forall(_.getLong(1) == 5))
+      // ranks are 1..5 and cosine is non-increasing within a query
+      val rows = df.orderBy("query_id", "rnk").collect()
+      rows.grouped(5).foreach { g =>
+        assert(g.map(_.getInt(2)).toSeq == Seq(1, 2, 3, 4, 5))
+        val cosines = g.map(_.getDouble(3)).toSeq
+        assert(cosines == cosines.sorted.reverse)
+      }
+    } finally df.unpersist(blocking = false)
   }
 
   test("IVF recall@5 >= 0.6 vs brute force, and is deterministic") {

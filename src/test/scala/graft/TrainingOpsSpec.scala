@@ -7,19 +7,34 @@ import org.apache.spark.sql.functions._
   * hash compare can't express). */
 class TrainingOpsSpec extends SparkSpec {
 
-  test("repetition signals: fractions bounded, counts consistent") {
+  test("repetition signals: fractions bounded, counts consistent, short docs kept") {
     val rows = graft.operators.TextAnalysis.repetitionSignals(spark, sf).collect()
     assert(rows.nonEmpty)
+    // the LEFT join's keep-all contract: every document appears, even
+    // those under two tokens (an inner-join revert — the silent-drop bug
+    // this pins — would shrink the output below the corpus count)
+    val nDocs = Tables.load(spark, sf, "documents").count()
+    assert(rows.length.toLong == nDocs,
+      s"profile has ${rows.length} rows for $nDocs documents")
     rows.foreach { r =>
       val nTok = r.getAs[Int]("n_tokens")
       val nDist = r.getAs[Int]("n_distinct")
       val dupFrac = r.getAs[Double]("dup_token_frac")
-      val topN = r.getAs[Long]("top_bigram_n")
-      val topFrac = r.getAs[Double]("top_bigram_frac")
       assert(nDist >= 1 && nDist <= nTok)
       assert(dupFrac >= 0.0 && dupFrac < 1.0)
-      assert(topN >= 1 && topN <= nTok - 1)
-      assert(topFrac > 0.0 && topFrac <= 1.0)
+      if (nTok >= 2) {
+        // docs with a bigram carry real stats
+        val topN = r.getAs[Long]("top_bigram_n")
+        val topFrac = r.getAs[Double]("top_bigram_frac")
+        assert(!r.isNullAt(r.fieldIndex("top_bigram_n")))
+        assert(topN >= 1 && topN <= nTok - 1)
+        assert(topFrac > 0.0 && topFrac <= 1.0)
+      } else {
+        // <2-token docs surface with honestly-NULL bigram columns —
+        // getAs[Long] would unbox NULL to 0, so check nullity explicitly
+        assert(r.isNullAt(r.fieldIndex("top_bigram_n")),
+          s"short doc ${r.getAs[Long]("doc_id")} should have NULL bigram stats")
+      }
     }
   }
 
