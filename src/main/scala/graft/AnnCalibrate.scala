@@ -1,0 +1,99 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.SparkSession
+
+/** ANN geometry CALIBRATION harness — the measurement behind the
+  * round-15 search-geometry rules ([[Similarity.autoSearchGeometry]] /
+  * autoRerank): sweeps (nlist, nprobe) for IVF and (nCodes, rerank,
+  * geometry) for IVFADC-PQ over a corpus dir and prints recall@5
+  * against the exact brute-force top-k NEXT TO the measured scanned
+  * fraction — the pair of numbers the auto rules must trade off. Run
+  * at several corpus sizes (sf0.01 / sf0.1 / the staged 10× corpus) to
+  * see how the recall-at-fraction curve moves with n.
+  *
+  * Usage: runMain graft.AnnCalibrate <dir> [ivf|pq|both]
+  */
+object AnnCalibrate {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val mode = if (args.length > 1) args(1) else "both"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val brute = Similarity.bruteTopK(spark, dir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    println(s"corpus=$dir n=$n brute_pairs=${brute.size}")
+
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (brute & got).size.toDouble / brute.size
+    }
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+    // nlist ladder spanning the auto rule and above it; nprobe values
+    // chosen to sweep scanned fractions ~3%..40%
+    val nlists: Seq[Int] =
+      if (n <= 600) Seq(32, 64, 128)
+      else if (n <= 3000) Seq(128, 256, 512)
+      else Seq(512, 1024, 2048)
+
+    if (mode == "ivf" || mode == "both") {
+      println("== IVF (nlist, nprobe) -> recall@5, scanned_fraction, sec ==")
+      for (nl <- nlists) {
+        val nps = Seq(nl / 32, nl / 16, nl / 10, nl / 8, nl / 4, 3 * nl / 8)
+          .map(p => math.max(2, p)).distinct.sorted
+        for (np <- nps) {
+          val t0 = System.nanoTime()
+          val rec = recallOf(Similarity.ivfTopK(spark, dir, 5, 10, nlist = nl, nprobe = np))
+          val sec = (System.nanoTime() - t0) / 1e9
+          val frac = Similarity.ivfScannedFraction(spark, dir, 10, nl, np)
+          println(s"IVF nlist=$nl nprobe=$np recall=${f3(rec)} frac=${f3(frac)} sec=${f3(sec)}")
+        }
+      }
+    }
+
+    if (mode == "tune") {
+      println("== IVF train-quality sweep (nlist, nprobe, trainFrac, iters) ==")
+      for ((nl, np, tf, it) <- Seq(
+        (4096, 300, 1.0, 5), (4096, 350, 1.0, 5), (4096, 410, 1.0, 5),
+        (4096, 300, 1.0, 15), (4096, 350, 1.0, 15))) {
+        val t0 = System.nanoTime()
+        val rec = recallOf(Similarity.ivfTopK(spark, dir, 5, 10,
+          nlist = nl, nprobe = np, trainFraction = tf, trainIters = it))
+        val sec = (System.nanoTime() - t0) / 1e9
+        val frac = Similarity.ivfScannedFraction(spark, dir, 10, nl, np, tf, it)
+        println(s"IVF nlist=$nl nprobe=$np tf=$tf iters=$it " +
+          s"recall=${f3(rec)} frac=${f3(frac)} sec=${f3(sec)}")
+      }
+    }
+
+    if (mode == "auto") {
+      println("== AUTO geometry: IVF + PQ(nCodes, rerank sweep) ==")
+      val t0 = System.nanoTime()
+      val ivfRec = recallOf(Similarity.ivfTopK(spark, dir, 5, 10))
+      val ivfSec = (System.nanoTime() - t0) / 1e9
+      val frac = Similarity.ivfScannedFraction(spark, dir, 10)
+      println(s"IVF auto recall=${f3(ivfRec)} frac=${f3(frac)} sec=${f3(ivfSec)}")
+      for (nc <- Seq(32, 256); rr <- Seq(64, 128, 256)) {
+        val t1 = System.nanoTime()
+        val rec = recallOf(Similarity.pqTopK(spark, dir, 5, 10,
+          nSub = 8, nCodes = nc, rerank = rr))
+        val sec = (System.nanoTime() - t1) / 1e9
+        println(s"PQ auto nCodes=$nc rerank=$rr recall=${f3(rec)} " +
+          s"frac=${f3(frac)} sec=${f3(sec)}")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -59,6 +59,25 @@ object Bench {
     val results = (1 to nRuns).map(_ => sweep())
       .reduce((a, b) => a.zip(b).map { case ((n, t1), (_, t2)) =>
         n -> t1.flatMap(x => t2.map(y => math.min(x, y))) })
+    val line = buildLine(results, sfDir)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(sys.env.getOrElse(
+        "SPARK_GRAFT_BENCH_FULL", "/root/repo/BENCH_FULL.json")),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] full-dump failed: $e") }
+    println(line)
+    spark.stop()
+  }
+
+  /** The one-line JSON artifact. Factored out so the contract is
+    * spec-pinnable (GuardsSpec): a THROWN query must be absent from the
+    * `queries` timings (its wall time is exception unwinding — a
+    * recorded number would read as a 10-100× "speedup") and NAMED in an
+    * `errors` field — the stderr log alone is lost to the driver's
+    * stdout-only capture, so the artifact line itself must carry the
+    * failure. */
+  private[graft] def buildLine(
+      results: Seq[(String, Option[Double])], sfDir: String): String = {
     // 3-dp values keep the whole line inside the driver's output tail
     // buffer (full-precision doubles overflowed it → unparseable bench).
     // Locale.ROOT: a comma-decimal default locale would emit "1,234"
@@ -77,14 +96,6 @@ object Bench {
     // (the tail survives, the front of the queries map is what gets
     // cut) and the complete line is also written to a repo file so no
     // per-query timing is ever lost.
-    val line =
-      s"""{"queries":$qs,"sf":"$sfDir"$errField,"metric":"total","unit":"sec","value":${f3(total)}}"""
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get(sys.env.getOrElse(
-        "SPARK_GRAFT_BENCH_FULL", "/root/repo/BENCH_FULL.json")),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable => System.err.println(s"[bench] full-dump failed: $e") }
-    println(line)
-    spark.stop()
+    s"""{"queries":$qs,"sf":"$sfDir"$errField,"metric":"total","unit":"sec","value":${f3(total)}}"""
   }
 }

@@ -106,6 +106,17 @@ object ScaleBench {
     // partkey/user offsets make assortments and daily cohorts honestly
     // 10×, while the sketch/pair/state sizes stay constant per key
     "q_kmv_overlap_est", "q_stream_hll_daily",
+    // round-15 blind-spot closures (the r14 verdict's ask #2): the
+    // multimodal decode seam (mapPartitions batched kernels over 10×
+    // the payload bytes — the one LLM-pillar family with no prior
+    // ratio), the custom interval-join physical operator (binary
+    // search + prefix-max pruning — its whole reason to exist is
+    // asymptotics), the two-phase sub-shard source-caps rewrite (the
+    // ledger's "sub-linear" claim, now backed by a committed number),
+    // and the IVFADC PQ serve path beside its recall row
+    "q_multimodal_meta", "q_multimodal_features", "q_multimodal_frames",
+    "q_interval_join", "q_interval_join_time", "q_source_caps",
+    "q_ann_pq",
     // the rest of the streaming family — the round-13 ratio blind spot:
     // windowed/sliding aggregation, both sessionizer APIs, the
     // stream-static broadcast join and the foreachBatch sink. Each entry
@@ -114,6 +125,35 @@ object ScaleBench {
     // state and per-user session state are the 100 TB memory story.
     "q_stream_hourly", "q_stream_sliding", "q_stream_sessions",
     "q_stream_static_join", "q_stream_foreachbatch", "q_stream_sessions_tws")
+
+  /** The staged corpus is only valid for the params that generated it:
+    * a rerun with different copies/src would silently bench stale
+    * tables while the artifact records the NEW parameters. Fail loudly
+    * on mismatch (auto-deleting a multi-GB staged dir is not this
+    * tool's call); the sentinel is written ONLY for a fresh/empty dir —
+    * a dir that already holds staged tables but no `_PARAMS` (a
+    * pre-sentinel-era leftover) is exactly the stale-corpus case the
+    * guard exists to catch, and stamping it with the CURRENT params
+    * would validate nothing. */
+  private[graft] def validateStagedParams(out: String, params: String): Unit = {
+    val paramsFile = java.nio.file.Paths.get(out, "_PARAMS")
+    if (java.nio.file.Files.exists(paramsFile)) {
+      val staged = java.nio.file.Files.readString(paramsFile).trim
+      require(staged == params,
+        s"staged corpus at $out was generated with [$staged] but this " +
+          s"run asks for [$params] — remove $out (or point " +
+          "SPARK_GRAFT_SF1_DIR elsewhere) to regenerate")
+    } else {
+      val existing = Option(new java.io.File(out).listFiles()).toSeq.flatten
+      require(!existing.exists(_.getName.endsWith(".parquet")),
+        s"staged corpus at $out holds tables but no _PARAMS sentinel — " +
+          "it predates parameter stamping and cannot be validated; " +
+          s"remove $out to regenerate (or stamp _PARAMS manually if you " +
+          "are certain of its provenance)")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+      java.nio.file.Files.writeString(paramsFile, params)
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -128,23 +168,7 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // the staged corpus is only valid for the params that generated it:
-    // a rerun with different copies/src would silently bench stale
-    // tables while the artifact records the NEW parameters. Fail loudly
-    // on mismatch (auto-deleting a multi-GB staged dir is not this
-    // tool's call); first run writes the sentinel.
-    val paramsFile = java.nio.file.Paths.get(out, "_PARAMS")
-    val params = s"copies=$copies;src=$src"
-    if (java.nio.file.Files.exists(paramsFile)) {
-      val staged = java.nio.file.Files.readString(paramsFile).trim
-      require(staged == params,
-        s"staged corpus at $out was generated with [$staged] but this " +
-          s"run asks for [$params] — remove $out (or point " +
-          "SPARK_GRAFT_SF1_DIR elsewhere) to regenerate")
-    } else {
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
-      java.nio.file.Files.writeString(paramsFile, params)
-    }
+    validateStagedParams(out, s"copies=$copies;src=$src")
     // per-TABLE existence checks, not a single all-or-nothing sentinel:
     // a cached dir generated before a new table joined the generator
     // (region, round 13) must be backfilled, not trusted — a missing dim
@@ -191,6 +215,17 @@ object ScaleBench {
     val recallSmall = recallAt(src)
     val recallBig = recallAt(out)
 
+    // SCANNED FRACTION beside recall (round 15): recall alone can hide
+    // an index that scans most of the corpus — the pair is the cost
+    // model. The coarse-gate fraction is SHARED by q_ann_ivf and
+    // q_ann_pq (IVFADC rides the same auto geometry); PQ additionally
+    // records its constant exact-rerank fraction.
+    def fracsAt(dir: String): (Double, Double) = (
+      graft.operators.Similarity.ivfScannedFraction(spark, dir, 10),
+      graft.operators.Similarity.pqRerankFraction(spark, dir, 5))
+    val (ivfFracSmall, pqRrFracSmall) = fracsAt(src)
+    val (ivfFracBig, pqRrFracBig) = fracsAt(out)
+
     // Locale.ROOT like Bench.f3: a comma-decimal default locale would
     // corrupt the JSON artifact
     def f3(v: Double): String =
@@ -213,11 +248,14 @@ object ScaleBench {
     val recallJson = AnnVariants.map { n =>
       s""""$n":{"sf01":${f3(recallSmall(n))},"sf1":${f3(recallBig(n))}}"""
     }.mkString("{", ",", "}")
+    val fracJson =
+      s"""{"coarse_gate":{"sf01":${f3(ivfFracSmall)},"sf1":${f3(ivfFracBig)}},""" +
+      s""""pq_rerank":{"sf01":${f3(pqRrFracSmall)},"sf1":${f3(pqRrFracBig)}}}"""
     // minimal JSON string escape for the interpolated path — a quote or
     // backslash in SPARK_GRAFT_SF_DIR would corrupt the artifact line
     val srcJson = src.replace("\\", "\\\\").replace("\"", "\\\"")
     val line =
-      s"""{"metric":"scaleup_ratio","copies":$copies,"src":"$srcJson","recall_at_5":$recallJson,"queries":$perQuery}"""
+      s"""{"metric":"scaleup_ratio","copies":$copies,"src":"$srcJson","recall_at_5":$recallJson,"scanned_frac":$fracJson,"queries":$perQuery}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("/root/repo/SCALEBENCH_sf1.json"),
       (line + "\n").getBytes("UTF-8"))

@@ -886,7 +886,9 @@ object SparkEntry {
         |         list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
         |         / (SQRT(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
         |            * SQRT(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))) AS cos_raw
-        |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+        |  WHERE list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) > 0
+        |    AND list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) > 0),
         |ranked AS (
         |  SELECT query_id, neighbor_id, cos_raw,
         |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS rnk
@@ -2929,37 +2931,46 @@ object SparkEntry {
         |         list_prepend(CAST(0.0 AS DOUBLE), list(value ORDER BY ts, event_id)),
         |         (acc, v) -> acc * 0.875 + v * 0.125), 6) AS ewma
         |FROM events GROUP BY 1""".stripMargin,
-    // Generated from the SAME EwmaWeights constants the plan uses, term by
-    // term: rev(18,2) × weight(14,12) exact DECIMAL product → (24,14)
-    // exact sum → ONE double division (see Breadth.ewmaRevenue's
-    // determinism notes) — no per-term float rounding anywhere
-    "q_ewma_revenue" -> {
-      val ws = Breadth.EwmaWeights.map(_.bigDecimal.toPlainString)
-      val lags = ws.indices
-        .map(j => s"LAG(rev, $j) OVER w AS r$j").mkString(", ")
-      // rev is widened to (24,2) first: DuckDB multiplies inside the
-      // operand width class, and (18,2)×(14,12) overflows INT64 there;
-      // the value is unchanged so the product stays exact in both engines
-      val num = ws.indices.map(j =>
-        s"COALESCE(CAST(CAST(r$j AS DECIMAL(24,2)) * CAST(${ws(j)} AS DECIMAL(14,12)) " +
-        s"AS DECIMAL(24,14)), CAST(0 AS DECIMAL(24,14)))").mkString(" + ")
-      val den = ws.indices.map(j =>
-        s"CASE WHEN r$j IS NOT NULL THEN CAST(${ws(j)} AS DECIMAL(14,12)) " +
-        s"ELSE CAST(0 AS DECIMAL(14,12)) END").mkString(" + ")
-      s"""WITH daily AS (
-         |  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS d,
-         |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
-         |  FROM orders GROUP BY 1, 2),
-         |l AS (
-         |  SELECT priority, d, rev, $lags
-         |  FROM daily
-         |  WINDOW w AS (PARTITION BY priority ORDER BY d))
-         |SELECT priority, CAST(d AS VARCHAR) AS day, CAST(rev AS DOUBLE) AS revenue,
-         |       FLOOR(CAST(CAST(ROUND($num, 6) AS DECIMAL(18,6)) AS DOUBLE)
-         |             / CAST(CAST(($den) AS DECIMAL(14,12)) AS DOUBLE)
-         |             * 1000000.0 + 0.5) / 1000000.0 AS ewma
-         |FROM l""".stripMargin
-    },
+    // INDEPENDENTLY-DERIVED weights (round 15): the oracle builds its own
+    // (1−α)^j table via a recursive DECIMAL CTE — exact ×0.7 products,
+    // 12-dp HALF-AWAY rounding, the same closed form the engine's
+    // EwmaWeights literal table encodes but derived here from α alone.
+    // (The previous oracle string-interpolated the engine's constants —
+    // the shared-magic-constant class that hid the recursive-CTE spine
+    // truncation for rounds: such an oracle validates the constant, not
+    // the semantics. A spec additionally pins the Scala table against
+    // the closed form.) Arithmetic discipline is unchanged and exact:
+    // rev(18,2)→(24,2) × w(14,12) DECIMAL product → (24,14) exact sum
+    // (the lag terms become a ≤14-row self-join on row distance, which
+    // generates exactly the non-null lag terms) → ONE double division
+    // (see Breadth.ewmaRevenue's determinism notes).
+    "q_ewma_revenue" ->
+      """WITH RECURSIVE wts(j, w) AS (
+        |  SELECT 0, CAST(1 AS DECIMAL(14,12))
+        |  UNION ALL
+        |  SELECT j + 1, CAST(ROUND(w * CAST(0.7 AS DECIMAL(2,1)), 12) AS DECIMAL(14,12))
+        |  FROM wts WHERE j < 13),
+        |daily AS (
+        |  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS d,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+        |  FROM orders GROUP BY 1, 2),
+        |numbered AS (
+        |  SELECT priority, d, rev,
+        |         ROW_NUMBER() OVER (PARTITION BY priority ORDER BY d) AS i
+        |  FROM daily),
+        |terms AS (
+        |  SELECT a.priority, a.d, a.rev,
+        |         CAST(CAST(b.rev AS DECIMAL(24,2)) * w.w AS DECIMAL(24,14)) AS term,
+        |         w.w AS wt
+        |  FROM numbered a
+        |  JOIN numbered b ON a.priority = b.priority
+        |       AND b.i BETWEEN a.i - 13 AND a.i
+        |  JOIN wts w ON w.j = a.i - b.i)
+        |SELECT priority, CAST(d AS VARCHAR) AS day, CAST(rev AS DOUBLE) AS revenue,
+        |       FLOOR(CAST(CAST(ROUND(SUM(term), 6) AS DECIMAL(18,6)) AS DOUBLE)
+        |             / CAST(CAST(SUM(wt) AS DECIMAL(14,12)) AS DOUBLE)
+        |             * 1000000.0 + 0.5) / 1000000.0 AS ewma
+        |FROM terms GROUP BY priority, d, rev""".stripMargin,
     // stacked windows over the same (user → time) order; DECIMAL cumsum,
     // peak, drawdown — exact until the output casts (see Breadth.maxDrawdown)
     "q_drawdown" ->
@@ -3160,11 +3171,13 @@ object SparkEntry {
         |  SELECT digit, n_orders,
         |         FLOOR(CAST(n_orders AS DOUBLE) / CAST(n_total AS DOUBLE)
         |               * 1000000.0 + 0.5) / 1000000.0 AS observed,
-        |         CAST(CASE digit WHEN 1 THEN 0.301030 WHEN 2 THEN 0.176091
-        |           WHEN 3 THEN 0.124939 WHEN 4 THEN 0.096910
-        |           WHEN 5 THEN 0.079181 WHEN 6 THEN 0.066947
-        |           WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153
-        |           WHEN 9 THEN 0.045757 END AS DOUBLE) AS expected
+        |         -- expectation DERIVED from the closed form log10(1+1/d),
+        |         -- not the engine's 6-dp literal table (shared-constant
+        |         -- oracle audit, round 15): every log10 value sits far
+        |         -- from a 5e-7 rounding midpoint, so the midpoint-stable
+        |         -- floor(x*1e6+0.5) reproduces the HALF_UP table exactly
+        |         FLOOR(LOG10(1 + 1.0 / digit) * 1000000.0 + 0.5) / 1000000.0
+        |           AS expected
         |  FROM c CROSS JOIN n)
         |SELECT digit, n_orders, observed, expected,
         |       FLOOR(ABS(observed - expected) * 1000000.0 + 0.5) / 1000000.0

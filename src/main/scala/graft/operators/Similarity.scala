@@ -46,11 +46,16 @@ object Similarity {
 
   /** Exact cosine top-k for probe vectors (vec_id < nProbes). Norms are
     * precomputed per side; cos = dot/(nq·nc) matches the oracle formula
-    * bit-for-bit. */
+    * bit-for-bit. Zero-norm vectors are dropped on BOTH sides — the same
+    * semantics [[normalizedOf]] gives the index paths (a zero vector has
+    * no direction; its NaN cosine would rank first under Spark's NaN
+    * ordering) — and the DuckDB oracle mirrors the drop, so the two
+    * engines share the semantics rather than agreeing by fixture luck. */
   def bruteTopK(spark: SparkSession, dir: String, k: Int = 5, nProbes: Int = 10): DataFrame = {
     val e = Tables.load(spark, dir, "embeddings")
       .withColumn("emb_d", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
       .withColumn("nrm", sqrt(norm2("emb_d")))
+      .filter(col("nrm") > 0.0)
     val probes = e.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("query_id"), col("emb_d").as("emb_q"), col("nrm").as("nq"))
     val corpus = e.select(col("vec_id").as("neighbor_id"), col("emb_d").as("emb_c"), col("nrm").as("nc"))
@@ -121,7 +126,11 @@ object Similarity {
     require(nBands > 0 && nBits % nBands == 0,
       s"nBits ($nBits) must be a positive multiple of nBands ($nBands)")
     val rnd = new scala.util.Random(7)
-    val dim = 64
+    // dim from the DATA (round 15) — one limit-1 probe; SignBits then
+    // enforces per-row uniformity against the generated planes. For the
+    // 64-dim testdata the Random draw order is identical to the old
+    // hard-coded-64 code, so existing oracles are unchanged.
+    val dim = dimOfFrame(corpus.select("emb_d"), "lsh corpus")
     val planes = Array.fill(nBits, dim)(rnd.nextGaussian())
     // Native [[graft.functions.HashExpressions.SignBits]]: the planes ride
     // inside the expression object, so the plan holds ONE expression, not
@@ -242,36 +251,66 @@ object Similarity {
     // n²-ish bucket pairs at exactly the scale the dial exists for
     math.max(16, math.min(256L, n / 125L).toInt)
 
-  /** Data-derived IVF SEARCH geometry (round 14) — `nlist = 2^⌈log2
-    * 2√n⌉` (floor 16, cap 1024) with `nprobe = 3/8·nlist`, replacing
-    * the fixed (16, 6) whose recall@5 decayed with corpus growth
-    * (measured 0.78 → 0.66 → 0.64 at 500 / 2 000 / 20 000 vectors: a
-    * 16-cell quantizer cannot separate the grown corpus's cluster
-    * population, so probed cells mix neighbors with bulk — on this
-    * near-isotropic corpus recall tracks BOTH cell granularity and the
-    * scanned fraction, and the fraction alone cannot recover it).
-    * Recall at this rule, measured against exact brute-force: ~0.9
-    * (500 → 64 lists; bracketed by (64, 16) = 0.90 and (96, 24) = 1.0),
-    * 0.92 (2 000 → 128 lists), 0.96 (20 000 → 512 lists). The scanned
-    * fraction stays a constant 3/8 by count while cells refine as √n,
-    * and the centroid table (nlist×dim doubles, ≤0.5 MB at the cap)
-    * stays broadcastable; at the 1024 cap the fraction becomes the
-    * remaining dial (the [[pqTopK]] rerank note has the same shape). */
-  private def autoSearchGeometry(n: Long): (Int, Int) = {
-    val target = 2.0 * math.sqrt(math.max(n, 1L).toDouble)
+  /** Data-derived IVF SEARCH geometry (recalibrated round 15 for a
+    * SUB-LINEAR scan): `nlist = 2^⌈log2 16√n⌉`, clamped below by 16 and
+    * above by BOTH `2^⌊log2 n/4⌋` (≈4 vectors/cell — finer would leave
+    * cells the quantizer cannot populate) and 65536 (centroid table ≤
+    * 32 MB at 64-dim — still broadcastable; past ~17M vectors the cap
+    * binds and a second quantizer level, IMI/residual-style, is the
+    * published next step). The round-14 rule (2√n cap 1024, nprobe =
+    * 3/8·nlist) held recall by scanning a constant ~40-55% of the
+    * corpus — an exact scan with extra steps at 10⁹ vectors. Measured
+    * at the staged 20 000-vector corpus (AnnCalibrate): the finer
+    * quantizer moves the whole recall-at-fraction curve — (512 lists,
+    * 37% scanned) = 0.96 recall vs (4096 lists, 9.2% scanned) = 0.92 —
+    * because cells small enough to isolate neighbor pockets let the
+    * probe ranking skip the bulk. */
+  private def autoSearchNlist(nForSearch: Long): Int = {
+    val n = math.max(nForSearch, 1L)
+    val target = math.min(16.0 * math.sqrt(n.toDouble), (n / 4.0).max(16.0))
     var nlist = 16
-    while (nlist < 1024 && nlist < target) nlist *= 2
-    (nlist, autoNprobe(nlist))
+    while (nlist < 65536 && nlist < target) nlist *= 2
+    nlist
+  }
+  private def autoSearchGeometry(n: Long): (Int, Int) = {
+    val nlist = autoSearchNlist(n)
+    (nlist, autoNprobe(nlist, n))
   }
 
-  /** THE 3/8-scan rule, single source of truth: floor of 6 probes for
-    * tiny geometries but never above nlist itself (max-then-min — the
-    * reverse order would push a small nlist's default to 6 > nlist and
-    * fail the coherence check for a parameter the caller never passed).
-    * Both the auto geometry and [[resolveGeometry]]'s lone-pinned-nlist
-    * path derive from here, so they can never drift apart. */
-  private def autoNprobe(nlist: Int): Int =
-    math.min(nlist, math.max(6, nlist * 3 / 8))
+  /** The nprobe rule, single source of truth — two floors under a
+    * TARGET-SCANNED-FRACTION term (round 15):
+    *   - fraction term: ⌈0.075·nlist⌉ lists ≈ 9-10% of the corpus
+    *     MEASURED (probes prefer dense lists, so scanned rows run
+    *     ~1.25× the count ratio) — recall@5 0.92 at the staged 10×
+    *     corpus, the calibrated knee of the curve;
+    *   - candidate-budget floor: enough lists to cover ~512 candidates
+    *     (512·nlist/n). On a tiny corpus this deliberately degenerates
+    *     toward a full scan — ANN on 500 vectors SHOULD be exact; the
+    *     index earns its keep once cells outnumber the budget floor —
+    *     and it vanishes as n grows (at the 65536-list cap it is zero
+    *     and the fraction term is the only dial).
+    * Floor of 6 and never above nlist itself (max-then-min — the
+    * reverse order would push a small nlist's default above nlist and
+    * fail the coherence check for a parameter the caller never
+    * passed). Both the auto geometry and [[resolveGeometry]]'s
+    * lone-pinned-nlist path derive from here, so they can never drift
+    * apart. */
+  private def autoNprobe(nlist: Int, n: Long): Int = {
+    val fracTerm = (nlist * 3 + 39) / 40 // ⌈0.075·nlist⌉
+    val budgetTerm = ((512L * nlist + n - 1) / math.max(n, 1L)).toInt
+    math.min(nlist, math.max(6, math.max(fracTerm, budgetTerm)))
+  }
+
+  /** Quantizer TRAINING fraction when the caller does not pin one:
+    * targets ~32 training vectors per centroid (min(1, 32·nlist/n)) —
+    * the round-14 fixed 25% starved a fine quantizer (4096 lists on a
+    * 5 000-row sample is ~1 vector per centroid; measured recall 0.72 →
+    * 0.92 at the same scanned fraction once training saw the full
+    * corpus), while at 10⁹ vectors the same rule trains on ~2M rows
+    * (0.2%) — bounded build cost, the standard per-centroid sample
+    * heuristic. */
+  private def autoTrainFraction(nlist: Int, n: Long): Double =
+    math.min(1.0, 32.0 * nlist / math.max(n, 1L))
 
   /** Corpus row count per (session, dir) — the auto rules below need it
     * on EVERY default-geometry call, while the table never changes
@@ -294,6 +333,33 @@ object Similarity {
       java.lang.Long.valueOf(corpus.count())
     }.longValue()
 
+  /** Embedding DIMENSIONALITY, derived from the data (round 15): one
+    * `size(vec)` probe of the first row — a limit-1 scan, memoized per
+    * (session, dir) like the count. Real corpora are 768-4096-dim, not
+    * this testdata's 64; every dim-dependent rule (PQ subspace split,
+    * LSH plane geometry) derives from here instead of a hard-coded 64.
+    * UNIFORMITY is enforced lazily where it's free: SignBits throws on
+    * any row whose width disagrees with the planes, and the PQ encoder
+    * validates each vector against the derived dim — a full
+    * eager-validation scan would double the read for a property the
+    * kernels already check per row. */
+  private val dimMemo = new graft.SessionMemo[java.lang.Integer]()
+  private def embeddingDim(spark: SparkSession, dir: String): Int =
+    dimMemo.getOrCompute(spark, dir) {
+      Integer.valueOf(dimOfFrame(
+        Tables.load(spark, dir, "embeddings")
+          .select(col("embedding").as("v")), s"embeddings at $dir"))
+    }.intValue()
+
+  /** [[embeddingDim]] for an arbitrary one-vector-column frame. */
+  private def dimOfFrame(vecs: DataFrame, what: String): Int = {
+    val head = vecs.select(size(col(vecs.columns.head)).as("d")).limit(1).collect()
+    require(head.nonEmpty, s"embedding dim probe: $what is empty")
+    val d = head(0).getInt(0)
+    require(d > 0, s"embedding dim probe: $what has zero-length vectors")
+    d
+  }
+
   /** Resolve caller-supplied (nlist, nprobe) against the auto rule: 0
     * (the default) means derive — an explicit value always wins, so
     * spec/serving calls can still pin geometry. A lone pinned `nlist`
@@ -304,13 +370,20 @@ object Similarity {
     * instead of silently degenerating to a full scan. */
   private def resolveGeometry(spark: SparkSession, dir: String,
       nlist: Int, nprobe: Int): (Int, Int) = {
-    val rl = if (nlist > 0) nlist else autoSearchGeometry(corpusCount(spark, dir))._1
-    val rp = if (nprobe > 0) nprobe else autoNprobe(rl)
+    // lazy: pinning BOTH params must not pay even the memoized count
+    lazy val n = corpusCount(spark, dir)
+    val rl = if (nlist > 0) nlist else autoSearchNlist(n)
+    val rp = if (nprobe > 0) nprobe else autoNprobe(rl, n)
     require(rp <= rl,
       s"IVF geometry: nprobe=$rp exceeds nlist=$rl — pin both params " +
         "coherently (a probe cannot scan more lists than exist)")
     (rl, rp)
   }
+
+  /** 0 (the default) = derive via [[autoTrainFraction]]; explicit pins. */
+  private def resolveTrainFraction(
+      spark: SparkSession, dir: String, tf: Double, nlist: Int): Double =
+    if (tf > 0) tf else autoTrainFraction(nlist, corpusCount(spark, dir))
 
   /** MEASURED applicability gate for [[prunedEmbeddingPairs]]: the
     * fraction of bucket pairs the triangle-inequality radius bound FAILS
@@ -486,10 +559,11 @@ object Similarity {
       nProbes: Int = 50,
       nlist: Int = 0,
       nprobe: Int = 0,
-      trainFraction: Double = 0.25,
+      trainFraction: Double = 0.0,
       trainIters: Int = 5): DataFrame = {
     val (rl, rp) = resolveGeometry(spark, dir, nlist, nprobe)
-    val idx = ivfIndex(spark, dir, rl, trainFraction, trainIters)
+    val tf = resolveTrainFraction(spark, dir, trainFraction, rl)
+    val idx = ivfIndex(spark, dir, rl, tf, trainIters)
     val lists = idx.lists
     val centroids = idx.centroids
     val labels = Tables.load(spark, dir, "embeddings").select("vec_id", "label")
@@ -648,12 +722,14 @@ object Similarity {
     }
 
   /** IVF-Flat ANN: nlist-way KMeans coarse quantizer, nprobe-list search.
-    * Geometry defaults to the recall-calibrated [[autoSearchGeometry]]
-    * rule (nlist ≈ √n rounded up to a power of two, nprobe = 3/8·nlist);
-    * pass explicit values to pin it. Deterministic under the pinned
-    * seed; rows-only check (approximate results are not
-    * SQL-expressible), recall floors in `SimilaritySpec` + measured at
-    * 10× in SCALEBENCH_sf1.json. */
+    * Geometry defaults to the recall-AND-fraction-calibrated
+    * [[autoSearchGeometry]] rule (nlist ≈ 16√n as a power of two,
+    * nprobe ≈ 7.5% of lists with a small-corpus candidate floor, a
+    * per-centroid-sample training fraction); pass explicit values to
+    * pin it. Deterministic under the pinned seed; rows-only check
+    * (approximate results are not SQL-expressible), recall floors in
+    * `SimilaritySpec` + recall AND scanned fraction measured at 10× in
+    * SCALEBENCH_sf1.json. */
   def ivfTopK(
       spark: SparkSession,
       dir: String,
@@ -661,10 +737,11 @@ object Similarity {
       nProbes: Int = 10,
       nlist: Int = 0,
       nprobe: Int = 0,
-      trainFraction: Double = 0.25,
+      trainFraction: Double = 0.0,
       trainIters: Int = 5): DataFrame = {
     val (rl, rp) = resolveGeometry(spark, dir, nlist, nprobe)
-    val idx = ivfIndex(spark, dir, rl, trainFraction, trainIters)
+    val tf = resolveTrainFraction(spark, dir, trainFraction, rl)
+    val idx = ivfIndex(spark, dir, rl, tf, trainIters)
     ivfSearch(idx.lists, idx.centroids, k, nProbes, rp)
   }
 
@@ -720,7 +797,8 @@ object Similarity {
     // to 512 at sf0.1). Every call still READS the persisted tables from
     // disk, so the cold-serve path stays the thing measured.
     val out = savedIvfMemo.getOrCompute(spark, s"$dir|$rl") {
-      val idx = ivfIndex(spark, dir, rl, 0.25, 5)
+      val idx = ivfIndex(spark, dir, rl,
+        resolveTrainFraction(spark, dir, 0.0, rl), 5)
       val o = Scale.scratchDir("graft_ivf")
       idx.lists.repartition(col("list_id")).write.mode("overwrite")
         .partitionBy("list_id").parquet(s"$o/lists")
@@ -733,6 +811,44 @@ object Similarity {
       k, nProbes, rp)
   }
   private val savedIvfMemo = new graft.SessionMemo[String]()
+
+  /** MEASURED scanned fraction of the IVF search at the given (or auto)
+    * geometry: rows inside the selected inverted lists, summed over the
+    * probes, ÷ (probes × corpus rows) — i.e. the fraction of the
+    * distance evaluations the brute scan would pay. This is the design
+    * number SCALEBENCH records BESIDE recall@5: recall alone can hide
+    * an index whose "approximate" search scans most of the corpus (the
+    * round-14 geometry did exactly that at a constant 3/8). Measured,
+    * not nprobe/nlist: skewed list sizes and probe placement make the
+    * true fraction differ from the count ratio. */
+  def ivfScannedFraction(
+      spark: SparkSession,
+      dir: String,
+      nProbes: Int = 10,
+      nlist: Int = 0,
+      nprobe: Int = 0,
+      trainFraction: Double = 0.0,
+      trainIters: Int = 5): Double = {
+    val (rl, rp) = resolveGeometry(spark, dir, nlist, nprobe)
+    val tf = resolveTrainFraction(spark, dir, trainFraction, rl)
+    val idx = ivfIndex(spark, dir, rl, tf, trainIters)
+    val sizes = idx.lists.groupBy("list_id").agg(count(lit(1)).as("sz"))
+    val probes = idx.lists.filter(col("neighbor_id") < nProbes)
+      .select(col("neighbor_id").as("query_id"), col("unit_c").as("unit_q"))
+    val nP = probes.count()
+    require(nP > 0, s"ivfScannedFraction($dir): no probe vectors with vec_id < $nProbes")
+    val scanned = selectProbeLists(probes, idx.centroids, rp)
+      .join(sizes, "list_id")
+      .agg(sum("sz").as("s")).head().getLong(0)
+    scanned.toDouble / (nP.toDouble * corpusCount(spark, dir))
+  }
+
+  /** The PQ exact-rerank stage's corpus fraction at the default budget —
+    * [[autoRerank]](k) ÷ n. Recorded beside the coarse-gate fraction
+    * (which [[pqTopK]] shares with [[ivfTopK]] at the same geometry):
+    * the two numbers together are the whole per-probe cost model. */
+  def pqRerankFraction(spark: SparkSession, dir: String, k: Int = 5): Double =
+    autoRerank(k).toDouble / math.max(1L, corpusCount(spark, dir))
 
   /** The broadcast — not the raw array — lives in the index: serving
     * calls reuse ONE executor-resident copy instead of re-broadcasting
@@ -772,14 +888,17 @@ object Similarity {
   private def pqIndex(
       spark: SparkSession, dir: String, nSub: Int, nCodes: Int): PqIndex =
     pqMemo.getOrCompute(spark, s"$dir|$nSub|$nCodes") {
-      // 64 / nSub truncates: a non-divisor silently excludes the trailing
+      // dim / nSub truncates: a non-divisor silently excludes the trailing
       // dims from training AND scoring (recall decays with no error), and
-      // nSub > 64 degenerates to subDim = 0 where every ADC distance is
-      // 0.0 — the lshEmbeddingPairsOver band-width contract, enforced here
-      require(nSub >= 1 && 64 % nSub == 0,
-        s"pqIndex: nSub=$nSub must divide the 64-dim embedding exactly")
+      // nSub > dim degenerates to subDim = 0 where every ADC distance is
+      // 0.0 — the lshEmbeddingPairsOver band-width contract, enforced
+      // here. dim itself is DATA-DERIVED (round 15): a 768-dim corpus
+      // splits 96-dim subspaces under the same rule, no code change.
+      val dim = embeddingDim(spark, dir)
+      require(nSub >= 1 && dim % nSub == 0,
+        s"pqIndex: nSub=$nSub must divide the $dim-dim embedding exactly")
       require(nCodes >= 1, s"pqIndex: nCodes=$nCodes must be >= 1")
-      val subDim = 64 / nSub
+      val subDim = dim / nSub
       val base = normalized(spark, dir).cache()
       try {
         val sample: Array[Array[Double]] = base
@@ -808,6 +927,11 @@ object Similarity {
             val cb = bcCb.value
             it.map { r =>
               val v = r.getSeq[Double](1).toArray
+              // uniformity: the derived dim is a corpus-wide contract —
+              // a stray short vector would silently read out of range
+              if (v.length != dim)
+                throw new IllegalArgumentException(
+                  s"pqIndex: vector ${r.getLong(0)} has ${v.length} dims, corpus probe said $dim")
               val cs = Array.tabulate(nSub) { s =>
                 var best = 0; var bestD = Double.MaxValue
                 var j = 0
@@ -829,113 +953,130 @@ object Similarity {
       } finally base.unpersist(blocking = false)
     }
 
-  /** Product-quantization ANN: 64 dims → `nSub` subspaces, each encoded as
-    * the nearest of `nCodes` codewords (codebooks trained per subspace by
-    * deterministic driver-local Lloyd's k-means on a bounded key-ordered
-    * sample — [[trainSubCodebook]], index built once per session via
-    * [[pqIndex]]). Probes rank candidates by asymmetric
-    * distance (per-subspace lookup-table sums), keep `rerank` finalists,
-    * then exact cosine re-ranks the finalists. The rerank budget is the
-    * recall-vs-cost dial on this near-isotropic corpus, where ADC noise
-    * is large relative to the neighbor/bulk cosine margin — so a FIXED
-    * budget decays as the corpus grows (measured recall@5 at rerank=128:
-    * 0.96 at 500 vectors, 0.82 at 2 000, 0.68 at 20 000). The default is
-    * therefore DATA-DERIVED: rerank = max(128, ⌈n/8⌉) — the exact
-    * re-rank touches a bounded 1/8 corpus fraction per probe, measured
-    * 0.96 / 0.94 / 0.96 recall at 500 / 2 000 / 20 000 (the isotropy
-    * price; a clustered real-embedding corpus needs far less, and at
-    * 100 TB the cheaper lever is widening `nCodes` so the ADC ranking
-    * itself sharpens — 8-bit codebooks are the standard trade this
-    * 32-code default keeps small for the exact-oracle fixtures). Pass an
-    * explicit `rerank` to pin the budget instead.
+  /** Product-quantization ANN, IVFADC layout (round 15): `dim` dims →
+    * `nSub` subspaces, each encoded as the nearest of `nCodes` codewords
+    * (codebooks trained per subspace by deterministic driver-local
+    * Lloyd's k-means on a bounded key-ordered sample —
+    * [[trainSubCodebook]], index built once per session via
+    * [[pqIndex]]). Search is the FAISS-standard two-level shape: the
+    * coarse quantizer ([[ivfIndex]], shared with [[ivfTopK]]) gates the
+    * ADC scan to `nprobe` inverted lists, probes rank the gated
+    * candidates by asymmetric distance (per-subspace lookup-table
+    * sums), keep `rerank` finalists, and exact cosine re-ranks the
+    * finalists. Both stages are sub-linear per probe: ADC touches
+    * nprobe·(n/nlist) ≈ O(√n) code rows, the exact rerank a CONSTANT
+    * [[autoRerank]] budget — the former design (full-corpus ADC scan +
+    * ⌈n/8⌉ rerank) was linear in n per probe at both stages. 256-entry
+    * codebooks (8-bit, the standard trade) keep ADC sharp enough that
+    * the constant rerank holds recall; the old 32-code default forced
+    * the linear rerank to compensate.
     *
-    * Scale story: the corpus is stored as nSub bytes per vector (64× less
-    * than float32 dims), the LUT join is a broadcast of probes × codebook,
-    * and the exact rerank touches only `rerank` rows per probe. The
-    * approximate stage is rows-only checked; the spec asserts recall vs
-    * [[bruteTopK]]. */
+    * Scale story: the corpus is stored as nSub bytes per vector (32×
+    * less than float32 dims at the 8-bit default), the coarse gate
+    * shrinks as nlist grows with √n, and the exact rerank touches only
+    * `rerank` rows per probe. The approximate stage is rows-only
+    * checked; the spec asserts recall vs [[bruteTopK]], and
+    * SCALEBENCH records recall@5 WITH the measured scanned fraction. */
   def pqTopK(
       spark: SparkSession,
       dir: String,
       k: Int = 5,
       nProbes: Int = 10,
       nSub: Int = 8,
-      nCodes: Int = 32,
-      rerank: Int = 0): DataFrame = {
+      nCodes: Int = 256,
+      rerank: Int = 0,
+      nlist: Int = 0,
+      nprobe: Int = 0): DataFrame = {
     // reject BEFORE the rerank default's corpus-count job below — the
     // memo-body require alone would let an invalid nSub pay a full scan
     // first (the same check guards the build itself in pqIndex)
-    require(nSub >= 1 && 64 % nSub == 0,
-      s"pqTopK: nSub=$nSub must divide the 64-dim embedding exactly")
-    val subDim = 64 / nSub
-    // Long math + clamp: at extreme corpus counts ⌈n/8⌉ must saturate at
-    // Int.MaxValue, not wrap negative (a negative budget would silently
-    // return zero finalists)
-    val rr =
-      if (rerank > 0) rerank
-      else math.min(
-        math.max(128L, (corpusCount(spark, dir) + 7L) / 8L),
-        Int.MaxValue.toLong).toInt
-    val idx = pqIndex(spark, dir, nSub, nCodes)
-    val bcCb = idx.codebookBc
-    val codes = idx.codes
-    val base = normalized(spark, dir)
-    Tables.withCached(base) {
-      import org.apache.spark.sql.types._
-      // Probes score candidates by ADC: sum over subspaces of the exact
-      // distance from the probe's subvector to the candidate's codeword.
-      val probes = base.filter(col("vec_id") < nProbes)
-        .select(col("vec_id").as("query_id"), col("unit").as("unit_q"))
-      val adcSchema = StructType(Seq(
-        StructField("query_id", LongType),
-        StructField("neighbor_id", LongType),
-        StructField("adc", DoubleType)))
-      val adcEnc = org.apache.spark.sql.Encoders.row(adcSchema)
-      val cands = probes.crossJoin(codes)
-        .filter(col("query_id") =!= col("neighbor_id"))
-        .mapPartitions { it =>
-          val cb = bcCb.value
-          // LUTs memoized PER PROBE ID, not single-entry: the broadcast
-          // nested-loop join emits rows probe-MINOR (q0,q1,...,q0,...),
-          // so a "last probe seen" cache misses on every row and
-          // rebuilds the nSub×nCodes table per candidate. The map is
-          // bounded by nProbes (~10) per partition.
-          val luts = scala.collection.mutable.HashMap.empty[Long, Array[Array[Double]]]
-          it.map { r =>
-            val qid = r.getLong(0)
-            val lut = luts.getOrElseUpdate(qid, {
-              val q = r.getSeq[Double](1).toArray
-              Array.tabulate(nSub, nCodes) { (s, j) =>
-                var d = 0.0; var i = 0
-                while (i < subDim) {
-                  val diff = q(s * subDim + i) - cb(s)(j)(i); d += diff * diff; i += 1
-                }
-                d
+    val dim = embeddingDim(spark, dir)
+    require(nSub >= 1 && dim % nSub == 0,
+      s"pqTopK: nSub=$nSub must divide the $dim-dim embedding exactly")
+    val subDim = dim / nSub
+    val (rl, rp) = resolveGeometry(spark, dir, nlist, nprobe)
+    val rr = if (rerank > 0) rerank else autoRerank(k)
+    val pq = pqIndex(spark, dir, nSub, nCodes)
+    val ivf = ivfIndex(spark, dir, rl,
+      resolveTrainFraction(spark, dir, 0.0, rl), 5)
+    val bcCb = pq.codebookBc
+    import org.apache.spark.sql.types._
+    // IVFADC (round 15): the ADC scan is GATED by the coarse quantizer —
+    // probes rank the broadcast centroids and score codes only inside
+    // their nprobe inverted lists, so per-probe ADC work is
+    // nprobe·(n/nlist) ≈ O(√n) rows, not the former full-corpus code
+    // scan (linear per probe — "an exact scan with extra steps" at 10⁹
+    // vectors). The skinny (id → list_id) join attaches list ids to the
+    // code rows; probeLists is nProbes×nprobe rows and broadcasts.
+    val codesListed = pq.codes
+      .join(ivf.lists.select(col("neighbor_id"), col("list_id")), "neighbor_id")
+    val probes = ivf.lists.filter(col("neighbor_id") < nProbes)
+      .select(col("neighbor_id").as("query_id"), col("unit_c").as("unit_q"))
+    val probeLists = selectProbeLists(probes, ivf.centroids, rp)
+    val adcSchema = StructType(Seq(
+      StructField("query_id", LongType),
+      StructField("neighbor_id", LongType),
+      StructField("adc", DoubleType)))
+    val adcEnc = org.apache.spark.sql.Encoders.row(adcSchema)
+    // Probes score gated candidates by ADC: sum over subspaces of the
+    // exact distance from the probe's subvector to the candidate's
+    // codeword.
+    val cands = probeLists.join(codesListed, "list_id")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("unit_q"), col("neighbor_id"), col("codes"))
+      .mapPartitions { it =>
+        val cb = bcCb.value
+        // LUTs memoized PER PROBE ID, not single-entry: join output
+        // interleaves probes, so a "last probe seen" cache misses on
+        // every row and rebuilds the nSub×nCodes table per candidate.
+        // The map is bounded by nProbes (~10) per partition.
+        val luts = scala.collection.mutable.HashMap.empty[Long, Array[Array[Double]]]
+        it.map { r =>
+          val qid = r.getLong(0)
+          val lut = luts.getOrElseUpdate(qid, {
+            val q = r.getSeq[Double](1).toArray
+            Array.tabulate(nSub, nCodes) { (s, j) =>
+              var d = 0.0; var i = 0
+              while (i < subDim) {
+                val diff = q(s * subDim + i) - cb(s)(j)(i); d += diff * diff; i += 1
               }
-            })
-            val cs = r.getSeq[Int](3)
-            var d = 0.0; var s = 0
-            while (s < nSub) { d += lut(s)(cs(s)); s += 1 }
-            org.apache.spark.sql.Row(qid, r.getLong(2), d)
-          }
-        }(adcEnc)
-      val wAdc = Window.partitionBy("query_id").orderBy(col("adc").asc, col("neighbor_id").asc)
-      val finalists = cands.withColumn("arnk", row_number().over(wAdc))
-        .filter(col("arnk") <= rr)
-        .select("query_id", "neighbor_id")
-      // Exact rerank of the finalists only.
-      val exact = base.select(col("vec_id").as("neighbor_id"), col("unit").as("unit_c"))
-      val w = Window.partitionBy("query_id").orderBy(col("cos_raw").desc, col("neighbor_id").asc)
-      finalists
-        .join(probes, "query_id")
-        .join(exact, "neighbor_id")
-        .withColumn("cos_raw", dot("unit_q", "unit_c"))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= k)
-        .select(col("query_id"), col("neighbor_id"), col("rnk"),
-          round(col("cos_raw"), 6).as("cos"))
-    }
+              d
+            }
+          })
+          val cs = r.getSeq[Int](3)
+          var d = 0.0; var s = 0
+          while (s < nSub) { d += lut(s)(cs(s)); s += 1 }
+          org.apache.spark.sql.Row(qid, r.getLong(2), d)
+        }
+      }(adcEnc)
+    val wAdc = Window.partitionBy("query_id").orderBy(col("adc").asc, col("neighbor_id").asc)
+    val finalists = cands.withColumn("arnk", row_number().over(wAdc))
+      .filter(col("arnk") <= rr)
+      .select("query_id", "neighbor_id")
+    // Exact rerank of the finalists only — unit vectors fetched by id
+    // from the inverted lists (rr rows per probe, never the corpus).
+    val exact = ivf.lists.select(col("neighbor_id"), col("unit_c"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_raw").desc, col("neighbor_id").asc)
+    finalists
+      .join(probes, "query_id")
+      .join(exact, "neighbor_id")
+      .withColumn("cos_raw", dot("unit_q", "unit_c"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("cos_raw"), 6).as("cos"))
   }
+
+  /** PQ exact-rerank budget (round 15): a CONSTANT multiple of k, not a
+    * corpus fraction — the former ⌈n/8⌉ rule made the exact stage
+    * linear in n, defeating the index. With 8-bit (256-entry)
+    * codebooks the ADC ranking is sharp enough that a constant budget
+    * holds recall: measured at the staged 20 000-vector corpus,
+    * recall@5 = 0.90 at rerank = 256 (1.3% of that corpus, 0% of a
+    * real one) vs 0.76 for the old 32-code codebooks at the same
+    * budget — widening nCodes, not widening rerank, is the recall
+    * lever that survives scale. */
+  private def autoRerank(k: Int): Int = math.max(256, 32 * k)
 
   /** Driver-local Lloyd's k-means for one PQ subspace: strided
     * deterministic init over the key-ordered sample, fixed 12
@@ -1033,10 +1174,11 @@ object Similarity {
       nProbes: Int = 50,
       nlist: Int = 0,
       nprobe: Int = 0,
-      trainFraction: Double = 0.25,
+      trainFraction: Double = 0.0,
       trainIters: Int = 5): DataFrame = {
     val (rl, rp) = resolveGeometry(spark, dir, nlist, nprobe)
-    val idx = ivfIndex(spark, dir, rl, trainFraction, trainIters)
+    val tf = resolveTrainFraction(spark, dir, trainFraction, rl)
+    val idx = ivfIndex(spark, dir, rl, tf, trainIters)
     val lists = idx.lists
     val centroids = idx.centroids
     val labels = Tables.load(spark, dir, "embeddings").select("vec_id", "label")

@@ -656,6 +656,11 @@ object SqlInterface {
       """SELECT CAST(CAST(date_trunc('MONTH', MIN(o_orderdate)) AS DATE) AS STRING),
         |       CAST(CAST(date_trunc('MONTH', MAX(o_orderdate)) AS DATE) AS STRING)
         |FROM orders""".stripMargin).collect()(0).toSeq.toArray
+    // an empty orders table yields NULL bounds, which would interpolate
+    // below as CAST('null' AS DATE) — a confusing downstream null-spine
+    // failure instead of the actual cause
+    require(mn != null && mx != null,
+      "recursiveMonths: orders table is empty — no month spine to derive")
     spark.sql(
       s"""WITH RECURSIVE months(m) AS (
         |  SELECT CAST('$mn' AS DATE)

@@ -181,19 +181,29 @@ object IntervalJoinExec {
   // long-lived executor running many DISTINCT interval joins must not
   // pin every index forever, and the previous clear-everything eviction
   // dropped hot entries of concurrent queries along with the cold ones
+  // per-key memoized build cell: the map lock below covers only the
+  // get/put, and the actual build() runs under the cell's own lazy-val
+  // lock — distinct keys build concurrently and cache hits of unrelated
+  // keys never block behind a slow build (a single global lock around
+  // build() serialized every index build on the executor)
+  private final class IndexCell(build: () => SortedIntervals) {
+    lazy val value: SortedIntervals = build()
+  }
   private val cache =
-    new java.util.LinkedHashMap[(Long, Int, Int), SortedIntervals](16, 0.75f, true) {
+    new java.util.LinkedHashMap[(Long, Int, Int), IndexCell](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(Long, Int, Int), SortedIntervals]): Boolean =
+          e: java.util.Map.Entry[(Long, Int, Int), IndexCell]): Boolean =
         size() > 64
     }
   private[plans] def cachedIndex(
-      key: (Long, Int, Int), build: () => SortedIntervals): SortedIntervals =
-    cache.synchronized {
+      key: (Long, Int, Int), build: () => SortedIntervals): SortedIntervals = {
+    val cell = cache.synchronized {
       val hit = cache.get(key)
       if (hit != null) hit
-      else { val v = build(); cache.put(key, v); v }
+      else { val c = new IndexCell(build); cache.put(key, c); c }
     }
+    cell.value
+  }
 }
 
 object IntervalJoin {

@@ -98,6 +98,42 @@ class GuardsSpec extends SparkSpec {
     assert(e.getMessage.contains("nSub=12"))
   }
 
+  test("ScaleBench rejects a staged corpus missing its _PARAMS sentinel") {
+    val base = java.nio.file.Files.createTempDirectory("guards_params").toString
+    // (a) tables present, no sentinel → must fail (a pre-sentinel-era
+    // leftover cannot be validated; stamping it with the CURRENT params
+    // would validate nothing)
+    val stale = new java.io.File(base, "stale"); stale.mkdirs()
+    new java.io.File(stale, "documents.parquet").mkdirs()
+    val e = intercept[IllegalArgumentException] {
+      ScaleBench.validateStagedParams(stale.toString, "copies=10;src=x")
+    }
+    assert(e.getMessage.contains("_PARAMS"))
+    // (b) fresh dir → sentinel written, second call with same params ok
+    val fresh = new java.io.File(base, "fresh").toString
+    ScaleBench.validateStagedParams(fresh, "copies=10;src=x")
+    ScaleBench.validateStagedParams(fresh, "copies=10;src=x")
+    // (c) params mismatch against the recorded sentinel → must fail
+    val e2 = intercept[IllegalArgumentException] {
+      ScaleBench.validateStagedParams(fresh, "copies=3;src=x")
+    }
+    assert(e2.getMessage.contains("copies=10"))
+  }
+
+  test("a thrown bench query lands in the errors field, never the timings") {
+    val line = Bench.buildLine(
+      Seq("q_ok" -> Some(1.25), "q_boom" -> None, "q_ok2" -> Some(0.5)),
+      "/tmp/sfX")
+    assert(line.contains(""""errors":["q_boom"]"""),
+      s"missing errors field in: $line")
+    assert(!line.contains(""""q_boom":"""),
+      "a thrown query must not carry a timing — exception-unwinding " +
+        s"wall time would read as a bogus speedup: $line")
+    assert(line.contains(""""q_ok":1.250""") && line.contains(""""value":1.750"""))
+    // the no-failure line must not carry an errors field at all
+    assert(!Bench.buildLine(Seq("q_ok" -> Some(1.0)), "/tmp/sfX").contains("errors"))
+  }
+
   test("the range generator drains ALL rows under Trigger.Once") {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     // rows >> batchRows: the ReadAllAvailable limit must jump to the end,

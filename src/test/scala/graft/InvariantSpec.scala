@@ -9,6 +9,35 @@ import org.apache.spark.sql.functions._
   * entries ride on a rows-only driver check. */
 class InvariantSpec extends SparkSpec {
 
+  test("EwmaWeights equal the closed form (1-α)^j at α=0.3, 12-dp HALF_UP") {
+    // The q_ewma_revenue oracle derives its weights INDEPENDENTLY (a
+    // recursive DECIMAL CTE in DuckDB); this pin closes the other half:
+    // the engine's literal table must match the closed form, so neither
+    // side can drift to a wrong-but-shared constant (the class of bug
+    // that hid the recursive-CTE spine truncation for rounds).
+    val alpha = BigDecimal("0.7")
+    assert(graft.operators.Breadth.EwmaWeights.size == 14)
+    graft.operators.Breadth.EwmaWeights.zipWithIndex.foreach { case (w, j) =>
+      val closed = alpha.pow(j).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      assert(w == closed, s"EwmaWeights($j) = $w but (0.7)^$j rounds to $closed")
+    }
+  }
+
+  test("Benford expectation column equals the closed form log10(1+1/d)") {
+    // same shared-constant audit as EwmaWeights: the oracle now derives
+    // the expectation from LOG10 directly; this pins the engine's 6-dp
+    // literal table to the identical closed form
+    val rows = graft.operators.Breadth.benfordAudit(spark, sf)
+      .select("digit", "expected").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val d = r.getInt(0)
+      val closed = math.floor(math.log10(1.0 + 1.0 / d) * 1e6 + 0.5) / 1e6
+      assert(r.getDouble(1) == closed,
+        s"expected($d) = ${r.getDouble(1)} but log10(1+1/$d) rounds to $closed")
+    }
+  }
+
   test("simhash distance is consistent with the oracle-checked ngram Jaccard") {
     // The ngram path is fully oracle-checked; pairs it scores at
     // Jaccard >= 0.8 are near-exact copies. Two unrelated docs sit at

@@ -57,6 +57,50 @@ class SimilaritySpec extends SparkSpec {
     assert(pq == pq2)
   }
 
+  test("the ANN suite runs on a non-64-dim corpus (dim derived from data)") {
+    // round 15: the embedding width is a DATA property, not a constant —
+    // real corpora are 768-4096-dim. A 24-dim synthetic corpus (4 tight
+    // clusters + deterministic jitter) exercises every formerly
+    // 64-hardcoded path: PQ subspace split, LSH plane geometry, IVF.
+    val rnd = new scala.util.Random(42)
+    val dim = 24
+    val centers = Array.fill(4, dim)(rnd.nextGaussian() * 3.0)
+    val rows = (0 until 200).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.3).toFloat).toSeq, i % 4)
+    }
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("dim24").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+
+    def asSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = asSet(Similarity.bruteTopK(spark, tmp, 5, 10))
+    assert(brute.size == 50)
+    val ivf = asSet(Similarity.ivfTopK(spark, tmp, 5, 10))
+    val ivfRecall = (brute & ivf).size.toDouble / brute.size
+    assert(ivfRecall >= 0.8, s"IVF recall on 24-dim corpus = $ivfRecall")
+    // nSub=8 → 3-dim subspaces: divides 24, would NOT divide via any
+    // 64-dim assumption left behind
+    val pq = asSet(Similarity.pqTopK(spark, tmp, 5, 10, nSub = 8))
+    val pqRecall = (brute & pq).size.toDouble / brute.size
+    assert(pqRecall >= 0.8, s"PQ recall on 24-dim corpus = $pqRecall")
+    // LSH planes must come out 24-wide; tight clusters → pairs exist and
+    // every reported cosine clears the threshold
+    val lsh = Similarity.lshEmbeddingPairs(spark, tmp, threshold = 0.8).cache()
+    try {
+      assert(lsh.count() > 0)
+      assert(lsh.filter(col("cos") < 0.8).count() == 0)
+    } finally lsh.unpersist(blocking = false)
+    // and a non-divisor still fails loudly with the derived dim named
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqTopK(spark, tmp, nSub = 7)
+    }
+    assert(e.getMessage.contains("24-dim"))
+  }
+
   test("auto geometry holds the recall floors on the grown corpus (sf0.01)") {
     // the round-14 rule exists BECAUSE fixed (16, 6) / rerank=128 decayed
     // with corpus growth (IVF 0.78 → 0.64, PQ 0.96 → 0.68 measured at
