@@ -12,12 +12,18 @@ import org.apache.spark.sql.SparkSession
   * at several corpus sizes (sf0.01 / sf0.1 / the staged 10× corpus) to
   * see how the recall-at-fraction curve moves with n.
   *
-  * Usage: runMain graft.AnnCalibrate <dir> [ivf|pq|both]
+  * Usage: runMain graft.AnnCalibrate <dir> [ivf|tune|auto]
+  *   ivf  — (nlist, nprobe) grid at the default training fraction
+  *   tune — pinned high-granularity sweep (training fraction / iters)
+  *   auto — validate the shipped auto rules + PQ (nCodes, rerank) sweep
   */
 object AnnCalibrate {
+  private val Modes = Set("ivf", "tune", "auto")
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val mode = if (args.length > 1) args(1) else "both"
+    val mode = if (args.length > 1) args(1) else "auto"
+    require(Modes.contains(mode),
+      s"unknown mode '$mode' — expected one of ${Modes.mkString("|")}")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -48,7 +54,7 @@ object AnnCalibrate {
       else if (n <= 3000) Seq(128, 256, 512)
       else Seq(512, 1024, 2048)
 
-    if (mode == "ivf" || mode == "both") {
+    if (mode == "ivf") {
       println("== IVF (nlist, nprobe) -> recall@5, scanned_fraction, sec ==")
       for (nl <- nlists) {
         val nps = Seq(nl / 32, nl / 16, nl / 10, nl / 8, nl / 4, 3 * nl / 8)

@@ -252,19 +252,21 @@ object Similarity {
     math.max(16, math.min(256L, n / 125L).toInt)
 
   /** Data-derived IVF SEARCH geometry (recalibrated round 15 for a
-    * SUB-LINEAR scan): `nlist = 2^⌈log2 16√n⌉`, clamped below by 16 and
-    * above by BOTH `2^⌊log2 n/4⌋` (≈4 vectors/cell — finer would leave
-    * cells the quantizer cannot populate) and 65536 (centroid table ≤
-    * 32 MB at 64-dim — still broadcastable; past ~17M vectors the cap
-    * binds and a second quantizer level, IMI/residual-style, is the
-    * published next step). The round-14 rule (2√n cap 1024, nprobe =
-    * 3/8·nlist) held recall by scanning a constant ~40-55% of the
-    * corpus — an exact scan with extra steps at 10⁹ vectors. Measured
-    * at the staged 20 000-vector corpus (AnnCalibrate): the finer
-    * quantizer moves the whole recall-at-fraction curve — (512 lists,
-    * 37% scanned) = 0.96 recall vs (4096 lists, 9.2% scanned) = 0.92 —
-    * because cells small enough to isolate neighbor pockets let the
-    * probe ranking skip the bulk. */
+    * SUB-LINEAR scan): `nlist = 2^⌈log2 min(16√n, n/4)⌉` (floor 16,
+    * cap 65536). PRECISELY: the smallest power of two AT OR ABOVE the
+    * min — so the n/4 population term (which binds only below n≈4096)
+    * guarantees ≥ 2 vectors/cell after the round-up, ~4 at the target
+    * itself; the 65536 cap keeps the centroid table ≤ 32 MB at 64-dim
+    * (still broadcastable; past ~17M vectors the cap binds and a
+    * second quantizer level, IMI/residual-style, is the published next
+    * step). The round-14 rule (2√n cap 1024, nprobe = 3/8·nlist) held
+    * recall by scanning a constant ~40-55% of the corpus — an exact
+    * scan with extra steps at 10⁹ vectors. Measured at the staged
+    * 20 000-vector corpus (AnnCalibrate): the finer quantizer moves
+    * the whole recall-at-fraction curve — (512 lists, 37% scanned) =
+    * 0.96 recall vs (4096 lists, 9.2% scanned) = 0.92 — because cells
+    * small enough to isolate neighbor pockets let the probe ranking
+    * skip the bulk. */
   private def autoSearchNlist(nForSearch: Long): Int = {
     val n = math.max(nForSearch, 1L)
     val target = math.min(16.0 * math.sqrt(n.toDouble), (n / 4.0).max(16.0))
@@ -766,22 +768,23 @@ object Similarity {
   }
 
   /** IVF INDEX PERSISTENCE — the build-once/serve-forever lifecycle: the
-    * memoized index is written as two parquet tables (inverted lists
-    * partitioned BY list_id — so a served probe's nprobe lists read only
-    * their partition directories, the disk layout mirroring the search's
-    * access pattern — plus the tiny centroid table), read back cold, and
-    * served through the SAME search logic as the in-session path.
-    * Parquet round-trips doubles exactly, so results are IDENTICAL to
+    * memoized index is written as two parquet tables (the inverted
+    * lists plus the tiny centroid table), read back cold, and served
+    * through the SAME search logic as the in-session path. Parquet
+    * round-trips doubles exactly, so results are IDENTICAL to
     * [[ivfTopK]] (pinned by spec); rows-only check in the harness.
     *
-    * The lists are clustered on `list_id` before the partitioned write:
-    * without it every one of the 32 writing tasks holds rows of most of
-    * the `nlist` cells (KMeans assignment is independent of the input
-    * partitioning), so the sink emits up to tasks×nlist small files —
-    * at the auto-geometry's 128+ lists that is thousands of
-    * kilobyte-sized parquet footers per save, and a served probe pays a
-    * per-file open for each. One hash exchange on the write side gives
-    * each cell directory a handful of task-sized files instead. */
+    * The list-table LAYOUT is adaptive (see the body comment): when
+    * lists are file-sized (≥ ~256 rows each — every real corpus under
+    * the auto geometry) they are clustered on `list_id` and written
+    * partitioned BY list_id, so a served probe's nprobe lists read only
+    * their partition directories — the disk layout mirroring the
+    * search's access pattern — and the pre-write hash exchange keeps
+    * each cell directory to a handful of task-sized files instead of
+    * tasks×nlist fragments. Below that threshold (fixture-scale
+    * corpora, where the finer round-15 geometry would mean ~8-row
+    * directories and a parquet footer open per near-empty file) the
+    * index writes as one list_id-sorted file with the same schema. */
   def ivfTopKSaved(
       spark: SparkSession,
       dir: String,
@@ -800,8 +803,25 @@ object Similarity {
       val idx = ivfIndex(spark, dir, rl,
         resolveTrainFraction(spark, dir, 0.0, rl), 5)
       val o = Scale.scratchDir("graft_ivf")
-      idx.lists.repartition(col("list_id")).write.mode("overwrite")
-        .partitionBy("list_id").parquet(s"$o/lists")
+      // ADAPTIVE layout (round 15): directory-per-list only when lists
+      // are file-sized. The finer auto geometry (nlist ≈ 16√n) makes
+      // fixture-scale lists tiny — 2000 rows over 256 lists is ~8 rows
+      // per directory, and the serve path paid a parquet footer open per
+      // near-empty file (measured 2.5× the serve time once nlist grew
+      // 128 → 256). Below ~256 rows/list the index writes as ONE sorted
+      // file instead: list_id stays a column, rows sit contiguously per
+      // list, and a reader still gets row-group locality. At corpus
+      // scale (10⁹ rows / 65536 lists ≈ 15k rows ≈ MBs per list) the
+      // partitioned layout engages and a probe's nprobe lists map to
+      // their own directories — the access-pattern-mirroring story,
+      // applied only where it is true.
+      val avgListRows = corpusCount(spark, dir) / math.max(rl, 1)
+      if (avgListRows >= 256)
+        idx.lists.repartition(col("list_id")).write.mode("overwrite")
+          .partitionBy("list_id").parquet(s"$o/lists")
+      else
+        idx.lists.repartition(1).sortWithinPartitions("list_id")
+          .write.mode("overwrite").parquet(s"$o/lists")
       idx.centroids.write.mode("overwrite").parquet(s"$o/centroids")
       o
     }
@@ -859,11 +879,18 @@ object Similarity {
     codes: DataFrame)
   private val pqMemo = new graft.SessionMemo[PqIndex]()
 
+  /** Codes with their coarse-cell ids attached ([[pqTopK]]'s serve-path
+    * input), memoized per (corpus, codebook, geometry) — the attachment
+    * join is linear in the corpus and belongs to ingest, not to every
+    * serve call. */
+  private val pqListedMemo = new graft.SessionMemo[DataFrame]()
+
   /** Test hook: forget every memoized index owned by `spark`, forcing
     * the next call to REBUILD — the determinism specs must compare two
     * independent builds, and a memo hit would make them vacuously equal. */
   private[graft] def clearIndexMemosForTest(spark: SparkSession): Unit = {
     pqMemo.clearSession(spark)
+    pqListedMemo.clearSession(spark)
     ivfMemo.clearSession(spark)
     geomMemo.clearSession(spark)
     savedIvfMemo.clearSession(spark)
@@ -1006,10 +1033,16 @@ object Similarity {
     // their nprobe inverted lists, so per-probe ADC work is
     // nprobe·(n/nlist) ≈ O(√n) rows, not the former full-corpus code
     // scan (linear per probe — "an exact scan with extra steps" at 10⁹
-    // vectors). The skinny (id → list_id) join attaches list ids to the
-    // code rows; probeLists is nProbes×nprobe rows and broadcasts.
-    val codesListed = pq.codes
-      .join(ivf.lists.select(col("neighbor_id"), col("list_id")), "neighbor_id")
+    // vectors). The skinny (id → list_id) attachment join is INGEST
+    // work — linear in the corpus — so it is memoized and materialized
+    // beside the index itself, per the file's build-once/serve-forever
+    // doctrine: paying it per serve call would put a corpus-wide join
+    // back into the path everything above is pruning.
+    val codesListed = pqListedMemo.getOrCompute(spark, s"$dir|$nSub|$nCodes|$rl") {
+      pq.codes
+        .join(ivf.lists.select(col("neighbor_id"), col("list_id")), "neighbor_id")
+        .localCheckpoint(true)
+    }
     val probes = ivf.lists.filter(col("neighbor_id") < nProbes)
       .select(col("neighbor_id").as("query_id"), col("unit_c").as("unit_q"))
     val probeLists = selectProbeLists(probes, ivf.centroids, rp)
