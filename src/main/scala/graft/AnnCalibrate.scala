@@ -4,7 +4,7 @@ import graft.operators.Similarity
 import org.apache.spark.sql.SparkSession
 
 /** ANN geometry CALIBRATION harness — the measurement behind the
-  * round-15 search-geometry rules ([[Similarity.autoSearchGeometry]] /
+  * round-15 search-geometry rules ([[Similarity.autoSearchNlist]]/autoNprobe /
   * autoRerank): sweeps (nlist, nprobe) for IVF and (nCodes, rerank,
   * geometry) for IVFADC-PQ over a corpus dir and prints recall@5
   * against the exact brute-force top-k NEXT TO the measured scanned

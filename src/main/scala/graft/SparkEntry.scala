@@ -832,7 +832,9 @@ object SparkEntry {
         |             / (SQRT(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
         |                * SQRT(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cos
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+        |WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) > 0
+        |  AND list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) > 0
+        |  AND list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
         |      / (SQRT(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
         |         * SQRT(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.4""".stripMargin,
     // the 3-view augmented corpus is derived with EXACT integer-ratio
@@ -854,7 +856,9 @@ object SparkEntry {
         |             / (SQRT(list_dot_product(a.emb, a.emb))
         |                * SQRT(list_dot_product(b.emb, b.emb))), 6) AS cos
         |FROM aug a JOIN aug b ON a.vec_id < b.vec_id
-        |WHERE list_dot_product(a.emb, b.emb)
+        |WHERE list_dot_product(a.emb, a.emb) > 0
+        |  AND list_dot_product(b.emb, b.emb) > 0
+        |  AND list_dot_product(a.emb, b.emb)
         |      / (SQRT(list_dot_product(a.emb, a.emb))
         |         * SQRT(list_dot_product(b.emb, b.emb))) >= 0.8""".stripMargin,
     // same recursive min-reachability shape as the text components oracle,
@@ -863,7 +867,9 @@ object SparkEntry {
       """WITH RECURSIVE pairs AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |  WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+        |  WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) > 0
+        |    AND list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) > 0
+        |    AND list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
         |        / (SQRT(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
         |           * SQRT(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.4),
         |edges AS (
@@ -2201,7 +2207,9 @@ object SparkEntry {
         |         / (SQRT(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
         |            * SQRT(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))) AS cos_raw
         |  FROM embeddings q JOIN embeddings c
-        |    ON q.vec_id < 50 AND c.vec_id >= 50 AND q.label != c.label),
+        |    ON q.vec_id < 50 AND c.vec_id >= 50 AND q.label != c.label
+        |  WHERE list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) > 0
+        |    AND list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) > 0),
         |ranked AS (
         |  SELECT query_id, true_label, neighbor_id, nbr_label, cos_raw,
         |         ROW_NUMBER() OVER (PARTITION BY query_id
@@ -2479,7 +2487,9 @@ object SparkEntry {
         |         list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
         |         / (SQRT(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
         |            * SQRT(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))) AS cos_raw
-        |  FROM embeddings q JOIN embeddings c ON q.vec_id < 50 AND c.vec_id >= 50),
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id < 50 AND c.vec_id >= 50
+        |  WHERE list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) > 0
+        |    AND list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) > 0),
         |ranked AS (
         |  SELECT query_id, true_label, nbr_label,
         |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS rnk
@@ -2601,7 +2611,9 @@ object SparkEntry {
         |         / (SQRT(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))
         |            * SQRT(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))) AS cos_raw
         |  FROM embeddings c JOIN embeddings q ON q.vec_id = 0
-        |  WHERE c.vec_id <> 0),
+        |  WHERE c.vec_id <> 0
+        |    AND list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) > 0
+        |    AND list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) > 0),
         |vec AS (
         |  SELECT doc_id,
         |         ROW_NUMBER() OVER (ORDER BY cos_raw DESC, doc_id ASC) AS rk_vec

@@ -751,9 +751,16 @@ object Dedup {
   def embeddingPairs(spark: SparkSession, dir: String, threshold: Double = 0.45): DataFrame = {
     // Norms are computed ONCE per vector, not per pair (3× fewer array
     // folds); cos = dot/(na·nb) is bit-identical to the oracle formula.
+    // Zero-norm vectors are DROPPED (round 15, engine-wide cosine
+    // semantics): their 0/0 = NaN cosine orders above every double in
+    // Spark, so `NaN >= threshold` would emit bogus pairs — and the
+    // pruned/banded fast paths already exclude them via the index, so
+    // keeping them here would let the survival-gated routing change
+    // RESULTS instead of only cost. Mirrored in the oracle.
     val e = Tables.load(spark, dir, "embeddings")
       .withColumn("emb_d", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
       .withColumn("nrm", sqrt(norm2("emb_d")))
+      .filter(col("nrm") > 0.0)
     val a = e.repartition(col("vec_id"))
       .select(col("vec_id").as("id_a"), col("emb_d").as("emb_a"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("id_b"), col("emb_d").as("emb_b"), col("nrm").as("nb"))

@@ -52,7 +52,12 @@ object Similarity {
     * ordering) — and the DuckDB oracle mirrors the drop, so the two
     * engines share the semantics rather than agreeing by fixture luck. */
   def bruteTopK(spark: SparkSession, dir: String, k: Int = 5, nProbes: Int = 10): DataFrame = {
+    // repartition BEFORE the scan side of the cross join: a single-file
+    // corpus (exactly what the scale-bench generator writes) would
+    // otherwise run the whole O(probes × n) scan in ONE task — the
+    // measured single-task-stall class the LSH path guards against
     val e = Tables.load(spark, dir, "embeddings")
+      .repartition(col("vec_id"))
       .withColumn("emb_d", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
       .withColumn("nrm", sqrt(norm2("emb_d")))
       .filter(col("nrm") > 0.0)
@@ -150,6 +155,11 @@ object Similarity {
     val base = corpus
       .repartition(col("vec_id"))
       .withColumn("nrm", sqrt(norm2("emb_d")))
+      // zero-norm drop: a zero vector signs every plane the same way,
+      // collides into bands, and its 0/0 cosine is NaN — which Spark
+      // orders ABOVE every double, so `NaN >= threshold` would emit
+      // bogus pairs. Same semantics as every other cosine path.
+      .filter(col("nrm") > 0.0)
       .withColumn("bands",
         graft.functions.HashExpressions.sign_bits(col("emb_d"), planes, rowsPerBand))
     Tables.withCached(base) {
@@ -274,10 +284,6 @@ object Similarity {
     while (nlist < 65536 && nlist < target) nlist *= 2
     nlist
   }
-  private def autoSearchGeometry(n: Long): (Int, Int) = {
-    val nlist = autoSearchNlist(n)
-    (nlist, autoNprobe(nlist, n))
-  }
 
   /** The nprobe rule, single source of truth — two floors under a
     * TARGET-SCANNED-FRACTION term (round 15):
@@ -331,7 +337,13 @@ object Similarity {
     * aggregate" contract. */
   private def corpusCountOver(
       spark: SparkSession, corpus: DataFrame, memoKey: String): Long =
-    countMemo.getOrCompute(spark, s"over|$memoKey") {
+    // SAME key namespace as [[corpusCount]], deliberately: when memoKey
+    // IS a table dir (the pruned-pair path over the embeddings table)
+    // the two calls describe the identical immutable corpus, and a
+    // prefixed key made the session count it twice — the exact repeated
+    // job this memo exists to remove. The memoKey-identifies-the-corpus
+    // contract makes the shared namespace safe for derived corpora.
+    countMemo.getOrCompute(spark, memoKey) {
       java.lang.Long.valueOf(corpus.count())
     }.longValue()
 
@@ -365,11 +377,11 @@ object Similarity {
   /** Resolve caller-supplied (nlist, nprobe) against the auto rule: 0
     * (the default) means derive — an explicit value always wins, so
     * spec/serving calls can still pin geometry. A lone pinned `nlist`
-    * keeps the calibrated 3/8 scan fraction of the PINNED value (never
-    * of the auto nlist — mixing the two would produce an incoherent
-    * fraction); a lone pinned `nprobe` resolves nlist from the data and
-    * is validated against it, so an impossible pair fails loudly
-    * instead of silently degenerating to a full scan. */
+    * gets [[autoNprobe]] applied to the PINNED value (never to the auto
+    * nlist — mixing the two would produce an incoherent fraction); a
+    * lone pinned `nprobe` resolves nlist from the data and is validated
+    * against it, so an impossible pair fails loudly instead of silently
+    * degenerating to a full scan. */
   private def resolveGeometry(spark: SparkSession, dir: String,
       nlist: Int, nprobe: Int): (Int, Int) = {
     // lazy: pinning BOTH params must not pay even the memoized count
@@ -499,9 +511,15 @@ object Similarity {
     * candidate stage swaps for [[ivfTopK]]'s inverted lists and the vote
     * logic is unchanged. */
   def knnClassify(spark: SparkSession, dir: String, k: Int = 5, nProbes: Int = 50): DataFrame = {
+    // zero-norm drop + single-file-corpus guard: the same shared
+    // semantics and plan shape as [[bruteTopK]] (a NaN cosine would
+    // rank first in every vote window; the IVF twin excludes zero-norm
+    // via the index, and the two must agree) — mirrored in the oracle
     val e = Tables.load(spark, dir, "embeddings")
+      .repartition(col("vec_id"))
       .withColumn("emb_d", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
       .withColumn("nrm", sqrt(norm2("emb_d")))
+      .filter(col("nrm") > 0.0)
     val probes = e.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("query_id"), col("emb_d").as("emb_q"),
         col("nrm").as("nq"), col("label").as("true_label"))
@@ -539,11 +557,15 @@ object Similarity {
       probes: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame = {
     val wc = Window.partitionBy("query_id")
       .orderBy(col("cdist").asc, col("list_id").asc)
-    probes.crossJoin(broadcast(centroids))
-      .withColumn("cdist", norm2("centroid") - lit(2.0) * dot("unit_q", "centroid"))
+    // ‖c‖² precomputed ONCE on the k-row centroid frame — inside the
+    // cross join it would be re-folded per (probe × centroid) row, the
+    // norms-once discipline the pair joins follow
+    probes.crossJoin(broadcast(centroids
+        .withColumn("cn2", norm2("centroid"))))
+      .withColumn("cdist", col("cn2") - lit(2.0) * dot("unit_q", "centroid"))
       .withColumn("crnk", row_number().over(wc))
       .filter(col("crnk") <= nprobe)
-      .drop("cdist", "crnk", "centroid")
+      .drop("cdist", "crnk", "centroid", "cn2")
   }
 
   /** [[knnClassify]] with the exact cross-join candidate stage swapped
@@ -639,6 +661,8 @@ object Similarity {
     val e = Tables.load(spark, dir, "embeddings")
       .withColumn("emb_d", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
       .withColumn("nrm", sqrt(norm2("emb_d")))
+      // zero-norm drop (shared cosine semantics; mirrored in the oracle)
+      .filter(col("nrm") > 0.0)
     val probeVec = e.filter(col("vec_id") === probeId)
       .select(col("emb_d").as("emb_q"), col("nrm").as("nq"))
     val wVec = Window.orderBy(col("cos_raw").desc, col("doc_id").asc)
@@ -725,7 +749,7 @@ object Similarity {
 
   /** IVF-Flat ANN: nlist-way KMeans coarse quantizer, nprobe-list search.
     * Geometry defaults to the recall-AND-fraction-calibrated
-    * [[autoSearchGeometry]] rule (nlist ≈ 16√n as a power of two,
+    * [[autoSearchNlist]]/[[autoNprobe]] rules (nlist ≈ 16√n as a power of two,
     * nprobe ≈ 7.5% of lists with a small-corpus candidate floor, a
     * per-centroid-sample training fraction); pass explicit values to
     * pin it. Deterministic under the pinned seed; rows-only check
@@ -1169,9 +1193,12 @@ object Similarity {
     * parameterized-with-defaults query (`bm25Rank` terms/k1/b,
     * `scrubBlocklist` blocklist, ...). */
   def hardNegatives(spark: SparkSession, dir: String, nProbes: Int = 50): DataFrame = {
+    // zero-norm drop + single-file-corpus guard, as in [[knnClassify]]
     val e = Tables.load(spark, dir, "embeddings")
+      .repartition(col("vec_id"))
       .withColumn("emb_d", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
       .withColumn("nrm", sqrt(norm2("emb_d")))
+      .filter(col("nrm") > 0.0)
     val probes = e.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("query_id"), col("emb_d").as("emb_q"),
         col("nrm").as("nq"), col("label").as("true_label"))

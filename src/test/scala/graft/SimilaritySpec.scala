@@ -101,6 +101,43 @@ class SimilaritySpec extends SparkSpec {
     assert(e.getMessage.contains("24-dim"))
   }
 
+  test("zero-norm vectors are excluded from every cosine path") {
+    // engine-wide convention (round 15): a zero vector has no direction;
+    // its 0/0 = NaN cosine orders ABOVE every double in Spark and would
+    // rank first in each descending top-k / pass every >= threshold
+    // filter. Every cosine operator must drop it — the index paths do it
+    // via normalizedOf, the exact paths via an explicit nrm > 0 filter,
+    // and the oracles mirror the drop.
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 60).map { i =>
+      val emb = if (i == 3 || i == 40) Seq.fill(16)(0.0f)
+      else Seq.fill(16)((rnd.nextGaussian() * 0.5 + 1.0).toFloat)
+      (i.toLong, emb, i % 3)
+    }
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("zeronorm").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    def noZeroIds(df: org.apache.spark.sql.DataFrame, cols: (String, String)): Unit = {
+      val bad = df.filter(col(cols._1).isin(3L, 40L) || col(cols._2).isin(3L, 40L)).count()
+      assert(bad == 0, s"zero-norm ids leaked into ${df.columns.mkString(",")}")
+    }
+    val brute = Similarity.bruteTopK(spark, tmp, 3, 10)
+    noZeroIds(brute, ("query_id", "neighbor_id"))
+    assert(brute.filter(col("cos").isNaN).count() == 0)
+    val knn = Similarity.knnClassify(spark, tmp, 3, 10)
+    noZeroIds(knn.withColumn("neighbor_id", col("query_id")), ("query_id", "neighbor_id"))
+    val hn = Similarity.hardNegatives(spark, tmp, 10)
+    noZeroIds(hn, ("query_id", "neighbor_id"))
+    assert(hn.filter(col("cos").isNaN).count() == 0)
+    val lsh = Similarity.lshEmbeddingPairs(spark, tmp, threshold = 0.2)
+    noZeroIds(lsh, ("id_a", "id_b"))
+    assert(lsh.filter(col("cos").isNaN).count() == 0)
+    val exact = graft.operators.Dedup.embeddingPairs(spark, tmp, 0.2)
+    noZeroIds(exact, ("id_a", "id_b"))
+    assert(exact.filter(col("cos").isNaN).count() == 0)
+  }
+
   test("auto geometry holds the recall floors on the grown corpus (sf0.01)") {
     // the round-14 rule exists BECAUSE fixed (16, 6) / rerank=128 decayed
     // with corpus growth (IVF 0.78 → 0.64, PQ 0.96 → 0.68 measured at
