@@ -52,17 +52,26 @@ object Dedup {
   private def minhashSig(hsCol: String): Column =
     graft.functions.HashExpressions.minhash_sig(col(hsCol), permA, permB, P)
 
-  /** Docs with their distinct HASHED shingle sets via the native
+  /** THE shingling definition, single source of truth (round 15 — this
+    * projection existed verbatim at four sites across Dedup /
+    * TextAnalysis / EventsStream, where a change to n, the tokenizer or
+    * the empty-doc rule at one copy would silently diverge the others
+    * from the oracles they share): docs with their distinct HASHED
+    * shingle sets via the native
     * [[graft.functions.HashExpressions.ShingleHash]] loop (empty-shingle
     * docs dropped — they can't be near-duplicates of anything under
-    * Jaccard). Jaccard over 64-bit shingle hashes equals Jaccard over the
-    * string shingles up to ~1e-10 collision odds. */
-  private def docShingles(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), col("lang"),
+    * Jaccard). Jaccard over 64-bit shingle hashes equals Jaccard over
+    * the string shingles up to ~1e-10 collision odds. `extraCols` rides
+    * whatever id-adjacent columns the caller needs (lang, source). */
+  private[graft] def shingledOf(docs: DataFrame, extraCols: String*): DataFrame =
+    docs
+      .select((col("doc_id") +: extraCols.map(col)) :+
         graft.functions.HashExpressions
-          .shingle_hash(split(col("text"), " "), 3).as("sh"))
+          .shingle_hash(split(col("text"), " "), 3).as("sh"): _*)
       .filter(size(col("sh")) > 0)
+
+  private def docShingles(spark: SparkSession, dir: String): DataFrame =
+    shingledOf(Tables.load(spark, dir, "documents"), "lang")
 
   private val shingleMemo = new graft.SessionMemo[DataFrame]()
 
@@ -73,7 +82,7 @@ object Dedup {
     * Bounded and deliberate (one linear-size table per dir, checkpoint
     * blocks owned by the memoized frame), unlike the per-query cache
     * leaks this replaces. */
-  private def docShinglesShared(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def docShinglesShared(spark: SparkSession, dir: String): DataFrame =
     shingleMemo.getOrCompute(spark, dir) {
       docShingles(spark, dir)
         .withColumn("sz", size(col("sh")))

@@ -395,11 +395,7 @@ object TextAnalysis {
     * on the train side so non-overlapping docs die in the scan. */
   def decontaminate(spark: SparkSession, dir: String,
       evalSource: String = "src0"): DataFrame = {
-    val sh = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), col("source"),
-        graft.functions.HashExpressions
-          .shingle_hash(split(col("text"), " "), 3).as("sh"))
-      .filter(size(col("sh")) > 0)
+    val sh = Dedup.shingledOf(Tables.load(spark, dir, "documents"), "source")
     val evalSh = sh.filter(col("source") === evalSource)
       .select(explode(col("sh")).as("s")).distinct()
     val train = sh.filter(col("source") =!= evalSource)
@@ -435,11 +431,7 @@ object TextAnalysis {
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graft.ColumnBridge
     import org.apache.spark.sql.types.BinaryType
-    val sh = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), col("source"),
-        graft.functions.HashExpressions
-          .shingle_hash(split(col("text"), " "), 3).as("sh"))
-      .filter(size(col("sh")) > 0)
+    val sh = Dedup.shingledOf(Tables.load(spark, dir, "documents"), "source")
     val evalSh = sh.filter(col("source") === evalSource)
       .select(explode(col("sh")).as("s")).distinct()
     val bloomAgg = ColumnBridge.column(

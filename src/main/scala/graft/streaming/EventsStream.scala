@@ -172,7 +172,10 @@ object EventsStream {
   }
   }
 
-  final case class Event(user_id: Long, tsMicros: Long, value: Double)
+  // no `value` field: neither sessionizer reads it, and an unused 8-byte
+  // double per event would ride the groupByKey shuffle and the state
+  // encoder on every micro-batch for nothing
+  final case class Event(user_id: Long, tsMicros: Long)
   final case class SessionSummary(user_id: Long, n_sessions: Int, n_events: Int)
   /** Cross-batch session state: the running totals PLUS the last event
     * time — without `lastTs` a session spanning two micro-batches is
@@ -202,8 +205,7 @@ object EventsStream {
     val gapMicros = gapMinutes * 60L * 1000000L
     withStreamPartitions(spark, 8) {
     val src = tableStream(spark, dir, "events", Tables.events)
-      .select(col("user_id"), unix_micros(col("ts")).as("tsMicros"),
-        col("value"))
+      .select(col("user_id"), unix_micros(col("ts")).as("tsMicros"))
       .as[Event]
     val fn: (Long, Iterator[Event], GroupState[SessionState]) => Iterator[SessionSummary] =
       (uid, events, state) => {
@@ -224,12 +226,21 @@ object EventsStream {
     val name = s"stream_sessions_${System.nanoTime()}"
     val q = out.toDF().writeStream.outputMode(OutputMode.Update())
       .format("memory").queryName(name).start()
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("user_id").orderBy(col("n_events").desc)
-    drainAndDrop(spark, q, name)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).drop("rn")
+    keepLastPerKey(drainAndDrop(spark, q, name), Seq("user_id"), "n_events")
     }
+  }
+
+  /** Update-mode memory sinks append one row per (key, micro-batch);
+    * every consumer wants each key's LAST emission. The `ord` column
+    * must be STRICTLY increasing per key across batches (`n_events` is,
+    * monotonically, for every caller) — that is the tie-safety argument,
+    * stated once here instead of implicitly at each sink. */
+  private def keepLastPerKey(
+      df: DataFrame, keys: Seq[String], ord: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col(ord).desc)
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
   }
 
   /** Streaming deduplication: every event is delivered twice (the
@@ -300,8 +311,7 @@ object EventsStream {
     val gapMicros = gapMinutes * 60L * 1000000L
     withRocksDbProvider(spark) { withStreamPartitions(spark, 8) {
       val src = tableStream(spark, dir, "events", Tables.events)
-        .select(col("user_id"), unix_micros(col("ts")).as("tsMicros"),
-          col("value"))
+        .select(col("user_id"), unix_micros(col("ts")).as("tsMicros"))
         .as[Event]
       val out = src.groupByKey(_.user_id)
         .transformWithState(new SessionProcessor(gapMicros),
@@ -309,12 +319,7 @@ object EventsStream {
       val name = s"stream_sessions_tws_${System.nanoTime()}"
       val q = out.toDF().writeStream.outputMode(OutputMode.Update())
         .format("memory").queryName(name).start()
-      // update-mode sink appends one row per (user, batch); keep the last
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy(col("n_events").desc)
-      drainAndDrop(spark, q, name)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).drop("rn")
+      keepLastPerKey(drainAndDrop(spark, q, name), Seq("user_id"), "n_events")
     } }
   }
 
@@ -573,13 +578,8 @@ object EventsStream {
       val name = s"stream_type_totals_${System.nanoTime()}"
       val q = out.toDF().writeStream.outputMode(OutputMode.Update())
         .format("memory").queryName(name).start()
-      // update-mode memory sink appends each emission; keep the LAST per key
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id", "event_type")
-        .orderBy(col("n_events").desc)
-      drainAndDrop(spark, q, name)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).drop("rn")
+      keepLastPerKey(drainAndDrop(spark, q, name),
+        Seq("user_id", "event_type"), "n_events")
     } }
   }
 
@@ -648,30 +648,42 @@ object EventsStream {
     * overwrite = exactly-once on retry), then the partials are merged.
     * Decimal partial sums keep the merge order-independent, so the result
     * equals the all-at-once batch aggregate bit-for-bit. */
-  def foreachBatchTotals(spark: SparkSession, dir: String): DataFrame = {
-    // shutdown-hook-cleaned scratch, not a bare createTempDirectory: each
-    // execution (2 runs × 2 scales per ScaleBench, 10+ per Bench sweep)
-    // otherwise leaks its per-batch partials until the OS cleans /tmp
-    val out = graft.operators.Scale.scratchDir("graft_fb")
+  def foreachBatchTotals(spark: SparkSession, dir: String): DataFrame =
     withStreamPartitions(spark, 8) {
-    val src = tableStream(spark, dir, "events", Tables.events)
-    val q = src.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val src = tableStream(spark, dir, "events", Tables.events)
+      runPerBatchParquetSink(spark, src, "graft_fb") { batch =>
         batch.groupBy("event_type")
           .agg(sum(col("value").cast(DecimalType(18, 2))).as("partial_sum"),
             count(lit(1)).as("partial_n"))
+      }
+        .groupBy("event_type")
+        .agg(sum("partial_sum").cast("double").as("total_value"),
+          sum("partial_n").as("n_events"))
+    }
+
+  /** The per-batch-parquet `foreachBatch` sink discipline, shared by
+    * [[foreachBatchTotals]] and [[streamIncrementalDedup]]: each
+    * micro-batch's transform lands in its own path keyed by batch id
+    * (idempotent overwrite = exactly-once on retry), the stream drains
+    * under try/finally, and the merged read returns every batch's rows.
+    * Scratch dirs come from [[graft.operators.Scale.scratchDir]]
+    * (shutdown-hook-cleaned — each execution otherwise leaks its
+    * partials until the OS cleans /tmp). */
+  private def runPerBatchParquetSink(
+      spark: SparkSession, src: DataFrame, scratchPrefix: String)(
+      perBatch: DataFrame => DataFrame): DataFrame = {
+    val out = graft.operators.Scale.scratchDir(scratchPrefix)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        perBatch(batch)
           .write.mode("overwrite").parquet(s"$out/batch_$batchId")
         ()
       }
       .start()
     try q.processAllAvailable() finally q.stop()
-    val batchDirs = new java.io.File(out).listFiles()
+    val batchDirs = Option(new java.io.File(out).listFiles()).toSeq.flatten
       .filter(_.getName.startsWith("batch_")).map(_.getAbsolutePath)
     spark.read.parquet(batchDirs.toIndexedSeq: _*)
-      .groupBy("event_type")
-      .agg(sum("partial_sum").cast("double").as("total_value"),
-        sum("partial_n").as("n_events"))
-    }
   }
 
   /** STREAMING INCREMENTAL DEDUP — the continuous form of
@@ -695,34 +707,26 @@ object EventsStream {
     * cap, i.e. never below pathological boilerplate scale.) */
   def streamIncrementalDedup(spark: SparkSession, dir: String,
       newSource: String = "src1", threshold: Double = 0.2,
-      dfCap: Long = 1000L): DataFrame = {
-    val out = graft.operators.Scale.scratchDir("graft_sid")
-    def shingled(df: DataFrame): DataFrame = df
-      .select(col("doc_id"), col("lang"),
-        graft.functions.HashExpressions
-          .shingle_hash(split(col("text"), " "), 3).as("sh"))
-      .filter(size(col("sh")) > 0)
+      dfCap: Long = 1000L): DataFrame =
     withStreamPartitions(spark, 8) {
-      val corpus = shingled(Tables.load(spark, dir, "documents")
-        .filter(col("source") =!= newSource))
-        .localCheckpoint(true) // materialized ONCE, read by every batch
+      // the static corpus index rides Dedup's session-memoized shingled
+      // corpus (the SAME checkpointed frame the batch twin and every
+      // other shingle consumer share) joined to the skinny source
+      // column — re-shingling and re-checkpointing it per call paid a
+      // redundant corpus materialization on every bench repeat
+      val srcCol = Tables.load(spark, dir, "documents")
+        .select("doc_id", "source")
+      val corpus = graft.operators.Dedup.docShinglesShared(spark, dir)
+        .join(srcCol, "doc_id")
+        .filter(col("source") =!= newSource)
       val src = tableStream(spark, dir, "documents", Tables.documents)
         .filter(col("source") === newSource)
-      val q = src.writeStream
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          graft.operators.Dedup.incrementalVerdicts(
-              shingled(batch), corpus, batch.select("doc_id"),
-              threshold, dfCap)
-            .write.mode("overwrite").parquet(s"$out/batch_$batchId")
-          ()
-        }
-        .start()
-      try q.processAllAvailable() finally q.stop()
-      val batchDirs = new java.io.File(out).listFiles()
-        .filter(_.getName.startsWith("batch_")).map(_.getAbsolutePath)
-      spark.read.parquet(batchDirs.toIndexedSeq: _*)
+      runPerBatchParquetSink(spark, src, "graft_sid") { batch =>
+        graft.operators.Dedup.incrementalVerdicts(
+          graft.operators.Dedup.shingledOf(batch, "lang"),
+          corpus, batch.select("doc_id"), threshold, dfCap)
+      }
     }
-  }
 
   /** STREAM-STREAM inner join — click→purchase attribution: every
     * (click, purchase) pair for the same user with the purchase inside
@@ -781,17 +785,25 @@ object EventsStream {
     withStreamPartitions(spark, 8) {
       val raw = spark.read.schema(Tables.events)
         .parquet(s"$dir/events.parquet")
-      val maxMicros = raw.agg(max(unix_micros(col("ts")))).head().getLong(0)
-      val scratch = graft.operators.Scale.scratchDir("graft_outer_sentinel")
-      val cols = raw.columns.map(col)
-      val sentinel = spark.range(1).select(
-          lit(-1L).as("event_id"),
-          timestamp_micros(lit(maxMicros + 10800000000L)).as("ts"), // +3 h
-          lit(-1L).as("user_id"), lit("click").as("event_type"),
-          lit(0.0).as("value"), lit("{}").as("props"))
-      sentinel.select(cols: _*)
-        .union(sentinel.withColumn("event_type", lit("purchase")).select(cols: _*))
-        .coalesce(1).write.mode("overwrite").parquet(scratch)
+      // two-row sentinel depends only on the dir's max event ts (fixed
+      // +3 h offset): write once per session, not once per run — the
+      // max-scan and the parquet commit were pure per-call overhead on
+      // repeat runs, the same pattern sessionizeTimers memoized away
+      val scratch = sentinelMemo.getOrCompute(spark, s"outer_sentinel|$dir") {
+        val maxMicros = raw.agg(max(unix_micros(col("ts")))).head().getLong(0)
+        val path = graft.operators.Scale.scratchDir(
+          s"graft_outer_sentinel_${math.abs(dir.hashCode)}")
+        val cols = raw.columns.map(col)
+        val sentinel = spark.range(1).select(
+            lit(-1L).as("event_id"),
+            timestamp_micros(lit(maxMicros + 10800000000L)).as("ts"), // +3 h
+            lit(-1L).as("user_id"), lit("click").as("event_type"),
+            lit(0.0).as("value"), lit("{}").as("props"))
+        sentinel.select(cols: _*)
+          .union(sentinel.withColumn("event_type", lit("purchase")).select(cols: _*))
+          .coalesce(1).write.mode("overwrite").parquet(path)
+        path
+      }
       val src = tableStream(spark, dir, "events", raw.schema)
         .union(spark.readStream.schema(raw.schema).parquet(scratch))
       val clicks = src.filter(col("event_type") === "click")
