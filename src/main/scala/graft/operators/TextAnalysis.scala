@@ -394,13 +394,31 @@ object TextAnalysis {
     * AQE broadcasts it, and at 100 TB the same frame feeds a bloom filter
     * on the train side so non-overlapping docs die in the scan. */
   def decontaminate(spark: SparkSession, dir: String,
-      evalSource: String = "src0"): DataFrame = {
-    val sh = Dedup.shingledOf(Tables.load(spark, dir, "documents"), "source")
+      evalSource: String = "src0"): DataFrame =
+    decontaminateCore(spark, dir, evalSource, trainPrefilter = None)
+
+  /** The shared eval-set/train-side/contamination core of
+    * [[decontaminate]] and [[decontaminateBloom]] — one copy of the
+    * evalSh distinct rule, the contamination formula and the output
+    * columns, so the two variants (pinned frame-EQUAL by CorpusOpsSpec)
+    * cannot drift; the bloom variant differs ONLY by the map-side
+    * train prefilter it passes in. The corpus shingles ride the
+    * session-memoized [[Dedup.docShinglesShared]] frame joined to the
+    * skinny source column (the dedupIncremental pattern) — re-shingling
+    * the corpus per call paid a redundant materialization on every
+    * repeat run. */
+  private def decontaminateCore(
+      spark: SparkSession, dir: String, evalSource: String,
+      trainPrefilter: Option[DataFrame => DataFrame]): DataFrame = {
+    val sh = Dedup.docShinglesShared(spark, dir)
+      .join(Tables.load(spark, dir, "documents").select("doc_id", "source"),
+        "doc_id")
     val evalSh = sh.filter(col("source") === evalSource)
       .select(explode(col("sh")).as("s")).distinct()
-    val train = sh.filter(col("source") =!= evalSource)
+    val trainRaw = sh.filter(col("source") =!= evalSource)
       .select(col("doc_id"), size(col("sh")).as("n_shingles"),
         explode(col("sh")).as("s"))
+    val train = trainPrefilter.fold(trainRaw)(f => f(trainRaw))
     train.join(evalSh, "s")
       .groupBy("doc_id", "n_shingles")
       .agg(count(lit(1)).as("n_shared")) // per-doc shingles are distinct
@@ -431,8 +449,11 @@ object TextAnalysis {
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graft.ColumnBridge
     import org.apache.spark.sql.types.BinaryType
-    val sh = Dedup.shingledOf(Tables.load(spark, dir, "documents"), "source")
-    val evalSh = sh.filter(col("source") === evalSource)
+    // bloom sketch over the eval shingle set, collected once (O(sketch))
+    val evalSh = Dedup.docShinglesShared(spark, dir)
+      .join(Tables.load(spark, dir, "documents").select("doc_id", "source"),
+        "doc_id")
+      .filter(col("source") === evalSource)
       .select(explode(col("sh")).as("s")).distinct()
     val bloomAgg = ColumnBridge.column(
       new BloomFilterAggregate(ColumnBridge.expression(col("s")))
@@ -440,15 +461,8 @@ object TextAnalysis {
     val bloomBytes = evalSh.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
     val mightContain = ColumnBridge.column(BloomFilterMightContain(
       Literal(bloomBytes, BinaryType), ColumnBridge.expression(col("s"))))
-    val train = sh.filter(col("source") =!= evalSource)
-      .select(col("doc_id"), size(col("sh")).as("n_shingles"),
-        explode(col("sh")).as("s"))
-      .filter(mightContain)
-    train.join(evalSh, "s")
-      .groupBy("doc_id", "n_shingles")
-      .agg(count(lit(1)).as("n_shared"))
-      .select(col("doc_id"), col("n_shared"), col("n_shingles"),
-        (col("n_shared").cast("double") / col("n_shingles")).as("contamination"))
+    decontaminateCore(spark, dir, evalSource,
+      trainPrefilter = Some(_.filter(mightContain)))
   }
 
   /** MIXING-TEMPERATURE SOURCE REWEIGHTING — the T5/multilingual-style
