@@ -1435,7 +1435,7 @@ object SparkEntry {
       """SELECT c_custkey AS custkey, c_mktsegment AS mktsegment,
         |       ((c_custkey % 1048573) * 2654435761) % 4294967296 AS hash_val
         |FROM customer
-        |WHERE ((c_custkey % 1048573) * 2654435761) % 4294967296 < 429496720""".stripMargin,
+        |WHERE ((c_custkey % 1048573) * 2654435761) % 4294967296 < 429496729""".stripMargin,
     "q_repetition_signals" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |base AS (SELECT doc_id, len(t) AS n_tokens,
@@ -1661,10 +1661,12 @@ object SparkEntry {
         |g AS (SELECT bucket, COUNT(*) AS n_customers, SUM(rev_dec) AS rev_sum
         |      FROM b GROUP BY 1)
         |SELECT bucket, n_customers, CAST(rev_sum AS DOUBLE) AS revenue,
-        |       ROUND(CAST(rev_sum AS DOUBLE) /
-        |             CAST(SUM(rev_sum) OVER () AS DOUBLE), 6) AS rev_share,
-        |       ROUND(CAST(SUM(rev_sum) OVER (ORDER BY bucket) AS DOUBLE) /
-        |             CAST(SUM(rev_sum) OVER () AS DOUBLE), 6) AS cum_share
+        |       FLOOR(CAST(rev_sum AS DOUBLE) /
+        |             CAST(SUM(rev_sum) OVER () AS DOUBLE)
+        |             * 1000000.0 + 0.5) / 1000000.0 AS rev_share,
+        |       FLOOR(CAST(SUM(rev_sum) OVER (ORDER BY bucket) AS DOUBLE) /
+        |             CAST(SUM(rev_sum) OVER () AS DOUBLE)
+        |             * 1000000.0 + 0.5) / 1000000.0 AS cum_share
         |FROM g""".stripMargin,
     // per-term round-then-decimal-sum: the entropy Sigma is exact and
     // order-independent (see TextAnalysis.sourceEntropy)
@@ -1759,7 +1761,8 @@ object SparkEntry {
         |c AS (SELECT from_type, to_type, COUNT(*) AS n FROM p
         |      WHERE from_type IS NOT NULL GROUP BY 1, 2),
         |t AS (SELECT from_type, SUM(n) AS n_from FROM c GROUP BY 1)
-        |SELECT c.from_type, c.to_type, c.n, ROUND(c.n / t.n_from, 6) AS p
+        |SELECT c.from_type, c.to_type, c.n,
+        |       FLOOR(c.n / t.n_from * 1000000.0 + 0.5) / 1000000.0 AS p
         |FROM c JOIN t USING (from_type)""".stripMargin,
     "q_cohort_retention" ->
       """WITH e AS (
@@ -1954,8 +1957,8 @@ object SparkEntry {
         |       FROM e JOIN s2 USING (user_id) GROUP BY 1, 2, 3),
         |c AS (SELECT COUNT(t1) AS n_click, COUNT(t2) AS n_click_view,
         |             COUNT(t3) AS n_click_view_purchase FROM s3)
-        |SELECT ROUND(n_click_view / n_click, 6) AS view_rate,
-        |       ROUND(n_click_view_purchase / n_click, 6) AS purchase_rate,
+        |SELECT FLOOR(n_click_view / n_click * 1000000.0 + 0.5) / 1000000.0 AS view_rate,
+        |       FLOOR(n_click_view_purchase / n_click * 1000000.0 + 0.5) / 1000000.0 AS purchase_rate,
         |       n_click, n_click_view, n_click_view_purchase
         |FROM c""".stripMargin,
     // exact NTILE(10) computed sort-free in Spark (histogram-decomposed

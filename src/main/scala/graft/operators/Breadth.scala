@@ -420,7 +420,13 @@ object Breadth {
       .withColumn("y", col("value").cast(DecimalType(18, 2)))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum("x").as("sx"),
-        sum(expr("x * x")).as("sxx"),
+        // x*x through DECIMAL: the raw BIGINT product sum silently wraps
+        // past ~1.28e6 events/type (x reaches ~2.7e6 over the events
+        // month) while the oracle's SUM(BIGINT) promotes to HUGEINT —
+        // the documented silent engine/oracle divergence class. (18,0)
+        // squares to (37,0), exact; the sum widens to (38,0), exact to
+        // 1e38 like the oracle's HUGEINT.
+        sum(expr("CAST(x AS DECIMAL(18,0)) * CAST(x AS DECIMAL(18,0))")).as("sxx"),
         sum("y").as("sy"),
         sum(expr("CAST(x AS DECIMAL(18,0)) * y")).as("sxy"))
     // ONE slope expression referenced by both outputs (the intercept
@@ -592,10 +598,12 @@ object Breadth {
     bands
       .select(col("bucket"), col("n_customers"),
         col("rev_sum").cast("double").as("revenue"),
-        round(col("rev_sum").cast("double") /
-          sum("rev_sum").over(wAll).cast("double"), 6).as("rev_share"),
-        round(sum("rev_sum").over(wCum).cast("double") /
-          sum("rev_sum").over(wAll).cast("double"), 6).as("cum_share"))
+        // r6: ratios of exact decimal sums hit 1e-7 midpoints (see r6
+        // doc; oracle mirrors the floor form)
+        r6(col("rev_sum").cast("double") /
+          sum("rev_sum").over(wAll).cast("double")).as("rev_share"),
+        r6(sum("rev_sum").over(wCum).cast("double") /
+          sum("rev_sum").over(wAll).cast("double")).as("cum_share"))
   }
 
   /** DAILY-REVENUE AUTOCORRELATION — Pearson correlation of the daily
@@ -745,7 +753,10 @@ object Breadth {
     val totals = counts.groupBy("from_type").agg(sum("n").as("n_from"))
     counts.join(broadcast(totals), "from_type")
       .select(col("from_type"), col("to_type"), col("n"),
-        round(col("n") / col("n_from"), 6).as("p"))
+        // r6, not round: a ratio of exact counts lands on 1e-7 midpoints
+        // with real probability, exactly where the engines' ROUND(double)
+        // implementations disagree (the r6 doc; oracle mirrors the form)
+        r6(col("n") / col("n_from")).as("p"))
   }
 
   /** WINSORIZATION — clip each event type's values at its exact p05/p95
@@ -1171,8 +1182,9 @@ object Breadth {
         count(col("t2")).as("n_click_view"),
         count(col("t3")).as("n_click_view_purchase"))
       .select(
-        round(col("n_click_view") / col("n_click"), 6).as("view_rate"),
-        round(col("n_click_view_purchase") / col("n_click"), 6).as("purchase_rate"),
+        // r6: count ratios hit 1e-7 midpoints (see r6 doc; oracle mirrors)
+        r6(col("n_click_view") / col("n_click")).as("view_rate"),
+        r6(col("n_click_view_purchase") / col("n_click")).as("purchase_rate"),
         col("n_click"), col("n_click_view"), col("n_click_view_purchase"))
   }
 
@@ -1426,11 +1438,8 @@ object Breadth {
     * it; shares are one double division each, squared terms go through
     * the round-12 → DECIMAL(28,12)-sum → round-6 entropy discipline. */
   def hhiBrand(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
     val li = Tables.load(spark, dir, "lineitem")
-      .select(col("l_partkey"), col("l_suppkey"),
-        (col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast(DecimalType(18, 4)).as("rev"))
+      .select(col("l_partkey"), col("l_suppkey"), revDec.as("rev"))
     val part = Tables.load(spark, dir, "part").select("p_partkey", "p_brand")
     val supRev = li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand", "l_suppkey").agg(sum("rev").as("s_rev"))

@@ -345,8 +345,11 @@ object Scale {
     li.write.mode("overwrite").format("noop").save() // one pass, no output
     val m = obs.get
     import spark.implicits._
-    Seq((m("n_rows").asInstanceOf[Long],
-      m("qty_dec").asInstanceOf[java.math.BigDecimal].doubleValue(),
+    // sum() observes NULL over an empty feed — report the honest zero
+    // row instead of an NPE (the binnedRangeJoin empty-feed discipline)
+    val qty = Option(m("qty_dec").asInstanceOf[java.math.BigDecimal])
+      .map(_.doubleValue()).getOrElse(0.0)
+    Seq((m("n_rows").asInstanceOf[Long], qty,
       m("n_high_disc").asInstanceOf[Long]))
       .toDF("n_rows", "sum_qty", "n_high_disc")
   }
@@ -394,14 +397,25 @@ object Scale {
     * partition layout). At 100 TB this is the only sampling that lets two
     * independent jobs agree on the same sample without coordination.
     * Exact-integer arithmetic keeps the oracle bit-identical. */
+  /** The engine-stable Knuth multiplicative key hash both samplers
+    * draw from — ONE definition, because the two copies had already
+    * drifted once (the threshold-truncation fix landed in one). The key
+    * is reduced mod a prime BEFORE the multiply so the product never
+    * overflows a long (ANSI-safe at any id range — the weightedSample
+    * guard). */
+  private def custHash: Column =
+    pmod((col("c_custkey") % lit(1048573L)) * lit(2654435761L),
+      lit(4294967296L))
+
   def hashSample(spark: SparkSession, dir: String, pct: Int = 10): DataFrame =
     Tables.load(spark, dir, "customer")
-      // key reduced mod a prime BEFORE the Knuth multiply so the product
-      // never overflows a long (ANSI-safe at any id range — the
-      // weightedSample guard)
-      .withColumn("h", pmod((col("c_custkey") % lit(1048573L)) * lit(2654435761L),
-        lit(4294967296L)))
-      .filter(col("h") < lit(4294967296L / 100 * pct))
+      .withColumn("h", custHash)
+      // multiply BEFORE dividing (the stratifiedSample lesson, finally
+      // propagated here): 2^32/100*pct truncates to 42949672·pct, so
+      // pct=100 kept only h < 4294967200 — keys hashing into the top
+      // 96-value band were silently dropped from a sample requested as
+      // "keep everything" (~2.2e-8 of keys, guaranteed hits at scale)
+      .filter(col("h") < lit(4294967296L * pct / 100))
       .select(col("c_custkey").as("custkey"),
         col("c_mktsegment").as("mktsegment"), col("h").as("hash_val"))
 
@@ -426,11 +440,7 @@ object Scale {
       when(col("c_mktsegment") === seg, lit(4294967296L * pct / 100)).otherwise(acc)
     }
     Tables.load(spark, dir, "customer")
-      // key reduced mod a prime BEFORE the Knuth multiply so the product
-      // never overflows a long (ANSI-safe at any id range — the
-      // weightedSample guard)
-      .withColumn("h", pmod((col("c_custkey") % lit(1048573L)) * lit(2654435761L),
-        lit(4294967296L)))
+      .withColumn("h", custHash)
       .filter(col("h") < rateCol)
       .groupBy(col("c_mktsegment").as("mktsegment"))
       .agg(count(lit(1)).as("n_sampled"))
