@@ -74,8 +74,47 @@ private[graft] object GlobalOrder {
     * encoding is REJECTED at plan time. Pre-round such a metric to ≤6 dp
     * explicitly (making the tie its own, visible decision) before
     * passing it here. */
+  /** Loud scratch-name guard shared by every helper here (previously
+    * only the top-k helper had it, GuardsSpec-pinned): the scratch
+    * columns are withColumn'd then dropped, so a caller frame already
+    * carrying one of the names would have its column silently
+    * overwritten and removed from the output. */
+  private def requireFreshNames(
+      df: DataFrame, names: Seq[String], helper: String): Unit =
+    for (c <- names if df.columns.contains(c))
+      throw new IllegalArgumentException(
+        s"$helper: input already has a column named '$c' — rename it; " +
+          "the helper owns that name")
+
+  /** The triangular prefix-offset algebra every two-pass helper shares
+    * (previously four hand-kept copies): per-partition partials
+    * self-joined on strictly-preceding partition id (within the same
+    * `keyCols` lane, if any), aggregated to one `_off` row per
+    * partition. The partial frames are partition-cardinality (≤ 32 ×
+    * lanes rows), so the triangular join is a constant-size driver-side
+    * bargain however large the data. */
+  private def prefixOffsets(partials: DataFrame, keyCols: Seq[String],
+      valName: String, agg: Column => Column): DataFrame = {
+    val b = partials.select(
+      (keyCols.map(k => col(k).as(s"${k}_b")) :+
+        col("_pid").as("_pid_b") :+ col(valName).as("_b")): _*)
+    val cond = keyCols.map(k => col(s"${k}_b") === col(k))
+      .foldLeft(col("_pid_b") < col("_pid"))(_ && _)
+    partials.join(b, cond, "left")
+      .groupBy(("_pid" +: keyCols).map(col): _*)
+      .agg(agg(col("_b")).as("_off"))
+  }
+
   def withStackedNtiles(df: DataFrame, keyCol: String, k: Int,
       specs: Seq[(String, Column)]): DataFrame = {
+    require(k > 0, s"withStackedNtiles: k=$k must be positive — a " +
+      "non-positive modulus would NULL every tile silently under " +
+      "non-ANSI SQL")
+    require(specs.nonEmpty, "withStackedNtiles: no orderings given")
+    require(specs.map(_._1).distinct.size == specs.size &&
+      !specs.map(_._1).contains(keyCol),
+      "withStackedNtiles: ordering names must be distinct and differ " +
+        s"from keyCol '$keyCol' — they become output columns")
     specs.foreach { case (n, enc) =>
       val dt = df.select(enc).schema.head.dataType
       val exact = dt match {
@@ -112,13 +151,8 @@ private[graft] object GlobalOrder {
       .localCheckpoint(true)
     val counts = local.groupBy("_pid", "_metric").agg(count(lit(1)).as("_cnt"))
     val totals = counts.groupBy("_metric").agg(sum("_cnt").as("_n"))
-    val offs = counts
-      .join(counts.select(col("_metric").as("_metric_b"),
-          col("_pid").as("_pid_b"), col("_cnt").as("_cnt_b")),
-        col("_metric_b") === col("_metric") && (col("_pid_b") < col("_pid")),
-        "left")
-      .groupBy("_pid", "_metric")
-      .agg(coalesce(sum("_cnt_b"), lit(0L)).as("_off"))
+    val offs = prefixOffsets(counts, Seq("_metric"), "_cnt",
+        b => coalesce(sum(b), lit(0L)))
       .join(totals, "_metric")
     val tiled = local.join(broadcast(offs), Seq("_pid", "_metric"))
       .withColumn("_i", col("_lrn") + col("_off"))
@@ -135,16 +169,16 @@ private[graft] object GlobalOrder {
     * distinct-value-rank workhorse: at 100 TB the ranked frame may hold
     * ~10⁸ rows, which a single-task window cannot. */
   def withGlobalRowNumber(df: DataFrame, outCol: String, order: Column*): DataFrame = {
+    requireFreshNames(df, Seq("_pid", "_lrn", "_off", outCol),
+      "withGlobalRowNumber")
     val local = df.repartitionByRange(32, order: _*)
       .withColumn("_pid", spark_partition_id())
       .withColumn("_lrn", row_number().over(
         Window.partitionBy("_pid").orderBy(order: _*)))
       .localCheckpoint(true)
     val counts = local.groupBy("_pid").agg(count(lit(1)).as("_cnt"))
-    val offs = counts
-      .join(counts.select(col("_pid").as("_pid_b"), col("_cnt").as("_cnt_b")),
-        col("_pid_b") < col("_pid"), "left")
-      .groupBy("_pid").agg(coalesce(sum("_cnt_b"), lit(0L)).as("_off"))
+    val offs = prefixOffsets(counts, Nil, "_cnt",
+      b => coalesce(sum(b), lit(0L)))
     local.join(broadcast(offs), "_pid")
       .withColumn(outCol, col("_lrn") + col("_off"))
       .drop("_pid", "_lrn", "_off")
@@ -157,6 +191,8 @@ private[graft] object GlobalOrder {
     * `sum() OVER (ROWS UNBOUNDED PRECEDING)`. */
   def withDistributedRunningSum(
       df: DataFrame, valCol: Column, outCol: String, order: Column*): DataFrame = {
+    requireFreshNames(df, Seq("_pid", "_v", "_lsum", "_off", outCol),
+      "withDistributedRunningSum")
     val pw = Window.partitionBy("_pid").orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = df.repartitionByRange(32, order: _*)
@@ -165,10 +201,7 @@ private[graft] object GlobalOrder {
       .withColumn("_lsum", sum("_v").over(pw))
       .localCheckpoint(true)
     val partials = local.groupBy("_pid").agg(sum("_v").as("_psum"))
-    val offs = partials
-      .join(partials.select(col("_pid").as("_pid_b"), col("_psum").as("_psum_b")),
-        col("_pid_b") < col("_pid"), "left")
-      .groupBy("_pid").agg(sum("_psum_b").as("_off"))
+    val offs = prefixOffsets(partials, Nil, "_psum", b => sum(b))
     local.join(broadcast(offs), "_pid")
       .withColumn(outCol,
         when(col("_off").isNull, col("_lsum"))
@@ -196,13 +229,8 @@ private[graft] object GlobalOrder {
     require(shards > 0, s"withShardedGroupTopK: shards=$shards must be " +
       "positive — a non-positive modulus would null the shard column and " +
       "silently collapse phase 1 into the unbounded single-lane shape")
-    // the scratch columns are withColumn'd then dropped — a caller frame
-    // that already carries one of these names (or rankCol) would have
-    // its column silently overwritten and removed from the output
-    for (c <- Seq("_shard", "_lrk", rankCol) if df.columns.contains(c))
-      throw new IllegalArgumentException(
-        s"withShardedGroupTopK: input already has a column named '$c' — " +
-          "rename it (or pick another rankCol); the helper owns that name")
+    requireFreshNames(df, Seq("_shard", "_lrk", rankCol),
+      "withShardedGroupTopK")
     val lane = Window
       .partitionBy(groupCols.map(col) :+ col("_shard"): _*).orderBy(order: _*)
     val merge = Window.partitionBy(groupCols.map(col): _*).orderBy(order: _*)
@@ -226,6 +254,8 @@ private[graft] object GlobalOrder {
     * window's frame. */
   def withDistributedRunningMaxPrev(
       df: DataFrame, valCol: Column, outCol: String, order: Column*): DataFrame = {
+    requireFreshNames(df, Seq("_pid", "_v", "_lmax", "_off", outCol),
+      "withDistributedRunningMaxPrev")
     val pw = Window.partitionBy("_pid").orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = df.repartitionByRange(32, order: _*)
@@ -234,10 +264,7 @@ private[graft] object GlobalOrder {
       .withColumn("_lmax", max("_v").over(pw))
       .localCheckpoint(true)
     val partials = local.groupBy("_pid").agg(max("_v").as("_pmax"))
-    val offs = partials
-      .join(partials.select(col("_pid").as("_pid_b"), col("_pmax").as("_pmax_b")),
-        col("_pid_b") < col("_pid"), "left")
-      .groupBy("_pid").agg(max("_pmax_b").as("_off"))
+    val offs = prefixOffsets(partials, Nil, "_pmax", b => max(b))
     local.join(broadcast(offs), "_pid")
       .withColumn(outCol, greatest(col("_lmax"), col("_off")))
       .drop("_pid", "_v", "_lmax", "_off")

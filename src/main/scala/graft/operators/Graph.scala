@@ -48,10 +48,15 @@ object Graph {
     * lineage stays bounded and the whole computation is replayable. */
   def pageRank(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
     val scale = 1000000000L // 1.0 in fixed-point
+    // distinct materialized BEFORE the two-branch union (the
+    // triangleCount discipline): as a plain frame the edge subplan is
+    // planned once per union branch inside the checkpoint-build job —
+    // the final distinct aggregate runs twice over the exchange
     val edges = Tables.load(spark, dir, "lineitem")
       .select((col("l_partkey") * 2).as("a"),
         (col("l_suppkey") * 2 + 1).as("b"))
       .distinct()
+      .localCheckpoint(true)
     // undirected: both directions carry contributions.
     // Materialized ONCE (localCheckpoint) before the loop: `und`/`deg`
     // appear in every iteration's lineage, so as plain frames the final
@@ -249,8 +254,12 @@ object Graph {
     * with the long tail (r < 0)? The one-number mixing diagnostic
     * reported alongside modularity in any graph profile.
     *
-    * Exactness: degrees are integers, all five moment sums are exact
-    * BIGINT aggregates (order-independent), and r is ONE double
+    * Exactness: degrees are integers; the linear sums are exact BIGINT
+    * aggregates and the PRODUCT sums run in DECIMAL — a hub of degree d
+    * contributes d³ to Σdx² (it appears d times in the symmetrized pair
+    * list with dx = d), so a raw BIGINT sum wraps past d ≈ 2.1e6 while
+    * the oracle's HUGEINT does not (the trendSlope divergence class).
+    * r is ONE double
     * expression on those sums — the same correlation-on-exact-sums
     * shape as `Breadth.revenueAutocorr`, rounded 6 dp. Scale: two
     * keyed joins to attach endpoint degrees (the degree frame is
@@ -265,9 +274,9 @@ object Graph {
       .join(deg.select(col("n").as("y"), col("d").as("dy")), "y")
     val s = pairs.agg(count(lit(1)).as("n"),
       sum("dx").as("sx"), sum("dy").as("sy"),
-      sum(col("dx") * col("dy")).as("sxy"),
-      sum(col("dx") * col("dx")).as("sxx"),
-      sum(col("dy") * col("dy")).as("syy"))
+      sum(expr("CAST(dx AS DECIMAL(18,0)) * CAST(dy AS DECIMAL(18,0))")).as("sxy"),
+      sum(expr("CAST(dx AS DECIMAL(18,0)) * CAST(dx AS DECIMAL(18,0))")).as("sxx"),
+      sum(expr("CAST(dy AS DECIMAL(18,0)) * CAST(dy AS DECIMAL(18,0))")).as("syy"))
     s.select(col("n"),
       round((col("n") * col("sxy").cast("double") -
           col("sx").cast("double") * col("sy").cast("double")) /

@@ -38,16 +38,21 @@ object Sketches {
     * the in-session and persisted rollups — the two previously maintained
     * the identical pipeline independently, so an lgK change to one could
     * silently desynchronize the saved == in-session parity the spec pins. */
-  private def dailySketches(spark: SparkSession, dir: String): DataFrame =
+  private def eventsProjected(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "events")
       .select(to_date(col("ts")).as("day"), col("event_type"), col("user_id"))
-      .groupBy("day", "event_type")
+  private def dailySketchesOf(ev: DataFrame): DataFrame =
+    ev.groupBy("day", "event_type")
       .agg(hll_sketch_agg(col("user_id"), 14).as("sk"))
+  private def dailySketches(spark: SparkSession, dir: String): DataFrame =
+    dailySketchesOf(eventsProjected(spark, dir))
 
   def hllRollup(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.load(spark, dir, "events")
-      .select(to_date(col("ts")).as("day"), col("event_type"), col("user_id"))
-    val daily = dailySketches(spark, dir)
+    // ONE materialized projection feeds both the sketch build and the
+    // exact audit branch (the kmvAssortmentOverlap discipline) — as two
+    // plain frames each aggregate re-scanned the fact table
+    val ev = eventsProjected(spark, dir).localCheckpoint(true)
+    val daily = dailySketchesOf(ev)
     val merged = daily
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_days"),
@@ -103,17 +108,20 @@ object Sketches {
     * variants — a drifted seed or regex in one copy would change
     * estimates with nothing failing (the probe-only variant has no
     * parity pin). */
-  private def tokenStream(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "documents")
-      .select(explode(split(lower(col("text")), "\\s+")).as("token"))
+  private def tokensOf(docs: DataFrame): DataFrame =
+    docs.select(explode(split(lower(col("text")), "\\s+")).as("token"))
       .filter(length(col("token")) > 0)
+  private def tokenStream(spark: SparkSession, dir: String): DataFrame =
+    tokensOf(Tables.load(spark, dir, "documents"))
   private def tokenCms(tokens: DataFrame): DataFrame =
     tokens.agg(
       count_min_sketch(col("token"), lit(0.0001d), lit(0.99d), lit(42)).as("sk_bytes"),
       count(lit(1)).as("n_tokens"))
 
   def cmsHeavyHitters(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
-    val tokens = tokenStream(spark, dir)
+    // one materialized token stream feeds both aggregation branches —
+    // as a plain frame the corpus was tokenized twice (sketch + audit)
+    val tokens = tokenStream(spark, dir).localCheckpoint(true)
     val sk = tokenCms(tokens)
     val top = tokens.groupBy("token").agg(count(lit(1)).as("exact_cnt"))
       .orderBy(col("exact_cnt").desc, col("token").asc)
@@ -143,10 +151,11 @@ object Sketches {
     // first 200 docs BY ID (TakeOrderedAndProject), not `doc_id < 200`:
     // a fixture whose ids start above 200 would make a value predicate
     // silently return an empty candidate set
-    val candidates = docs.select(col("doc_id"), col("text"))
-      .orderBy("doc_id").limit(200)
-      .select(explode(split(lower(col("text")), "\\s+")).as("token"))
-      .filter(length(col("token")) > 0)
+    // the candidate tokenization is THE shared [[tokensOf]] definition —
+    // an inline restatement could drift from what the sketch counted,
+    // silently corrupting every estimate (no parity pin on this variant)
+    val candidates = tokensOf(
+      docs.select(col("doc_id"), col("text")).orderBy("doc_id").limit(200))
       .distinct()
     candidates.crossJoin(broadcast(sk))
       .withColumn("est_cnt", cmsEstimate(col("sk_bytes"), col("token")))
