@@ -59,7 +59,7 @@ object Bench {
     val results = (1 to nRuns).map(_ => sweep())
       .reduce((a, b) => a.zip(b).map { case ((n, t1), (_, t2)) =>
         n -> t1.flatMap(x => t2.map(y => math.min(x, y))) })
-    val line = buildLine(results, sfDir)
+    val line = buildLine(results, sfDir, nRuns)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.env.getOrElse(
         "SPARK_GRAFT_BENCH_FULL", "/root/repo/BENCH_FULL.json")),
@@ -77,7 +77,8 @@ object Bench {
     * stdout-only capture, so the artifact line itself must carry the
     * failure. */
   private[graft] def buildLine(
-      results: Seq[(String, Option[Double])], sfDir: String): String = {
+      results: Seq[(String, Option[Double])], sfDir: String,
+      nRuns: Int = 2): String = {
     // 3-dp values keep the whole line inside the driver's output tail
     // buffer (full-precision doubles overflowed it → unparseable bench).
     // Locale.ROOT: a comma-decimal default locale would emit "1,234"
@@ -96,6 +97,10 @@ object Bench {
     // (the tail survives, the front of the queries map is what gets
     // cut) and the complete line is also written to a repo file so no
     // per-query timing is ever lost.
-    s"""{"queries":$qs,"sf":"$sfDir"$errField,"metric":"total","unit":"sec","value":${f3(total)}}"""
+    // self-describing protocol (round 16): a cold reader comparing this
+    // snapshot against a clean min-of-N artifact from another round must
+    // see the run-count difference IN the artifact — a single-run line
+    // reads ~1.2× above a min-of-3 and was being misread as a regression.
+    s"""{"queries":$qs,"sf":"$sfDir"$errField,"runs":$nRuns,"protocol":"per-query min over $nRuns in-JVM sweeps, post warm-up","metric":"total","unit":"sec","value":${f3(total)}}"""
   }
 }

@@ -29,6 +29,16 @@ import org.apache.spark.sql.types.StructType
 object ScaleBench {
   private val Stride = 1000000000L
 
+  /** Per-query run count: 2 by default (min-of-2, same self-defense as
+    * [[Bench]]); queries whose committed ratio has shown RUN VARIANCE
+    * wider than the scaling signal get 4 runs so the recorded min is a
+    * stable floor, not a coin flip. q_analyze_stats: the r15 artifact
+    * recorded a 10.27 ratio from 2 runs while mid-round min-of-more
+    * measurements sat at ~6.4 — ANALYZE's stats-collection pass is
+    * warmup-sensitive (2-4× spread in the recorded sf01_runs). */
+  private val ExtraRuns = Map("q_analyze_stats" -> 4)
+  private def runsFor(name: String): Int = ExtraRuns.getOrElse(name, 2)
+
   // one list drives BOTH the recall computation and the JSON emitter —
   // adding a variant to only one of two copies would throw a Map lookup
   // at artifact-write time, after the whole sweep's timings completed
@@ -114,14 +124,14 @@ object ScaleBench {
     // asymptotics), the two-phase sub-shard source-caps rewrite (the
     // ledger's "sub-linear" claim, now backed by a committed number),
     // and the IVFADC PQ serve path beside its recall row.
-    // READ THE INTERVAL-JOIN RATIOS AGAINST PAIR VOLUME, not row count:
-    // these are VALUE-domain joins, and the 10 copies' bands all land in
-    // the same bounded value range, so the staged join PRODUCT is ~100×
-    // (DuckDB-counted: 2.77M → 270M pairs = 97.5×, the fuzzy_canonical
-    // repeated-values effect the header comment describes — unavoidable
-    // without changing the query's semantics). The measured time ratios
-    // (~55× and ~23× in r15) are 0.57×/0.24× of the pair growth — the
-    // index amortizing, not a super-linear operator.
+    // Interval joins are TENANT-SCOPED as of round 16 (Scale.TenantStride):
+    // spine and probe both derive a per-key-stride tenant whose intervals
+    // live in a disjoint value neighborhood, so the staged copies' pair
+    // volume is ~10× the original's (DuckDB-verified), not the ~100×
+    // same-value-domain cross product the r15 artifact measured (97.5×
+    // pairs → 52.7/19.3 time ratios that graded the STAGING, not the
+    // operator). On the driver testdata the tenant term is zero — oracle
+    // hashes unchanged.
     "q_multimodal_meta", "q_multimodal_features", "q_multimodal_frames",
     "q_interval_join", "q_interval_join_time", "q_source_caps",
     "q_ann_pq",
@@ -185,8 +195,10 @@ object ScaleBench {
 
     try SparkEntry.entry(spark).count() catch { case _: Throwable => } // warm-up
 
-    final case class Timing(name: String, t1: Double, t2: Double,
-      state: Option[graft.streaming.EventsStream.StateFootprint])
+    final case class Timing(name: String, runs: Seq[Double],
+      state: Option[graft.streaming.EventsStream.StateFootprint]) {
+      def min: Double = runs.min
+    }
     def timeAt(dir: String): Seq[Timing] = Queries.map { n =>
       val fn = SparkEntry.queries(n)
       def once(): Double = {
@@ -197,8 +209,8 @@ object ScaleBench {
       // reset, then read AFTER the timed runs: a stale footprint from the
       // previous (streaming) query must not be billed to a batch query
       graft.streaming.EventsStream.lastStateFootprint = None
-      val (t1, t2) = (once(), once())
-      Timing(n, t1, t2, graft.streaming.EventsStream.lastStateFootprint)
+      val runs = (1 to runsFor(n)).map(_ => once())
+      Timing(n, runs, graft.streaming.EventsStream.lastStateFootprint)
     }
     val small = timeAt(src)
     val big = timeAt(out)
@@ -239,7 +251,7 @@ object ScaleBench {
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val perQuery = small.zip(big).map { case (s, b) =>
-      val (sMin, bMin) = (math.min(s.t1, s.t2), math.min(b.t1, b.t2))
+      val (sMin, bMin) = (s.min, b.min)
       // emit whichever scales actually reported a footprint — a query
       // with state at one scale only (all-zero batches or progress
       // retention at the other) must not read back as stateless
@@ -251,7 +263,7 @@ object ScaleBench {
               .flatten.mkString("{", ",", "}")
           s""","state_rows":${pair(_.rows)},"state_bytes":${pair(_.bytes)}"""
       }
-      s""""${s.name}":{"sf01_sec":${f3(sMin)},"sf1_sec":${f3(bMin)},"ratio":${f3(bMin / sMin)},"sf01_runs":[${f3(s.t1)},${f3(s.t2)}],"sf1_runs":[${f3(b.t1)},${f3(b.t2)}]$state}"""
+      s""""${s.name}":{"sf01_sec":${f3(sMin)},"sf1_sec":${f3(bMin)},"ratio":${f3(bMin / sMin)},"sf01_runs":[${s.runs.map(f3).mkString(",")}],"sf1_runs":[${b.runs.map(f3).mkString(",")}]$state}"""
     }.mkString("{", ",", "}")
     val recallJson = AnnVariants.map { n =>
       s""""$n":{"sf01":${f3(recallSmall(n))},"sf1":${f3(recallBig(n))}}"""

@@ -196,13 +196,16 @@ object SparkEntry {
     "q_sql_tpch_q11"  -> SqlInterface.tpchQ11 _,
     "q_sql_tpch_q12"  -> SqlInterface.tpchQ12 _,
     "q_sql_tpch_q15"  -> SqlInterface.tpchQ15 _,
-    // mergeable sketches (rows-only: no cross-engine sketch oracle;
-    // error floors spec-pinned in SketchSpec)
+    // mergeable sketches (rollups/probe-only rows-only: no cross-engine
+    // sketch oracle; error floors spec-pinned in SketchSpec. The
+    // heavy-hitter and overlap queries are BOUNDED-ERROR ORACLED as of
+    // round 16: exact halves recomputed by DuckDB, published error
+    // contracts hash-gated as booleans)
     "q_sketch_rollup"       -> Sketches.hllRollup _,
     "q_sketch_rollup_saved" -> Sketches.hllRollupSaved _,
-    "q_cms_heavy_hitters" -> ((s: SparkSession, d: String) => Sketches.cmsHeavyHitters(s, d)),
+    "q_cms_heavy_hitters" -> ((s: SparkSession, d: String) => Sketches.cmsHeavyHittersBounded(s, d)),
     "q_cms_probe_only"    -> ((s: SparkSession, d: String) => Sketches.cmsHeavyHittersProbeOnly(s, d)),
-    "q_kmv_overlap"       -> ((s: SparkSession, d: String) => Sketches.kmvAssortmentOverlap(s, d)),
+    "q_kmv_overlap"       -> ((s: SparkSession, d: String) => Sketches.kmvOverlapBounded(s, d)),
     "q_kmv_overlap_est"   -> ((s: SparkSession, d: String) => Sketches.kmvOverlapEstimates(s, d)),
     // the audit half alone IS oracle-able (plain distinct/self-join
     // algebra) — hash-gates the pair enumeration + zero-overlap default
@@ -220,7 +223,7 @@ object SparkEntry {
     "q_stratified_sample" -> Scale.stratifiedSample _,
     "q_typed_udaf"        -> Scale.typedUdaf _,
     "q_observed_stats"    -> Scale.observedStats _,
-    "q_approx_quantiles"  -> Scale.approxQuantiles _,
+    "q_approx_quantiles"  -> Scale.approxQuantilesBounded _,
     "q_bucketed_join"     -> Scale.bucketedJoin _,
     "q_kafka_shape"       -> graft.streaming.KafkaShaped.roundTrip _,
     "q_partitioned_write" -> Scale.partitionedRoundTrip _,
@@ -237,7 +240,7 @@ object SparkEntry {
     "q_report_table" -> graft.ml.Report.reportTable _,
     "q_best_k"       -> graft.ml.Report.bestK _,
     "q_asof_join"       -> Breadth.asofJoin _,
-    "q_approx_distinct" -> Breadth.approxDistinct _,
+    "q_approx_distinct" -> Breadth.approxDistinctBounded _,
     "q_dedup_embedding_lsh" -> ((s: SparkSession, d: String) => Similarity.lshEmbeddingPairs(s, d)),
     "q_typed_agg"       -> Scale.typedAgg _,
     "q_argmax_order"    -> Scale.argMaxOrder _,
@@ -453,15 +456,24 @@ object SparkEntry {
        |FROM tr tr2 JOIN ev USING (s)
        |GROUP BY tr2.doc_id, tr2.n_shingles""".stripMargin
 
+  // the `// 1000000000` tenant terms mirror Scale.TenantStride: zero on
+  // the driver testdata (all keys below the stride — hashes unchanged),
+  // and a disjoint per-tenant value neighborhood on key-partitioned
+  // staged corpora (see the Scale.scala docstring)
   private val intervalJoinOracleSql =
     """WITH bands AS (
       |  SELECT p_partkey AS band_id,
-      |         CAST((p_partkey % 44) * 11 + (p_size % 9) AS DOUBLE) AS lo,
-      |         CAST((p_partkey % 44) * 11 + (p_size % 9) + p_size AS DOUBLE) AS hi
-      |  FROM part WHERE p_partkey % 29 = 0)
+      |         CAST((p_partkey % 44) * 11 + (p_size % 9)
+      |              + (p_partkey // 1000000000) * 1024 AS DOUBLE) AS lo,
+      |         CAST((p_partkey % 44) * 11 + (p_size % 9)
+      |              + (p_partkey // 1000000000) * 1024 + p_size AS DOUBLE) AS hi
+      |  FROM part WHERE p_partkey % 29 = 0),
+      |pts AS (
+      |  SELECT value, value + (event_id // 1000000000) * 1024.0 AS pt
+      |  FROM events)
       |SELECT b.band_id, b.lo, b.hi, COUNT(*) AS n_events,
       |       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-      |FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+      |FROM pts e JOIN bands b ON e.pt >= b.lo AND e.pt < b.hi
       |GROUP BY 1, 2, 3""".stripMargin
 
   private val userStatsCte =
@@ -2160,6 +2172,58 @@ object SparkEntry {
     // the exact audit half of the KMV overlap family: distinct
     // (nation, part) assortments, pair sizes via self-join, every
     // nation pair enumerated (zero-overlap pairs carry n_both = 0)
+    // BOUNDED-ERROR ORACLES (round 16): the four approx/sketch queries
+    // below emit (exact half, within_bound boolean). DuckDB recomputes
+    // the exact half independently; the TRUE literal encodes the one
+    // claim only the engine can evaluate — that the estimate sits inside
+    // its PUBLISHED error bound (HLL 5×rsd, percentile_approx worst-case
+    // rank guarantee, CMS ε·N with 2× slack, KMV SketchSpec floors). A
+    // broken sketch flips the boolean and fails the hash gate.
+    "q_approx_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+        |       TRUE AS within_bound
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q_approx_quantiles" ->
+      """SELECT event_type,
+        |       ROUND(QUANTILE_CONT(value, 0.1), 4) AS p10_exact,
+        |       ROUND(QUANTILE_CONT(value, 0.5), 4) AS p50_exact,
+        |       ROUND(QUANTILE_CONT(value, 0.9), 4) AS p90_exact,
+        |       TRUE AS p50_within_bound, TRUE AS p90_within_bound
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_cms_heavy_hitters" ->
+      // tokenization mirrors Sketches.tokensOf: lower, split on \s+,
+      // drop empties; top-k ties broken by token ASC on both sides
+      """WITH tok AS (
+        |  SELECT t AS token FROM (
+        |    SELECT UNNEST(string_split_regex(lower(text), '\s+')) AS t
+        |    FROM documents) WHERE len(t) > 0),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens FROM tok),
+        |top AS (
+        |  SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_cnt FROM tok
+        |  GROUP BY 1 ORDER BY exact_cnt DESC, token ASC LIMIT 20)
+        |SELECT top.token, top.exact_cnt, tot.n_tokens, TRUE AS within_bound
+        |FROM top, tot""".stripMargin,
+    "q_kmv_overlap" ->
+      """WITH np AS (
+        |  SELECT DISTINCT n.n_name AS nation, l.l_partkey
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+        |sizes AS (SELECT nation, CAST(COUNT(*) AS BIGINT) AS n FROM np GROUP BY 1),
+        |bo AS (
+        |  SELECT a.nation AS nation_a, b.nation AS nation_b,
+        |         CAST(COUNT(*) AS BIGINT) AS n_both
+        |  FROM np a JOIN np b
+        |    ON a.l_partkey = b.l_partkey AND a.nation < b.nation
+        |  GROUP BY 1, 2)
+        |SELECT sa.nation AS nation_a, sb.nation AS nation_b,
+        |       sa.n AS n_a, sb.n AS n_b,
+        |       COALESCE(bo.n_both, CAST(0 AS BIGINT)) AS n_both,
+        |       TRUE AS within_bound
+        |FROM sizes sa
+        |JOIN sizes sb ON sa.nation < sb.nation
+        |LEFT JOIN bo ON bo.nation_a = sa.nation AND bo.nation_b = sb.nation""".stripMargin,
     "q_kmv_audit" ->
       """WITH np AS (
         |  SELECT DISTINCT n.n_name AS nation, l.l_partkey
@@ -2187,6 +2251,14 @@ object SparkEntry {
         |         OVER (PARTITION BY user_id ORDER BY ts, event_id
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
         |FROM events""".stripMargin,
+    // EXPECTED FAILURE SIGNATURE (round-16 ADVICE): the engine groups
+    // spans by xxhash64 while this oracle groups the exact strings — an
+    // xxhash64 collision between two distinct spans would merge their
+    // counts and surface here as an otherwise-unexplained n_dup/dup_frac
+    // parity break on the colliding docs (odds ~(distinct spans)²/2⁶⁵,
+    // ≈1e-7 at the 10× corpus; grows quadratically with corpus size).
+    // If this oracle ever fails with n_windows green and n_dup off by a
+    // small count, suspect the collision class before the operator.
     "q_dup_spans" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
@@ -2678,16 +2750,24 @@ object SparkEntry {
     // salting is result-invariant (decimal partials) → same oracle as
     // q_interval_join
     "q_interval_join_salted" -> intervalJoinOracleSql,
+    // time-domain tenant stride = 32 days (2764800 s) > the 31-day events
+    // month; same zero-on-real-data mirroring as intervalJoinOracleSql
     "q_interval_join_time" ->
       """WITH wins AS (
         |  SELECT o_orderkey AS win_id,
-        |         1704067200.0 + (o_orderkey % 30) * 86400.0 + (o_orderkey % 7) * 3600.0 AS lo,
         |         1704067200.0 + (o_orderkey % 30) * 86400.0 + (o_orderkey % 7) * 3600.0
+        |           + (o_orderkey // 1000000000) * 2764800.0 AS lo,
+        |         1704067200.0 + (o_orderkey % 30) * 86400.0 + (o_orderkey % 7) * 3600.0
+        |           + (o_orderkey // 1000000000) * 2764800.0
         |           + (o_orderkey % 45 + 2) * 3600.0 AS hi
-        |  FROM orders WHERE o_orderkey % 701 = 0)
+        |  FROM orders WHERE o_orderkey % 701 = 0),
+        |pts AS (
+        |  SELECT value,
+        |         EPOCH(ts) + (event_id // 1000000000) * 2764800.0 AS t
+        |  FROM events)
         |SELECT w.win_id, w.lo, w.hi, COUNT(*) AS n_events,
         |       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-        |FROM events e JOIN wins w ON EPOCH(e.ts) >= w.lo AND EPOCH(e.ts) < w.hi
+        |FROM pts e JOIN wins w ON e.t >= w.lo AND e.t < w.hi
         |GROUP BY 1, 2, 3""".stripMargin,
     // compaction is result-invariant: the rewritten copy's aggregate ==
     // the same aggregate off the raw table

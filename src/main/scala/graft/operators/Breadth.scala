@@ -360,6 +360,21 @@ object Breadth {
       .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
 
+  /** [[approxDistinct]] as a BOUNDED-ERROR ORACLE query (round 16): the
+    * HLL estimate itself can't be replayed in DuckDB, but its published
+    * error contract can be hash-gated — the output carries the exact
+    * count (DuckDB recomputes it independently) plus a boolean asserting
+    * |approx − exact| ≤ 10% · exact, i.e. 5× the configured rsd (0.02),
+    * the same floor `SimilaritySpec` pins with its slack rationale
+    * (deterministic on fixed data; the slack absorbs a fixture
+    * regeneration re-rolling the hash sample). The oracle emits TRUE for
+    * the boolean: a broken sketch now fails the driver's t2 hash gate,
+    * not just a spec floor. */
+  def approxDistinctBounded(spark: SparkSession, dir: String): DataFrame =
+    approxDistinct(spark, dir).select(col("l_returnflag"), col("exact_parts"),
+      (abs(col("approx_parts").cast("double") - col("exact_parts").cast("double"))
+        <= col("exact_parts").cast("double") * 0.10).as("within_bound"))
+
   /** ROBUST OUTLIER DETECTION (median / MAD) — the data-quality firewall
     * a telemetry pipeline runs before aggregates trust the feed: per
     * event type, the median and the median absolute deviation, and the

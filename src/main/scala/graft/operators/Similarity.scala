@@ -369,6 +369,12 @@ object Similarity {
   private def dimOfFrame(vecs: DataFrame, what: String): Int = {
     val head = vecs.select(size(col(vecs.columns.head)).as("d")).limit(1).collect()
     require(head.nonEmpty, s"embedding dim probe: $what is empty")
+    // name the null case before getInt throws an opaque NPE: size(NULL)
+    // is NULL, so a null embedding in the probed row would otherwise
+    // surface as a NullPointerException with no mention of the data
+    require(!head(0).isNullAt(0),
+      s"embedding dim probe: $what has a NULL embedding in its first row — " +
+        "the corpus contract is non-null fixed-width vectors")
     val d = head(0).getInt(0)
     require(d > 0, s"embedding dim probe: $what has zero-length vectors")
     d
@@ -856,15 +862,41 @@ object Similarity {
   }
   private val savedIvfMemo = new graft.SessionMemo[String]()
 
+  /** Shared measurement core for the two cost-model fractions below:
+    * (probe count, index rows, candidate rows actually evaluated).
+    * Candidates are counted over the SAME join the search runs —
+    * selected inverted lists, own row excluded — so the numerator is
+    * the number of distance evaluations, not a list-size approximation;
+    * the index row count (zero-norm rows never enter the index) is the
+    * brute-force denominator, not the raw table count (round-16 ADVICE:
+    * the raw-count denominator was biased by zero-norm rows and the
+    * discarded self-match). */
+  private def candidateStats(
+      spark: SparkSession, dir: String, nProbes: Int,
+      rl: Int, rp: Int, tf: Double, trainIters: Int): (Long, Long, Long) = {
+    val idx = ivfIndex(spark, dir, rl, tf, trainIters)
+    val probes = idx.lists.filter(col("neighbor_id") < nProbes)
+      .select(col("neighbor_id").as("query_id"), col("unit_c").as("unit_q"))
+    val nP = probes.count()
+    require(nP > 0, s"candidateStats($dir): no probe vectors with vec_id < $nProbes")
+    val idxRows = idx.lists.count()
+    val evaluated = selectProbeLists(probes, idx.centroids, rp)
+      .join(idx.lists.select("list_id", "neighbor_id"), "list_id")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .count()
+    (nP, idxRows, evaluated)
+  }
+
   /** MEASURED scanned fraction of the IVF search at the given (or auto)
-    * geometry: rows inside the selected inverted lists, summed over the
-    * probes, ÷ (probes × corpus rows) — i.e. the fraction of the
-    * distance evaluations the brute scan would pay. This is the design
-    * number SCALEBENCH records BESIDE recall@5: recall alone can hide
-    * an index whose "approximate" search scans most of the corpus (the
-    * round-14 geometry did exactly that at a constant 3/8). Measured,
-    * not nprobe/nlist: skewed list sizes and probe placement make the
-    * true fraction differ from the count ratio. */
+    * geometry: distance evaluations the search actually performs
+    * (candidate rows inside the selected inverted lists, own row
+    * excluded) ÷ the evaluations the brute scan would pay (probes ×
+    * (index rows − 1) — same exclusion, same zero-norm drop). This is
+    * the design number SCALEBENCH records BESIDE recall@5: recall alone
+    * can hide an index whose "approximate" search scans most of the
+    * corpus (the round-14 geometry did exactly that at a constant 3/8).
+    * Measured, not nprobe/nlist: skewed list sizes and probe placement
+    * make the true fraction differ from the count ratio. */
   def ivfScannedFraction(
       spark: SparkSession,
       dir: String,
@@ -875,24 +907,35 @@ object Similarity {
       trainIters: Int = 5): Double = {
     val (rl, rp) = resolveGeometry(spark, dir, nlist, nprobe)
     val tf = resolveTrainFraction(spark, dir, trainFraction, rl)
-    val idx = ivfIndex(spark, dir, rl, tf, trainIters)
-    val sizes = idx.lists.groupBy("list_id").agg(count(lit(1)).as("sz"))
-    val probes = idx.lists.filter(col("neighbor_id") < nProbes)
-      .select(col("neighbor_id").as("query_id"), col("unit_c").as("unit_q"))
-    val nP = probes.count()
-    require(nP > 0, s"ivfScannedFraction($dir): no probe vectors with vec_id < $nProbes")
-    val scanned = selectProbeLists(probes, idx.centroids, rp)
-      .join(sizes, "list_id")
-      .agg(sum("sz").as("s")).head().getLong(0)
-    scanned.toDouble / (nP.toDouble * corpusCount(spark, dir))
+    val (nP, idxRows, evaluated) = candidateStats(spark, dir, nProbes, rl, rp, tf, trainIters)
+    evaluated.toDouble / (nP.toDouble * math.max(1L, idxRows - 1))
   }
 
-  /** The PQ exact-rerank stage's corpus fraction at the default budget —
-    * [[autoRerank]](k) ÷ n. Recorded beside the coarse-gate fraction
-    * (which [[pqTopK]] shares with [[ivfTopK]] at the same geometry):
-    * the two numbers together are the whole per-probe cost model. */
-  def pqRerankFraction(spark: SparkSession, dir: String, k: Int = 5): Double =
-    autoRerank(k).toDouble / math.max(1L, corpusCount(spark, dir))
+  /** The PQ exact-rerank stage's fraction of the brute-force work —
+    * MEASURED, mirroring [[ivfScannedFraction]] (round-16 ADVICE): the
+    * actual exact-cosine evaluations per probe are min(gated candidate
+    * pool, rerank budget) — on a small corpus the coarse gate often
+    * yields fewer candidates than the budget, and the former
+    * rerank÷n formula overstated the cost (0.128 recorded at sf0.01
+    * where the real pool was smaller). Accepts the same geometry pins
+    * as [[pqTopK]] so the recorded number describes the query actually
+    * served. Recorded beside the coarse-gate fraction: the two numbers
+    * together are the whole per-probe cost model. */
+  def pqRerankFraction(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 5,
+      nProbes: Int = 10,
+      rerank: Int = 0,
+      nlist: Int = 0,
+      nprobe: Int = 0): Double = {
+    val (rl, rp) = resolveGeometry(spark, dir, nlist, nprobe)
+    val rr = if (rerank > 0) rerank else autoRerank(k)
+    val tf = resolveTrainFraction(spark, dir, 0.0, rl)
+    val (nP, idxRows, evaluated) = candidateStats(spark, dir, nProbes, rl, rp, tf, 5)
+    val meanGated = evaluated.toDouble / nP
+    math.min(rr.toDouble, meanGated) / math.max(1L, idxRows - 1)
+  }
 
   /** The broadcast — not the raw array — lives in the index: serving
     * calls reuse ONE executor-resident copy instead of re-broadcasting

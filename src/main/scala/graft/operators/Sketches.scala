@@ -133,6 +133,24 @@ object Sketches {
         col("n_tokens"))
   }
 
+  /** [[cmsHeavyHitters]] as a BOUNDED-ERROR ORACLE query (round 16): the
+    * CMS estimate can't be replayed in DuckDB, but its published
+    * contract can be hash-gated — CMS never undercounts, and overcounts
+    * by more than ε·N only with probability δ. The output carries the
+    * exact top-k counts (DuckDB recomputes them independently from the
+    * same tokenization) and a boolean asserting
+    * exact ≤ est ≤ exact + 2·ε·N — the same 2× slack `SketchSpec` pins,
+    * absorbing a fixture regeneration landing in the δ tail
+    * (deterministic on fixed data under the pinned seed). A broken
+    * sketch or drifted tokenization now fails the driver's t2 hash
+    * gate, not just a spec floor. */
+  def cmsHeavyHittersBounded(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    cmsHeavyHitters(spark, dir, k).select(col("token"), col("exact_cnt"),
+      col("n_tokens"),
+      (col("est_cnt") >= col("exact_cnt") &&
+        (col("est_cnt") - col("exact_cnt")).cast("double")
+          <= lit(2.0 * 0.0001) * col("n_tokens").cast("double")).as("within_bound"))
+
   /** [[cmsHeavyHitters]] WITHOUT the exact audit half — the shape that
     * actually runs at 100 TB, where the exact token groupBy is dropped
     * and the sketch alone answers frequency questions. One linear pass
@@ -228,6 +246,33 @@ object Sketches {
         col("n_both"), col("est_a"), col("est_b"), col("est_union"),
         col("est_inter"), col("est_only_a"), col("est_only_b"),
         col("est_jaccard"))
+  }
+
+  /** [[kmvAssortmentOverlap]] as a BOUNDED-ERROR ORACLE query (round
+    * 16): the xxhash64-based KMV estimates have no DuckDB twin, but the
+    * published error contract does — the output carries the exact
+    * audit trio (DuckDB recomputes it via the same distinct self-join
+    * as q_kmv_audit) plus a boolean asserting every estimate sits
+    * inside the floors `SketchSpec` pins (set 8%, union 10%,
+    * intersection 20% rel — KMV theory ~1/√k ≈ 3.1% per set at k=1024,
+    * with ~2.5× regeneration slack; the intersection check falls back
+    * to a 2%-of-union ABSOLUTE bound so a near-empty exact overlap
+    * can't divide the relative form by ~0). Unsaturated sketches are
+    * exhaustive, so their estimates are exact and trivially inside.
+    * A broken sketch/estimator now fails the driver's t2 hash gate. */
+  def kmvOverlapBounded(spark: SparkSession, dir: String, k: Int = 1024): DataFrame = {
+    def relOk(est: Column, exact: Column, floor: Double): Column =
+      abs(est - exact.cast("double")) <= exact.cast("double") * floor
+    val exactUnion = (col("n_a") + col("n_b") - col("n_both")).cast("double")
+    kmvAssortmentOverlap(spark, dir, k)
+      .select(col("nation_a"), col("nation_b"),
+        col("n_a"), col("n_b"), col("n_both"),
+        (relOk(col("est_a"), col("n_a"), 0.08) &&
+          relOk(col("est_b"), col("n_b"), 0.08) &&
+          abs(col("est_union") - exactUnion) <= exactUnion * 0.10 &&
+          (relOk(col("est_inter"), col("n_both"), 0.20) ||
+            abs(col("est_inter") - col("n_both").cast("double"))
+              <= exactUnion * 0.02)).as("within_bound"))
   }
 
   /** The exact audit algebra, shared by [[kmvAssortmentOverlap]]'s
