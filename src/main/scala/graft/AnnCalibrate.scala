@@ -18,7 +18,7 @@ import org.apache.spark.sql.SparkSession
   *   auto — validate the shipped auto rules + PQ (nCodes, rerank) sweep
   */
 object AnnCalibrate {
-  private val Modes = Set("ivf", "tune", "auto")
+  private val Modes = Set("ivf", "tune", "auto", "pq")
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val mode = if (args.length > 1) args(1) else "auto"
@@ -52,7 +52,8 @@ object AnnCalibrate {
     val nlists: Seq[Int] =
       if (n <= 600) Seq(32, 64, 128)
       else if (n <= 3000) Seq(128, 256, 512)
-      else Seq(512, 1024, 2048)
+      else if (n <= 30000) Seq(512, 1024, 2048)
+      else Seq(2048, 4096, 8192, 16384)
 
     if (mode == "ivf") {
       println("== IVF (nlist, nprobe) -> recall@5, scanned_fraction, sec ==")
@@ -84,6 +85,17 @@ object AnnCalibrate {
       }
     }
 
+    if (mode == "pq") {
+      println("== PQ (nSub, nCodes, rerank) sweep at auto coarse geometry ==")
+      for (ns <- Seq(8, 16); rr <- Seq(256, 512, 1024, 2048)) {
+        val t1 = System.nanoTime()
+        val rec = recallOf(Similarity.pqTopK(spark, dir, 5, 10,
+          nSub = ns, nCodes = 256, rerank = rr))
+        val sec = (System.nanoTime() - t1) / 1e9
+        println(s"PQ nSub=$ns nCodes=256 rerank=$rr recall=${f3(rec)} sec=${f3(sec)}")
+      }
+    }
+
     if (mode == "auto") {
       println("== AUTO geometry: IVF + PQ(nCodes, rerank sweep) ==")
       val t0 = System.nanoTime()
@@ -91,12 +103,14 @@ object AnnCalibrate {
       val ivfSec = (System.nanoTime() - t0) / 1e9
       val frac = Similarity.ivfScannedFraction(spark, dir, 10)
       println(s"IVF auto recall=${f3(ivfRec)} frac=${f3(frac)} sec=${f3(ivfSec)}")
-      for (nc <- Seq(32, 256); rr <- Seq(64, 128, 256)) {
+      // nSub = 0: the SHIPPED default (auto subDim ≈ 4) — this mode
+      // validates the defaults the registered queries actually serve
+      for (nc <- Seq(32, 256); rr <- Seq(64, 128, 256, 512, 1024)) {
         val t1 = System.nanoTime()
         val rec = recallOf(Similarity.pqTopK(spark, dir, 5, 10,
-          nSub = 8, nCodes = nc, rerank = rr))
+          nSub = 0, nCodes = nc, rerank = rr))
         val sec = (System.nanoTime() - t1) / 1e9
-        println(s"PQ auto nCodes=$nc rerank=$rr recall=${f3(rec)} " +
+        println(s"PQ auto nSub=auto nCodes=$nc rerank=$rr recall=${f3(rec)} " +
           s"frac=${f3(frac)} sec=${f3(sec)}")
       }
     }

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Stage an embeddings-ONLY scaled corpus — the ANN calibration third
+  * scale point (round 16): `runMain graft.AnnStage <src> <out> <copies>`
+  * replicates `src/embeddings.parquet` `copies`× with per-copy id
+  * offsets and sign-flip rotations (the exact [[ScaleBench]] staging,
+  * shared code) into `out/embeddings.parquet`. [[AnnCalibrate]] and the
+  * ANN queries only read the embeddings table, so the other tables are
+  * not staged. Parameter-stamped like the full staged corpus so a rerun
+  * with different copies fails loudly instead of silently benching
+  * stale tables. */
+object AnnStage {
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val out = if (args.length > 1) args(1) else "/tmp/graft_emb100"
+    val copies = if (args.length > 2) args(2).toInt else 100
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    ScaleBench.validateStagedParams(out, s"copies=$copies;src=$src;tables=embeddings")
+    if (!new java.io.File(s"$out/embeddings.parquet/_SUCCESS").exists())
+      ScaleBench.stageEmbeddings(spark, src, out, copies)
+    val n = spark.read.parquet(s"$out/embeddings.parquet").count()
+    println(s"staged $out copies=$copies rows=$n")
+    spark.stop()
+  }
+}

@@ -235,6 +235,19 @@ object ScaleBench {
     val recallSmall = recallAt(src)
     val recallBig = recallAt(out)
 
+    // THIRD ANN scale point (round 16): a 100× embeddings-only corpus
+    // (200k vectors off the sf0.1 source — ids offset, per-copy sign
+    // flips, same staging as the 10× tables). Two points (2k → 20k)
+    // could not show whether the recall-at-fraction pair HOLDS as the
+    // auto geometry walks its rule; three spanning 100× can. Staged
+    // once and param-stamped like the main corpus; only the embeddings
+    // table exists there, which is all the ANN queries read.
+    val emb100 = sys.env.getOrElse("SPARK_GRAFT_EMB100_DIR", "/tmp/graft_emb100")
+    validateStagedParams(emb100, s"copies=100;src=$src;tables=embeddings")
+    if (!new java.io.File(s"$emb100/embeddings.parquet/_SUCCESS").exists())
+      stageEmbeddings(spark, src, emb100, 100)
+    val recall100 = recallAt(emb100)
+
     // SCANNED FRACTION beside recall (round 15): recall alone can hide
     // an index that scans most of the corpus — the pair is the cost
     // model. The coarse-gate fraction is SHARED by q_ann_ivf and
@@ -245,6 +258,7 @@ object ScaleBench {
       graft.operators.Similarity.pqRerankFraction(spark, dir, 5))
     val (ivfFracSmall, pqRrFracSmall) = fracsAt(src)
     val (ivfFracBig, pqRrFracBig) = fracsAt(out)
+    val (ivfFrac100, pqRrFrac100) = fracsAt(emb100)
 
     // Locale.ROOT like Bench.f3: a comma-decimal default locale would
     // corrupt the JSON artifact
@@ -266,11 +280,11 @@ object ScaleBench {
       s""""${s.name}":{"sf01_sec":${f3(sMin)},"sf1_sec":${f3(bMin)},"ratio":${f3(bMin / sMin)},"sf01_runs":[${s.runs.map(f3).mkString(",")}],"sf1_runs":[${b.runs.map(f3).mkString(",")}]$state}"""
     }.mkString("{", ",", "}")
     val recallJson = AnnVariants.map { n =>
-      s""""$n":{"sf01":${f3(recallSmall(n))},"sf1":${f3(recallBig(n))}}"""
+      s""""$n":{"sf01":${f3(recallSmall(n))},"sf1":${f3(recallBig(n))},"sf10":${f3(recall100(n))}}"""
     }.mkString("{", ",", "}")
     val fracJson =
-      s"""{"coarse_gate":{"sf01":${f3(ivfFracSmall)},"sf1":${f3(ivfFracBig)}},""" +
-      s""""pq_rerank":{"sf01":${f3(pqRrFracSmall)},"sf1":${f3(pqRrFracBig)}}}"""
+      s"""{"coarse_gate":{"sf01":${f3(ivfFracSmall)},"sf1":${f3(ivfFracBig)},"sf10":${f3(ivfFrac100)}},""" +
+      s""""pq_rerank":{"sf01":${f3(pqRrFracSmall)},"sf1":${f3(pqRrFracBig)},"sf10":${f3(pqRrFrac100)}}}"""
     // minimal JSON string escape for the interpolated path — a quote or
     // backslash in SPARK_GRAFT_SF_DIR would corrupt the artifact line
     val srcJson = src.replace("\\", "\\\\").replace("\"", "\\\"")
@@ -312,27 +326,7 @@ object ScaleBench {
     // ~100× degenerate blow-up verbatim copies would create (every
     // vector 10× duplicated ⇒ quadratic cross-copy pair volume). Copy 0
     // keeps identity signs, so the original corpus is a literal subset.
-    // sign-vector length derives from the DATA, not a hardcoded dim — a
-    // 64-literal array would silently null-pad zip_with if the generator
-    // ever changed the embedding width
-    if (missing("embeddings")) {
-      val dim = spark.read.schema(Tables.embeddings)
-        .parquet(s"$src/embeddings.parquet")
-        .select(size(col("embedding")).as("d")).head().getInt(0)
-      val signRows = (0 until copies).map { c =>
-        val r = new scala.util.Random(c * 7919L + 13)
-        val signs = Array.fill(dim)(if (c == 0 || r.nextBoolean()) 1.0f else -1.0f)
-        (c.toLong, signs.toSeq)
-      }
-      val signsDf = spark.createDataFrame(signRows).toDF("copy", "signs")
-      raw("embeddings", Tables.embeddings)
-        .join(broadcast(signsDf), "copy")
-        .withColumn("vec_id", col("vec_id") + col("copy") * Stride)
-        .withColumn("embedding",
-          zip_with(col("embedding"), col("signs"), (x, s) => (x * s).cast("float")))
-        .drop("copy", "signs")
-        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
-    }
+    if (missing("embeddings")) stageEmbeddings(spark, src, out, copies)
 
     if (missing("events"))
     raw("events", Tables.events)
@@ -390,5 +384,35 @@ object ScaleBench {
     if (missing("region"))
     spark.read.schema(Tables.region).parquet(s"$src/region.parquet")
       .write.mode("overwrite").parquet(s"$out/region.parquet")
+  }
+
+  /** The embeddings staging on its own — shared by [[generate]] (10×,
+    * all tables) and the ANN-only 100× third scale point ([[main]] /
+    * [[graft.AnnStage]]): ids offset by copy × [[Stride]], per-copy
+    * sign-flip rotation (copy 0 = identity, so the original corpus is a
+    * literal subset and the probe set is unchanged). Sign-vector length
+    * derives from the DATA, not a hardcoded dim — a 64-literal array
+    * would silently null-pad zip_with if the generator ever changed the
+    * embedding width. */
+  private[graft] def stageEmbeddings(
+      spark: SparkSession, src: String, out: String, copies: Int): Unit = {
+    val cp = spark.range(copies).select(col("id").as("copy"))
+    val dim = spark.read.schema(Tables.embeddings)
+      .parquet(s"$src/embeddings.parquet")
+      .select(size(col("embedding")).as("d")).head().getInt(0)
+    val signRows = (0 until copies).map { c =>
+      val r = new scala.util.Random(c * 7919L + 13)
+      val signs = Array.fill(dim)(if (c == 0 || r.nextBoolean()) 1.0f else -1.0f)
+      (c.toLong, signs.toSeq)
+    }
+    val signsDf = spark.createDataFrame(signRows).toDF("copy", "signs")
+    spark.read.schema(Tables.embeddings).parquet(s"$src/embeddings.parquet")
+      .crossJoin(cp)
+      .join(broadcast(signsDf), "copy")
+      .withColumn("vec_id", col("vec_id") + col("copy") * Stride)
+      .withColumn("embedding",
+        zip_with(col("embedding"), col("signs"), (x, s) => (x * s).cast("float")))
+      .drop("copy", "signs")
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
   }
 }

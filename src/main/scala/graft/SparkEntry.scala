@@ -2034,8 +2034,12 @@ object SparkEntry {
       """WITH e AS (
         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |d AS (
-        |  SELECT r.i AS dim, MIN(e.emb[r.i]) AS mn, MAX(e.emb[r.i]) AS mx
-        |  FROM e CROSS JOIN range(1, 65) r(i) GROUP BY 1),
+        |  -- dim count derived from the DATA (round 16: was range(1, 65),
+        |  -- the oracle side's last hardcoded 64 — the 96-dim staged run
+        |  -- would have failed here with the engine correct)
+        |  SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM (
+        |    SELECT unnest(generate_series(1, len(emb))) AS dim, unnest(emb) AS x
+        |    FROM e) GROUP BY 1),
         |s AS (SELECT list(mn ORDER BY dim) AS mns, list(mx ORDER BY dim) AS mxs FROM d)
         |SELECT vec_id, label,
         |       ROUND(SQRT(list_sum(list_transform(range(1, len(emb) + 1), i ->

@@ -27,9 +27,19 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Corpus with unit-norm double vectors (computed once, codegen'd). */
+  /** Corpus with unit-norm double vectors (computed once, codegen'd).
+    * repartition BEFORE normalizing — the single-file-corpus guard
+    * [[bruteTopK]] documents, applied to the INDEX-BUILD paths too
+    * (round 16): a sub-128 MB staged corpus arrives as ONE scan
+    * partition, and without the exchange the quantizer training sample,
+    * the corpus-wide assignment pass, the PQ encode AND every
+    * inverted-list search join inherit single-task parallelism
+    * (measured: the 200k-vector calibration corpus ran its whole KMeans
+    * fit on one core). One skinny (id, vec) shuffle at ingest buys
+    * layout-independent width everywhere downstream. */
   private def normalized(spark: SparkSession, dir: String): DataFrame =
     normalizedOf(Tables.load(spark, dir, "embeddings")
+      .repartition(col("vec_id"))
       .withColumn("emb_d", expr("transform(embedding, x -> CAST(x AS DOUBLE))")))
 
   /** Unit-normalization of an arbitrary `(vec_id, emb_d)` corpus frame.
@@ -261,36 +271,78 @@ object Similarity {
     // n²-ish bucket pairs at exactly the scale the dial exists for
     math.max(16, math.min(256L, n / 125L).toInt)
 
-  /** Data-derived IVF SEARCH geometry (recalibrated round 15 for a
-    * SUB-LINEAR scan): `nlist = 2^⌈log2 min(16√n, n/4)⌉` (floor 16,
-    * cap 65536). PRECISELY: the smallest power of two AT OR ABOVE the
-    * min — so the n/4 population term (which binds only below n≈4096)
-    * guarantees ≥ 2 vectors/cell after the round-up, ~4 at the target
-    * itself; the 65536 cap keeps the centroid table ≤ 32 MB at 64-dim
-    * (still broadcastable; past ~17M vectors the cap binds and a
-    * second quantizer level, IMI/residual-style, is the published next
-    * step). The round-14 rule (2√n cap 1024, nprobe = 3/8·nlist) held
-    * recall by scanning a constant ~40-55% of the corpus — an exact
-    * scan with extra steps at 10⁹ vectors. Measured at the staged
-    * 20 000-vector corpus (AnnCalibrate): the finer quantizer moves
-    * the whole recall-at-fraction curve — (512 lists, 37% scanned) =
-    * 0.96 recall vs (4096 lists, 9.2% scanned) = 0.92 — because cells
-    * small enough to isolate neighbor pockets let the probe ranking
-    * skip the bulk. */
+  /** The uncapped coarse-cell target, shared by the single-level rule
+    * ([[autoSearchNlist]]) and the two-level split that restores it past
+    * the cap ([[autoSearchCells]]): `min(32√n, n/4)`. Recalibrated
+    * round 16 at the NEW 200k-vector third scale point — the round-15
+    * 16√n rule held 0.92+ recall at ≤10% scanned on 2k-20k corpora but
+    * fell to 0.80 at 200k (the 100× staged corpus plants harder,
+    * noise-grade neighbors: max cross-copy cosine grows with n), while
+    * doubling the cell count moved the whole curve back up, exactly the
+    * round-15 finer-cells lesson one octave on (AnnCalibrate grid at
+    * 200k: 8192 lists @ 10% scanned = 0.86; 16384 @ 6.6% = 0.96). The
+    * n/4 population term binds only below n≈16k and keeps ≥2
+    * vectors/cell after the pow2 round-up. */
+  private def uncappedCellTarget(n: Long): Double = {
+    val nn = math.max(n, 1L)
+    math.min(32.0 * math.sqrt(nn.toDouble), (nn / 4.0).max(16.0))
+  }
+
+  /** Data-derived IVF SEARCH geometry: `nlist = 2^⌈log2 min(32√n, n/4)⌉`
+    * (floor 16, cap 65536 — the centroid table stays ≤ 32 MB at 64-dim,
+    * still broadcastable). PRECISELY the smallest power of two AT OR
+    * ABOVE [[uncappedCellTarget]]. Past ~4.2M vectors the cap binds and
+    * [[autoSearchCells]] restores the target with a second residual
+    * quantizer level. (History: the round-14 rule (2√n cap 1024,
+    * nprobe = 3/8·nlist) held recall by scanning a constant ~40-55% of
+    * the corpus; round 15 recalibrated to 16√n at ≤10% scanned on the
+    * 20k corpus; round 16's 200k third scale point moved the target to
+    * 32√n — see [[uncappedCellTarget]] for the measured pairs.) */
   private def autoSearchNlist(nForSearch: Long): Int = {
-    val n = math.max(nForSearch, 1L)
-    val target = math.min(16.0 * math.sqrt(n.toDouble), (n / 4.0).max(16.0))
+    val target = uncappedCellTarget(nForSearch)
     var nlist = 16
     while (nlist < 65536 && nlist < target) nlist *= 2
     nlist
   }
 
+  /** TWO-LEVEL (residual) coarse-quantizer geometry — the published next
+    * step the [[autoSearchNlist]] doc promised, now code (round 16):
+    * past ~17M vectors the single-level 65536-list cap binds and the
+    * scanned fraction would grow linearly again. The standard fix
+    * (FAISS's residual coarse quantizers / the inverted multi-index
+    * family) splits the cell id across two codebooks: level 1 stays a
+    * trainable, broadcastable ≤65536-centroid KMeans; level 2 is a
+    * SHARED residual codebook of `l2` centroids, and a vector's cell is
+    * the pair (l1, l2) — `l1 × l2` effective cells from `l1 + l2`
+    * trained/broadcast centroids. Returns (l1, l2): l2 = 1 (single
+    * level) until the UNCAPPED cell target ([[uncappedCellTarget]],
+    * 32√n) outgrows the cap at n ≈ 4.2M — i.e. for every corpus this
+    * repo can materialize — then the smallest power of two restoring
+    * the target (cap 1024 ⇒ ~67M cells ⇒ the rule holds to ~4·10¹²
+    * vectors). Spec-pinned (`SimilaritySpec`): modeled scan fraction
+    * stays sub-10% at mock n = 2e7/1e8/1e9/1e11, and the fixture-scale
+    * mechanics run the real search path with a forced small (l1, l2). */
+  private[graft] def autoSearchCells(n: Long): (Int, Int) = {
+    val l1 = autoSearchNlist(n)
+    val target = uncappedCellTarget(n)
+    if (target <= 65536.0) (l1, 1)
+    else {
+      var l2 = 2
+      while (l1.toLong * l2 < target && l2 < 1024) l2 *= 2
+      (l1, l2)
+    }
+  }
+
   /** The nprobe rule, single source of truth — two floors under a
-    * TARGET-SCANNED-FRACTION term (round 15):
-    *   - fraction term: ⌈0.075·nlist⌉ lists ≈ 9-10% of the corpus
+    * TARGET-SCANNED-FRACTION term (recalibrated round 16 with the 32√n
+    * cell rule):
+    *   - fraction term: ⌈0.06·nlist⌉ lists ≈ 6-9% of the corpus
     *     MEASURED (probes prefer dense lists, so scanned rows run
-    *     ~1.25× the count ratio) — recall@5 0.92 at the staged 10×
-    *     corpus, the calibrated knee of the curve;
+    *     1.05-1.5× the count ratio — the skew is largest when cells are
+    *     thin, ~2.4 rows/cell at the 20k point). Measured at the three
+    *     calibration scales: 20k → 1.00 recall @ ~0.089, 200k → 0.96 @
+    *     ~0.063 — the finer 32√n cells let a SMALLER fraction hold more
+    *     recall than round 15's 0.075 did on 16√n cells (0.92 @ 0.094);
     *   - candidate-budget floor: enough lists to cover ~512 candidates
     *     (512·nlist/n). On a tiny corpus this deliberately degenerates
     *     toward a full scan — ANN on 500 vectors SHOULD be exact; the
@@ -304,7 +356,7 @@ object Similarity {
     * lone-pinned-nlist path derive from here, so they can never drift
     * apart. */
   private def autoNprobe(nlist: Int, n: Long): Int = {
-    val fracTerm = (nlist * 3 + 39) / 40 // ⌈0.075·nlist⌉
+    val fracTerm = (nlist * 3 + 49) / 50 // ⌈0.06·nlist⌉
     val budgetTerm = ((512L * nlist + n - 1) / math.max(n, 1L)).toInt
     math.min(nlist, math.max(6, math.max(fracTerm, budgetTerm)))
   }
@@ -703,8 +755,12 @@ object Similarity {
   private def ivfIndex(
       spark: SparkSession, dir: String, nlist: Int,
       trainFraction: Double, trainIters: Int): IvfIndex =
+    // repartition: the single-file-corpus guard (see [[normalized]]) —
+    // without it the whole build AND every list-scan join downstream
+    // inherit the scan's single partition on a small staged corpus
     ivfIndexOver(spark,
       Tables.load(spark, dir, "embeddings")
+        .repartition(col("vec_id"))
         .withColumn("emb_d", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
         .select(col("vec_id"), col("emb_d")),
       dir, nlist, trainFraction, trainIters)
@@ -722,14 +778,20 @@ object Similarity {
         // iterations — quantizer quality needs only the density shape,
         // not convergence, and at corpus scale full-data training would
         // dominate the build.
-        // The sample is tiny relative to the corpus (quantizer training
-        // needs density shape, not volume); collapse it to a few
-        // partitions so the fit's per-iteration jobs don't pay
-        // full-corpus-width task scheduling — at ANY corpus scale the
-        // trained sample is bounded, so this coalesce is constant-cost.
+        // The sample is small relative to the corpus (quantizer training
+        // needs density shape, not volume); collapse it so the fit's
+        // per-iteration jobs don't pay full-corpus-width task scheduling
+        // — but scale the partition count WITH the sample (≈8k rows per
+        // partition, 4..32): a fixed coalesce(4) serialized the k=8192
+        // fit at the 200k-vector calibration corpus onto 4 cores
+        // (measured: the KMeans stage dominated the whole build). Every
+        // driver-fixture sample (≤20k rows) still lands at exactly 4
+        // partitions, so existing index geometry is bit-unchanged.
+        val sampleRows = (trainFraction *
+          corpusCountOver(spark, corpus, memoKey)).toLong
         val trainSample = vecs
           .sample(withReplacement = false, trainFraction, seed = 1L)
-          .coalesce(4)
+          .coalesce(math.min(32L, math.max(4L, sampleRows / 8192L)).toInt)
         // Random (seeded) init, not kmeans||: the parallel init runs
         // several distributed passes to seed centers "well", which a
         // coarse quantizer doesn't need — list assignment only has to
@@ -753,6 +815,141 @@ object Similarity {
       } finally base.unpersist(blocking = false)
     }
 
+  private final case class Ivf2Index(
+    lists: DataFrame, centroids1: DataFrame, centroids2: DataFrame)
+  private val ivf2Memo = new graft.SessionMemo[Ivf2Index]()
+
+  /** Build (or fetch) the TWO-LEVEL residual IVF index (see
+    * [[autoSearchCells]]): level-1 KMeans as in [[ivfIndexOver]], then a
+    * SHARED level-2 codebook trained on the residuals (unit − c1) —
+    * cell id = l1·L2 + l2. Both centroid tables stay broadcast-sized
+    * (l1 + l2 rows, never l1 × l2); the residual computation and
+    * second assignment are one extra linear ingest pass. Memoized and
+    * materialized like the single-level index. */
+  private def ivf2IndexOver(
+      spark: SparkSession, corpus: DataFrame, memoKey: String,
+      l1: Int, l2: Int, trainFraction: Double, trainIters: Int): Ivf2Index =
+    ivf2Memo.getOrCompute(spark, s"$memoKey|2L|$l1|$l2|$trainFraction|$trainIters") {
+      require(l2 >= 2, s"ivf2Index: l2=$l2 — use the single-level index below 2")
+      val base = normalizedOf(corpus).cache()
+      try {
+        val vecs = base.withColumn("features", array_to_vector(col("unit")))
+        val trainSample = vecs
+          .sample(withReplacement = false, trainFraction, seed = 1L)
+          .coalesce(4)
+        val km1 = new KMeans().setK(l1).setSeed(1L).setMaxIter(trainIters)
+          .setInitMode("random").setFeaturesCol("features")
+          .setPredictionCol("l1").fit(trainSample)
+        val c1 = spark.createDataFrame(
+          km1.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }.toSeq)
+          .toDF("l1", "centroid1")
+        // level-1 assignment + residuals: linear ingest work, the frame
+        // the level-2 training sample and the final assignment share
+        val assigned1 = km1.transform(vecs)
+          .select(col("vec_id"), col("unit"), col("l1"))
+          .join(broadcast(c1), "l1")
+          .withColumn("rfeat", array_to_vector(
+            expr("zip_with(unit, centroid1, (x, c) -> x - c)")))
+        // the shared residual codebook needs only ~32 samples per
+        // centroid, like the level-1 rule — and l2 is small (≤1024)
+        val tf2 = math.min(1.0,
+          32.0 * l2 / math.max(corpusCountOver(spark, corpus, memoKey), 1L))
+        val km2 = new KMeans().setK(l2).setSeed(2L).setMaxIter(trainIters)
+          .setInitMode("random").setFeaturesCol("rfeat")
+          .setPredictionCol("l2")
+          .fit(assigned1.sample(withReplacement = false, tf2, seed = 2L).coalesce(4))
+        val lists = km2.transform(assigned1)
+          .select(col("vec_id").as("neighbor_id"), col("unit").as("unit_c"),
+            (col("l1").cast("long") * l2 + col("l2")).as("list_id"))
+          .localCheckpoint(true)
+        val c2 = spark.createDataFrame(
+          km2.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }.toSeq)
+          .toDF("l2", "centroid2")
+        Ivf2Index(lists, c1, c2)
+      } finally base.unpersist(blocking = false)
+    }
+
+  /** Two-level IVF search — the residual twin of [[ivfTopK]], routed to
+    * automatically when [[autoSearchCells]] says the single-level cap
+    * binds (never on a corpus this repo can materialize; forced small
+    * geometries are spec-exercised). Probe cell ranking is the standard
+    * two-step: rank level-1 centroids by the same ‖c‖² − 2q·c metric as
+    * [[selectProbeLists]], keep an OVERSAMPLED nprobe1 = ⌈2·nprobe/l2⌉
+    * level-1 cells, expand each against the broadcast level-2 table and
+    * rank the (l1, l2) pairs by the exact combined-centroid distance
+    * ‖q − c1 − c2‖² = ‖c1‖² + ‖c2‖² + 2·c1·c2 − 2·(q·c1 + q·c2)
+    * (every term computed on broadcast-sized frames — the l1 × l2
+    * combined table never materializes), keep the top `nprobe` CELLS,
+    * and scan exactly those inverted lists with the same cosine top-k
+    * tail as [[ivfSearch]]. */
+  def ivfTopKTwoLevel(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 5,
+      nProbes: Int = 10,
+      l1: Int = 0,
+      l2: Int = 0,
+      nprobe: Int = 0,
+      trainFraction: Double = 0.0,
+      trainIters: Int = 5): DataFrame = {
+    val n = corpusCount(spark, dir)
+    val (rl1, rl2) =
+      if (l1 > 0 && l2 > 0) (l1, l2)
+      else autoSearchCells(n)
+    require(rl2 >= 2,
+      s"ivfTopKTwoLevel: derived l2=$rl2 — the corpus is below the " +
+        "cap-bind point; use ivfTopK (it would route here past it)")
+    val cells = rl1.toLong * rl2
+    val rp = if (nprobe > 0) nprobe
+      else math.min(cells, math.max(6L, (cells * 3 + 49) / 50)).toInt
+    require(rp <= cells, s"ivfTopKTwoLevel: nprobe=$rp exceeds cells=$cells")
+    val tf = if (trainFraction > 0) trainFraction
+      else math.min(1.0, 32.0 * rl1 / math.max(n, 1L))
+    val idx = ivf2IndexOver(spark,
+      Tables.load(spark, dir, "embeddings")
+        .repartition(col("vec_id"))
+        .withColumn("emb_d", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .select(col("vec_id"), col("emb_d")),
+      dir, rl1, rl2, tf, trainIters)
+    val probes = idx.lists.filter(col("neighbor_id") < nProbes)
+      .select(col("neighbor_id").as("query_id"), col("unit_c").as("unit_q"))
+    // level 1: oversampled cell-group cut (the best (l1,l2) pair is not
+    // always inside the single best l1 group — 2× covers the residual
+    // displacement at the published oversampling convention)
+    val nprobe1 = math.min(rl1.toLong, math.max(4L, (2L * rp + rl2 - 1) / rl2)).toInt
+    val w1 = Window.partitionBy("query_id").orderBy(col("d1").asc, col("l1").asc)
+    val lvl1 = probes.crossJoin(broadcast(idx.centroids1
+        .withColumn("cn2_1", norm2("centroid1"))))
+      .withColumn("qd1", dot("unit_q", "centroid1"))
+      .withColumn("d1", col("cn2_1") - lit(2.0) * col("qd1"))
+      .withColumn("r1", row_number().over(w1))
+      .filter(col("r1") <= nprobe1)
+      .select(col("query_id"), col("unit_q"), col("l1"),
+        col("centroid1"), col("cn2_1"), col("qd1"))
+    // level 2: exact combined-centroid distance over nprobe1 × l2 rows
+    // per probe; keep the top nprobe CELLS
+    val wc = Window.partitionBy("query_id")
+      .orderBy(col("d12").asc, col("list_id").asc)
+    val cellsSel = lvl1.crossJoin(broadcast(idx.centroids2
+        .withColumn("cn2_2", norm2("centroid2"))))
+      .withColumn("d12",
+        col("cn2_1") + col("cn2_2") + lit(2.0) * dot("centroid1", "centroid2")
+          - lit(2.0) * (col("qd1") + dot("unit_q", "centroid2")))
+      .withColumn("list_id", col("l1").cast("long") * rl2 + col("l2"))
+      .withColumn("rc", row_number().over(wc))
+      .filter(col("rc") <= rp)
+      .select(col("query_id"), col("unit_q"), col("list_id"))
+    // the same cosine top-k tail as ivfSearch
+    val w = Window.partitionBy("query_id").orderBy(col("cos_raw").desc, col("neighbor_id").asc)
+    cellsSel.join(idx.lists, "list_id")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_raw", dot("unit_q", "unit_c"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("cos_raw"), 6).as("cos"))
+  }
+
   /** IVF-Flat ANN: nlist-way KMeans coarse quantizer, nprobe-list search.
     * Geometry defaults to the recall-AND-fraction-calibrated
     * [[autoSearchNlist]]/[[autoNprobe]] rules (nlist ≈ 16√n as a power of two,
@@ -771,6 +968,13 @@ object Similarity {
       nprobe: Int = 0,
       trainFraction: Double = 0.0,
       trainIters: Int = 5): DataFrame = {
+    // past the 65536-list cap-bind point the auto geometry routes to the
+    // two-level residual index ([[autoSearchCells]] — never on a corpus
+    // this repo materializes, so every existing oracle/spec rides the
+    // single-level path unchanged); explicit nlist pins stay single-level
+    if (nlist == 0 && autoSearchCells(corpusCount(spark, dir))._2 > 1)
+      return ivfTopKTwoLevel(spark, dir, k, nProbes,
+        nprobe = nprobe, trainFraction = trainFraction, trainIters = trainIters)
     val (rl, rp) = resolveGeometry(spark, dir, nlist, nprobe)
     val tf = resolveTrainFraction(spark, dir, trainFraction, rl)
     val idx = ivfIndex(spark, dir, rl, tf, trainIters)
@@ -959,6 +1163,7 @@ object Similarity {
     pqMemo.clearSession(spark)
     pqListedMemo.clearSession(spark)
     ivfMemo.clearSession(spark)
+    ivf2Memo.clearSession(spark)
     geomMemo.clearSession(spark)
     savedIvfMemo.clearSession(spark)
   }
@@ -1076,7 +1281,7 @@ object Similarity {
       dir: String,
       k: Int = 5,
       nProbes: Int = 10,
-      nSub: Int = 8,
+      nSub: Int = 0,
       nCodes: Int = 256,
       rerank: Int = 0,
       nlist: Int = 0,
@@ -1085,12 +1290,13 @@ object Similarity {
     // memo-body require alone would let an invalid nSub pay a full scan
     // first (the same check guards the build itself in pqIndex)
     val dim = embeddingDim(spark, dir)
-    require(nSub >= 1 && dim % nSub == 0,
-      s"pqTopK: nSub=$nSub must divide the $dim-dim embedding exactly")
-    val subDim = dim / nSub
+    val rs = if (nSub > 0) nSub else autoNSub(dim)
+    require(rs >= 1 && dim % rs == 0,
+      s"pqTopK: nSub=$rs must divide the $dim-dim embedding exactly")
+    val subDim = dim / rs
     val (rl, rp) = resolveGeometry(spark, dir, nlist, nprobe)
     val rr = if (rerank > 0) rerank else autoRerank(k)
-    val pq = pqIndex(spark, dir, nSub, nCodes)
+    val pq = pqIndex(spark, dir, rs, nCodes)
     val ivf = ivfIndex(spark, dir, rl,
       resolveTrainFraction(spark, dir, 0.0, rl), 5)
     val bcCb = pq.codebookBc
@@ -1105,7 +1311,7 @@ object Similarity {
     // beside the index itself, per the file's build-once/serve-forever
     // doctrine: paying it per serve call would put a corpus-wide join
     // back into the path everything above is pruning.
-    val codesListed = pqListedMemo.getOrCompute(spark, s"$dir|$nSub|$nCodes|$rl") {
+    val codesListed = pqListedMemo.getOrCompute(spark, s"$dir|$rs|$nCodes|$rl") {
       pq.codes
         .join(ivf.lists.select(col("neighbor_id"), col("list_id")), "neighbor_id")
         .localCheckpoint(true)
@@ -1135,7 +1341,7 @@ object Similarity {
           val qid = r.getLong(0)
           val lut = luts.getOrElseUpdate(qid, {
             val q = r.getSeq[Double](1).toArray
-            Array.tabulate(nSub, nCodes) { (s, j) =>
+            Array.tabulate(rs, nCodes) { (s, j) =>
               var d = 0.0; var i = 0
               while (i < subDim) {
                 val diff = q(s * subDim + i) - cb(s)(j)(i); d += diff * diff; i += 1
@@ -1145,7 +1351,7 @@ object Similarity {
           })
           val cs = r.getSeq[Int](3)
           var d = 0.0; var s = 0
-          while (s < nSub) { d += lut(s)(cs(s)); s += 1 }
+          while (s < rs) { d += lut(s)(cs(s)); s += 1 }
           org.apache.spark.sql.Row(qid, r.getLong(2), d)
         }
       }(adcEnc)
@@ -1166,6 +1372,21 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rnk"),
         round(col("cos_raw"), 6).as("cos"))
   }
+
+  /** Default PQ subspace count — SUBSPACE WIDTH ≈ 4 dims (round 16):
+    * measured at the 200k-vector third scale point, subDim 8 (the old
+    * fixed nSub = 8 on 64-dim) needed a 1024-row exact rerank to reach
+    * 0.92 recall@5, while subDim 4 holds 0.96 at the constant 256
+    * budget — the ADC ranking, not the rerank, is the recall lever that
+    * survives scale (the same lesson as the r15 nCodes widening, one
+    * step further). Codes cost dim/4 bytes per vector — still 16× under
+    * float32. Non-multiple-of-4 dims fall back to the widest
+    * power-of-two-ish divisor ladder (2, then 1 — exactness never
+    * depends on the split). */
+  private def autoNSub(dim: Int): Int =
+    if (dim % 4 == 0) dim / 4
+    else if (dim % 2 == 0) dim / 2
+    else dim
 
   /** PQ exact-rerank budget (round 15): a CONSTANT multiple of k, not a
     * corpus fraction — the former ⌈n/8⌉ rule made the exact stage

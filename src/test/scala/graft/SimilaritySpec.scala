@@ -21,7 +21,7 @@ class SimilaritySpec extends SparkSpec {
     } finally df.unpersist(blocking = false)
   }
 
-  test("IVF recall@5 >= 0.6 vs brute force, and is deterministic") {
+  test("IVF recall@5 >= 0.9 vs brute force, and is deterministic") {
     val brute = Similarity.bruteTopK(spark, sf, 5, 10)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -29,7 +29,10 @@ class SimilaritySpec extends SparkSpec {
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (brute & ivf).size.toDouble / brute.size
-    assert(recall >= 0.6, s"IVF recall@5 = $recall")
+    // floor raised 0.6 -> 0.9 (round 16): the auto nprobe budget floor
+    // makes fixture-scale search near-exhaustive by design, and the
+    // recalibrated geometry measures 1.0 here
+    assert(recall >= 0.9, s"IVF recall@5 = $recall")
     // drop the memoized index first — a memo hit would compare the same
     // build with itself and pass even if the build were nondeterministic
     Similarity.clearIndexMemosForTest(spark)
@@ -39,7 +42,7 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf == ivf2)
   }
 
-  test("PQ recall@5 >= 0.8 vs brute force, and is deterministic") {
+  test("PQ recall@5 >= 0.9 vs brute force, and is deterministic") {
     val brute = Similarity.bruteTopK(spark, sf, 5, 10)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -47,7 +50,9 @@ class SimilaritySpec extends SparkSpec {
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (brute & pq).size.toDouble / brute.size
-    assert(recall >= 0.8, s"PQ recall@5 = $recall")
+    // floor raised 0.8 -> 0.9 (round 16): auto subDim-4 ADC + constant
+    // rerank measure 1.0 at fixture scale, 0.96 at the 200k point
+    assert(recall >= 0.9, s"PQ recall@5 = $recall")
     // drop the memoized index first — a memo hit would compare the same
     // build with itself and pass even if the build were nondeterministic
     Similarity.clearIndexMemosForTest(spark)
@@ -55,6 +60,57 @@ class SimilaritySpec extends SparkSpec {
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pq == pq2)
+  }
+
+  test("two-level geometry: cells track the uncapped target, sub-10% modeled scan past the cap") {
+    // below the cap-bind point (~4.2M vectors: 32√n > 65536) every
+    // corpus is single-level — the routing can never change behavior on
+    // data this repo materializes
+    for (n <- Seq(500L, 2000L, 200000L, 4000000L))
+      assert(Similarity.autoSearchCells(n)._2 == 1, s"n=$n should be single-level")
+    // past it, the residual level restores the 32√n cell target the
+    // 65536 single-level cap would otherwise freeze: scanning the
+    // auto-nprobe fraction of cells stays at the calibrated 6% count
+    // ratio — ≤9% even under the WORST measured dense-list skew (1.5×
+    // at thin 2.4-row cells; two-level cells are hundreds of rows, where
+    // measured skew is 1.0-1.25×) — inside the 10% done-bar at ANY n
+    // the rule covers (mock n: the 5M+ rows never materialize)
+    for (n <- Seq(5000000L, 20000000L, 100000000L, 1000000000L, 100000000000L)) {
+      val (l1, l2) = Similarity.autoSearchCells(n)
+      assert(l1 <= 65536 && l2 >= 2 && l2 <= 1024, s"n=$n -> ($l1, $l2)")
+      val cells = l1.toLong * l2
+      val target = 32.0 * math.sqrt(n.toDouble)
+      assert(cells >= target, s"n=$n cells=$cells below the 32*sqrt(n) target $target")
+      assert(cells <= 4.0 * target, s"n=$n cells=$cells overshoots the target $target")
+      // the same auto-nprobe rule ivfTopKTwoLevel applies
+      val np = math.min(cells, math.max(6L, (cells * 3 + 49) / 50))
+      assert(np.toDouble / cells * 1.5 <= 0.10,
+        s"n=$n modeled scanned fraction ${np.toDouble / cells * 1.5} breaches the done-bar")
+    }
+  }
+
+  test("two-level residual search: recall + determinism at a forced small geometry") {
+    val brute = Similarity.bruteTopK(spark, sf, 5, 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 8×4 = 32 cells on the 500-vector fixture, nprobe = 8 cells (25%
+    // of cells — generous: the fixture sits far below the bind point,
+    // so this exercises MECHANICS, not the tuned operating point)
+    def run(): Set[(Long, Long)] =
+      Similarity.ivfTopKTwoLevel(spark, sf, 5, 10, l1 = 8, l2 = 4, nprobe = 8)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = run()
+    val recall = (brute & a).size.toDouble / brute.size
+    assert(recall >= 0.5, s"two-level recall@5 at 25% of cells = $recall")
+    // full output shape: every probe keeps exactly k survivors
+    val shaped = Similarity.ivfTopKTwoLevel(spark, sf, 5, 10, l1 = 8, l2 = 4, nprobe = 8)
+      .groupBy("query_id").count().collect()
+    assert(shaped.length == 10 && shaped.forall(_.getLong(1) == 5L))
+    // determinism across INDEPENDENT builds (memo cleared, like the
+    // single-level twin above)
+    Similarity.clearIndexMemosForTest(spark)
+    assert(run() == a)
   }
 
   test("the ANN suite runs on a non-64-dim corpus (dim derived from data)") {
@@ -157,9 +213,9 @@ class SimilaritySpec extends SparkSpec {
       (brute & s).size.toDouble / brute.size
     }
     val ivf = recallOf(Similarity.ivfTopK(spark, sf001, 5, 10))
-    assert(ivf >= 0.8, s"IVF auto-geometry recall@5 at sf0.01 = $ivf")
+    assert(ivf >= 0.9, s"IVF auto-geometry recall@5 at sf0.01 = $ivf")
     val pq = recallOf(Similarity.pqTopK(spark, sf001, 5, 10))
-    assert(pq >= 0.85, s"PQ auto-rerank recall@5 at sf0.01 = $pq")
+    assert(pq >= 0.9, s"PQ auto-rerank recall@5 at sf0.01 = $pq")
   }
 
   test("minhash LSH finds exactly the exhaustive high-Jaccard pairs") {
