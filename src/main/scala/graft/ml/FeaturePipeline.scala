@@ -48,6 +48,17 @@ object FeaturePipeline {
   /** Positional feature list — quirk Q3: everything after the 4th column. */
   def featureCols(df: DataFrame): Array[String] = df.columns.drop(dropLeading)
 
+  private val namesMemo = new graft.SessionMemo[Array[String]]()
+
+  /** The feature-name list on its own, memoized per (session, dir) —
+    * three call sites (kmeansQuery, reportTable, the job main) were each
+    * rebuilding the whole multi-join [[featureTable]] plan (plus the
+    * parquet schema reads behind it) solely to call `.columns` on it
+    * (round-16 review). Plan construction only — no job runs either
+    * way — but the names are a per-dir constant, so derive them once. */
+  def featureNames(spark: SparkSession, dir: String): Array[String] =
+    namesMemo.getOrCompute(spark, dir)(featureCols(featureTable(spark, dir)))
+
   private val prepared = new graft.SessionMemo[DataFrame]()
 
   /** Assemble + standard-scale; returns the cached, partition-pinned frame

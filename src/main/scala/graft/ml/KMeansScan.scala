@@ -94,8 +94,11 @@ object KMeansScan {
       center <- r.centers
     } yield (r.k, r.silhouette, center)
     val base = rows.toDF("k", "score", "center")
+    // centers round to 6 dp — the docstring contract ("rounded centers")
+    // and the repo's float discipline; raw doubles would hash-flake
+    // across BLAS/JVM variants if a driver row-compare ever lands here
     featureNames.zipWithIndex.foldLeft(base) { case (df, (name, i)) =>
-      df.withColumn(name, col("center").getItem(i))
+      df.withColumn(name, round(col("center").getItem(i), 6))
     }.drop("center")
   }
 
@@ -112,11 +115,9 @@ object KMeansScan {
   /** Rows-only verify query: run the full scan on the given sf dir and
     * return the (k, score, rounded centers) frame. Deterministic under the
     * pinned seed + coalesce(4) partitioning (quirk Q7). */
-  def kmeansQuery(spark: SparkSession, dir: String): DataFrame = {
-    val featureNames = FeaturePipeline.featureCols(
-      FeaturePipeline.featureTable(spark, dir))
-    resultsFrame(spark, scanCached(spark, dir), featureNames.toSeq)
-  }
+  def kmeansQuery(spark: SparkSession, dir: String): DataFrame =
+    resultsFrame(spark, scanCached(spark, dir),
+      FeaturePipeline.featureNames(spark, dir).toSeq)
 
   /** Rows-only verify query: per-customer cluster assignment at k=4 —
     * RELOADED from the model the k-scan already fit and persisted (same

@@ -44,8 +44,7 @@ object KMeansScanJob {
     try {
       new java.io.File(outDir).mkdirs()
       val data = FeaturePipeline.prepareData(spark, sfDir)
-      val featureNames = FeaturePipeline.featureCols(
-        FeaturePipeline.featureTable(spark, sfDir)).toSeq
+      val featureNames = FeaturePipeline.featureNames(spark, sfDir).toSeq
       val results = KMeansScan.scan(data, 2, 6, s"$outDir/tmp_models")
       val frame = KMeansScan.resultsFrame(spark, results, featureNames)
       val csv = s"$outDir/clustering_results.csv"

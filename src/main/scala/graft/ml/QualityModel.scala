@@ -22,6 +22,14 @@ object QualityModel {
 
   def features(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityScore(spark, dir)
+      // a ZERO-LENGTH document carries NULL ratios (x/0) and a NULL
+      // quality — one such row would hard-fail the whole fit
+      // (VectorAssembler's default handleInvalid='error', LR rejects a
+      // null label). An empty doc has no quality signal to distill:
+      // drop it from the TRAINING frame, exactly as a curation pipeline
+      // filters empties before any model sees them (round-16 review —
+      // latent: the driver fixtures have no empty docs)
+      .filter(col("quality").isNotNull)
       .select(col("doc_id"),
         col("n_toks").cast("double").as("f_len"),
         col("punct_ratio").as("f_punct"),

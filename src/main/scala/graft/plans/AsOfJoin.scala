@@ -197,6 +197,21 @@ object AsOfJoin {
     require(salt >= 1, s"salt must be >= 1, got $salt")
     if (salt > 1) {
       import org.apache.spark.sql.functions.{array, col, explode, lit, pmod, xxhash64}
+      // the salted lane packs the key ARITHMETICALLY (key × salt + lane),
+      // so the salted path needs a plain integral key — reject the
+      // timestamp/date keys the unsalted path accepts with a usable
+      // message instead of the Multiply AnalysisException they'd hit
+      // below (round-16 review): the caller can pre-encode exactly
+      // (unix_micros for timestamps, datediff-from-epoch for dates)
+      // without this function guessing a lossy encoding for them.
+      val integral = Set("bigint", "int", "smallint", "tinyint")
+      for ((df, k, side) <- Seq((left, leftKey, "left"), (right, rightKey, "right"))) {
+        val dt = df.schema(k).dataType.simpleString
+        require(integral.contains(dt),
+          s"asof(salt=$salt): the salted path packs lanes arithmetically and " +
+            s"needs an integral key; $side key '$k' is $dt — pre-encode it " +
+            "(unix_micros / datediff from epoch) or use salt = 1")
+      }
       // the scratch names are withColumn'd then dropped — a caller frame
       // already carrying one would have its column silently replaced on
       // the input and removed from the output
@@ -213,9 +228,16 @@ object AsOfJoin {
       // row of the hot (key, date) pair back onto ONE lane while the
       // ×salt right replication cost is still paid — whole-row hashing
       // spreads duplicates and stays deterministic for task retries.
+      // MapType columns are unorderable and xxhash64 rejects them — drop
+      // them from the LANE hash only (they still ride the join output);
+      // the key+time pair is always hashable, so the hash input is never
+      // empty (round-16 review)
+      val laneCols = left.schema.fields.filterNot(
+        _.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+        .map(f => col(f.name)).toIndexedSeq
       val l2 = left
         .withColumn("__lane",
-          pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*), lit(salt.toLong)))
+          pmod(xxhash64(laneCols: _*), lit(salt.toLong)))
         .withColumn("__skey", col(leftKey) * lit(salt.toLong) + col("__lane"))
       val r2 = right
         .withColumn("__rep",

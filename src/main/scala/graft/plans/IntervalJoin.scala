@@ -88,8 +88,11 @@ final case class IntervalJoinExec(
     val bcast = right.executeBroadcast[Array[InternalRow]]()
     // index memoization key: same broadcast + same bound expressions →
     // same sorted index; computed on the driver so the closure carries
-    // only primitives
-    val cacheKey = (bcast.id, lo.semanticHash(), hi.semanticHash())
+    // only compact values. Keyed by the CANONICALIZED expression strings,
+    // not semanticHash (round-16 review): hash-as-identity would serve
+    // the wrong index to a colliding join with no way to detect it —
+    // the canonical form is exact at the same per-executor cost.
+    val cacheKey = (bcast.id, lo.canonicalized.toString, hi.canonicalized.toString)
     val numOutputRows = longMetric("numOutputRows")
     left.execute().mapPartitions { lIter =>
       // the sorted index over the broadcast dim (lo-sorted arrays +
@@ -99,8 +102,16 @@ final case class IntervalJoinExec(
         val triples = bcast.value.flatMap { r =>
           val lv = loB.eval(r); val hv = hiB.eval(r)
           if (lv == null || hv == null) None // null bounds never match
-          else Some((lv.asInstanceOf[Number].doubleValue,
-            hv.asInstanceOf[Number].doubleValue, r))
+          else {
+            val ld = lv.asInstanceOf[Number].doubleValue
+            val hd = hv.asInstanceOf[Number].doubleValue
+            // a NaN bound never matches any point (every comparison is
+            // false) — but left IN the index it would poison the
+            // prefMaxHi running max (max(x, NaN) = NaN), silently
+            // dropping genuine matches for every point probing at or
+            // past it (round-16 review). Drop like nulls.
+            if (ld.isNaN || hd.isNaN) None else Some((ld, hd, r))
+          }
         }.sortBy(_._1)
         val n = triples.length
         val los = new Array[Double](n)
@@ -190,13 +201,13 @@ object IntervalJoinExec {
     lazy val value: SortedIntervals = build()
   }
   private val cache =
-    new java.util.LinkedHashMap[(Long, Int, Int), IndexCell](16, 0.75f, true) {
+    new java.util.LinkedHashMap[(Long, String, String), IndexCell](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(Long, Int, Int), IndexCell]): Boolean =
+          e: java.util.Map.Entry[(Long, String, String), IndexCell]): Boolean =
         size() > 64
     }
   private[plans] def cachedIndex(
-      key: (Long, Int, Int), build: () => SortedIntervals): SortedIntervals = {
+      key: (Long, String, String), build: () => SortedIntervals): SortedIntervals = {
     val cell = cache.synchronized {
       val hit = cache.get(key)
       if (hit != null) hit
