@@ -55,7 +55,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // under SPARK_GRAFT_ONLY the dump carries only the filtered queries'
+    // oracles — the compare step cross-checks oracle keys against outputs
+    // (round 16: an oracled query with no output must read as MISSING),
+    // and unfiltered oracles in a filtered dump would all misfire. The
+    // driver never sets the filter, so its dump is always complete.
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Always written (empty object when clean) so its absence vs emptiness
