@@ -27,7 +27,11 @@ import org.apache.spark.sql.types.StructType
   * self-defense as [[Bench]]).
   */
 object ScaleBench {
-  private val Stride = 1000000000L
+  // THE tenant stride (Scale.TenantStride), not an independent literal:
+  // the interval joins derive per-tenant value domains from `key div
+  // stride`, and that only measures ~10× pair volume because the staging
+  // offsets keys by copy × the SAME stride (round-16 diff review)
+  private val Stride = graft.operators.Scale.TenantStride
 
   /** Per-query run count: 2 by default (min-of-2, same self-defense as
     * [[Bench]]); queries whose committed ratio has shown RUN VARIANCE

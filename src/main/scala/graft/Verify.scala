@@ -69,6 +69,13 @@ object Verify {
     val errJson = errors
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    // The names THIS run executed — check_oracle skips outDir entries
+    // outside it, so a reused outDir's stale results from a previous
+    // (broader) run can't read as rows-only passes after a filtered rerun
+    val ran = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+    Files.writeString(Paths.get(s"$outDir/run_manifest.json"),
+      ran.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -93,14 +93,21 @@ object KMeansScan {
       r <- results
       center <- r.centers
     } yield (r.k, r.silhouette, center)
-    val base = rows.toDF("k", "score", "center")
-    // centers round to 6 dp — the docstring contract ("rounded centers")
-    // and the repo's float discipline; raw doubles would hash-flake
-    // across BLAS/JVM variants if a driver row-compare ever lands here
+    widenCenters(rows.toDF("k", "score", "center"), featureNames)
+  }
+
+  /** Widen a frame's `center: array<double>` into one 6-dp-rounded column
+    * per feature — ONE definition shared by [[resultsFrame]] and
+    * [[Report.reportTable]] (round-16 review: two inline copies of this
+    * fold could silently diverge the report's feature values from the
+    * CSV the reference report reads). 6 dp is the repo float discipline:
+    * raw doubles would hash-flake across BLAS/JVM variants if a driver
+    * row-compare ever lands here. */
+  private[ml] def widenCenters(
+      base: DataFrame, featureNames: Seq[String]): DataFrame =
     featureNames.zipWithIndex.foldLeft(base) { case (df, (name, i)) =>
       df.withColumn(name, round(col("center").getItem(i), 6))
     }.drop("center")
-  }
 
   /** Driver CSV sink analog (S5): tiny driver-resident result set. */
   def saveResultsCsv(df: DataFrame, path: String): Unit = {

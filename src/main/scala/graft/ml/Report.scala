@@ -32,11 +32,8 @@ object Report {
       r <- results
       (center, i) <- r.centers.zipWithIndex
     } yield (r.k, i + 1, r.silhouette, center)
-    val base = rows.toDF("k", "cluster", "score", "center")
-    val withFeatures = featureNames.zipWithIndex.foldLeft(base) {
-      case (df, (name, i)) =>
-        df.withColumn(name, round(col("center").getItem(i), 6))
-    }.drop("center")
+    val withFeatures = KMeansScan.widenCenters(
+      rows.toDF("k", "cluster", "score", "center"), featureNames.toSeq)
     withFeatures.unpivot(
       Array(col("k"), col("cluster"), col("score")),
       featureNames.map(col),

@@ -551,8 +551,11 @@ object Scale {
     * artifact, not an operator property). This is also the realistic
     * 100 TB shape: a band-lookup dimension grows with the fact's key
     * domain (new tenants/regions/catalogs), not by densifying one fixed
-    * value range 10-fold. */
-  private val TenantStride = 1000000000L
+    * value range 10-fold. private[graft]: [[graft.ScaleBench]] keys its
+    * staging offsets off THIS constant, so the two strides can never
+    * silently drift apart (a wider staging stride with an unchanged
+    * tenant divisor would quietly restore the ~100× cross product). */
+  private[graft] val TenantStride = 1000000000L
 
   def intervalJoinBands(spark: SparkSession, dir: String): DataFrame = {
     // probe point = event value in its tenant's value neighborhood;

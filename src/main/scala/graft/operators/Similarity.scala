@@ -765,6 +765,16 @@ object Similarity {
         .select(col("vec_id"), col("emb_d")),
       dir, nlist, trainFraction, trainIters)
 
+  /** Deterministic content-based training sample: keep a row iff the
+    * Knuth-style hash of its id lands under fraction·2²⁰ — membership is
+    * a pure function of (vec_id, fraction), immune to partition/fetch
+    * order (see the ivfIndexOver body comment). fraction ≥ 1 keeps
+    * everything without evaluating the hash. */
+  private def trainSampleOf(vecs: DataFrame, fraction: Double): DataFrame =
+    if (fraction >= 1.0) vecs
+    else vecs.filter(
+      pmod(xxhash64(col("vec_id")), lit(1048576L)) < lit((fraction * 1048576.0).toLong))
+
   /** [[ivfIndex]] over an arbitrary `(vec_id, emb_d)` corpus frame;
     * `memoKey` must identify the corpus uniquely within the session. */
   private def ivfIndexOver(
@@ -778,20 +788,23 @@ object Similarity {
         // iterations — quantizer quality needs only the density shape,
         // not convergence, and at corpus scale full-data training would
         // dominate the build.
-        // The sample is small relative to the corpus (quantizer training
-        // needs density shape, not volume); collapse it so the fit's
-        // per-iteration jobs don't pay full-corpus-width task scheduling
-        // — but scale the partition count WITH the sample (≈8k rows per
-        // partition, 4..32): a fixed coalesce(4) serialized the k=8192
-        // fit at the 200k-vector calibration corpus onto 4 cores
-        // (measured: the KMeans stage dominated the whole build). Every
-        // driver-fixture sample (≤20k rows) still lands at exactly 4
-        // partitions, so existing index geometry is bit-unchanged.
+        // CONTENT-based sample (round-16 diff review), not Bernoulli
+        // sample(): position-based sampling decides membership by row
+        // iteration order, which downstream of any shuffle is not
+        // guaranteed stable across retries/machines — the trained
+        // centroids (and every recall artifact) would drift between
+        // otherwise-identical runs. Hashing the id makes membership a
+        // pure function of the data. At every corpus this repo stages
+        // the auto trainFraction is 1.0, so the sample IS the corpus
+        // and nothing measured changes.
+        // Width: repartition (not coalesce — it cannot widen a
+        // single-file scan) to ≈8k rows per partition, 4..32: a fixed
+        // 4 serialized the k=8192 fit at the 200k calibration corpus
+        // onto 4 cores (measured: the KMeans stage dominated the build).
         val sampleRows = (trainFraction *
           corpusCountOver(spark, corpus, memoKey)).toLong
-        val trainSample = vecs
-          .sample(withReplacement = false, trainFraction, seed = 1L)
-          .coalesce(math.min(32L, math.max(4L, sampleRows / 8192L)).toInt)
+        val trainSample = trainSampleOf(vecs, trainFraction)
+          .repartition(math.min(32L, math.max(4L, sampleRows / 8192L)).toInt)
         // Random (seeded) init, not kmeans||: the parallel init runs
         // several distributed passes to seed centers "well", which a
         // coarse quantizer doesn't need — list assignment only has to
@@ -834,9 +847,14 @@ object Similarity {
       val base = normalizedOf(corpus).cache()
       try {
         val vecs = base.withColumn("features", array_to_vector(col("unit")))
-        val trainSample = vecs
-          .sample(withReplacement = false, trainFraction, seed = 1L)
-          .coalesce(4)
+        // same content-based sample + sample-scaled width as the
+        // single-level build — the fixed coalesce(4) would serialize the
+        // l1=65536 fit at exactly the scale this path activates
+        val n = corpusCountOver(spark, corpus, memoKey)
+        def fitWidth(fraction: Double): Int =
+          math.min(32L, math.max(4L, (fraction * n).toLong / 8192L)).toInt
+        val trainSample = trainSampleOf(vecs, trainFraction)
+          .repartition(fitWidth(trainFraction))
         val km1 = new KMeans().setK(l1).setSeed(1L).setMaxIter(trainIters)
           .setInitMode("random").setFeaturesCol("features")
           .setPredictionCol("l1").fit(trainSample)
@@ -852,12 +870,12 @@ object Similarity {
             expr("zip_with(unit, centroid1, (x, c) -> x - c)")))
         // the shared residual codebook needs only ~32 samples per
         // centroid, like the level-1 rule — and l2 is small (≤1024)
-        val tf2 = math.min(1.0,
-          32.0 * l2 / math.max(corpusCountOver(spark, corpus, memoKey), 1L))
+        val tf2 = math.min(1.0, 32.0 * l2 / math.max(n, 1L))
         val km2 = new KMeans().setK(l2).setSeed(2L).setMaxIter(trainIters)
           .setInitMode("random").setFeaturesCol("rfeat")
           .setPredictionCol("l2")
-          .fit(assigned1.sample(withReplacement = false, tf2, seed = 2L).coalesce(4))
+          .fit(trainSampleOf(assigned1.select(col("vec_id"), col("rfeat")), tf2)
+            .repartition(fitWidth(tf2)))
         val lists = km2.transform(assigned1)
           .select(col("vec_id").as("neighbor_id"), col("unit").as("unit_c"),
             (col("l1").cast("long") * l2 + col("l2")).as("list_id"))

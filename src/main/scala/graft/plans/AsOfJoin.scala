@@ -228,12 +228,19 @@ object AsOfJoin {
       // row of the hot (key, date) pair back onto ONE lane while the
       // ×salt right replication cost is still paid — whole-row hashing
       // spreads duplicates and stays deterministic for task retries.
-      // MapType columns are unorderable and xxhash64 rejects them — drop
-      // them from the LANE hash only (they still ride the join output);
-      // the key+time pair is always hashable, so the hash input is never
-      // empty (round-16 review)
-      val laneCols = left.schema.fields.filterNot(
-        _.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      // MapType columns — at ANY nesting depth (a map inside a struct or
+      // array fails xxhash64 the same way) — are dropped from the LANE
+      // hash only; they still ride the join output. The key+time pair is
+      // always hashable, so the hash input is never empty (round-16
+      // review, nesting hole closed in the same round's diff review).
+      import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+      def hasMap(dt: DataType): Boolean = dt match {
+        case _: MapType => true
+        case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+        case a: ArrayType => hasMap(a.elementType)
+        case _ => false
+      }
+      val laneCols = left.schema.fields.filterNot(f => hasMap(f.dataType))
         .map(f => col(f.name)).toIndexedSeq
       val l2 = left
         .withColumn("__lane",

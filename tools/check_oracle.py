@@ -44,10 +44,23 @@ def main(sf_dir, out_dir):
             # checking the queries that don't read it instead of aborting
             print(f"  [warn] table {t}: view creation failed ({e})")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_pass = n_fail = 0
+    # Verify writes the names it actually RAN; entries outside it are a
+    # previous run's leftovers in a reused outDir — skipping them keeps a
+    # stale oracled result from reading as "rows-only PASS" after a
+    # filtered re-run narrowed the oracle dump
+    manifest = None
+    mpath = f"{out_dir}/run_manifest.json"
+    if os.path.exists(mpath):
+        manifest = set(json.load(open(mpath)))
+    n_pass = n_fail = n_stale = 0
     seen = set()
     for name in sorted(os.listdir(out_dir)):
         qdir = os.path.join(out_dir, name)
+        base = name[:-len("_FAILED")] if name.endswith("_FAILED") else name
+        if manifest is not None and base not in manifest and (
+                os.path.isdir(qdir) or name.endswith("_FAILED")):
+            n_stale += 1
+            continue
         # sentinel-first (the Verify.scala contract): a thrown query must
         # read as THREW, never as PASS against stale output
         if name.endswith("_FAILED") and os.path.isfile(qdir):
@@ -105,8 +118,10 @@ def main(sf_dir, out_dir):
                 svf, dvf = sv.astype(float), dv.astype(float)
                 eq = np.allclose(svf, dvf, rtol=0, atol=0, equal_nan=True)
                 # the driver compares STRINGS, where -0.0 != 0.0 even
-                # though allclose treats them equal — mimic it
-                if eq and not (np.signbit(svf) == np.signbit(dvf)).all():
+                # though allclose treats them equal — mimic it (masked to
+                # non-NaN rows: matching NaNs may differ in sign bit)
+                num = ~(np.isnan(svf) | np.isnan(dvf))
+                if eq and not (np.signbit(svf[num]) == np.signbit(dvf[num])).all():
                     print(f"  {name}.{c}: SIGNED-ZERO-MISMATCH (-0.0 vs 0.0 — the driver's string hash flags this)")
                     ok = False
                 elif not eq:
@@ -133,7 +148,8 @@ def main(sf_dir, out_dir):
     for name in sorted(set(oracles) - seen):
         print(f"  {name}: MISSING (oracle declared, no output dir or sentinel)")
         n_fail += 1
-    print(f"== {n_pass} pass, {n_fail} fail ==")
+    stale = f" ({n_stale} stale entries outside run_manifest skipped)" if n_stale else ""
+    print(f"== {n_pass} pass, {n_fail} fail =={stale}")
     return n_fail
 
 if __name__ == "__main__":
