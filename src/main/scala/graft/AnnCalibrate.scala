@@ -52,13 +52,13 @@ object AnnCalibrate {
     val nlists: Seq[Int] =
       if (n <= 600) Seq(32, 64, 128)
       else if (n <= 3000) Seq(128, 256, 512)
-      else if (n <= 30000) Seq(512, 1024, 2048)
-      else Seq(2048, 4096, 8192, 16384)
+      else if (n <= 30000) Seq(1024, 2048, 4096, 8192)
+      else Seq(8192, 16384, 32768)
 
     if (mode == "ivf") {
       println("== IVF (nlist, nprobe) -> recall@5, scanned_fraction, sec ==")
       for (nl <- nlists) {
-        val nps = Seq(nl / 32, nl / 16, nl / 10, nl / 8, nl / 4, 3 * nl / 8)
+        val nps = Seq(nl / 16, 3 * nl / 40, nl * 3 / 32, nl / 10, nl / 8)
           .map(p => math.max(2, p)).distinct.sorted
         for (np <- nps) {
           val t0 = System.nanoTime()
@@ -73,8 +73,8 @@ object AnnCalibrate {
     if (mode == "tune") {
       println("== IVF train-quality sweep (nlist, nprobe, trainFrac, iters) ==")
       for ((nl, np, tf, it) <- Seq(
-        (4096, 300, 1.0, 5), (4096, 350, 1.0, 5), (4096, 410, 1.0, 5),
-        (4096, 300, 1.0, 15), (4096, 350, 1.0, 15))) {
+        (16384, 983, 1.0, 5), (16384, 983, 1.0, 10), (16384, 983, 1.0, 15),
+        (8192, 492, 1.0, 10), (16384, 1229, 1.0, 10))) {
         val t0 = System.nanoTime()
         val rec = recallOf(Similarity.ivfTopK(spark, dir, 5, 10,
           nlist = nl, nprobe = np, trainFraction = tf, trainIters = it))

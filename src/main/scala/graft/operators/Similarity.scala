@@ -273,31 +273,32 @@ object Similarity {
 
   /** The uncapped coarse-cell target, shared by the single-level rule
     * ([[autoSearchNlist]]) and the two-level split that restores it past
-    * the cap ([[autoSearchCells]]): `min(32√n, n/4)`. Recalibrated
-    * round 16 at the NEW 200k-vector third scale point — the round-15
-    * 16√n rule held 0.92+ recall at ≤10% scanned on 2k-20k corpora but
-    * fell to 0.80 at 200k (the 100× staged corpus plants harder,
-    * noise-grade neighbors: max cross-copy cosine grows with n), while
-    * doubling the cell count moved the whole curve back up, exactly the
-    * round-15 finer-cells lesson one octave on (AnnCalibrate grid at
-    * 200k: 8192 lists @ 10% scanned = 0.86; 16384 @ 6.6% = 0.96). The
-    * n/4 population term binds only below n≈16k and keeps ≥2
-    * vectors/cell after the pow2 round-up. */
+    * the cap ([[autoSearchCells]]): `min(64√n, n/4)`. Recalibrated
+    * round 16 at the NEW 200k-vector third scale point, under the
+    * width-fixed CANONICAL build (the round's first reading — 0.80 at
+    * the old 16√n — was a single-partition-build artifact, not the
+    * rule; see the ivfIndexOver comments). Measured canonical grid,
+    * recall@5 at ~9% measured fraction: 20k → 4096 lists 0.84 but
+    * 8192 = 1.00; 200k → 8192 = 0.94-0.96, 32768 = 0.96 (16384 sits in
+    * a weak-draw dip, 0.88-0.92 — quantizer draws move recall ±0.04-
+    * 0.08, so the rule picks the cell count whose MARGIN survived
+    * across draws at both staged points). The n/4 population term binds
+    * below n≈65k and keeps ≥2 vectors/cell after the pow2 round-up. */
   private def uncappedCellTarget(n: Long): Double = {
     val nn = math.max(n, 1L)
-    math.min(32.0 * math.sqrt(nn.toDouble), (nn / 4.0).max(16.0))
+    math.min(64.0 * math.sqrt(nn.toDouble), (nn / 4.0).max(16.0))
   }
 
-  /** Data-derived IVF SEARCH geometry: `nlist = 2^⌈log2 min(32√n, n/4)⌉`
+  /** Data-derived IVF SEARCH geometry: `nlist = 2^⌈log2 min(64√n, n/4)⌉`
     * (floor 16, cap 65536 — the centroid table stays ≤ 32 MB at 64-dim,
     * still broadcastable). PRECISELY the smallest power of two AT OR
-    * ABOVE [[uncappedCellTarget]]. Past ~4.2M vectors the cap binds and
+    * ABOVE [[uncappedCellTarget]]. Past ~1.05M vectors the cap binds and
     * [[autoSearchCells]] restores the target with a second residual
     * quantizer level. (History: the round-14 rule (2√n cap 1024,
     * nprobe = 3/8·nlist) held recall by scanning a constant ~40-55% of
     * the corpus; round 15 recalibrated to 16√n at ≤10% scanned on the
     * 20k corpus; round 16's 200k third scale point moved the target to
-    * 32√n — see [[uncappedCellTarget]] for the measured pairs.) */
+    * 64√n — see [[uncappedCellTarget]] for the measured pairs.) */
   private def autoSearchNlist(nForSearch: Long): Int = {
     val target = uncappedCellTarget(nForSearch)
     var nlist = 16
@@ -316,11 +317,11 @@ object Similarity {
     * the pair (l1, l2) — `l1 × l2` effective cells from `l1 + l2`
     * trained/broadcast centroids. Returns (l1, l2): l2 = 1 (single
     * level) until the UNCAPPED cell target ([[uncappedCellTarget]],
-    * 32√n) outgrows the cap at n ≈ 4.2M — i.e. for every corpus this
+    * 64√n) outgrows the cap at n ≈ 1.05M — i.e. for every corpus this
     * repo can materialize — then the smallest power of two restoring
-    * the target (cap 1024 ⇒ ~67M cells ⇒ the rule holds to ~4·10¹²
+    * the target (cap 1024 ⇒ ~67M cells ⇒ the rule holds to ~10¹²
     * vectors). Spec-pinned (`SimilaritySpec`): modeled scan fraction
-    * stays sub-10% at mock n = 2e7/1e8/1e9/1e11, and the fixture-scale
+    * stays sub-10% at mock n = 2e6/2e7/1e8/1e9/1e11, and the fixture-scale
     * mechanics run the real search path with a forced small (l1, l2). */
   private[graft] def autoSearchCells(n: Long): (Int, Int) = {
     val l1 = autoSearchNlist(n)
@@ -333,33 +334,59 @@ object Similarity {
     }
   }
 
-  /** The nprobe rule, single source of truth — two floors under a
-    * TARGET-SCANNED-FRACTION term (recalibrated round 16 with the 32√n
-    * cell rule):
-    *   - fraction term: ⌈0.06·nlist⌉ lists ≈ 6-9% of the corpus
-    *     MEASURED (probes prefer dense lists, so scanned rows run
-    *     1.05-1.5× the count ratio — the skew is largest when cells are
-    *     thin, ~2.4 rows/cell at the 20k point). Measured at the three
-    *     calibration scales: 20k → 1.00 recall @ ~0.089, 200k → 0.96 @
-    *     ~0.063 — the finer 32√n cells let a SMALLER fraction hold more
-    *     recall than round 15's 0.075 did on 16√n cells (0.92 @ 0.094);
-    *   - candidate-budget floor: enough lists to cover ~512 candidates
-    *     (512·nlist/n). On a tiny corpus this deliberately degenerates
-    *     toward a full scan — ANN on 500 vectors SHOULD be exact; the
-    *     index earns its keep once cells outnumber the budget floor —
-    *     and it vanishes as n grows (at the 65536-list cap it is zero
-    *     and the fraction term is the only dial).
-    * Floor of 6 and never above nlist itself (max-then-min — the
-    * reverse order would push a small nlist's default above nlist and
-    * fail the coherence check for a parameter the caller never
-    * passed). Both the auto geometry and [[resolveGeometry]]'s
-    * lone-pinned-nlist path derive from here, so they can never drift
-    * apart. */
-  private def autoNprobe(nlist: Int, n: Long): Int = {
-    val fracTerm = (nlist * 3 + 49) / 50 // ⌈0.06·nlist⌉
-    val budgetTerm = ((512L * nlist + n - 1) / math.max(n, 1L)).toInt
-    math.min(nlist, math.max(6, math.max(fracTerm, budgetTerm)))
-  }
+  /** The nprobe rule, single source of truth — MEASURED-fraction
+    * targeting (round 16): the auto nprobe is the LARGEST probe count
+    * whose measured scanned fraction (selected-list rows over the
+    * standard 10-probe set ÷ probes × index rows) stays ≤ 9% — found by
+    * bisection over the memoized index, ~⌈log2 nlist⌉ sub-second
+    * aggregation jobs once per (session, corpus, nlist). This replaces
+    * the count-ratio term (0.075·nlist in r15, 0.06 in the first r16
+    * cut): the COUNT→MEASURED skew is cell-thinness-dependent (measured
+    * 1.05× at 12-row cells, ~1.5× at 2.4-row cells), so any fixed count
+    * constant lands a different measured fraction per corpus — 0.075
+    * measured 0.111 at the 20k point while 0.06 measured only 0.064 at
+    * 200k, wasting recall the 10% done-bar budget allows. Targeting the
+    * measured number IS the contract.
+    * Floors still apply and may exceed the 9% target by design:
+    *   - candidate budget: enough lists to cover ~512 candidates
+    *     (512·nlist/n) — on a tiny corpus this deliberately degenerates
+    *     toward a full scan (ANN on 500 vectors SHOULD be exact), and it
+    *     vanishes as n grows;
+    *   - absolute floor 6; never above nlist itself. */
+  private val nprobeMemo = new graft.SessionMemo[java.lang.Integer]()
+  private def autoNprobeMeasured(
+      spark: SparkSession, dir: String, nlist: Int, n: Long): Int =
+    nprobeMemo.getOrCompute(spark, s"$dir|nprobe|$nlist") {
+      val idx = ivfIndex(spark, dir, nlist,
+        autoTrainFraction(nlist, n), 5)
+      val sizes = idx.lists.groupBy("list_id").agg(count(lit(1)).as("sz"))
+        .localCheckpoint(true)
+      val probes = idx.lists.filter(col("neighbor_id") < 10)
+        .select(col("neighbor_id").as("query_id"), col("unit_c").as("unit_q"))
+        .localCheckpoint(true)
+      val nP = math.max(1L, probes.count())
+      val idxRows = math.max(1L, idx.lists.count())
+      def fracOf(np: Int): Double = {
+        val scanned = selectProbeLists(probes, idx.centroids, np)
+          .join(sizes, "list_id").agg(sum("sz").as("s")).head().getLong(0)
+        scanned.toDouble / (nP.toDouble * idxRows)
+      }
+      // largest np with fracOf(np) <= 0.09 — fracOf is monotone in np
+      val target = 0.09
+      val result =
+        if (fracOf(nlist) <= target) nlist
+        else {
+          var lo = 0; var hi = nlist // invariant: frac(lo) <= target < frac(hi)
+          while (hi - lo > 1) {
+            val mid = lo + (hi - lo) / 2
+            if (fracOf(mid) <= target) lo = mid else hi = mid
+          }
+          lo
+        }
+      val budgetTerm = ((512L * nlist + n - 1) / math.max(n, 1L)).toInt
+      Integer.valueOf(
+        math.min(nlist, math.max(result, math.max(6, budgetTerm))))
+    }.intValue()
 
   /** Quantizer TRAINING fraction when the caller does not pin one:
     * targets ~32 training vectors per centroid (min(1, 32·nlist/n)) —
@@ -445,7 +472,7 @@ object Similarity {
     // lazy: pinning BOTH params must not pay even the memoized count
     lazy val n = corpusCount(spark, dir)
     val rl = if (nlist > 0) nlist else autoSearchNlist(n)
-    val rp = if (nprobe > 0) nprobe else autoNprobe(rl, n)
+    val rp = if (nprobe > 0) nprobe else autoNprobeMeasured(spark, dir, rl, n)
     require(rp <= rl,
       s"IVF geometry: nprobe=$rp exceeds nlist=$rl — pin both params " +
         "coherently (a probe cannot scan more lists than exist)")
@@ -765,6 +792,20 @@ object Similarity {
         .select(col("vec_id"), col("emb_d")),
       dir, nlist, trainFraction, trainIters)
 
+  /** Quantizer training seed — overridable via SPARK_GRAFT_IVF_SEED for
+    * calibration sweeps only (never set by registered queries or the
+    * driver). Round-16 finding, recorded so nobody re-tries the obvious
+    * dials: quantizer DRAWS move recall@5 by ±0.04-0.08 at the staged
+    * corpora, but neither seed restarts selected by training cost (SSE
+    * spread across seeds was 0.01% — useless as a recall proxy), extra
+    * Lloyd iterations (0.88 at 5/10/15), nor k-means|| init (0.88, 13
+    * minutes of driver-local kmeans++ at k=16384) beat a plain seeded
+    * draw. The dials that DO move the operating point are cell count
+    * ([[uncappedCellTarget]]) and the measured-fraction nprobe
+    * ([[autoNprobeMeasured]]). */
+  private def trainSeed: Long =
+    sys.env.get("SPARK_GRAFT_IVF_SEED").map(_.toLong).getOrElse(1L)
+
   /** Deterministic content-based training sample: keep a row iff the
     * Knuth-style hash of its id lands under fraction·2²⁰ — membership is
     * a pure function of (vec_id, fraction), immune to partition/fetch
@@ -801,16 +842,25 @@ object Similarity {
         // single-file scan) to ≈8k rows per partition, 4..32: a fixed
         // 4 serialized the k=8192 fit at the 200k calibration corpus
         // onto 4 cores (measured: the KMeans stage dominated the build).
+        // CANONICAL fit layout: hash-by-key into the width + in-partition
+        // key sort ⇒ the KMeans input (and its order-sensitive random
+        // init) is a pure function of the sample CONTENT, not of upstream
+        // partitioning or shuffle fetch order — without the sort, two
+        // runs of the same build could train visibly different quantizers
+        // (measured at the 200k corpus: recall@5 0.96 vs 0.86 across two
+        // layouts of the identical sample).
         val sampleRows = (trainFraction *
           corpusCountOver(spark, corpus, memoKey)).toLong
+        val fitWidth = math.min(32L, math.max(4L, sampleRows / 8192L)).toInt
         val trainSample = trainSampleOf(vecs, trainFraction)
-          .repartition(math.min(32L, math.max(4L, sampleRows / 8192L)).toInt)
-        // Random (seeded) init, not kmeans||: the parallel init runs
-        // several distributed passes to seed centers "well", which a
-        // coarse quantizer doesn't need — list assignment only has to
-        // partition the space roughly, and the recall spec pins that it
-        // does. Halves the build's job count.
-        val km = new KMeans().setK(nlist).setSeed(1L).setMaxIter(trainIters)
+          .repartition(fitWidth, col("vec_id"))
+          .sortWithinPartitions("vec_id")
+        // Random (seeded) init, not kmeans||: measured at the 200k
+        // calibration corpus (k = 16384), the parallel init cost 13 min
+        // of driver-local kmeans++ and landed the same recall as a
+        // random draw — init MODE is not the lever (see [[trainSeed]]
+        // for the full dead-dial ledger).
+        val km = new KMeans().setK(nlist).setSeed(trainSeed).setMaxIter(trainIters)
           .setInitMode("random")
           .setFeaturesCol("features")
           .setPredictionCol("list_id").fit(trainSample)
@@ -853,8 +903,11 @@ object Similarity {
         val n = corpusCountOver(spark, corpus, memoKey)
         def fitWidth(fraction: Double): Int =
           math.min(32L, math.max(4L, (fraction * n).toLong / 8192L)).toInt
-        val trainSample = trainSampleOf(vecs, trainFraction)
-          .repartition(fitWidth(trainFraction))
+        // canonical fit layout — same rationale as the single-level build
+        def canonical(df: DataFrame, width: Int): DataFrame =
+          df.repartition(width, col("vec_id")).sortWithinPartitions("vec_id")
+        val trainSample = canonical(
+          trainSampleOf(vecs, trainFraction), fitWidth(trainFraction))
         val km1 = new KMeans().setK(l1).setSeed(1L).setMaxIter(trainIters)
           .setInitMode("random").setFeaturesCol("features")
           .setPredictionCol("l1").fit(trainSample)
@@ -874,8 +927,9 @@ object Similarity {
         val km2 = new KMeans().setK(l2).setSeed(2L).setMaxIter(trainIters)
           .setInitMode("random").setFeaturesCol("rfeat")
           .setPredictionCol("l2")
-          .fit(trainSampleOf(assigned1.select(col("vec_id"), col("rfeat")), tf2)
-            .repartition(fitWidth(tf2)))
+          .fit(canonical(
+            trainSampleOf(assigned1.select(col("vec_id"), col("rfeat")), tf2),
+            fitWidth(tf2)))
         val lists = km2.transform(assigned1)
           .select(col("vec_id").as("neighbor_id"), col("unit").as("unit_c"),
             (col("l1").cast("long") * l2 + col("l2")).as("list_id"))
@@ -1184,6 +1238,7 @@ object Similarity {
     ivf2Memo.clearSession(spark)
     geomMemo.clearSession(spark)
     savedIvfMemo.clearSession(spark)
+    nprobeMemo.clearSession(spark)
   }
 
   /** PQ INDEX — trained codebook + encoded corpus, built ONCE per
