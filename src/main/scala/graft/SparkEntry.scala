@@ -171,8 +171,10 @@ object SparkEntry {
     "q_stream_sessions_tws" -> ((s: SparkSession, d: String) => graft.streaming.EventsStream.sessionizeTws(s, d)),
     "q_stream_sessions_timers" -> ((s: SparkSession, d: String) => graft.streaming.EventsStream.sessionizeTimers(s, d)),
     "q_stream_static_join"  -> graft.streaming.EventsStream.streamStaticJoin _,
-    // rows-only (sketch estimates; StreamingSpec pins vs batch exact)
-    "q_stream_hll_daily"    -> graft.streaming.EventsStream.hllDailyUsers _,
+    // bounded-error oracled since round 17 (exact half + 5% envelope
+    // boolean — the estimate still comes from the real streaming query;
+    // SketchSpec additionally pins the raw estimates vs batch exact)
+    "q_stream_hll_daily"    -> graft.streaming.EventsStream.hllDailyUsersBounded _,
     // SQL-text interface + CSV source/sink parity
     "q_sql_tpch_q1"   -> SqlInterface.tpchQ1 _,
     "q_sql_tpch_q3"   -> SqlInterface.tpchQ3 _,
@@ -2187,6 +2189,16 @@ object SparkEntry {
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
         |       TRUE AS within_bound
         |FROM lineitem GROUP BY 1""".stripMargin,
+    // streaming HLL (round 17): the exact half mirrors the engine's
+    // batch audit join — UTC session makes window(ts,'1 day') identical
+    // to epoch-day flooring (the hourly precedent above)
+    "q_stream_hll_daily" ->
+      """SELECT CAST(FLOOR(EPOCH(ts) / 86400) * 86400 AS BIGINT) AS day_start,
+        |       event_type,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |       COUNT(*) AS n_events,
+        |       TRUE AS within_bound
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "q_approx_quantiles" ->
       """SELECT event_type,
         |       ROUND(QUANTILE_CONT(value, 0.1), 4) AS p10_exact,

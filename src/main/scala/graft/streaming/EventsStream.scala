@@ -643,6 +643,37 @@ object EventsStream {
     }
   }
 
+  /** [[hllDailyUsers]] as a BOUNDED-ERROR ORACLE query (round-17,
+    * closing the last rows-only streaming row): the stream-maintained
+    * HLL estimate can't be replayed in DuckDB, but the batch side's
+    * bounded-boolean scheme applies directly — the output carries the
+    * EXACT distinct users per (day, type), recomputed here by a batch
+    * aggregate DuckDB mirrors independently (UTC session ⇒
+    * `window(ts,'1 day')` ≡ epoch-day flooring), and a boolean
+    * asserting the STREAMED estimate sits within the same 5% envelope
+    * `SketchSpec` has always pinned for this sketch (5×rsd at
+    * lgConfigK = 14 is ~4.1%; 5% is the committed spec bound). The
+    * estimate itself still comes from the real streaming query — a
+    * broken sketch merge, watermark regression, or drifted day
+    * bucketing now flips the boolean or the exact half and fails the
+    * driver's t2 hash gate instead of only a spec floor. The exact
+    * audit join is test-scale scaffolding, like
+    * [[graft.operators.Sketches.cmsHeavyHitters]]'s audit half — at
+    * 100 TB the sketch table serves alone. */
+  def hllDailyUsersBounded(spark: SparkSession, dir: String): DataFrame = {
+    val streamed = hllDailyUsers(spark, dir)
+    val exact = Tables.load(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count_distinct(col("user_id")).as("exact_users"))
+      .select(unix_timestamp(col("window.start")).as("day_start"),
+        col("event_type"), col("exact_users"))
+    streamed.join(exact, Seq("day_start", "event_type"))
+      .select(col("day_start"), col("event_type"), col("exact_users"),
+        col("n_events"),
+        (abs(col("est_users").cast("double") - col("exact_users").cast("double"))
+          <= col("exact_users").cast("double") * 0.05).as("within_bound"))
+  }
+
   /** `foreachBatch` sink: each micro-batch is partially aggregated and
     * written to its own parquet path keyed by batch id (idempotent
     * overwrite = exactly-once on retry), then the partials are merged.

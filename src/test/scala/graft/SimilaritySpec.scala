@@ -62,6 +62,38 @@ class SimilaritySpec extends SparkSpec {
     assert(pq == pq2)
   }
 
+  test("nprobe calibration is stable under id re-keying of the index (content-hash probe set)") {
+    // round-16 verdict ask #7: the calibration probes must derive from
+    // vector CONTENT, not `neighbor_id < 10` — feed the bisection core
+    // the SAME index twice, once with re-keyed ids, and the chosen
+    // nprobe must not move (under the old id-ordered scheme the two
+    // runs calibrate on different probe vectors and can diverge).
+    val nlist = 16
+    val lists = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id").cast("long").as("neighbor_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("unit_c"))
+      .withColumn("list_id",
+        pmod(xxhash64(col("unit_c")), lit(nlist)).cast("int"))
+      .cache()
+    try {
+      val n = lists.count()
+      // content-derived representative per list — id-independent
+      val centroids = lists.groupBy("list_id")
+        .agg(min_by(col("unit_c"), xxhash64(col("unit_c"))).as("centroid"))
+      val chosen = Similarity.measuredNprobeOf(
+        lists, centroids, nlist, n, "(spec fixture)")
+      // a bijective re-key that inverts id order entirely: old probe
+      // ids 0..9 land at the TOP of the new id space
+      val rekeyed = lists.withColumn(
+        "neighbor_id", lit(1000000L) - col("neighbor_id"))
+      val chosenRekeyed = Similarity.measuredNprobeOf(
+        rekeyed, centroids, nlist, n, "(spec fixture, re-keyed)")
+      assert(chosen == chosenRekeyed,
+        s"nprobe moved under id re-keying: $chosen vs $chosenRekeyed")
+      assert(chosen >= 1 && chosen <= nlist)
+    } finally lists.unpersist(blocking = false)
+  }
+
   test("two-level geometry: cells track the uncapped target, sub-10% modeled scan past the cap") {
     // below the cap-bind point (~1.05M vectors: 64√n > 65536) every
     // corpus is single-level — the routing can never change behavior on
