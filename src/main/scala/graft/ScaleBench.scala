@@ -252,6 +252,26 @@ object ScaleBench {
       stageEmbeddings(spark, src, emb100, 100)
     val recall100 = recallAt(emb100)
 
+    // MIN-OVER-SEEDS recall (round-17 verdict ask #2): the committed
+    // recall numbers were single-draw while the round-16 ledger measured
+    // quantizer draws moving recall ±0.04-0.08 at fixed geometry — so
+    // the artifact now records recall@5 under THREE independent draws at
+    // the 20k and 200k points, and the MIN is the margin number. The
+    // seed reaches the build via the graft.ivf.seed system property
+    // (trainSeed); the seed is part of every index-memo key, so draws
+    // coexist in-session and the default-seed indexes the timed sweep
+    // used above are untouched.
+    val seedList = Seq(1L, 2L, 3L)
+    def seedRecallsAt(dir: String): Map[String, Seq[Double]] = {
+      val per = seedList.map { s =>
+        sys.props("graft.ivf.seed") = s.toString
+        try recallAt(dir) finally sys.props.remove("graft.ivf.seed")
+      }
+      AnnVariants.map(v => v -> per.map(_(v))).toMap
+    }
+    val seedsBig = seedRecallsAt(out)
+    val seeds100 = seedRecallsAt(emb100)
+
     // SCANNED FRACTION beside recall (round 15): recall alone can hide
     // an index that scans most of the corpus — the pair is the cost
     // model. The coarse-gate fraction is SHARED by q_ann_ivf and
@@ -263,6 +283,57 @@ object ScaleBench {
     val (ivfFracSmall, pqRrFracSmall) = fracsAt(src)
     val (ivfFracBig, pqRrFracBig) = fracsAt(out)
     val (ivfFrac100, pqRrFrac100) = fracsAt(emb100)
+
+    // THIRD SCALE POINT for the heaviest documented-linear floors
+    // (round-17 verdict ask #4): q_asof_join (10× ratio 8.19),
+    // q_dup_spans (7.17), q_hot_shingles (6.54) were asserted linear
+    // from two points — a 30× staging (documents/events/orders only,
+    // the tables those queries read) turns the assertion into a
+    // measured slope: ratio ≈ copies for a linear operator.
+    val sf3 = sys.env.getOrElse("SPARK_GRAFT_SF3_DIR", "/tmp/graft_sf3")
+    val sf3Copies = 30
+    val SlopeQueries = Seq("q_asof_join", "q_dup_spans", "q_hot_shingles")
+    validateStagedParams(sf3,
+      s"copies=$sf3Copies;src=$src;tables=documents,events,orders")
+    generate(spark, src, sf3, sf3Copies, Set("documents", "events", "orders"))
+    val slope30 = SlopeQueries.map { nq =>
+      val fn = SparkEntry.queries(nq)
+      val runs = (1 to runsFor(nq)).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sf3).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      nq -> runs
+    }.toMap
+
+    // FOURTH ANN SCALE POINT — the two-level residual route on real data
+    // past the cap-bind point (round-17 verdict ask #1). Env-gated: the
+    // 65536-centroid level-1 KMeans costs ~40-60 min of build, far above
+    // the rest of this harness — set SPARK_GRAFT_ANN5M=1 for artifact
+    // runs (the committed SCALEBENCH_sf1.json is produced with it on;
+    // see the PLANS.md round-17 ledger). Measures the exact user-facing
+    // dispatch: ivfTopK auto-routes to ivfTopKTwoLevel at 5M vectors,
+    // recall vs brute force, and the MEASURED scanned fraction of the
+    // cells the serve path actually selects.
+    val ann5mOn = sys.env.get("SPARK_GRAFT_ANN5M").contains("1")
+    val emb5m = sys.env.getOrElse("SPARK_GRAFT_EMB5M_DIR", "/tmp/graft_emb5m")
+    val fiveM: Option[(Long, Double, Double, Double)] = if (!ann5mOn) None else {
+      validateStagedParams(emb5m, s"copies=2500;src=$src;tables=embeddings")
+      if (!new java.io.File(s"$emb5m/embeddings.parquet/_SUCCESS").exists())
+        stageEmbeddings(spark, src, emb5m, 2500)
+      val n5 = spark.read.parquet(s"$emb5m/embeddings.parquet").count()
+      val brute5 = SparkEntry.queries("q_ann_brute")(spark, emb5m)
+        .select("query_id", "neighbor_id").localCheckpoint(true)
+      val denom5 = brute5.count().toDouble
+      require(denom5 > 0, "two_level_5m: brute-force top-k is empty")
+      val t0 = System.nanoTime()
+      val served = SparkEntry.queries("q_ann_ivf")(spark, emb5m)
+        .select("query_id", "neighbor_id")
+      val rec = brute5.join(served, Seq("query_id", "neighbor_id")).count() / denom5
+      val sec = (System.nanoTime() - t0) / 1e9
+      val frac = graft.operators.Similarity.ivf2ScannedFraction(spark, emb5m, 10)
+      Some((n5, rec, frac, sec))
+    }
 
     // Locale.ROOT like Bench.f3: a comma-decimal default locale would
     // corrupt the JSON artifact
@@ -286,6 +357,25 @@ object ScaleBench {
     val recallJson = AnnVariants.map { n =>
       s""""$n":{"sf01":${f3(recallSmall(n))},"sf1":${f3(recallBig(n))},"sf10":${f3(recall100(n))}}"""
     }.mkString("{", ",", "}")
+    val seedsJson = AnnVariants.map { n =>
+      def arr(m: Map[String, Seq[Double]]): String =
+        m(n).map(f3).mkString("[", ",", "]")
+      s""""$n":{"seeds":[${seedList.mkString(",")}],""" +
+        s""""sf1":${arr(seedsBig)},"sf1_min":${f3(seedsBig(n).min)},""" +
+        s""""sf10":${arr(seeds100)},"sf10_min":${f3(seeds100(n).min)}}"""
+    }.mkString("{", ",", "}")
+    val slopeJson = SlopeQueries.map { nq =>
+      val s01 = small.find(_.name == nq).get.min
+      val s10 = big.find(_.name == nq).get.min
+      val s30 = slope30(nq).min
+      s""""$nq":{"sf01_sec":${f3(s01)},"sf1_sec":${f3(s10)},"sf3_sec":${f3(s30)},""" +
+        s""""ratio10":${f3(s10 / s01)},"ratio30":${f3(s30 / s01)},""" +
+        s""""sf3_runs":[${slope30(nq).map(f3).mkString(",")}]}"""
+    }.mkString(s"""{"copies":$sf3Copies,""", ",", "}")
+    val fiveMJson = fiveM.map { case (n5, rec, frac, sec) =>
+      s""","two_level_5m":{"n":$n5,"recall_at_5":${f3(rec)},""" +
+        s""""measured_scanned":${f3(frac)},"sec":${f3(sec)}}"""
+    }.getOrElse("")
     val fracJson =
       s"""{"coarse_gate":{"sf01":${f3(ivfFracSmall)},"sf1":${f3(ivfFracBig)},"sf10":${f3(ivfFrac100)}},""" +
       s""""pq_rerank":{"sf01":${f3(pqRrFracSmall)},"sf1":${f3(pqRrFracBig)},"sf10":${f3(pqRrFrac100)}}}"""
@@ -293,7 +383,7 @@ object ScaleBench {
     // backslash in SPARK_GRAFT_SF_DIR would corrupt the artifact line
     val srcJson = src.replace("\\", "\\\\").replace("\"", "\\\"")
     val line =
-      s"""{"metric":"scaleup_ratio","copies":$copies,"src":"$srcJson","recall_at_5":$recallJson,"scanned_frac":$fracJson,"queries":$perQuery}"""
+      s"""{"metric":"scaleup_ratio","copies":$copies,"src":"$srcJson","recall_at_5":$recallJson,"recall_seeds":$seedsJson,"scanned_frac":$fracJson,"thirty_x":$slopeJson$fiveMJson,"queries":$perQuery}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("/root/repo/SCALEBENCH_sf1.json"),
       (line + "\n").getBytes("UTF-8"))
@@ -301,16 +391,23 @@ object ScaleBench {
     spark.stop()
   }
 
-  private def generate(spark: SparkSession, src: String, out: String, copies: Int): Unit = {
+  private val AllTables = Set("documents", "embeddings", "events",
+    "lineitem", "orders", "part", "customer", "supplier", "nation", "region")
+
+  private def generate(spark: SparkSession, src: String, out: String,
+      copies: Int, tables: Set[String] = AllTables): Unit = {
     val cp = spark.range(copies).select(col("id").as("copy"))
     def raw(name: String, schema: StructType): DataFrame =
       spark.read.schema(schema).parquet(s"$src/$name.parquet").crossJoin(cp)
     // skip tables already staged; a table counts as staged only when its
     // _SUCCESS marker exists — a run killed mid-write leaves a partial
     // parquet directory a bare-existence check would silently bench
-    // against. Each block below is independent.
+    // against. Each block below is independent. `tables` narrows the set
+    // for partial stagings (the 30× slope corpus needs only the three
+    // tables its queries read).
     def missing(name: String): Boolean =
-      !new java.io.File(s"$out/$name.parquet/_SUCCESS").exists()
+      tables(name) &&
+        !new java.io.File(s"$out/$name.parquet/_SUCCESS").exists()
 
     if (missing("documents"))
     raw("documents", Tables.documents)

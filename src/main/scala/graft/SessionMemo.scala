@@ -60,10 +60,18 @@ final class SessionMemo[V <: AnyRef] {
       val e = it.next()
       val s = e.getValue.get()
       if (s == null || s.sparkContext.isStopped) {
+        // owner record FIRST, entries second (round-17 review): with the
+        // old entry-sweep-then-owner order, a getOrCompute finishing its
+        // long compute between the two steps could see the owner still
+        // present, skip its re-registration, and then lose the owner —
+        // leaving its freshly published entry permanently unevictable.
+        // With this order the worst interleave is a SPURIOUS eviction of
+        // a just-published live entry (the next call recomputes), never
+        // a leak.
+        it.remove()
         val prefix = e.getKey + "|"
         val keys = m.keySet().iterator()
         while (keys.hasNext) if (keys.next().startsWith(prefix)) keys.remove()
-        it.remove()
       }
     }
   }

@@ -113,8 +113,17 @@ object HashExpressions {
       s"minhash_sig: p=$p must be in (0, 3037000499] so a*h+b stays in Long")
     require(a.length == b.length,
       s"minhash_sig: coefficient arrays differ: ${a.length} vs ${b.length}")
-    require(a.forall(x => x >= 0 && x < p) && b.forall(x => x >= 0 && x < p),
-      "minhash_sig: coefficients must lie in [0, p)")
+    // a_j = 0 is DEGENERATE, not just out-of-convention: slot j becomes
+    // the constant b_j for every non-empty input, so all documents agree
+    // on it — estimated Jaccard silently inflates by 1/nPerm per zero
+    // coefficient and LSH bands over-admit. Universal hashing needs
+    // a ∈ [1, p) (Dedup.permA already draws 1 + |r| % (p-1)); enforce the
+    // real contract here rather than only at that call site.
+    require(a.forall(x => x >= 1 && x < p),
+      "minhash_sig: multipliers a must lie in [1, p) - a = 0 makes that " +
+        "permutation constant and biases every Jaccard estimate")
+    require(b.forall(x => x >= 0 && x < p),
+      "minhash_sig: offsets b must lie in [0, p)")
 
     override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
       case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
@@ -279,6 +288,14 @@ object HashExpressions {
   case class SignBits(child: Expression, planes: Array[Array[Double]], bitsPerWord: Int)
       extends UnaryExpression {
     require(bitsPerWord > 0 && bitsPerWord <= 64)
+    // ragged PLANES are the constructor-side twin of the per-row
+    // dimension check in compute: a shorter row would AIOOBE mid-task,
+    // a longer one would silently sign a truncated projection — the
+    // exact recall degradation the per-row check exists to forbid.
+    // Validate once at plan construction, like MinHashSig's coefficients.
+    require(planes.isEmpty || planes.forall(_.length == planes(0).length),
+      s"sign_bits: ragged hyperplane rows (lengths ${planes.map(_.length).distinct.mkString(",")}) - " +
+        "every plane must have the vector dimension")
 
     override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
       case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
@@ -305,16 +322,25 @@ object HashExpressions {
       if (nBits > 0 && arr.numElements() != dim)
         throw new IllegalArgumentException(
           s"sign_bits: vector has ${arr.numElements()} dims but planes expect $dim")
+      // decode the vector ONCE into a primitive array (round-17 review):
+      // the old per-plane re-decode paid nBits×dim ArrayData accessor
+      // calls plus a float/double branch per element — ~196k decodes per
+      // row at 256 bits × 768 dims where dim suffices; the inner loop is
+      // now pure primitive-array arithmetic
+      val x = new Array[Double](dim)
       var v = 0
-      while (v < dim) { rejectNullElement(arr, v, "sign_bits"); v += 1 }
+      while (v < dim) {
+        rejectNullElement(arr, v, "sign_bits")
+        x(v) = if (childIsFloat) arr.getFloat(v).toDouble else arr.getDouble(v)
+        v += 1
+      }
       var j = 0
       while (j < nBits) {
         val p = planes(j)
         var acc = 0.0
         var i = 0
         while (i < dim) {
-          val x = if (childIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
-          acc += x * p(i)
+          acc += x(i) * p(i)
           i += 1
         }
         if (acc >= 0) out(j / bitsPerWord) |= (1L << (j % bitsPerWord))

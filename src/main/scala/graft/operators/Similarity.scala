@@ -364,7 +364,7 @@ object Similarity {
     // the measurement build below IS the serving index, never an extra
     // throwaway build
     nprobeMemo.getOrCompute(spark,
-        s"$dir|nprobe|$nlist|$trainFraction|$trainIters") {
+        s"$dir|nprobe|$nlist|$trainFraction|$trainIters|s$trainSeed") {
       val idx = ivfIndex(spark, dir, nlist, trainFraction, trainIters)
       Integer.valueOf(
         measuredNprobeOf(idx.lists, idx.centroids, nlist, n, s"for $dir"))
@@ -849,7 +849,13 @@ object Similarity {
     * ([[uncappedCellTarget]]) and the measured-fraction nprobe
     * ([[autoNprobeMeasured]]). */
   private def trainSeed: Long =
-    sys.env.get("SPARK_GRAFT_IVF_SEED").map(_.toLong).getOrElse(1L)
+    // the system property exists for IN-JVM sweeps (ScaleBench's
+    // min-over-seeds recall rebuilds the index per seed inside one
+    // session — env vars can't change mid-JVM); the env var stays the
+    // cross-process calibration dial. Neither is ever set by registered
+    // queries or the driver.
+    sys.props.get("graft.ivf.seed").orElse(
+      sys.env.get("SPARK_GRAFT_IVF_SEED")).map(_.toLong).getOrElse(1L)
 
   /** Deterministic content-based training sample: keep a row iff the
     * Knuth-style hash of its id lands under fraction·2²⁰ — membership is
@@ -866,7 +872,10 @@ object Similarity {
   private def ivfIndexOver(
       spark: SparkSession, corpus: DataFrame, memoKey: String, nlist: Int,
       trainFraction: Double, trainIters: Int): IvfIndex =
-    ivfMemo.getOrCompute(spark, s"$memoKey|$nlist|$trainFraction|$trainIters") {
+    // trainSeed is part of the key: an in-JVM seed sweep (sys.props)
+    // must rebuild, not serve the previous draw's index
+    ivfMemo.getOrCompute(spark,
+        s"$memoKey|$nlist|$trainFraction|$trainIters|s$trainSeed") {
       val base = normalizedOf(corpus).cache()
       try {
         val vecs = base.withColumn("features", array_to_vector(col("unit")))
@@ -937,7 +946,8 @@ object Similarity {
   private def ivf2IndexOver(
       spark: SparkSession, corpus: DataFrame, memoKey: String,
       l1: Int, l2: Int, trainFraction: Double, trainIters: Int): Ivf2Index =
-    ivf2Memo.getOrCompute(spark, s"$memoKey|2L|$l1|$l2|$trainFraction|$trainIters") {
+    ivf2Memo.getOrCompute(spark,
+        s"$memoKey|2L|$l1|$l2|$trainFraction|$trainIters|s$trainSeed") {
       require(l2 >= 2, s"ivf2Index: l2=$l2 — use the single-level index below 2")
       val base = normalizedOf(corpus).cache()
       try {
@@ -1013,6 +1023,29 @@ object Similarity {
       nprobe: Int = 0,
       trainFraction: Double = 0.0,
       trainIters: Int = 5): DataFrame = {
+    val (idx, rl1r, rl2, rp) =
+      ivf2Resolve(spark, dir, l1, l2, nprobe, trainFraction, trainIters)
+    val probes = idx.lists.filter(col("neighbor_id") < nProbes)
+      .select(col("neighbor_id").as("query_id"), col("unit_c").as("unit_q"))
+    val cellsSel = ivf2SelectCells(idx, probes, rl1r, rl2, rp)
+    // the same cosine top-k tail as ivfSearch
+    val w = Window.partitionBy("query_id").orderBy(col("cos_raw").desc, col("neighbor_id").asc)
+    cellsSel.join(idx.lists, "list_id")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_raw", dot("unit_q", "unit_c"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("cos_raw"), 6).as("cos"))
+  }
+
+  /** Geometry + index resolution shared by [[ivfTopKTwoLevel]] and the
+    * measured-fraction probe [[ivf2ScannedFraction]] — one copy so the
+    * fraction recorded in SCALEBENCH describes exactly the cells the
+    * serve path scans. Returns (index, l1, l2, nprobe-in-cells). */
+  private def ivf2Resolve(
+      spark: SparkSession, dir: String, l1: Int, l2: Int, nprobe: Int,
+      trainFraction: Double, trainIters: Int): (Ivf2Index, Int, Int, Int) = {
     val n = corpusCount(spark, dir)
     val (rl1, rl2) =
       if (l1 > 0 && l2 > 0) (l1, l2)
@@ -1032,26 +1065,35 @@ object Similarity {
         .withColumn("emb_d", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
         .select(col("vec_id"), col("emb_d")),
       dir, rl1, rl2, tf, trainIters)
-    val probes = idx.lists.filter(col("neighbor_id") < nProbes)
-      .select(col("neighbor_id").as("query_id"), col("unit_c").as("unit_q"))
+    (idx, rl1, rl2, rp)
+  }
+
+  /** The two-step probe-cell cut of the two-level search: oversampled
+    * level-1 group cut, then exact combined-centroid ranking of the
+    * (l1, l2) pairs, top `rp` CELLS per probe. Extracted so the scanned
+    * fraction can be MEASURED on the same selection the serve path
+    * uses. */
+  private def ivf2SelectCells(
+      idx: Ivf2Index, probes: DataFrame, rl1: Int, rl2: Int, rp: Int): DataFrame = {
     // level 1: oversampled cell-group cut (the best (l1,l2) pair is not
     // always inside the single best l1 group — 2× covers the residual
     // displacement at the published oversampling convention)
-    val nprobe1 = math.min(rl1.toLong, math.max(4L, (2L * rp + rl2 - 1) / rl2)).toInt
+    val nprobe1Base =
+      math.min(rl1.toLong, math.max(4L, (2L * rp + rl2 - 1) / rl2))
     val w1 = Window.partitionBy("query_id").orderBy(col("d1").asc, col("l1").asc)
     val lvl1 = probes.crossJoin(broadcast(idx.centroids1
         .withColumn("cn2_1", norm2("centroid1"))))
       .withColumn("qd1", dot("unit_q", "centroid1"))
       .withColumn("d1", col("cn2_1") - lit(2.0) * col("qd1"))
       .withColumn("r1", row_number().over(w1))
-      .filter(col("r1") <= nprobe1)
+      .filter(col("r1") <= nprobe1Base)
       .select(col("query_id"), col("unit_q"), col("l1"),
         col("centroid1"), col("cn2_1"), col("qd1"))
     // level 2: exact combined-centroid distance over nprobe1 × l2 rows
     // per probe; keep the top nprobe CELLS
     val wc = Window.partitionBy("query_id")
       .orderBy(col("d12").asc, col("list_id").asc)
-    val cellsSel = lvl1.crossJoin(broadcast(idx.centroids2
+    lvl1.crossJoin(broadcast(idx.centroids2
         .withColumn("cn2_2", norm2("centroid2"))))
       .withColumn("d12",
         col("cn2_1") + col("cn2_2") + lit(2.0) * dot("centroid1", "centroid2")
@@ -1060,15 +1102,31 @@ object Similarity {
       .withColumn("rc", row_number().over(wc))
       .filter(col("rc") <= rp)
       .select(col("query_id"), col("unit_q"), col("list_id"))
-    // the same cosine top-k tail as ivfSearch
-    val w = Window.partitionBy("query_id").orderBy(col("cos_raw").desc, col("neighbor_id").asc)
-    cellsSel.join(idx.lists, "list_id")
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos_raw", dot("unit_q", "unit_c"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rnk"),
-        round(col("cos_raw"), 6).as("cos"))
+  }
+
+  /** MEASURED scanned fraction of the two-level route — the residual
+    * twin of [[ivfScannedFraction]] (round-17, closing the verdict's
+    * "modeled, not measured" gap): actual inverted-list rows behind the
+    * cells [[ivf2SelectCells]] picks for the standard probe set, over
+    * probes × (index rows − 1) (own-row exclusion, as in the
+    * single-level measurement). Shares [[ivf2Resolve]] with the serve
+    * path, so the number describes the query actually served. */
+  def ivf2ScannedFraction(
+      spark: SparkSession, dir: String, nProbes: Int = 10,
+      l1: Int = 0, l2: Int = 0, nprobe: Int = 0,
+      trainFraction: Double = 0.0, trainIters: Int = 5): Double = {
+    val (idx, rl1r, rl2, rp) =
+      ivf2Resolve(spark, dir, l1, l2, nprobe, trainFraction, trainIters)
+    val probes = idx.lists.filter(col("neighbor_id") < nProbes)
+      .select(col("neighbor_id").as("query_id"), col("unit_c").as("unit_q"))
+      .localCheckpoint(true)
+    val nP = probes.count()
+    require(nP > 0, s"ivf2ScannedFraction: empty probe set for $dir")
+    val sizes = idx.lists.groupBy("list_id").agg(count(lit(1)).as("sz"))
+    val scanned = ivf2SelectCells(idx, probes, rl1r, rl2, rp)
+      .join(sizes, "list_id").agg(sum("sz").as("s")).head().getLong(0)
+    val idxRows = idx.lists.count()
+    scanned.toDouble / (nP.toDouble * math.max(1L, idxRows - 1))
   }
 
   /** IVF-Flat ANN: nlist-way KMeans coarse quantizer, nprobe-list search.
@@ -1155,7 +1213,7 @@ object Similarity {
     // (measured 4× the whole query once the auto geometry raised nlist
     // to 512 at sf0.1). Every call still READS the persisted tables from
     // disk, so the cold-serve path stays the thing measured.
-    val out = savedIvfMemo.getOrCompute(spark, s"$dir|$rl") {
+    val out = savedIvfMemo.getOrCompute(spark, s"$dir|$rl|s$trainSeed") {
       val idx = ivfIndex(spark, dir, rl,
         resolveTrainFraction(spark, dir, 0.0, rl), 5)
       val o = Scale.scratchDir("graft_ivf")
@@ -1435,7 +1493,11 @@ object Similarity {
     // beside the index itself, per the file's build-once/serve-forever
     // doctrine: paying it per serve call would put a corpus-wide join
     // back into the path everything above is pruning.
-    val codesListed = pqListedMemo.getOrCompute(spark, s"$dir|$rs|$nCodes|$rl") {
+    // seed in the key: the coarse lists under the codes are a function
+    // of the quantizer draw (the PQ codebook itself is strided-init
+    // deterministic, so pqMemo needs no seed term)
+    val codesListed = pqListedMemo.getOrCompute(spark,
+        s"$dir|$rs|$nCodes|$rl|s$trainSeed") {
       pq.codes
         .join(ivf.lists.select(col("neighbor_id"), col("list_id")), "neighbor_id")
         .localCheckpoint(true)

@@ -43,11 +43,17 @@ class RangeGenSource extends TableProvider {
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
+      properties: util.Map[String, String]): Table = {
+    // DSv2 options are contractually case-INsensitive, but getTable
+    // receives the original-cased map — a raw .get("rows") would
+    // silently ignore option("Rows", ...) and generate the default
+    // row count with no error (round-17 review)
+    val opts = new CaseInsensitiveStringMap(properties)
     new RangeGenTable(
-      Option(properties.get("rows")).map(_.toLong).getOrElse(100000L),
-      Option(properties.get("slices")).map(_.toInt).getOrElse(8),
-      Option(properties.get("batchRows")).map(_.toLong).getOrElse(10000L))
+      Option(opts.get("rows")).map(_.toLong).getOrElse(100000L),
+      Option(opts.get("slices")).map(_.toInt).getOrElse(8),
+      Option(opts.get("batchRows")).map(_.toLong).getOrElse(10000L))
+  }
 }
 
 object RangeGenSource {
@@ -67,6 +73,21 @@ object RangeGenSource {
     * claimed — wrapping `value` negative here while the oracle's BIGINT
     * raises instead. Exact at ANY id now. */
   def userId(id: Long): Long = id % 97
+
+  /** ONE slice-planning rule for the batch scan and the micro-batch
+    * stream (round-17 review): the scaladoc's "a batch's partitions are
+    * the same per-slice ranges the batch scan plans" identity was held
+    * up by two hand-copied loops — a skew/slicing tweak to one would
+    * silently diverge batch and streaming row production. */
+  def sliceRanges(lo: Long, hi: Long, slices: Int,
+      fields: Array[String]): Array[InputPartition] = {
+    val n = hi - lo
+    if (n <= 0) return Array.empty
+    val per = math.max(1L, (n + slices - 1) / slices)
+    (lo until hi by per).map { s =>
+      RangeGenPartition(s, math.min(s + per, hi), fields)
+    }.toArray
+  }
   // plain id % 5: the old (id * 31) % 5 was value-identical (31 ≡ 1 mod
   // 5) for every non-overflowing id but wrapped Long-negative at
   // id ≥ ~2.97e17 and crashed the array index — the same overflow class
@@ -98,13 +119,21 @@ final class RangeGenScanBuilder(rows: Long, slices: Int, batchRows: Long)
   /** Range predicates on the id column shrink the GENERATED range —
     * compute-side pruning. Everything else stays with Spark. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // v+1 must not wrap at Long.MaxValue (round-17 review): `> MaxValue`
+    // is an empty range (no id exceeds it), `<= MaxValue` is vacuous —
+    // the naive +1 turned the former into "everything" and the latter
+    // into "nothing", both consumed as pushed so Spark kept no residual
+    def succOrMax(v: Long): Long = if (v == Long.MaxValue) v else v + 1
     val (accepted, rest) = filters.partition {
-      case GreaterThan("event_id", v: Long) => lo = math.max(lo, v + 1); true
+      case GreaterThan("event_id", v: Long) =>
+        lo = if (v == Long.MaxValue) Long.MaxValue
+             else math.max(lo, v + 1); true
       case GreaterThanOrEqual("event_id", v: Long) => lo = math.max(lo, v); true
       case LessThan("event_id", v: Long) => hi = math.min(hi, v); true
-      case LessThanOrEqual("event_id", v: Long) => hi = math.min(hi, v + 1); true
+      case LessThanOrEqual("event_id", v: Long) =>
+        hi = math.min(hi, succOrMax(v)); true
       case EqualTo("event_id", v: Long) =>
-        lo = math.max(lo, v); hi = math.min(hi, v + 1); true
+        lo = math.max(lo, v); hi = math.min(hi, succOrMax(v)); true
       case IsNotNull(_) => true // nothing here is ever null
       case _ => false
     }
@@ -133,13 +162,8 @@ final class RangeGenScan(lo: Long, hi: Long, slices: Int, batchRows: Long,
 
   /** Even id-range slices; empty slices are dropped. At cluster scale
     * this is one generator task per executor core with zero coordination. */
-  override def planInputPartitions(): Array[InputPartition] = {
-    val n = hi - lo
-    val per = math.max(1L, (n + slices - 1) / slices)
-    (lo until hi by per).map { s =>
-      RangeGenPartition(s, math.min(s + per, hi), required.fieldNames)
-    }.toArray
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    RangeGenSource.sliceRanges(lo, hi, slices, required.fieldNames)
 
   override def createReaderFactory(): PartitionReaderFactory =
     RangeGenReaderFactory
@@ -199,16 +223,9 @@ final class RangeGenMicroBatchStream(
     throw new UnsupportedOperationException(
       "latestOffset(start, limit) is used (SupportsAdmissionControl)")
 
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[GenOffset].id
-    val e = end.asInstanceOf[GenOffset].id
-    val n = e - s
-    if (n <= 0) return Array.empty
-    val per = math.max(1L, (n + slices - 1) / slices)
-    (s until e by per).map { p =>
-      RangeGenPartition(p, math.min(p + per, e), fields)
-    }.toArray
-  }
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    RangeGenSource.sliceRanges(start.asInstanceOf[GenOffset].id,
+      end.asInstanceOf[GenOffset].id, slices, fields)
 
   override def createReaderFactory(): PartitionReaderFactory = RangeGenReaderFactory
   override def commit(end: Offset): Unit = ()
