@@ -308,13 +308,19 @@ object ScaleBench {
 
     // FOURTH ANN SCALE POINT — the two-level residual route on real data
     // past the cap-bind point (round-17 verdict ask #1). Env-gated: the
-    // 65536-centroid level-1 KMeans costs ~40-60 min of build, far above
-    // the rest of this harness — set SPARK_GRAFT_ANN5M=1 for artifact
-    // runs (the committed SCALEBENCH_sf1.json is produced with it on;
-    // see the PLANS.md round-17 ledger). Measures the exact user-facing
-    // dispatch: ivfTopK auto-routes to ivfTopKTwoLevel at 5M vectors,
-    // recall vs brute force, and the MEASURED scanned fraction of the
-    // cells the serve path actually selects.
+    // 65536-centroid level-1 KMeans costs ~85 min of build (measured)
+    // and wants a BUILD-class heap (64g), while the timed sweeps must
+    // run at the 8g SERVING heap — a 64g local[32] JVM inflates
+    // allocation-heavy 10x-sweep queries 2-3x (measured both heaps,
+    // fresh-JVM diag; PLANS.md round-17). Protocol therefore splits the
+    // JVMs: the committed SCALEBENCH_sf1.json carries sweeps from an 8g
+    // run (this flag off) plus the two_level_5m field merged from the
+    // SPARK_GRAFT_ANN5M=1 64g run (committed whole as
+    // SCALEBENCH_sf1_64g.json), with a `jvm` provenance note in the
+    // field itself. recall/measured_scanned are heap-independent.
+    // Measures the exact user-facing dispatch: ivfTopK auto-routes to
+    // ivfTopKTwoLevel at 5M vectors, recall vs brute force, and the
+    // MEASURED scanned fraction of the cells the serve path selects.
     val ann5mOn = sys.env.get("SPARK_GRAFT_ANN5M").contains("1")
     val emb5m = sys.env.getOrElse("SPARK_GRAFT_EMB5M_DIR", "/tmp/graft_emb5m")
     val fiveM: Option[(Long, Double, Double, Double)] = if (!ann5mOn) None else {

@@ -108,6 +108,12 @@ object Tables {
     * physical precision and stays in Long arithmetic — epoch nanos
     * overflow a double's 53-bit mantissa). */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // named error instead of a bare NoSuchElementException("key not
+    // found") from the Map — the message should say what the valid
+    // tables ARE, since a typo here surfaces from deep inside a query
+    require(schemas.contains(name),
+      s"Tables.load: unknown table '$name' — expected one of " +
+        schemas.keys.toSeq.sorted.mkString(", "))
     val df = spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
     if (name == "events") {
       import org.apache.spark.sql.functions._

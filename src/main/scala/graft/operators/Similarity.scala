@@ -337,7 +337,9 @@ object Similarity {
   /** The nprobe rule, single source of truth — MEASURED-fraction
     * targeting (round 16): the auto nprobe is the LARGEST probe count
     * whose measured scanned fraction (selected-list rows over the
-    * standard 10-probe set ÷ probes × index rows) stays ≤ 9% — found by
+    * standard 10-probe set ÷ probes × index rows) stays ≤ 9.8% (the
+    * done-bar budget minus bisection granularity — see the target
+    * comment in [[measuredNprobeOf]]; 9% until round 17) — found by
     * bisection over the memoized index, ~⌈log2 nlist⌉ sub-second
     * aggregation jobs once per (session, corpus, nlist). This replaces
     * the count-ratio term (0.075·nlist in r15, 0.06 in the first r16
@@ -347,7 +349,7 @@ object Similarity {
     * measured 0.111 at the 20k point while 0.06 measured only 0.064 at
     * 200k, wasting recall the 10% done-bar budget allows. Targeting the
     * measured number IS the contract.
-    * Floors still apply and may exceed the 9% target by design:
+    * Floors still apply and may exceed the target by design:
     *   - candidate budget: enough lists to cover ~512 candidates
     *     (512·nlist/n) — on a tiny corpus this deliberately degenerates
     *     toward a full scan (ANN on 500 vectors SHOULD be exact), and it
@@ -408,8 +410,19 @@ object Similarity {
           .join(sizes, "list_id").agg(sum("sz").as("s")).head().getLong(0)
         scanned.toDouble / (nP.toDouble * idxRows)
       }
-      // largest np with fracOf(np) <= 0.09 — fracOf is monotone in np
-      val target = 0.09
+      // largest np with fracOf(np) <= target — fracOf is monotone in np.
+      // target = 0.098: the published done-bar is recall ≥ 0.92 at ≤10%
+      // SCANNED, so the bar itself is the budget — and the round-17
+      // 3-seed sweep at the 200k corpus measured a weak quantizer draw
+      // (seed 3) at 0.90 recall under the former 0.09 target while the
+      // same draw recovers 0.96 by 0.110 scanned; the 0.002 shave under
+      // the bar covers bisection granularity (one list ≈ 0.0003 at the
+      // calibrated geometries), so the measured fraction stays ≤ 0.10
+      // while weak draws keep every percent of recall the bar's budget
+      // can buy. (History: 0.09 in r16 — chosen as margin under the bar
+      // before min-over-seeds measurement showed the margin was being
+      // paid for twice.)
+      val target = 0.098
       val result =
         if (fracOf(nlist) <= target) nlist
         else {

@@ -134,6 +134,7 @@ class SimilaritySpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     val a = run()
     val recall = (brute & a).size.toDouble / brute.size
+    info(s"two-level fixture recall@5 = $recall")
     assert(recall >= 0.5, s"two-level recall@5 at 25% of cells = $recall")
     // full output shape: every probe keeps exactly k survivors
     val shaped = Similarity.ivfTopKTwoLevel(spark, sf, 5, 10, l1 = 8, l2 = 4, nprobe = 8)
