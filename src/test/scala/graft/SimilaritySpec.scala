@@ -135,7 +135,15 @@ class SimilaritySpec extends SparkSpec {
     val a = run()
     val recall = (brute & a).size.toDouble / brute.size
     info(s"two-level fixture recall@5 = $recall")
-    assert(recall >= 0.5, s"two-level recall@5 at 25% of cells = $recall")
+    // floor = the MEASURED fixture value (0.52, deterministic under the
+    // pinned seed — round 17): this forced 32-cell geometry on 500
+    // vectors is a mechanics exercise far below the path's real
+    // operating point, so its recall is legitimately low; the
+    // operating-point evidence is the committed 5M-vector auto-route
+    // measurement (SCALEBENCH_sf1.json two_level_5m: recall@5 0.98 at
+    // 0.065 measured scanned). A regression below the fixture's own
+    // measured value still fails here.
+    assert(recall >= 0.52, s"two-level recall@5 at 25% of cells = $recall")
     // full output shape: every probe keeps exactly k survivors
     val shaped = Similarity.ivfTopKTwoLevel(spark, sf, 5, 10, l1 = 8, l2 = 4, nprobe = 8)
       .groupBy("query_id").count().collect()
