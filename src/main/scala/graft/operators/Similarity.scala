@@ -417,11 +417,20 @@ object Similarity {
       // (seed 3) at 0.90 recall under the former 0.09 target while the
       // same draw recovers 0.96 by 0.110 scanned; the 0.002 shave under
       // the bar covers bisection granularity (one list ≈ 0.0003 at the
-      // calibrated geometries), so the measured fraction stays ≤ 0.10
-      // while weak draws keep every percent of recall the bar's budget
-      // can buy. (History: 0.09 in r16 — chosen as margin under the bar
-      // before min-over-seeds measurement showed the margin was being
-      // paid for twice.)
+      // calibrated geometries). (History: 0.09 in r16 — chosen as margin
+      // under the bar before min-over-seeds measurement showed the
+      // margin was being paid for twice.)
+      // HONEST LIMIT (round-17 review): the target bounds the fraction
+      // over THIS content-hash calibration set; the artifact-recorded /
+      // served fraction ([[ivfScannedFraction]]) is measured over the
+      // id<10 evaluation probes, a different sample of the same index.
+      // The two agree on every staged corpus (both read 0.098), but a
+      // corpus whose early ids sit in denser-than-average cells can
+      // serve a somewhat higher fraction than the calibrated one — and
+      // because the served number is independently measured and
+      // committed beside recall every round, that divergence is
+      // VISIBLE, never silent. Capping by an id-probe bisection would
+      // re-introduce exactly the id-order dependence ask #7 removed.
       val target = 0.098
       val result =
         if (fracOf(nlist) <= target) nlist
@@ -1135,11 +1144,17 @@ object Similarity {
       .localCheckpoint(true)
     val nP = probes.count()
     require(nP > 0, s"ivf2ScannedFraction: empty probe set for $dir")
-    val sizes = idx.lists.groupBy("list_id").agg(count(lit(1)).as("sz"))
-    val scanned = ivf2SelectCells(idx, probes, rl1r, rl2, rp)
-      .join(sizes, "list_id").agg(sum("sz").as("s")).head().getLong(0)
+    // candidate rows ACTUALLY evaluated — the same join the serve path
+    // runs, own row excluded (round-17 review: the earlier list-size sum
+    // counted each probe's own row in the numerator while the
+    // denominator excluded it, contradicting the doc; ~2e-6 absolute at
+    // 5M, but the stated exclusion should be implemented, not claimed)
+    val evaluated = ivf2SelectCells(idx, probes, rl1r, rl2, rp)
+      .join(idx.lists.select("list_id", "neighbor_id"), "list_id")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .count()
     val idxRows = idx.lists.count()
-    scanned.toDouble / (nP.toDouble * math.max(1L, idxRows - 1))
+    evaluated.toDouble / (nP.toDouble * math.max(1L, idxRows - 1))
   }
 
   /** IVF-Flat ANN: nlist-way KMeans coarse quantizer, nprobe-list search.

@@ -68,29 +68,42 @@ class SimilaritySpec extends SparkSpec {
     // the SAME index twice, once with re-keyed ids, and the chosen
     // nprobe must not move (under the old id-ordered scheme the two
     // runs calibrate on different probe vectors and can diverge).
-    val nlist = 16
-    val lists = Tables.load(spark, sf, "embeddings")
-      .select(col("vec_id").cast("long").as("neighbor_id"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("unit_c"))
+    // GEOMETRY WITH TEETH (round-17 review): the first fixture (n=2000,
+    // nlist=16) floor-clamped — chosen = max(6, budget) for ANY probe
+    // set, so the equality assertion could not detect a diverging probe
+    // set. This fixture is sized so the BISECTION result strictly
+    // exceeds every floor (n=8192, nlist=128: budget = 512·128/8192 = 8,
+    // bisection ≈ 0.098·128 ≈ 12), and the test asserts that, so the
+    // equality check verifies the bisection path itself.
+    val nlist = 128
+    val n = 8192L
+    val lists = spark.range(n).select(
+        col("id").as("neighbor_id"),
+        expr("transform(sequence(0, 7), i -> cos(CAST(id * 37 + i * 101 AS DOUBLE)))")
+          .as("unit_c"))
       .withColumn("list_id",
         pmod(xxhash64(col("unit_c")), lit(nlist)).cast("int"))
       .cache()
     try {
-      val n = lists.count()
+      assert(lists.count() == n)
       // content-derived representative per list — id-independent
       val centroids = lists.groupBy("list_id")
         .agg(min_by(col("unit_c"), xxhash64(col("unit_c"))).as("centroid"))
       val chosen = Similarity.measuredNprobeOf(
         lists, centroids, nlist, n, "(spec fixture)")
+      val floor = math.max(6, ((512L * nlist + n - 1) / n).toInt)
+      assert(chosen > floor,
+        s"fixture lost its teeth: chosen=$chosen is floor-clamped ($floor) — " +
+          "the re-key equality below would hold for any probe set")
       // a bijective re-key that inverts id order entirely: old probe
-      // ids 0..9 land at the TOP of the new id space
+      // ids land at the TOP of the new id space
       val rekeyed = lists.withColumn(
-        "neighbor_id", lit(1000000L) - col("neighbor_id"))
+        "neighbor_id", lit(10000000L) - col("neighbor_id"))
       val chosenRekeyed = Similarity.measuredNprobeOf(
         rekeyed, centroids, nlist, n, "(spec fixture, re-keyed)")
       assert(chosen == chosenRekeyed,
         s"nprobe moved under id re-keying: $chosen vs $chosenRekeyed")
-      assert(chosen >= 1 && chosen <= nlist)
+      assert(chosen <= nlist)
     } finally lists.unpersist(blocking = false)
   }
 
