@@ -177,6 +177,24 @@ object ScaleBench {
     }
   }
 
+  /** Served-fraction gate (round-18, verdict ask #7): the nprobe
+    * bisection calibrates on content-hash probes; the artifact records
+    * the id<10 evaluation probes. The two agree on every staged corpus
+    * today, but a corpus whose early ids sit in dense cells can serve
+    * above the calibrated fraction — this turns that artifact RED at
+    * the done-bar-derived bound (0.098 calibrated + 0.007 divergence
+    * allowance) instead of recording a silently-higher number. Applied
+    * only where the bisection, not the small-corpus candidate floor,
+    * governs the geometry: the sf0.1 source corpus (2k vectors) floors
+    * at ~0.33 BY DESIGN and is exempt. */
+  private[graft] def requireServedFraction(what: String, frac: Double): Unit =
+    require(frac <= 0.105, String.format(java.util.Locale.ROOT,
+      "%s: served scanned fraction %.3f exceeds the calibrated 0.098 " +
+        "target + 0.007 divergence allowance - the id<10 evaluation " +
+        "probes sit in denser cells than the content-hash calibration " +
+        "set on this corpus (Similarity.measuredNprobeOf HONEST LIMIT)",
+      what, Double.box(frac)))
+
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val out = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
@@ -189,6 +207,19 @@ object ScaleBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // ANN5M-ONLY mode (round 18): the 64g build-class JVM exists for ONE
+    // measurement — the 5M two-level point — yet the r17 protocol re-ran
+    // the whole 8g sweep inside it first (~2 h of heap-inflated timings
+    // committed only as provenance). SPARK_GRAFT_ANN5M_ONLY=1 goes
+    // straight to the 5M block (which writes SCALEBENCH_sf1_64g.json
+    // itself, incrementally per draw); the canonical 8g artifact is
+    // untouched and a later 8g run merges the refreshed field as before.
+    if (sys.env.get("SPARK_GRAFT_ANN5M_ONLY").contains("1")) {
+      runAnn5m(spark, src)
+      spark.stop()
+      return
+    }
 
     validateStagedParams(out, s"copies=$copies;src=$src")
     // per-TABLE existence checks, not a single all-or-nothing sentinel:
@@ -297,19 +328,29 @@ object ScaleBench {
     val (ivfFracSmall, pqRrFracSmall) = fracsAt(src)
     val (ivfFracBig, pqRrFracBig) = fracsAt(out)
     val (ivfFrac100, pqRrFrac100) = fracsAt(emb100)
+    // sf01 is exempt: its 2k-vector corpus is candidate-floor-governed
+    // (~0.33 by design, the "ANN on a tiny corpus should be near-exact"
+    // rule); sf1/sf10 are bisection-governed and must sit at the target
+    requireServedFraction("scanned_frac.coarse_gate sf1", ivfFracBig)
+    requireServedFraction("scanned_frac.coarse_gate sf10", ivfFrac100)
 
     // THIRD SCALE POINT for the heaviest documented-linear floors
     // (round-17 verdict ask #4): q_asof_join (10× ratio 8.19),
     // q_dup_spans (7.17), q_hot_shingles (6.54) were asserted linear
-    // from two points — a 30× staging (documents/events/orders only,
-    // the tables those queries read) turns the assertion into a
-    // measured slope: ratio ≈ copies for a linear operator.
+    // from two points — a 30× staging (only the tables those queries
+    // read) turns the assertion into a measured slope: ratio ≈ copies
+    // for a linear operator. q_analyze_stats joined in round 18 (the
+    // r17 verdict's ask #4 remainder: at 7.82 it was the second-
+    // heaviest 10× ratio yet had no slope point — its per-copy-offset
+    // l_orderkey stream makes the two-phase NDV shuffle honestly 30×).
     val sf3 = sys.env.getOrElse("SPARK_GRAFT_SF3_DIR", "/tmp/graft_sf3")
     val sf3Copies = 30
-    val SlopeQueries = Seq("q_asof_join", "q_dup_spans", "q_hot_shingles")
+    val SlopeQueries = Seq("q_asof_join", "q_dup_spans", "q_hot_shingles",
+      "q_analyze_stats")
     validateStagedParams(sf3,
-      s"copies=$sf3Copies;src=$src;tables=documents,events,orders")
-    generate(spark, src, sf3, sf3Copies, Set("documents", "events", "orders"))
+      s"copies=$sf3Copies;src=$src;tables=documents,events,orders,lineitem")
+    generate(spark, src, sf3, sf3Copies,
+      Set("documents", "events", "orders", "lineitem"))
     val slope30 = SlopeQueries.map { nq =>
       val fn = SparkEntry.queries(nq)
       val runs = (1 to runsFor(nq)).map { _ =>
@@ -321,43 +362,10 @@ object ScaleBench {
     }.toMap
 
     // FOURTH ANN SCALE POINT — the two-level residual route on real data
-    // past the cap-bind point (round-17 verdict ask #1). Env-gated: the
-    // 65536-centroid level-1 KMeans costs ~85 min of build (measured)
-    // and wants a BUILD-class heap (64g), while the timed sweeps must
-    // run at the 8g SERVING heap — a 64g local[32] JVM inflates
-    // allocation-heavy 10x-sweep queries 2-3x (measured both heaps,
-    // fresh-JVM diag; PLANS.md round-17). Protocol therefore splits the
-    // JVMs: the committed SCALEBENCH_sf1.json carries sweeps from an 8g
-    // run (this flag off) plus the two_level_5m field merged from the
-    // SPARK_GRAFT_ANN5M=1 64g run (committed whole as
-    // SCALEBENCH_sf1_64g.json), with a `jvm` provenance note in the
-    // field itself. recall/measured_scanned are heap-independent.
-    // Measures the exact user-facing dispatch: ivfTopK auto-routes to
-    // ivfTopKTwoLevel at 5M vectors, recall vs brute force, and the
-    // MEASURED scanned fraction of the cells the serve path selects.
+    // past the cap-bind point: see [[runAnn5m]]. A 64g build-class run
+    // (SPARK_GRAFT_ANN5M=1) measures and writes SCALEBENCH_sf1_64g.json;
+    // this 8g-sweep artifact merges that file's two_level_5m field.
     val ann5mOn = sys.env.get("SPARK_GRAFT_ANN5M").contains("1")
-    val emb5m = sys.env.getOrElse("SPARK_GRAFT_EMB5M_DIR", "/tmp/graft_emb5m")
-    val fiveM: Option[(Long, Double, Double, Double)] = if (!ann5mOn) None else {
-      validateStagedParams(emb5m, s"copies=2500;src=$src;tables=embeddings")
-      if (!new java.io.File(s"$emb5m/embeddings.parquet/_SUCCESS").exists())
-        stageEmbeddings(spark, src, emb5m, 2500)
-      val n5 = spark.read.parquet(s"$emb5m/embeddings.parquet").count()
-      val brute5 = SparkEntry.queries("q_ann_brute")(spark, emb5m)
-        .select("query_id", "neighbor_id").localCheckpoint(true)
-      val denom5 = brute5.count().toDouble
-      require(denom5 > 0, "two_level_5m: brute-force top-k is empty")
-      val t0 = System.nanoTime()
-      val served = SparkEntry.queries("q_ann_ivf")(spark, emb5m)
-        .select("query_id", "neighbor_id")
-      val rec = brute5.join(served, Seq("query_id", "neighbor_id")).count() / denom5
-      // this window deliberately spans the COLD memoized index build
-      // (the ~85 min l1=65536 fit) plus the first serve — the field is
-      // named for exactly that (round-17 review: a bare "sec" beside
-      // recall read as serve latency, off by two orders of magnitude)
-      val sec = (System.nanoTime() - t0) / 1e9
-      val frac = graft.operators.Similarity.ivf2ScannedFraction(spark, emb5m, 10)
-      Some((n5, rec, frac, sec))
-    }
 
     // Locale.ROOT like Bench.f3: a comma-decimal default locale would
     // corrupt the JSON artifact
@@ -407,14 +415,12 @@ object ScaleBench {
     val artifactPath =
       if (ann5mOn) "/root/repo/SCALEBENCH_sf1_64g.json"
       else "/root/repo/SCALEBENCH_sf1.json"
-    val fiveMJson = fiveM.map { case (n5, rec, frac, sec) =>
-      s""","two_level_5m":{"n":$n5,"recall_at_5":${f3(rec)},""" +
-        s""""measured_scanned":${f3(frac)},"build_plus_serve_sec":${f3(sec)}}"""
-    }.getOrElse {
+    val fiveMJson = if (ann5mOn) runAnn5m(spark, src) else {
       // merge from a prior 64g run if one is committed. The field is a
-      // FLAT object (scalars only) by construction of the emitter above,
-      // so brace-matching is a substring scan; the legacy "sec" name is
-      // normalized. Absent file or field → no two_level_5m (honest).
+      // FLAT object (scalar values and flat arrays only) by construction
+      // of the [[runAnn5m]] emitter, so brace-matching is a substring
+      // scan; the legacy "sec" name is normalized. Absent file or field
+      // → no two_level_5m (honest).
       val p64 = java.nio.file.Paths.get("/root/repo/SCALEBENCH_sf1_64g.json")
       if (!java.nio.file.Files.exists(p64)) "" else {
         val s64 = java.nio.file.Files.readString(p64)
@@ -424,6 +430,13 @@ object ScaleBench {
           val j = s64.indexOf('}', i)
           val body = s64.substring(i + key.length, j)
             .replace("\"sec\":", "\"build_plus_serve_sec\":")
+          // r17 ADVICE: the splice assumes flatness — verify it instead
+          // of silently emitting truncated JSON if the 64g emitter ever
+          // grows a nested object (or a brace inside a string value)
+          require(!body.contains("{") && !body.contains("\\"),
+            s"SCALEBENCH_sf1_64g.json two_level_5m is not the flat " +
+              "scalars-and-arrays object the splice contract requires; " +
+              "refusing to emit a corrupt artifact")
           s""","two_level_5m":{$body,"jvm":"merged from SCALEBENCH_sf1_64g.json (its own 64g build-class JVM; this file's sweeps ran at the 8g serving heap - a 64g local JVM inflates allocation-heavy sweep queries 2-3x, see PLANS.md round-17)"}"""
         }
       }
@@ -441,6 +454,129 @@ object ScaleBench {
       (line + "\n").getBytes("UTF-8"))
     println(line)
     spark.stop()
+  }
+
+  /** The 5M-vector ANN measurement (round-17 ask #1; extended round 18
+    * with the PQ route and a min-over-draws sweep) — the two-level
+    * residual route on real data past the cap-bind point, through the
+    * exact user-facing dispatches: `ivfTopK` and `pqTopK` both
+    * auto-route their coarse gate two-level at 5M vectors. Env-gated
+    * because the 65536-centroid level-1 KMeans costs ~85 min per draw
+    * and wants a BUILD-class heap (64g), while timed sweeps must run at
+    * the 8g SERVING heap (a 64g local[32] JVM inflates allocation-heavy
+    * sweep queries 2-3x — measured, PLANS.md round-17); the split-JVM
+    * protocol routes this run's output to SCALEBENCH_sf1_64g.json and
+    * the 8g sweep artifact merges the field. recall / measured_scanned
+    * are heap-independent.
+    *
+    * The artifact is REWRITTEN after every draw (a killed multi-hour
+    * sweep keeps its completed draws), and carries commit + timestamp
+    * provenance (r17 ADVICE: a later 8g merge of a stale 64g file is
+    * now detectable). Extra quantizer draws via
+    * SPARK_GRAFT_ANN5M_SEEDS="2,3" (r17 ask #3: the committed 5M point
+    * was single-draw); index memos are cleared between draws so the JVM
+    * holds one 5M index at a time. PQ is measured on the default draw
+    * only — its codebook is strided-init deterministic (seed-free), so
+    * draw sensitivity enters only through the shared coarse gate, which
+    * the IVF seed sweep already covers.
+    *
+    * Returns the `,"two_level_5m":{...}` artifact fragment. The field
+    * stays FLAT (scalars + flat arrays, no nested objects, no escaped
+    * strings) — the 8g merge's splice contract. */
+  private def runAnn5m(spark: SparkSession, src: String): String = {
+    val emb5m = sys.env.getOrElse("SPARK_GRAFT_EMB5M_DIR", "/tmp/graft_emb5m")
+    validateStagedParams(emb5m, s"copies=2500;src=$src;tables=embeddings")
+    if (!new java.io.File(s"$emb5m/embeddings.parquet/_SUCCESS").exists())
+      stageEmbeddings(spark, src, emb5m, 2500)
+    val n5 = spark.read.parquet(s"$emb5m/embeddings.parquet").count()
+    // brute-force top-k is quantizer-seed-invariant: computed once,
+    // shared by every draw below (the r17-review lesson)
+    val brute5 = SparkEntry.queries("q_ann_brute")(spark, emb5m)
+      .select("query_id", "neighbor_id").localCheckpoint(true)
+    val denom5 = brute5.count().toDouble
+    require(denom5 > 0, "two_level_5m: brute-force top-k is empty")
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def recallOf(name: String): Double = {
+      val served = SparkEntry.queries(name)(spark, emb5m)
+        .select("query_id", "neighbor_id")
+      brute5.join(served, Seq("query_id", "neighbor_id")).count() / denom5
+    }
+    val commit = scala.util.Try(scala.sys.process.Process(
+      Seq("git", "rev-parse", "--short", "HEAD"),
+      new java.io.File("/root/repo")).!!.trim).getOrElse("unknown")
+    val measuredAt = System.currentTimeMillis() / 1000L
+
+    // DEFAULT DRAW (seed 1 — the shipped dispatch). The timed window
+    // deliberately spans the COLD memoized index build (the ~85 min
+    // l1=65536 fit) plus the first serve — named for exactly that
+    // (round-17 review: a bare "sec" beside recall read as serve
+    // latency, off by two orders of magnitude).
+    val t0 = System.nanoTime()
+    val rec1 = recallOf("q_ann_ivf")
+    val sec1 = (System.nanoTime() - t0) / 1e9
+    val frac1 = graft.operators.Similarity.ivf2ScannedFraction(spark, emb5m, 10)
+    requireServedFraction("two_level_5m", frac1)
+
+    // PQ through the shipped q_ann_pq dispatch (round-17 ask #2): the
+    // ivf2 index is already memoized from the draw above, so the
+    // marginal window is codebook train + the 5M encode + the cell
+    // attachment join + the ADC serve — exactly the marginal cost of a
+    // second index type sharing its coarse quantizer, which is how a
+    // serving engine runs them. PQ's ADC stage scans the same selected
+    // cells (pq_measured_scanned = the coarse fraction); the exact
+    // rerank touches min(rerank budget, gated pool) rows per probe —
+    // the pqRerankFraction arithmetic over the two-level gate's pool.
+    val tPq = System.nanoTime()
+    val pqRec = recallOf("q_ann_pq")
+    val pqSec = (System.nanoTime() - tPq) / 1e9
+    val pqRerankFrac = math.min(
+      graft.operators.Similarity.autoRerank(5).toDouble,
+      frac1 * (n5 - 1)) / (n5 - 1)
+
+    var seeds = Seq(1L); var recs = Seq(rec1)
+    var fracs = Seq(frac1); var secs = Seq(sec1)
+    val srcJson = src.replace("\\", "\\\\").replace("\"", "\\\"")
+    def emit(): String = {
+      val field =
+        s""","two_level_5m":{"n":$n5,"recall_at_5":${f3(rec1)},""" +
+          s""""measured_scanned":${f3(frac1)},"build_plus_serve_sec":${f3(sec1)},""" +
+          s""""pq_recall_at_5":${f3(pqRec)},"pq_measured_scanned":${f3(frac1)},""" +
+          s""""pq_rerank_frac":${String.format(java.util.Locale.ROOT, "%.6f", Double.box(pqRerankFrac))},""" +
+          s""""pq_marginal_sec":${f3(pqSec)},""" +
+          s""""seeds":[${seeds.mkString(",")}],""" +
+          s""""recall_seeds":[${recs.map(f3).mkString(",")}],""" +
+          s""""recall_seeds_min":${f3(recs.min)},""" +
+          s""""scanned_seeds":[${fracs.map(f3).mkString(",")}],""" +
+          s""""build_plus_serve_secs":[${secs.map(f3).mkString(",")}],""" +
+          s""""commit":"$commit","measured_at_epoch_sec":$measuredAt}"""
+      val line = s"""{"metric":"ann5m","src":"$srcJson"$field}"""
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("/root/repo/SCALEBENCH_sf1_64g.json"),
+        (line + "\n").getBytes("UTF-8"))
+      println(line)
+      field
+    }
+    var fragment = emit()
+    val extraSeeds = sys.env.get("SPARK_GRAFT_ANN5M_SEEDS").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).map(_.toLong)
+    for (s <- extraSeeds) {
+      // one 5M index in the JVM at a time: drop the previous draw's
+      // memoized frames before building the next (the brute frame is a
+      // plain local localCheckpoint, unaffected)
+      graft.operators.Similarity.clearIndexMemosForTest(spark)
+      sys.props("graft.ivf.seed") = s.toString
+      try {
+        val t = System.nanoTime()
+        val r = recallOf("q_ann_ivf")
+        val sc = (System.nanoTime() - t) / 1e9
+        val fr = graft.operators.Similarity.ivf2ScannedFraction(spark, emb5m, 10)
+        requireServedFraction(s"two_level_5m seed $s", fr)
+        seeds :+= s; recs :+= r; fracs :+= fr; secs :+= sc
+      } finally sys.props.remove("graft.ivf.seed")
+      fragment = emit()
+    }
+    fragment
   }
 
   private val AllTables = Set("documents", "embeddings", "events",

@@ -208,7 +208,7 @@ object SparkEntry {
     "q_cms_heavy_hitters" -> ((s: SparkSession, d: String) => Sketches.cmsHeavyHittersBounded(s, d)),
     "q_cms_probe_only"    -> ((s: SparkSession, d: String) => Sketches.cmsHeavyHittersProbeOnly(s, d)),
     "q_kmv_overlap"       -> ((s: SparkSession, d: String) => Sketches.kmvOverlapBounded(s, d)),
-    "q_kmv_overlap_est"   -> ((s: SparkSession, d: String) => Sketches.kmvOverlapEstimates(s, d)),
+    "q_kmv_overlap_est"   -> ((s: SparkSession, d: String) => Sketches.kmvOverlapEstBounded(s, d)),
     // the audit half alone IS oracle-able (plain distinct/self-join
     // algebra) — hash-gates the pair enumeration + zero-overlap default
     "q_kmv_audit"         -> ((s: SparkSession, d: String) => Sketches.kmvAudit(s, d)),
@@ -2237,6 +2237,31 @@ object SparkEntry {
         |       sa.n AS n_a, sb.n AS n_b,
         |       COALESCE(bo.n_both, CAST(0 AS BIGINT)) AS n_both,
         |       TRUE AS within_bound
+        |FROM sizes sa
+        |JOIN sizes sb ON sa.nation < sb.nation
+        |LEFT JOIN bo ON bo.nation_a = sa.nation AND bo.nation_b = sb.nation""".stripMargin,
+    // the derived-estimate family (difference/jaccard) under compound
+    // bounds — the exact trio is the same audit algebra as q_kmv_overlap;
+    // the engine-side booleans must all come out TRUE (bounds compounded
+    // from the committed component envelopes, see kmvOverlapEstBounded)
+    "q_kmv_overlap_est" ->
+      """WITH np AS (
+        |  SELECT DISTINCT n.n_name AS nation, l.l_partkey
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+        |sizes AS (SELECT nation, CAST(COUNT(*) AS BIGINT) AS n FROM np GROUP BY 1),
+        |bo AS (
+        |  SELECT a.nation AS nation_a, b.nation AS nation_b,
+        |         CAST(COUNT(*) AS BIGINT) AS n_both
+        |  FROM np a JOIN np b
+        |    ON a.l_partkey = b.l_partkey AND a.nation < b.nation
+        |  GROUP BY 1, 2)
+        |SELECT sa.nation AS nation_a, sb.nation AS nation_b,
+        |       sa.n AS n_a, sb.n AS n_b,
+        |       COALESCE(bo.n_both, CAST(0 AS BIGINT)) AS n_both,
+        |       TRUE AS wb_only_a, TRUE AS wb_only_b, TRUE AS wb_jaccard
         |FROM sizes sa
         |JOIN sizes sb ON sa.nation < sb.nation
         |LEFT JOIN bo ON bo.nation_a = sa.nation AND bo.nation_b = sb.nation""".stripMargin,

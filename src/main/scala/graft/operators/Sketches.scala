@@ -311,11 +311,52 @@ object Sketches {
     * that actually runs at 100 TB (the [[cmsHeavyHittersProbeOnly]]
     * precedent): one linear fact pass builds the 25 sketches, the
     * 300-row pair algebra answers every overlap question, and nothing
-    * re-scans rows or self-joins the distinct value stream. This is the
-    * variant the 10× spot-bench measures; the audited sibling keeps
-    * carrying the correctness weight in SketchSpec. */
+    * re-scans rows or self-joins the distinct value stream. */
   def kmvOverlapEstimates(spark: SparkSession, dir: String, k: Int = 1024): DataFrame =
     kmvPairEstimates(nationParts(spark, dir), k)
+
+  /** The DERIVED estimate family as a BOUNDED-ERROR ORACLE query
+    * (round 18, closing the last KMV rows-only row): [[kmvOverlapBounded]]
+    * already hash-gates the set/union/intersection estimates, but the
+    * DIFFERENCE and JACCARD estimates ([[kmvPairEstimates]]'s
+    * `est_only_a`/`est_only_b`/`est_jaccard`) rode beside it unchecked.
+    * This query carries the exact audit trio (DuckDB recomputes it via
+    * the shared [[auditPairs]] algebra) plus one boolean per derived
+    * estimate, with bounds COMPOUNDED from the committed component
+    * envelopes rather than re-measured ad hoc — if the component bounds
+    * hold (they are independently oracled in q_kmv_overlap), these hold
+    * by arithmetic:
+    *   - eA = 0.08·n_a, eB = 0.08·n_b, eU = 0.10·U,
+    *     eI = max(0.20·n_both, 0.02·U)  (the q_kmv_overlap envelopes);
+    *   - |est_only_a − (n_a − n_both)| ≤ eA + eI — a difference of two
+    *     bounded terms, and the max(·, 0) clip only moves the estimate
+    *     toward a truth that is ≥ 0;
+    *   - |est_jaccard − J| ≤ (eI + J·eU)/(U − eU) — worst-case quotient
+    *     deviation with the numerator off by eI and the denominator off
+    *     by eU (U > 0 always: every nation ships ≥ 1 part).
+    * Unsaturated sketches make every estimate exact and the booleans
+    * trivially true; a broken difference/quotient estimator now fails
+    * the driver's t2 hash gate instead of nothing. The audit join is
+    * test-scale scaffolding (the [[hllDailyUsersBounded]] precedent);
+    * at 100 TB [[kmvOverlapEstimates]] serves alone. */
+  def kmvOverlapEstBounded(spark: SparkSession, dir: String, k: Int = 1024): DataFrame = {
+    val labeled = nationParts(spark, dir).localCheckpoint(true)
+    val u = (col("n_a") + col("n_b") - col("n_both")).cast("double")
+    val eA = col("n_a").cast("double") * 0.08
+    val eB = col("n_b").cast("double") * 0.08
+    val eU = u * 0.10
+    val eI = greatest(col("n_both").cast("double") * 0.20, u * 0.02)
+    val j = col("n_both").cast("double") / u
+    kmvPairEstimates(labeled, k)
+      .join(broadcast(auditPairs(labeled)), Seq("nation_a", "nation_b"))
+      .select(col("nation_a"), col("nation_b"),
+        col("n_a"), col("n_b"), col("n_both"),
+        (abs(col("est_only_a") - (col("n_a") - col("n_both")).cast("double"))
+          <= eA + eI).as("wb_only_a"),
+        (abs(col("est_only_b") - (col("n_b") - col("n_both")).cast("double"))
+          <= eB + eI).as("wb_only_b"),
+        (abs(col("est_jaccard") - j) <= (eI + j * eU) / (u - eU)).as("wb_jaccard"))
+  }
 
   /** The EXACT audit half of [[kmvAssortmentOverlap]] on its own —
     * [[auditPairs]] over the fact-derived assortments, nothing else.

@@ -30,7 +30,12 @@ object KafkaShaped {
     StructField("value", DoubleType)))
 
   /** Events → kafka-shaped records (the producer side a connector would
-    * emit). Offsets are per-partition positions, as on a real topic. */
+    * emit). The offset column carries the global event_id — unique and
+    * increasing within each partition like real offsets, though not the
+    * dense per-partition position counter a broker assigns (computing
+    * one would cost a per-partition window shuffle the wire-contract
+    * exercise doesn't need; round-18 review — the earlier doc overstated
+    * this as "per-partition positions"). */
   def shaped(spark: SparkSession, dir: String, nPartitions: Int = 8): DataFrame =
     Tables.load(spark, dir, "events")
       .select(

@@ -120,6 +120,19 @@ class GuardsSpec extends SparkSpec {
     assert(e2.getMessage.contains("copies=10"))
   }
 
+  test("ScaleBench served-fraction gate: red above calibrated+allowance, green at the committed points") {
+    // round-18 verdict ask #7: the artifact must turn RED, not record a
+    // silently-higher number, when the served (id<10) probe fraction
+    // diverges past the calibrated 0.098 target + 0.007 allowance
+    ScaleBench.requireServedFraction("spec", 0.098) // the calibrated target
+    ScaleBench.requireServedFraction("spec", 0.065) // the committed 5M point
+    ScaleBench.requireServedFraction("spec", 0.105) // the allowance edge
+    val e = intercept[IllegalArgumentException] {
+      ScaleBench.requireServedFraction("spec", 0.106)
+    }
+    assert(e.getMessage.contains("0.106") && e.getMessage.contains("0.098"))
+  }
+
   test("a thrown bench query lands in the errors field, never the timings") {
     val line = Bench.buildLine(
       Seq("q_ok" -> Some(1.25), "q_boom" -> None, "q_ok2" -> Some(0.5)),

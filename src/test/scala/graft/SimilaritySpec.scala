@@ -167,6 +167,34 @@ class SimilaritySpec extends SparkSpec {
     assert(run() == a)
   }
 
+  test("PQ two-level route: equals the exact two-level scan when rerank covers the pool") {
+    // Structural pin of the round-18 PQ cap-bind route: at the forced
+    // 32-cell fixture geometry the coarse cut selects ~125 candidates
+    // per probe, so a rerank budget ≥ the pool makes pqTopKTwoLevel an
+    // EXACT cosine rerank of exactly the cells ivfTopKTwoLevel scans —
+    // the two must return identical (query, neighbor) sets, proving the
+    // PQ route rides the same ivf2SelectCells cut (same index, same
+    // cell ranking, same tiebreaks) rather than a drifted copy. ADC
+    // quality itself is pinned by the single-level PQ recall tests and
+    // the 5M artifact, where the budget is far below the pool.
+    val ivf2 = Similarity.ivfTopKTwoLevel(spark, sf, 5, 10, l1 = 8, l2 = 4, nprobe = 8)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def run(): Set[(Long, Long)] =
+      Similarity.pqTopKTwoLevel(spark, sf, 5, 10, rerank = 1024,
+          l1 = 8, l2 = 4, nprobe = 8)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = run()
+    assert(a == ivf2,
+      s"PQ two-level with full-pool rerank diverged from the exact " +
+        s"two-level scan: ${(a -- ivf2).size} extra, ${(ivf2 -- a).size} missing")
+    // determinism across INDEPENDENT builds (codebook + both quantizer
+    // levels + attachment join all rebuilt)
+    Similarity.clearIndexMemosForTest(spark)
+    assert(run() == a)
+  }
+
   test("the ANN suite runs on a non-64-dim corpus (dim derived from data)") {
     // round 15: the embedding width is a DATA property, not a constant —
     // real corpora are 768-4096-dim. A 24-dim synthetic corpus (4 tight

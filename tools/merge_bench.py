@@ -21,6 +21,15 @@ def main() -> None:
     out, ins = sys.argv[1], sys.argv[2:]
     runs = [json.load(open(p)) for p in ins]
     for p, r in zip(ins, runs):
+        # named validation instead of a raw KeyError traceback (r17
+        # ADVICE): a hand-edited or truncated input should say which
+        # file broke the contract, not dump a stack
+        for key in ("queries", "sf"):
+            if key not in r:
+                sys.exit(f"{p}: missing required Bench field '{key}' - "
+                         "not a graft.Bench output line")
+        if not isinstance(r["queries"], dict) or not r["queries"]:
+            sys.exit(f"{p}: 'queries' must be a non-empty per-query map")
         if r.get("errors"):
             sys.exit(f"{p}: recorded errors {r['errors']} - not a clean run")
     names = set(runs[0]["queries"])
