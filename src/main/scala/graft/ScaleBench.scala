@@ -534,7 +534,12 @@ object ScaleBench {
       graft.operators.Similarity.autoRerank(5).toDouble,
       frac1 * (n5 - 1)) / (n5 - 1)
 
-    var seeds = Seq(1L); var recs = Seq(rec1)
+    // mirrors Similarity.trainSeed's resolution order — the artifact must
+    // record the draw actually measured, even if a calibration env/prop
+    // was set at launch (round-18 review: a hardcoded 1 would lie then)
+    val defaultSeed = sys.props.get("graft.ivf.seed")
+      .orElse(sys.env.get("SPARK_GRAFT_IVF_SEED")).map(_.toLong).getOrElse(1L)
+    var seeds = Seq(defaultSeed); var recs = Seq(rec1)
     var fracs = Seq(frac1); var secs = Seq(sec1)
     val srcJson = src.replace("\\", "\\\\").replace("\"", "\\\"")
     def emit(): String = {
