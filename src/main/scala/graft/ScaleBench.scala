@@ -351,14 +351,24 @@ object ScaleBench {
       s"copies=$sf3Copies;src=$src;tables=documents,events,orders,lineitem")
     generate(spark, src, sf3, sf3Copies,
       Set("documents", "events", "orders", "lineitem"))
+    // SAME-PHASE slope quotient (round 18): the sweep's sf0.1 timing for
+    // these queries lands ~30 min earlier in the run than the 30× point,
+    // and a local box drifts over that window — the round's first cut
+    // recorded q_asof_join at ratio30 = 50 purely from a fast-early
+    // denominator (0.29 s, vs 0.43 in the r17 artifact and this run's
+    // own 30×-adjacent re-timing) over a slow-late numerator. The slope
+    // block therefore re-times sf0.1 IMMEDIATELY BESIDE each query's 30×
+    // runs and the committed ratio is a quotient of same-minute
+    // measurements; the sweep timings keep feeding the 10× table, whose
+    // two phases are adjacent.
     val slope30 = SlopeQueries.map { nq =>
       val fn = SparkEntry.queries(nq)
-      val runs = (1 to runsFor(nq)).map { _ =>
+      def runsAt(dir: String): Seq[Double] = (1 to runsFor(nq)).map { _ =>
         val t0 = System.nanoTime()
-        fn(spark, sf3).count()
+        fn(spark, dir).count()
         (System.nanoTime() - t0) / 1e9
       }
-      nq -> runs
+      nq -> (runsAt(src), runsAt(sf3))
     }.toMap
 
     // FOURTH ANN SCALE POINT — the two-level residual route on real data
@@ -397,12 +407,16 @@ object ScaleBench {
         s""""sf10":${arr(seeds100)},"sf10_min":${f3(seeds100(n).min)}}"""
     }.mkString("{", ",", "}")
     val slopeJson = SlopeQueries.map { nq =>
-      val s01 = small.find(_.name == nq).get.min
+      val s01Sweep = small.find(_.name == nq).get.min
       val s10 = big.find(_.name == nq).get.min
-      val s30 = slope30(nq).min
-      s""""$nq":{"sf01_sec":${f3(s01)},"sf1_sec":${f3(s10)},"sf3_sec":${f3(s30)},""" +
-        s""""ratio10":${f3(s10 / s01)},"ratio30":${f3(s30 / s01)},""" +
-        s""""sf3_runs":[${slope30(nq).map(f3).mkString(",")}]}"""
+      val (adj01Runs, sf3Runs) = slope30(nq)
+      val s01 = adj01Runs.min // the 30×-adjacent re-timing (same phase)
+      val s30 = sf3Runs.min
+      s""""$nq":{"sf01_sec":${f3(s01)},"sf01_sweep_sec":${f3(s01Sweep)},""" +
+        s""""sf1_sec":${f3(s10)},"sf3_sec":${f3(s30)},""" +
+        s""""ratio10":${f3(s10 / s01Sweep)},"ratio30":${f3(s30 / s01)},""" +
+        s""""sf01_adjacent_runs":[${adj01Runs.map(f3).mkString(",")}],""" +
+        s""""sf3_runs":[${sf3Runs.map(f3).mkString(",")}]}"""
     }.mkString(s"""{"copies":$sf3Copies,""", ",", "}")
     // ONE artifact per JVM class (round-17 review): an ANN5M=1 (64g
     // build-heap) run writes its OWN file — its sweep timings are
