@@ -1073,8 +1073,9 @@ object Similarity {
       if (l1 > 0 && l2 > 0) (l1, l2)
       else autoSearchCells(n)
     require(rl2 >= 2,
-      s"ivfTopKTwoLevel: derived l2=$rl2 — the corpus is below the " +
-        "cap-bind point; use ivfTopK (it would route here past it)")
+      s"two-level route: derived l2=$rl2 — the corpus is below the " +
+        "cap-bind point; use the auto dispatch (ivfTopK / pqTopK route " +
+        "here past it)")
     val cells = rl1.toLong * rl2
     val rp = if (nprobe > 0) nprobe
       else math.min(cells, math.max(6L, (cells * 3 + 49) / 50)).toInt
@@ -1159,7 +1160,7 @@ object Similarity {
     // twin: the two-level auto rp is the fixed 6%-of-cells rule, so any
     // measured fraction past 0.105 under auto geometry is a dense-cell
     // probe-set divergence worth a loud line, not a floor artifact
-    if (l1 == 0 && l2 == 0 && nprobe == 0 && frac > 0.105)
+    if (l1 == 0 && l2 == 0 && nprobe == 0 && frac > ServedFractionBound)
       System.err.println(String.format(java.util.Locale.ROOT,
         "[graft] ivf2ScannedFraction(%s): served fraction %.3f exceeds the " +
           "calibrated target + divergence allowance (0.105) — the served " +
@@ -1343,7 +1344,7 @@ object Similarity {
     if (nlist == 0 && nprobe == 0) {
       val floor = math.max(6,
         ((512L * rl + math.max(idxRows, 1L) - 1) / math.max(idxRows, 1L)).toInt)
-      if (rp > floor && frac > 0.105)
+      if (rp > floor && frac > ServedFractionBound)
         System.err.println(String.format(java.util.Locale.ROOT,
           "[graft] ivfScannedFraction(%s): served fraction %.3f exceeds the " +
             "calibrated 0.098 target + divergence allowance (0.105) — the " +
@@ -1719,6 +1720,17 @@ object Similarity {
     * budget — widening nCodes, not widening rerank, is the recall
     * lever that survives scale. */
   private[graft] def autoRerank(k: Int): Int = math.max(256, 32 * k)
+
+  /** ONE bound for every served-vs-calibrated fraction surface (round-18
+    * review: the 0.105 literal was duplicated across the ScaleBench gate
+    * and both measurement warnings — a future retarget of the 0.098
+    * budget could silently desynchronize them): the 0.098 calibrated
+    * target + 0.007 divergence allowance for the id<10 evaluation
+    * probes. The single-level target is bisection-calibrated
+    * ([[measuredNprobeOf]]); the two-level auto nprobe is the fixed
+    * 6%-of-cells rule — both serve under the same ≤10% done-bar this
+    * bound polices. */
+  private[graft] val ServedFractionBound = 0.105
 
   /** Driver-local Lloyd's k-means for one PQ subspace: strided
     * deterministic init over the key-ordered sample, fixed 12
