@@ -15,12 +15,19 @@ object Explain {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.adaptive.enabled", "true")
+      // UTC like every other main (round-19 review): a non-UTC default
+      // locale would constant-fold date/timestamp literals differently
+      // than the plans Verify/Bench actually execute
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").explain("formatted")
+      val q = SparkEntry.queries.getOrElse(n,
+        sys.error(s"unknown query '$n' - not in SparkEntry.queries " +
+          s"(${SparkEntry.queries.size} registered)"))
+      q(spark, "/root/testdata/sf0.001").explain("formatted")
     }
     spark.stop()
   }

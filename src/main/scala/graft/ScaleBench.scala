@@ -249,7 +249,8 @@ object ScaleBench {
     val sf3 = sys.env.getOrElse("SPARK_GRAFT_SF3_DIR", "/tmp/graft_sf3")
     val sf3Copies = 30
     validateStagedParams(sf3,
-      s"copies=$sf3Copies;src=$src;tables=documents,events,orders,lineitem")
+      s"copies=$sf3Copies;src=$src;" +
+        "tables=customer,documents,events,lineitem,nation,orders,supplier")
     // per-TABLE existence checks, not a single all-or-nothing sentinel:
     // a cached dir generated before a new table joined the generator
     // (region, round 13) must be backfilled, not trusted — a missing dim
@@ -364,10 +365,24 @@ object ScaleBench {
     // r17 verdict's ask #4 remainder: at 7.82 it was the second-
     // heaviest 10× ratio yet had no slope point — its per-copy-offset
     // l_orderkey stream makes the two-phase NDV shuffle honestly 30×).
+    // Round-19 additions (the r18 verdict's ask #4): the corrected
+    // same-phase instrument changed asof's story (25→34), so the
+    // heaviest 10×-only ratios get 30× points before their committed
+    // numbers are trusted at face value — q_corpus_curation (7.11, the
+    // heaviest without a slope), q_kmv_overlap_est (7.04, new bounded
+    // shape: the audit self-join rides disjoint per-copy partkeys, so
+    // its slope should stay ≈ linear), q_modularity (6.86, the graph
+    // family's representative: nations are copy-invariant, edges 30×).
+    // Their tables pull customer/supplier/nation into the staging set —
+    // custkey/suppkey offsets keep 30 disjoint join graphs while
+    // nationkeys stay copy-invariant (the modularity partition and the
+    // KMV nation grain hold their 25 groups as work scales).
     val SlopeQueries = Seq("q_asof_join", "q_dup_spans", "q_hot_shingles",
-      "q_analyze_stats")
+      "q_analyze_stats", "q_corpus_curation", "q_kmv_overlap_est",
+      "q_modularity")
     generate(spark, src, sf3, sf3Copies,
-      Set("documents", "events", "orders", "lineitem"))
+      Set("customer", "documents", "events", "lineitem", "nation",
+        "orders", "supplier"))
     // SAME-PHASE slope quotient (round 18): the sweep's sf0.1 timing for
     // these queries lands ~30 min earlier in the run than the 30× point,
     // and a local box drifts over that window — the round's first cut
@@ -459,11 +474,21 @@ object ScaleBench {
             .replace("\"sec\":", "\"build_plus_serve_sec\":")
           // r17 ADVICE: the splice assumes flatness — verify it instead
           // of silently emitting truncated JSON if the 64g emitter ever
-          // grows a nested object (or a brace inside a string value)
-          require(!body.contains("{") && !body.contains("\\"),
-            s"SCALEBENCH_sf1_64g.json two_level_5m is not the flat " +
-              "scalars-and-arrays object the splice contract requires; " +
-              "refusing to emit a corrupt artifact")
+          // grows a nested object (or a brace inside a string value).
+          // On violation DEGRADE to the honest no-field path with a loud
+          // stderr line rather than throwing (round-18 ADVICE): this
+          // check runs BEFORE the 8g artifact write, and an abort here
+          // would vaporize the ~1.5 h sweep it rides on — the sweep data
+          // must land; the stale 64g field can be spliced later with
+          // tools/merge_scalebench.py once repaired.
+          if (body.contains("{") || body.contains("\\")) {
+            System.err.println(
+              "SCALEBENCH WARNING: SCALEBENCH_sf1_64g.json two_level_5m is " +
+                "not the flat scalars-and-arrays object the splice contract " +
+                "requires - emitting this artifact WITHOUT the field; repair " +
+                "the 64g file and splice with tools/merge_scalebench.py")
+            ""
+          } else
           s""","two_level_5m":{$body,"jvm":"merged from SCALEBENCH_sf1_64g.json (its own 64g build-class JVM; this file's sweeps ran at the 8g serving heap - a 64g local JVM inflates allocation-heavy sweep queries 2-3x, see PLANS.md round-17)"}"""
         }
       }
@@ -516,11 +541,25 @@ object ScaleBench {
     * strings) — the 8g merge's splice contract. */
   private def runAnn5m(spark: SparkSession, src: String): String = {
     val emb5m = sys.env.getOrElse("SPARK_GRAFT_EMB5M_DIR", "/tmp/graft_emb5m")
+    // mirrors Similarity.trainSeed's resolution order — the artifact must
+    // record the draw actually measured, even if a calibration env/prop
+    // was set at launch (round-18 review: a hardcoded 1 would lie then).
+    // Resolved FIRST so the seed-list hygiene below can filter against it.
+    val defaultSeed = sys.props.get("graft.ivf.seed")
+      .orElse(sys.env.get("SPARK_GRAFT_IVF_SEED")).map(_.toLong).getOrElse(1L)
     // parse BEFORE the ~85-min default draw (round-18 review): a
     // malformed seed list must fail at t=0, not abort the sweep the
-    // env var was set to run after the first build completes
+    // env var was set to run after the first build completes. Tokens
+    // fail with a NAMED error, duplicates collapse, and a seed equal to
+    // the default draw's is dropped rather than rebuilt and appended as
+    // a duplicate array entry (round-18 ADVICE).
     val extraSeeds = sys.env.get("SPARK_GRAFT_ANN5M_SEEDS").toSeq
-      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).map(_.toLong)
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      .map { tok =>
+        require(tok.forall(c => c.isDigit || c == '-'),
+          s"SPARK_GRAFT_ANN5M_SEEDS: token '$tok' is not a long seed")
+        tok.toLong
+      }.distinct.filterNot(_ == defaultSeed)
     validateStagedParams(emb5m, s"copies=2500;src=$src;tables=embeddings")
     if (!new java.io.File(s"$emb5m/embeddings.parquet/_SUCCESS").exists())
       stageEmbeddings(spark, src, emb5m, 2500)
@@ -541,52 +580,103 @@ object ScaleBench {
       new java.io.File("/root/repo")).!!.trim).getOrElse("unknown")
     val measuredAt = System.currentTimeMillis() / 1000L
 
-    // DEFAULT DRAW (seed 1 — the shipped dispatch). The timed window
-    // deliberately spans the COLD memoized index build (the ~85 min
-    // l1=65536 fit) plus the first serve — named for exactly that
-    // (round-17 review: a bare "sec" beside recall read as serve
-    // latency, off by two orders of magnitude).
-    val t0 = System.nanoTime()
-    val rec1 = recallOf("q_ann_ivf")
-    val sec1 = (System.nanoTime() - t0) / 1e9
-    val frac1 = graft.operators.Similarity.ivf2ScannedFraction(spark, emb5m, 10)
-
-    // PQ through the shipped q_ann_pq dispatch (round-17 ask #2): the
-    // ivf2 index is already memoized from the draw above, so the
-    // marginal window is codebook train + the 5M encode + the cell
-    // attachment join + the ADC serve — exactly the marginal cost of a
-    // second index type sharing its coarse quantizer, which is how a
-    // serving engine runs them. PQ's ADC stage scans the same selected
-    // cells (pq_measured_scanned = the coarse fraction); the exact
-    // rerank touches min(rerank budget, gated pool) rows per probe —
-    // the pqRerankFraction arithmetic over the two-level gate's pool.
-    val tPq = System.nanoTime()
-    val pqRec = recallOf("q_ann_pq")
-    val pqSec = (System.nanoTime() - tPq) / 1e9
-    val pqRerankFrac = math.min(
+    // PQ's exact-rerank fraction for a given coarse fraction — the
+    // pqRerankFraction arithmetic over the two-level gate's pool.
+    def pqRerankFracOf(frac: Double): Double = math.min(
       graft.operators.Similarity.autoRerank(5).toDouble,
-      frac1 * (n5 - 1)) / (n5 - 1)
+      frac * (n5 - 1)) / (n5 - 1)
 
-    // mirrors Similarity.trainSeed's resolution order — the artifact must
-    // record the draw actually measured, even if a calibration env/prop
-    // was set at launch (round-18 review: a hardcoded 1 would lie then)
-    val defaultSeed = sys.props.get("graft.ivf.seed")
-      .orElse(sys.env.get("SPARK_GRAFT_IVF_SEED")).map(_.toLong).getOrElse(1L)
-    var seeds = Seq(defaultSeed); var recs = Seq(rec1)
-    var fracs = Seq(frac1); var secs = Seq(sec1)
+    // ONE draw measured end-to-end: the IVF window deliberately spans
+    // the COLD memoized index build (the ~85 min l1=65536 fit) plus the
+    // first serve (round-17 review: a bare "sec" beside recall read as
+    // serve latency, off by two orders of magnitude). PQ rides the
+    // SAME draw's memoized ivf2 coarse gate, so its window is the
+    // marginal cost of a second index type sharing its quantizer
+    // (codebook train + 5M encode + cell attach + ADC serve) — and it
+    // is measured PER DRAW (round-18 verdict: the shared-quantizer
+    // claim must hold per seed, not only on the default draw; the
+    // codebook itself is strided-init deterministic, so per-draw
+    // sensitivity enters through the gate).
+    final case class Draw(seed: Long, rec: Double, frac: Double,
+      sec: Double, pqRec: Double, pqSec: Double)
+    def measureDraw(seed: Long): Draw = {
+      val t0 = System.nanoTime()
+      val rec = recallOf("q_ann_ivf")
+      val sec = (System.nanoTime() - t0) / 1e9
+      val frac = graft.operators.Similarity.ivf2ScannedFraction(spark, emb5m, 10)
+      val tPq = System.nanoTime()
+      val pqRec = recallOf("q_ann_pq")
+      val pqSec = (System.nanoTime() - tPq) / 1e9
+      Draw(seed, rec, frac, sec, pqRec, pqSec)
+    }
+
+    // SKIP-DEFAULT mode (round 19): extra draws cost ~85 min EACH, and a
+    // fresh JVM would re-pay the default draw's build before the seeds
+    // this run was launched for. The quantizer is deterministic per seed
+    // on a fixed staged corpus — the r18 run REPRODUCED the r17 seed-1
+    // point bit-for-bit from the surviving /tmp staging — so when the
+    // committed artifact already holds a single-seed measurement of the
+    // SAME default seed, SPARK_GRAFT_ANN5M_SKIP_DEFAULT=1 carries it
+    // instead of rebuilding, and the artifact names the carried commit
+    // (seed1_carried_from_commit). Refuses anything but the exact
+    // singleton-seed shape — a multi-seed or foreign-seed artifact means
+    // the operator should run a full draw, not splice.
+    val skipDefault = sys.env.get("SPARK_GRAFT_ANN5M_SKIP_DEFAULT").contains("1")
+    val (defaultDraw, carriedFrom): (Draw, Option[String]) = if (!skipDefault) {
+      (measureDraw(defaultSeed), None)
+    } else {
+      val p = java.nio.file.Paths.get("/root/repo/SCALEBENCH_sf1_64g.json")
+      require(java.nio.file.Files.exists(p),
+        "ANN5M_SKIP_DEFAULT=1 but no committed SCALEBENCH_sf1_64g.json to carry from")
+      val s64 = java.nio.file.Files.readString(p)
+      def num(key: String): Double = {
+        val m = java.util.regex.Pattern
+          .compile("\"" + key + "\":(-?[0-9.eE+]+)").matcher(s64)
+        require(m.find(), s"ANN5M_SKIP_DEFAULT: prior artifact lacks '$key'")
+        m.group(1).toDouble
+      }
+      val mSeeds = java.util.regex.Pattern
+        .compile("\"seeds\":\\[([^\\]]*)\\]").matcher(s64)
+      require(mSeeds.find(), "ANN5M_SKIP_DEFAULT: prior artifact lacks 'seeds'")
+      val priorSeeds = mSeeds.group(1).split(",").map(_.trim.toLong).toSeq
+      require(priorSeeds == Seq(defaultSeed),
+        s"ANN5M_SKIP_DEFAULT: prior artifact seeds [${priorSeeds.mkString(",")}] " +
+          s"are not the singleton [$defaultSeed] — run a full draw instead of splicing")
+      val mCommit = java.util.regex.Pattern
+        .compile("\"commit\":\"([^\"]*)\"").matcher(s64)
+      val from = if (mCommit.find()) mCommit.group(1) else "unknown"
+      require(num("n").toLong == n5,
+        s"ANN5M_SKIP_DEFAULT: prior artifact n=${num("n").toLong} != staged corpus n=$n5")
+      (Draw(defaultSeed, num("recall_at_5"), num("measured_scanned"),
+        num("build_plus_serve_sec"), num("pq_recall_at_5"),
+        num("pq_marginal_sec")), Some(from))
+    }
+
+    var draws = Seq(defaultDraw)
     val srcJson = jsonEscape(src)
     def emit(): String = {
+      // headline scalars are the sweep's WORST draw (round-18 ADVICE: a
+      // consumer reading recall_at_5 must never see better than the
+      // min; fractions/rerank pair conservatively as the max), with the
+      // per-seed arrays carrying the full detail. build_plus_serve_sec
+      // stays the default draw's cold-build provenance window.
+      val carried = carriedFrom.map(c =>
+        s""""seed1_carried_from_commit":"$c",""").getOrElse("")
       val field =
-        s""","two_level_5m":{"n":$n5,"recall_at_5":${f3(rec1)},""" +
-          s""""measured_scanned":${f3(frac1)},"build_plus_serve_sec":${f3(sec1)},""" +
-          s""""pq_recall_at_5":${f3(pqRec)},"pq_measured_scanned":${f3(frac1)},""" +
-          s""""pq_rerank_frac":${String.format(java.util.Locale.ROOT, "%.6f", Double.box(pqRerankFrac))},""" +
-          s""""pq_marginal_sec":${f3(pqSec)},""" +
-          s""""seeds":[${seeds.mkString(",")}],""" +
-          s""""recall_seeds":[${recs.map(f3).mkString(",")}],""" +
-          s""""recall_seeds_min":${f3(recs.min)},""" +
-          s""""scanned_seeds":[${fracs.map(f3).mkString(",")}],""" +
-          s""""build_plus_serve_secs":[${secs.map(f3).mkString(",")}],""" +
+        s""","two_level_5m":{"n":$n5,"recall_at_5":${f3(draws.map(_.rec).min)},""" +
+          s""""measured_scanned":${f3(draws.map(_.frac).max)},"build_plus_serve_sec":${f3(defaultDraw.sec)},""" +
+          s""""pq_recall_at_5":${f3(draws.map(_.pqRec).min)},"pq_measured_scanned":${f3(draws.map(_.frac).max)},""" +
+          s""""pq_rerank_frac":${String.format(java.util.Locale.ROOT, "%.6f", Double.box(pqRerankFracOf(draws.map(_.frac).max)))},""" +
+          s""""pq_marginal_sec":${f3(defaultDraw.pqSec)},""" +
+          s""""seeds":[${draws.map(_.seed).mkString(",")}],""" +
+          s""""recall_seeds":[${draws.map(d => f3(d.rec)).mkString(",")}],""" +
+          s""""recall_seeds_min":${f3(draws.map(_.rec).min)},""" +
+          s""""pq_recall_seeds":[${draws.map(d => f3(d.pqRec)).mkString(",")}],""" +
+          s""""pq_recall_seeds_min":${f3(draws.map(_.pqRec).min)},""" +
+          s""""pq_marginal_secs":[${draws.map(d => f3(d.pqSec)).mkString(",")}],""" +
+          s""""scanned_seeds":[${draws.map(d => f3(d.frac)).mkString(",")}],""" +
+          s""""build_plus_serve_secs":[${draws.map(d => f3(d.sec)).mkString(",")}],""" +
+          carried +
           s""""commit":"$commit","measured_at_epoch_sec":$measuredAt}"""
       val line = s"""{"metric":"ann5m","src":"$srcJson"$field}"""
       java.nio.file.Files.write(
@@ -598,23 +688,17 @@ object ScaleBench {
     var fragment = emit()
     // gate AFTER the draw's artifact write (see requireServedFraction's
     // doc): the divergent number persists, then the run turns red
-    requireServedFraction("two_level_5m", frac1)
+    requireServedFraction("two_level_5m", defaultDraw.frac)
     for (s <- extraSeeds) {
       // one 5M index in the JVM at a time: drop the previous draw's
       // memoized frames before building the next (the brute frame is a
       // plain local localCheckpoint, unaffected)
       graft.operators.Similarity.clearIndexMemosForTest(spark)
       sys.props("graft.ivf.seed") = s.toString
-      val fr = try {
-        val t = System.nanoTime()
-        val r = recallOf("q_ann_ivf")
-        val sc = (System.nanoTime() - t) / 1e9
-        val f = graft.operators.Similarity.ivf2ScannedFraction(spark, emb5m, 10)
-        seeds :+= s; recs :+= r; fracs :+= f; secs :+= sc
-        f
-      } finally sys.props.remove("graft.ivf.seed")
+      val d = try measureDraw(s) finally sys.props.remove("graft.ivf.seed")
+      draws :+= d
       fragment = emit()
-      requireServedFraction(s"two_level_5m seed $s", fr)
+      requireServedFraction(s"two_level_5m seed $s", d.frac)
     }
     fragment
   }

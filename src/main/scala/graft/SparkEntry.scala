@@ -198,13 +198,13 @@ object SparkEntry {
     "q_sql_tpch_q11"  -> SqlInterface.tpchQ11 _,
     "q_sql_tpch_q12"  -> SqlInterface.tpchQ12 _,
     "q_sql_tpch_q15"  -> SqlInterface.tpchQ15 _,
-    // mergeable sketches (rollups/probe-only rows-only: no cross-engine
+    // mergeable sketches (probe-only stays rows-only: no cross-engine
     // sketch oracle; error floors spec-pinned in SketchSpec. The
-    // heavy-hitter and overlap queries are BOUNDED-ERROR ORACLED as of
-    // round 16: exact halves recomputed by DuckDB, published error
-    // contracts hash-gated as booleans)
-    "q_sketch_rollup"       -> Sketches.hllRollup _,
-    "q_sketch_rollup_saved" -> Sketches.hllRollupSaved _,
+    // heavy-hitter, overlap AND rollup queries are BOUNDED-ERROR
+    // ORACLED — rollups as of round 19: exact halves recomputed by
+    // DuckDB, published error contracts hash-gated as booleans)
+    "q_sketch_rollup"       -> Sketches.hllRollupBounded _,
+    "q_sketch_rollup_saved" -> Sketches.hllRollupSavedBounded _,
     "q_cms_heavy_hitters" -> ((s: SparkSession, d: String) => Sketches.cmsHeavyHittersBounded(s, d)),
     "q_cms_probe_only"    -> ((s: SparkSession, d: String) => Sketches.cmsHeavyHittersProbeOnly(s, d)),
     "q_kmv_overlap"       -> ((s: SparkSession, d: String) => Sketches.kmvOverlapBounded(s, d)),
@@ -426,6 +426,16 @@ object SparkEntry {
   // byte-identical copy but not its twin would silently pin the sibling
   // query to the old algebra (same drift-prevention rationale as
   // ngramOracleSql / sessionsOracleSql above)
+  // exact audit half of the HLL sketch-table rollups (round 19): one
+  // text for the in-session and persisted variants, which must emit the
+  // same audited frame (the "must agree" twin-text rationale above)
+  private val hllRollupOracleSql =
+    """SELECT event_type,
+      |       CAST(COUNT(DISTINCT FLOOR(EPOCH(ts) / 86400)) AS BIGINT) AS n_days,
+      |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+      |       TRUE AS within_bound
+      |FROM events GROUP BY 1""".stripMargin
+
   private val hourlyOracleSql =
     """SELECT CAST(FLOOR(EPOCH(ts) / 3600) * 3600 AS BIGINT) AS bucket_start,
       |       event_type,
@@ -2199,6 +2209,17 @@ object SparkEntry {
         |       COUNT(*) AS n_events,
         |       TRUE AS within_bound
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // HLL sketch-table rollups (round 19, closing the last sketch
+    // rows-only rows with an applicable precedent): the exact half is
+    // the per-type distinct-user count and the distinct-day count —
+    // UTC session makes to_date(ts) ≡ epoch-day flooring (the
+    // q_stream_hll_daily precedent); the boolean gates the merged HLL
+    // estimate's 5% envelope, computable only engine-side. One text,
+    // two queries: the in-session and persisted rollups emit the SAME
+    // audited frame (saved == in-session estimates are additionally
+    // spec-pinned bit-equal).
+    "q_sketch_rollup" -> hllRollupOracleSql,
+    "q_sketch_rollup_saved" -> hllRollupOracleSql,
     "q_approx_quantiles" ->
       """SELECT event_type,
         |       ROUND(QUANTILE_CONT(value, 0.1), 4) AS p10_exact,

@@ -119,6 +119,13 @@ object Multimodal {
         // Arrow record batch
         batch.iterator.map { r =>
           val payload = r.getAs[Array[Byte]]("payload")
+          // contract, not a dead null-branch (round-18 ledger note):
+          // mediaTable payloads are UTF-8(documents.text), non-null by
+          // construction — a NULL here means an upstream schema break
+          // and must name itself instead of surfacing as a bare NPE
+          require(payload != null,
+            s"media payload is NULL for media_id=${r.getLong(0)} - " +
+              "mediaTable payloads are non-null by construction")
           Row(r.getLong(0), r.getString(1),
             decodeKernel(payload, FeatureDim).toSeq, payload.length)
         }
@@ -150,6 +157,9 @@ object Multimodal {
         it.grouped(BatchSize).flatMap { batch =>
           batch.iterator.map { r =>
             val payload = r.getAs[Array[Byte]]("payload")
+            require(payload != null, // the decodeFeatures contract, same seam
+              s"media payload is NULL for media_id=${r.getLong(0)} - " +
+                "mediaTable payloads are non-null by construction")
             val frames = payload.indices.by(stride).map(i => payload(i) & 0xff)
             // scalar digest per media (array columns break downstream
             // row-compare tooling; the full frame list stays internal)

@@ -38,6 +38,24 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("bounded rollups: booleans all true, audited frames agree across variants") {
+    // the round-19 oracle shapes — every within_bound must hold on the
+    // fixture (a false boolean is exactly what the t2 hash gate would
+    // catch), and the in-session and persisted variants must emit the
+    // SAME audited frame (one oracle text serves both)
+    val mem = graft.operators.Sketches.hllRollupBounded(spark, sf).collect()
+    val saved = graft.operators.Sketches.hllRollupSavedBounded(spark, sf).collect()
+    assert(mem.nonEmpty)
+    (mem ++ saved).foreach { r =>
+      assert(r.getAs[Boolean]("within_bound"),
+        s"type ${r.getAs[String]("event_type")}: estimate outside the 5% envelope")
+    }
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("event_type"), r.getAs[Long]("n_days"),
+        r.getAs[Long]("exact_users"))
+    assert(saved.map(key).toSet == mem.map(key).toSet)
+  }
+
   test("hll rollup from the persisted sketch table equals the in-session rollup") {
     val mem = graft.operators.Sketches.hllRollup(spark, sf)
       .select("event_type", "n_days", "est_users").collect()

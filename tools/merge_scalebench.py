@@ -11,6 +11,13 @@ it WITHOUT re-running the ~1.5 h sweep when only the 64g field changed
 (round 18: the 5M seed sweep lands draws incrementally over hours after
 the 8g sweep has finished). Unlike the in-code substring splice, this is
 a full JSON round-trip — it fails loudly on malformed input by parsing.
+
+Output ordering matches the in-code merge (round-18 ADVICE): the
+two_level_5m field is reinserted in the Scala emitter's position —
+immediately before "queries" — so a tool-merged artifact diffs against
+an in-code-merged one field-for-field. Float FORMATTING may still
+differ (json.dump repr vs the emitter's %.3f); a "did only the 64g
+field change" check should diff parsed values, not bytes.
 """
 import json
 import sys
@@ -32,7 +39,20 @@ def main() -> None:
     if "sec" in field:  # legacy name, normalized exactly like the in-code merge
         field["build_plus_serve_sec"] = field.pop("sec")
     field["jvm"] = JVM_NOTE
-    sf1["two_level_5m"] = field
+    # Reinsert in the Scala emitter's canonical position (immediately
+    # before "queries") rather than appending at the end — dict insert
+    # order is JSON output order, and a field that wanders corrupts
+    # cross-artifact diffs (round-18 ADVICE).
+    merged = {}
+    for k, v in sf1.items():
+        if k == "two_level_5m":
+            continue  # re-placed below
+        if k == "queries":
+            merged["two_level_5m"] = field
+        merged[k] = v
+    if "two_level_5m" not in merged:  # no "queries" key — append
+        merged["two_level_5m"] = field
+    sf1 = merged
     with open(sf1_path, "w") as f:
         json.dump(sf1, f)
         f.write("\n")
