@@ -47,6 +47,15 @@ object Sketches {
   private def dailySketches(spark: SparkSession, dir: String): DataFrame =
     dailySketchesOf(eventsProjected(spark, dir))
 
+  /** ONE ε for the HLL rollup/daily envelope checks AND their spec pins
+    * (the [[cmsEps]] rule: two literals would let a retune of one
+    * silently verify the wrong bound): 5×rsd at lgK = 14 is ~4.1%, 5%
+    * is the committed bound — shared by [[hllRollupBounded]],
+    * [[hllRollupSavedBounded]], the streaming
+    * [[graft.streaming.EventsStream.hllDailyUsersBounded]] and
+    * `SketchSpec`'s floors. */
+  private[graft] val HllEnvelope = 0.05d
+
   def hllRollup(spark: SparkSession, dir: String): DataFrame = {
     // ONE materialized projection feeds both the sketch build and the
     // exact audit branch (the kmvAssortmentOverlap discipline) — as two
@@ -80,9 +89,12 @@ object Sketches {
     * ([[hllRollupSaved]]'s stored shape, which drops user ids). */
   def hllRollupBounded(spark: SparkSession, dir: String): DataFrame =
     hllRollup(spark, dir).select(col("event_type"), col("n_days"),
-      col("exact_users"),
-      (abs(col("est_users").cast("double") - col("exact_users").cast("double"))
-        <= col("exact_users").cast("double") * 0.05).as("within_bound"))
+      col("exact_users"), envelopeBool.as("within_bound"))
+
+  /** The shared 5%-envelope predicate over (est_users, exact_users). */
+  private def envelopeBool: Column =
+    abs(col("est_users").cast("double") - col("exact_users").cast("double")) <=
+      col("exact_users").cast("double") * HllEnvelope
 
   /** [[hllRollupSaved]] under the same bounded-boolean contract: the
     * estimate is served from the STORED sketch bytes (write → re-read →
@@ -91,13 +103,15 @@ object Sketches {
     * estimate parity stays pinned by `SketchSpec`; this query makes the
     * persisted path's ESTIMATE QUALITY a hash-gated fact too. */
   def hllRollupSavedBounded(spark: SparkSession, dir: String): DataFrame = {
-    val exact = eventsProjected(spark, dir)
-      .groupBy("event_type")
+    // ONE materialized projection feeds the sketch build AND the exact
+    // audit branch (hllRollup's own rule — as two plain frames each
+    // aggregate re-scans the fact table, round-19 review)
+    val ev = eventsProjected(spark, dir).localCheckpoint(true)
+    val exact = ev.groupBy("event_type")
       .agg(countDistinct("user_id").as("exact_users"))
-    hllRollupSaved(spark, dir).join(exact, "event_type")
+    savedMerge(spark, dailySketchesOf(ev)).join(exact, "event_type")
       .select(col("event_type"), col("n_days"), col("exact_users"),
-        (abs(col("est_users").cast("double") - col("exact_users").cast("double"))
-          <= col("exact_users").cast("double") * 0.05).as("within_bound"))
+        envelopeBool.as("within_bound"))
   }
 
   /** [[hllRollup]] THROUGH A PERSISTED SKETCH TABLE — the storable half
@@ -109,10 +123,15 @@ object Sketches {
     * Output equals [[hllRollup]] minus the exact audit column (the
     * stored table no longer carries user ids — the point), and the spec
     * pins saved == in-session estimates exactly. */
-  def hllRollupSaved(spark: SparkSession, dir: String): DataFrame = {
+  def hllRollupSaved(spark: SparkSession, dir: String): DataFrame =
+    savedMerge(spark, dailySketches(spark, dir))
+
+  /** The persisted round-trip on its own — write the daily sketch frame,
+    * re-read, merge from the STORED bytes. One copy shared by the plain
+    * and bounded saved variants (round-19 review). */
+  private def savedMerge(spark: SparkSession, daily: DataFrame): DataFrame = {
     val tmp = Scratch.dir(spark, "hll_sketches") // per-process root — see Scratch
-    dailySketches(spark, dir)
-      .write.mode("overwrite").parquet(s"$tmp/daily")
+    daily.write.mode("overwrite").parquet(s"$tmp/daily")
     val out = spark.read.parquet(s"$tmp/daily")
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_days"),

@@ -671,7 +671,8 @@ object EventsStream {
       .select(col("day_start"), col("event_type"), col("exact_users"),
         col("n_events"),
         (abs(col("est_users").cast("double") - col("exact_users").cast("double"))
-          <= col("exact_users").cast("double") * 0.05).as("within_bound"))
+          <= col("exact_users").cast("double")
+            * graft.operators.Sketches.HllEnvelope).as("within_bound"))
   }
 
   /** `foreachBatch` sink: each micro-batch is partially aggregated and

@@ -35,9 +35,11 @@ def main() -> None:
     g64 = json.load(open(g64_path))
     if "two_level_5m" not in g64:
         sys.exit(f"{g64_path}: no two_level_5m field - nothing to merge")
-    field = dict(g64["two_level_5m"])
-    if "sec" in field:  # legacy name, normalized exactly like the in-code merge
-        field["build_plus_serve_sec"] = field.pop("sec")
+    # legacy "sec" normalizes IN PLACE (the in-code merge string-replaces
+    # the key, preserving position — pop/append would move the field to
+    # the end and break the field-for-field parity this tool promises)
+    field = {("build_plus_serve_sec" if k == "sec" else k): v
+             for k, v in g64["two_level_5m"].items()}
     field["jvm"] = JVM_NOTE
     # Reinsert in the Scala emitter's canonical position (immediately
     # before "queries") rather than appending at the end — dict insert
