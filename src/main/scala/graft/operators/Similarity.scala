@@ -1169,6 +1169,32 @@ object Similarity {
     frac
   }
 
+  /** RECALL CANARY — the promotion gate a serving deployment runs after
+    * training a quantizer and BEFORE routing traffic to it. The round-19
+    * 5M three-draw sweep measured a genuinely weak draw (seed 3 served
+    * recall@5 0.92 vs 0.98 for seeds 1-2 under the same auto geometry),
+    * so draw quality is an operational property to VALIDATE, not assume:
+    * one bounded exact scan per promotion, not per query. Returns
+    * recall@k of the shipped [[ivfTopK]] dispatch (single- or two-level,
+    * whatever the auto rule serves at this corpus size — the same
+    * dispatch production traffic takes) against the exact [[bruteTopK]]
+    * answer over the same probe set. The exact scan is O(nProbes × n):
+    * at 100 TB the canary runs on a bounded probe SAMPLE and the
+    * deployment gates `recallCanary(...) >= floor` before swapping the
+    * serving alias — exactly the number the ScaleBench seed sweep
+    * records per draw, productized as a library call. */
+  def recallCanary(spark: SparkSession, dir: String,
+      k: Int = 5, nProbes: Int = 10): Double = {
+    val brute = bruteTopK(spark, dir, k, nProbes)
+      .select("query_id", "neighbor_id").localCheckpoint(true)
+    val denom = brute.count().toDouble
+    require(denom > 0, s"recallCanary($dir): brute-force top-$k is empty " +
+      "(no probe vectors below the probe-id cutoff, or an empty corpus)")
+    val served = ivfTopK(spark, dir, k, nProbes)
+      .select("query_id", "neighbor_id")
+    brute.join(served, Seq("query_id", "neighbor_id")).count() / denom
+  }
+
   /** IVF-Flat ANN: nlist-way KMeans coarse quantizer, nprobe-list search.
     * Geometry defaults to the recall-AND-fraction-calibrated
     * [[autoSearchNlist]]/[[autoNprobe]] rules (nlist ≈ 16√n as a power of two,

@@ -21,6 +21,23 @@ class SimilaritySpec extends SparkSpec {
     } finally df.unpersist(blocking = false)
   }
 
+  test("recall canary: matches the hand-computed recall of the shipped dispatch") {
+    // the promotion-gate helper must report exactly what a deployment
+    // would measure by hand: |brute ∩ served| / |brute| over the same
+    // probe set and dispatch
+    val brute = Similarity.bruteTopK(spark, sf, 5, 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val served = Similarity.ivfTopK(spark, sf, 5, 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val byHand = (brute & served).size.toDouble / brute.size
+    val canary = Similarity.recallCanary(spark, sf, 5, 10)
+    assert(canary == byHand, s"canary $canary != hand-computed $byHand")
+    // and the fixture-scale floor the IVF spec already pins holds
+    assert(canary >= 0.9, s"canary recall@5 = $canary")
+  }
+
   test("IVF recall@5 >= 0.9 vs brute force, and is deterministic") {
     val brute = Similarity.bruteTopK(spark, sf, 5, 10)
       .select("query_id", "neighbor_id").collect()
