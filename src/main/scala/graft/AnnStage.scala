@@ -15,7 +15,13 @@ object AnnStage {
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "/tmp/graft_emb100"
+    // named parse failure + positivity guard (round-20 review): a typo'd
+    // copies arg died as a bare NumberFormatException, and copies <= 0
+    // would param-stamp an empty staging that later runs would trust
+    require(args.length <= 2 || args(2).matches("\\d+"),
+      s"AnnStage: copies argument '${args(2)}' is not a positive int")
     val copies = if (args.length > 2) args(2).toInt else 100
+    require(copies > 0, s"AnnStage: copies=$copies must be positive")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

@@ -96,8 +96,14 @@ object SparkEntry {
     "q_dedup_embedding_clusters" -> ((s: SparkSession, d: String) => Dedup.embeddingClusters(s, d, 0.4)),
     // similarity search (north-star extension)
     "q_ann_brute" -> ((s: SparkSession, d: String) => Similarity.bruteTopK(s, d)),
-    "q_ann_ivf"   -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
-    "q_ann_ivf_saved" -> ((s: SparkSession, d: String) => Similarity.ivfTopKSaved(s, d)),
+    // bounded-recall audit frames (round 20, r19 verdict ask #4): the
+    // served half is the SAME ivfTopK/ivfTopKSaved dispatch as before —
+    // the query now also recomputes the exact half so DuckDB can oracle
+    // a per-probe floor boolean instead of a rows-only check; the pure
+    // serve shapes remain the 100 TB carriers (Similarity.ivfTopK/
+    // ivfTopKSaved, spec'd + ScaleBench-measured directly)
+    "q_ann_ivf"   -> ((s: SparkSession, d: String) => Similarity.annRecallBounded(s, d)),
+    "q_ann_ivf_saved" -> ((s: SparkSession, d: String) => Similarity.annRecallBounded(s, d, saved = true)),
     // text analysis (north-star extension)
     "q_text_tokens"      -> TextAnalysis.tokenStats _,
     "q_text_quality"     -> TextAnalysis.qualityScore _,
@@ -157,7 +163,9 @@ object SparkEntry {
     "q_label_centroids" -> ((s: SparkSession, d: String) => Similarity.labelCentroids(s, d)),
     "q_dup_spans"       -> ((s: SparkSession, d: String) => Dedup.duplicatedSpans(s, d)),
     "q_hard_negatives"  -> ((s: SparkSession, d: String) => Similarity.hardNegatives(s, d)),
-    "q_hard_negatives_ivf" -> ((s: SparkSession, d: String) => Similarity.hardNegativesIvf(s, d)),
+    // bounded-agreement audit vs the exact miner (round 20, ask #4);
+    // Similarity.hardNegativesIvf stays the 100 TB serve carrier
+    "q_hard_negatives_ivf" -> ((s: SparkSession, d: String) => Similarity.hardNegativesIvfAgreementBounded(s, d)),
     "q_locf_fill"       -> Breadth.locfFill _,
     "q_quality_model"   -> graft.ml.QualityModel.trainScore _,
     // multimodal binary columns (north-star extension)
@@ -268,7 +276,9 @@ object SparkEntry {
     // round 7: TPC-H Q2-shaped argmin over (part, supplier)
     "q_min_cost_supplier" -> Relational.minCostSupplier _,
     "q_knn_classify"    -> ((s: SparkSession, d: String) => Similarity.knnClassify(s, d)),
-    "q_knn_classify_ivf" -> ((s: SparkSession, d: String) => Similarity.knnClassifyIvf(s, d)),
+    // bounded-agreement audit vs the exact classifier (round 20, ask
+    // #4); Similarity.knnClassifyIvf stays the 100 TB serve carrier
+    "q_knn_classify_ivf" -> ((s: SparkSession, d: String) => Similarity.knnIvfAgreementBounded(s, d)),
     "q_tfidf_terms"     -> ((s: SparkSession, d: String) => TextAnalysis.tfidfTerms(s, d)),
     // the relational, fully-oracled vector assembly; the MLlib
     // HashingTF/IDF pipeline sibling stays spec-covered (TfidfSpec)
@@ -435,6 +445,29 @@ object SparkEntry {
       |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
       |       TRUE AS within_bound
       |FROM events GROUP BY 1""".stripMargin
+
+  // exact audit half of the bounded ANN recall frames (round 20, the
+  // r19 verdict's ask #4): the q_ann_brute dialect's exact top-5 per
+  // probe, collapsed to per-probe cardinality + the literal TRUE the
+  // engine's hits-floor boolean must reproduce. One text for the
+  // in-session and persisted serve variants (the "must agree" twin-text
+  // rationale above — both audit the same exact half).
+  private val annRecallBoundedOracleSql =
+    """WITH scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |         list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+      |         / (SQRT(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+      |            * SQRT(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))) AS cos_raw
+      |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+      |  WHERE list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) > 0
+      |    AND list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) > 0),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id,
+      |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS rnk
+      |  FROM scored)
+      |SELECT query_id, CAST(COUNT(*) AS BIGINT) AS k_exact,
+      |       TRUE AS hits_floor_met
+      |FROM ranked WHERE rnk <= 5 GROUP BY query_id""".stripMargin
 
   private val hourlyOracleSql =
     """SELECT CAST(FLOOR(EPOCH(ts) / 3600) * 3600 AS BIGINT) AS bucket_start,
@@ -925,6 +958,11 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, neighbor_id, rnk, ROUND(cos_raw, 6) AS cos
         |FROM ranked WHERE rnk <= 5""".stripMargin,
+    // bounded ANN recall audits (round 20): DuckDB recomputes the exact
+    // top-5 half and asserts the floor boolean TRUE — a quantizer draw
+    // serving under the per-probe floor turns the hash compare red
+    "q_ann_ivf" -> annRecallBoundedOracleSql,
+    "q_ann_ivf_saved" -> annRecallBoundedOracleSql,
     "q_text_tokens" ->
       """SELECT doc_id,
         |       CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
@@ -2355,6 +2393,21 @@ object SparkEntry {
         |SELECT query_id, true_label, neighbor_id, nbr_label,
         |       ROUND(cos_raw, 6) AS cos
         |FROM ranked WHERE rnk = 1""".stripMargin,
+    // bounded IVF hard-negative agreement (round 20): the exact half is
+    // the miner's anchor count — every probe with at least one
+    // cross-label candidate mines exactly one top-1 negative, so
+    // COUNT(DISTINCT query_id) over the scored pairs IS the output
+    // cardinality; the boolean is the engine-side agreement floor
+    "q_hard_negatives_ivf" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id
+        |  FROM embeddings q JOIN embeddings c
+        |    ON q.vec_id < 50 AND c.vec_id >= 50 AND q.label != c.label
+        |  WHERE list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) > 0
+        |    AND list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) > 0)
+        |SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+        |       TRUE AS agreement_floor_met
+        |FROM scored""".stripMargin,
     // decimal-sum discipline end to end: cross-row sums are exact
     // DECIMAL(18,6) of 6-dp-rounded values, cross-dim sums are fixed
     // index-order folds — no order-dependent float reduction anywhere
@@ -2641,6 +2694,19 @@ object SparkEntry {
         |SELECT query_id, nbr_label AS pred_label, true_label,
         |       CAST(nbr_label = true_label AS INT) AS correct
         |FROM win WHERE vr = 1""".stripMargin,
+    // bounded IVF kNN agreement (round 20): same exact-count scheme as
+    // q_hard_negatives_ivf — every probe with at least one train
+    // candidate classifies exactly once, so COUNT(DISTINCT query_id)
+    // over the scored pairs is the classifier's output cardinality
+    "q_knn_classify_ivf" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id < 50 AND c.vec_id >= 50
+        |  WHERE list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) > 0
+        |    AND list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) > 0)
+        |SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+        |       TRUE AS agreement_floor_met
+        |FROM scored""".stripMargin,
     // full l2-normalized tf-idf assembly: raw² rounded 12 dp → exact
     // DECIMAL(28,12) norm sum, narrowed to 6 dp in the decimal domain
     // before the double cast, floor-half-up final rounding

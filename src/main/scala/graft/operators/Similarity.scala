@@ -1061,6 +1061,14 @@ object Similarity {
         round(col("cos_raw"), 6).as("cos"))
   }
 
+  /** The two-level route's auto probe budget — the fixed 6%-of-cells
+    * rule (ceil, floor 6, never above the cell count), ONE copy shared
+    * by [[ivf2Resolve]] and [[canaryEscalate]]'s resolved-start
+    * recording so the ladder's head names exactly the budget the auto
+    * dispatch serves. */
+  private def ivf2AutoNprobe(cells: Long): Int =
+    math.min(cells, math.max(6L, (cells * 3 + 49) / 50)).toInt
+
   /** Geometry + index resolution shared by [[ivfTopKTwoLevel]] and the
     * measured-fraction probe [[ivf2ScannedFraction]] — one copy so the
     * fraction recorded in SCALEBENCH describes exactly the cells the
@@ -1077,8 +1085,7 @@ object Similarity {
         "cap-bind point; use the auto dispatch (ivfTopK / pqTopK route " +
         "here past it)")
     val cells = rl1.toLong * rl2
-    val rp = if (nprobe > 0) nprobe
-      else math.min(cells, math.max(6L, (cells * 3 + 49) / 50)).toInt
+    val rp = if (nprobe > 0) nprobe else ivf2AutoNprobe(cells)
     require(rp <= cells, s"ivfTopKTwoLevel: nprobe=$rp exceeds cells=$cells")
     val tf = if (trainFraction > 0) trainFraction
       else math.min(1.0, 32.0 * rl1 / math.max(n, 1L))
@@ -1193,6 +1200,162 @@ object Similarity {
     val served = ivfTopK(spark, dir, k, nProbes)
       .select("query_id", "neighbor_id")
     brute.join(served, Seq("query_id", "neighbor_id")).count() / denom
+  }
+
+  /** One rung of the promotion-gate escalation ladder: the probe budget
+    * served (`nprobe` — lists on the single-level route, CELLS on the
+    * two-level route), the canary recall@k measured at it, and the
+    * scanned fraction it paid. */
+  final case class CanaryStep(nprobe: Int, recall: Double, fraction: Double)
+
+  /** PROMOTION-GATE ESCALATION (round 20, the r19 verdict's ask #1) —
+    * the operational response to a weak quantizer draw: the round-19 5M
+    * sweep measured seed 3 serving recall@5 0.92, exactly at the
+    * done-bar floor, so [[recallCanary]] alone only DETECTS a weak
+    * draw; this ladder is what a deployment does about it. Measures the
+    * canary at the auto geometry (head of the result, its RESOLVED
+    * probe budget named), then while recall sits under `floor`, grows
+    * the budget ×7/6 per rung through the SAME [[ivfTopK]] dispatch
+    * production serves, re-measuring recall AND scanned fraction each
+    * rung. Terminates when a rung clears the floor, when the measured
+    * fraction exits the [[ServedFractionBound]] budget (escalating past
+    * it would quietly convert the index into a linear scan), or after
+    * `maxSteps` escalations. The exact brute-force half is computed
+    * ONCE and shared by every rung (quantizer-seed-invariant). The
+    * promotion rule: promote the draw iff some rung has
+    * `recall >= floor && fraction <= ServedFractionBound`; a draw that
+    * cannot reach the floor inside the fraction budget is REJECTED and
+    * the quantizer re-drawn. `startNprobe` (0 = auto) pins the head
+    * rung's budget — the ladder-mechanics spec drives it from a
+    * deliberately starved geometry. `onStep` fires after each rung so
+    * a multi-hour 5M run can persist partial ladders (the ScaleBench
+    * crash-keep discipline). */
+  def canaryEscalate(
+      spark: SparkSession, dir: String,
+      k: Int = 5, nProbes: Int = 10,
+      floor: Double = 0.95, maxSteps: Int = 4,
+      startNprobe: Int = 0,
+      onStep: CanaryStep => Unit = _ => ()): Seq[CanaryStep] = {
+    val brute = bruteTopK(spark, dir, k, nProbes)
+      .select("query_id", "neighbor_id").localCheckpoint(true)
+    val denom = brute.count().toDouble
+    require(denom > 0, s"canaryEscalate($dir): brute-force top-$k is empty " +
+      "(no probe vectors below the probe-id cutoff, or an empty corpus)")
+    val n = corpusCount(spark, dir)
+    val twoLevel = autoSearchCells(n)._2 > 1
+    // total budget of the auto index (cells / lists): the ladder clamps
+    // here — a rung past it is not an escalation, it IS the exhaustive
+    // scan, and the resolvers reject it loudly by contract
+    val maxBudget: Int =
+      if (twoLevel) {
+        val (l1, l2) = autoSearchCells(n)
+        math.min(Int.MaxValue.toLong, l1.toLong * l2).toInt
+      } else resolveGeometry(spark, dir, 0, 0)._1
+    val npStart =
+      if (startNprobe > 0) math.min(startNprobe, maxBudget)
+      else if (twoLevel) {
+        val (l1, l2) = autoSearchCells(n)
+        ivf2AutoNprobe(l1.toLong * l2)
+      } else resolveGeometry(spark, dir, 0, 0)._2
+    def measure(np: Int): CanaryStep = {
+      val served = ivfTopK(spark, dir, k, nProbes, nprobe = np)
+        .select("query_id", "neighbor_id")
+      val rec = brute.join(served, Seq("query_id", "neighbor_id")).count() / denom
+      val frac =
+        if (twoLevel) ivf2ScannedFraction(spark, dir, nProbes, nprobe = np)
+        else ivfScannedFraction(spark, dir, nProbes, nprobe = np)
+      val step = CanaryStep(np, rec, frac)
+      onStep(step)
+      step
+    }
+    var steps = Vector(measure(npStart))
+    while (steps.last.recall < floor && steps.size <= maxSteps &&
+        steps.last.fraction <= ServedFractionBound &&
+        steps.last.nprobe < maxBudget) {
+      // ×7/6 (ceil, always +1 at least): two in-budget rungs fit between
+      // the 6%-of-cells auto point and the 0.105 fraction bound, so the
+      // ladder explores the whole promotion budget before rejecting
+      val next = math.min(maxBudget.toLong,
+        math.max(steps.last.nprobe + 1L, (steps.last.nprobe * 7L + 5) / 6)).toInt
+      steps :+= measure(next)
+    }
+    steps
+  }
+
+  /** BOUNDED-RECALL AUDIT of the shipped ANN serve path (round 20, the
+    * r19 verdict's ask #4 — the canary pattern as an oracled query):
+    * per probe, the exact top-k cardinality (DuckDB-recomputable — the
+    * `q_ann_brute` dialect) and a hits-floor boolean over the served
+    * set. The served half rides the SAME [[ivfTopK]] /
+    * [[ivfTopKSaved]] dispatch production traffic takes, so a quantizer
+    * draw serving under the floor turns the ORACLE red instead of
+    * hiding behind a rows-only check. The exact half is O(nProbes × n)
+    * audit scaffolding, test-scale only — at 100 TB the serve shapes
+    * carry the query and the floor is enforced once per promotion by
+    * [[recallCanary]]/[[canaryEscalate]], not per query (the
+    * `q_sketch_rollup` audit precedent). `hitsFloor` provenance: the
+    * default-seed serve measures ≥4/5 per-probe hits at sf0.01 and
+    * sf0.1 (round-20 ledger); 3 leaves one-hit margin for foreign
+    * corpora while still catching a degenerate draw loudly. */
+  def annRecallBounded(
+      spark: SparkSession, dir: String,
+      saved: Boolean = false, k: Int = 5, nProbes: Int = 10,
+      hitsFloor: Int = 3): DataFrame = {
+    val brute = bruteTopK(spark, dir, k, nProbes)
+      .select("query_id", "neighbor_id")
+    val served = (if (saved) ivfTopKSaved(spark, dir, k, nProbes)
+                  else ivfTopK(spark, dir, k, nProbes))
+      .select("query_id", "neighbor_id")
+    val exact = brute.groupBy("query_id").agg(count(lit(1)).as("k_exact"))
+    val hits = brute.join(served, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    // left join + fill: a probe the served set missed ENTIRELY must
+    // surface as a false boolean, not vanish from the audited frame
+    exact.join(hits, Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .select(col("query_id"), col("k_exact"),
+        (col("n_hits") >= hitsFloor).as("hits_floor_met"))
+  }
+
+  /** BOUNDED-AGREEMENT AUDIT of [[knnClassifyIvf]] against its exact
+    * sibling (round 20, ask #4): one row — the exact classifier's probe
+    * count (DuckDB-recomputable from the `q_knn_classify` dialect) and
+    * an agreement-floor boolean. The inner join doubles as the coverage
+    * gate: an IVF variant that silently drops a probe shrinks
+    * `n_queries` below the oracle's and the compare turns red. Floor
+    * provenance: default-geometry agreement measures 1.0 at sf0.01 and
+    * 0.94 at sf0.1 (round-20 ledger; the near-exhaustive-nprobe spec
+    * pins ≥ 0.9) — 0.8 leaves margin for foreign corpora. */
+  def knnIvfAgreementBounded(
+      spark: SparkSession, dir: String, floor: Double = 0.8): DataFrame = {
+    val exact = knnClassify(spark, dir)
+      .select(col("query_id"), col("pred_label").as("exact_pred"))
+    val ivf = knnClassifyIvf(spark, dir)
+      .select(col("query_id"), col("pred_label").as("ivf_pred"))
+    exact.join(ivf, Seq("query_id"))
+      .agg(count(lit(1)).as("n_queries"),
+        (avg((col("ivf_pred") === col("exact_pred")).cast("double")) >= floor)
+          .as("agreement_floor_met"))
+  }
+
+  /** BOUNDED-AGREEMENT AUDIT of [[hardNegativesIvf]] against the exact
+    * miner (round 20, ask #4) — same scheme as
+    * [[knnIvfAgreementBounded]]: one row, the exact miner's anchor
+    * count plus an agreement-floor boolean over the mined top-1
+    * negative ids; the inner join is the anchor-coverage gate. Floor
+    * provenance: default-geometry agreement measures 1.0 at sf0.01 and
+    * 0.98 at sf0.1 (round-20 ledger; the near-exhaustive-nprobe spec
+    * pins ≥ 0.9) — 0.8 leaves margin. */
+  def hardNegativesIvfAgreementBounded(
+      spark: SparkSession, dir: String, floor: Double = 0.8): DataFrame = {
+    val exact = hardNegatives(spark, dir)
+      .select(col("query_id"), col("neighbor_id").as("exact_neg"))
+    val ivf = hardNegativesIvf(spark, dir)
+      .select(col("query_id"), col("neighbor_id").as("ivf_neg"))
+    exact.join(ivf, Seq("query_id"))
+      .agg(count(lit(1)).as("n_queries"),
+        (avg((col("ivf_neg") === col("exact_neg")).cast("double")) >= floor)
+          .as("agreement_floor_met"))
   }
 
   /** IVF-Flat ANN: nlist-way KMeans coarse quantizer, nprobe-list search.

@@ -38,6 +38,66 @@ class SimilaritySpec extends SparkSpec {
     assert(canary >= 0.9, s"canary recall@5 = $canary")
   }
 
+  test("canary escalation ladder: auto head, monotone rungs, floor/budget termination") {
+    // the auto head is a single rung when the draw already clears the
+    // floor (fixture-scale search is near-exhaustive by design) and its
+    // recall equals the canary's (same brute, dispatch, probes)
+    val auto = Similarity.canaryEscalate(spark, sf, 5, 10, floor = 0.9)
+    assert(auto.nonEmpty && auto.head.nprobe > 0)
+    assert(auto.head.recall == Similarity.recallCanary(spark, sf, 5, 10))
+    assert(auto.last.recall >= 0.9,
+      s"fixture draw should clear the floor: ${auto.last}")
+    // a deliberately starved head (1 list) forces real escalation: the
+    // budget must grow strictly per rung, every rung must be measured
+    // (callback order == returned order), and the ladder must end at
+    // the floor, the fraction budget, maxSteps, or the index budget
+    var seen = Vector.empty[Similarity.CanaryStep]
+    val ladder = Similarity.canaryEscalate(spark, sf, 5, 10,
+      floor = 0.9, maxSteps = 8, startNprobe = 1, onStep = s => seen :+= s)
+    assert(ladder == seen, "onStep must fire once per rung, in order")
+    assert(ladder.head.nprobe == 1)
+    assert(ladder.map(_.nprobe) == ladder.map(_.nprobe).distinct.sorted,
+      s"rung budgets must grow strictly: ${ladder.map(_.nprobe)}")
+    val t = ladder.last
+    assert(t.recall >= 0.9 || t.fraction > Similarity.ServedFractionBound ||
+      ladder.size == 9 || ladder.exists(_.nprobe >= 16),
+      s"ladder ended without a named termination cause: $ladder")
+    // scanned fraction grows with the budget — the cost side of the
+    // remediation story must be monotone alongside recall
+    assert(ladder.map(_.fraction) == ladder.map(_.fraction).sorted,
+      s"fractions must be non-decreasing: ${ladder.map(_.fraction)}")
+  }
+
+  test("bounded ANN recall audit: per-probe exact cardinality + floor booleans") {
+    for (saved <- Seq(false, true)) {
+      val df = Similarity.annRecallBounded(spark, sf, saved = saved).cache()
+      try {
+        val rows = df.collect()
+        assert(rows.length == 10, s"one audited row per probe (saved=$saved)")
+        assert(rows.forall(_.getLong(1) == 5L),
+          s"k_exact must be the exact top-5 cardinality (saved=$saved)")
+        assert(rows.forall(_.getBoolean(2)),
+          s"fixture-scale serve must clear the hits floor (saved=$saved)")
+      } finally df.unpersist(blocking = false)
+    }
+    // the floor boolean must actually bite: an impossible floor (6 of
+    // 5) turns every row false — the oracle-red path, not a constant
+    val strict = Similarity.annRecallBounded(spark, sf, hitsFloor = 6).collect()
+    assert(strict.forall(!_.getBoolean(2)), "hitsFloor=6 must fail every probe")
+  }
+
+  test("bounded IVF agreement audits: one-row coverage counts + floor booleans") {
+    val knn = Similarity.knnIvfAgreementBounded(spark, sf).collect()
+    assert(knn.length == 1 && knn(0).getLong(0) == 50L && knn(0).getBoolean(1),
+      s"knn bounded audit: ${knn.toSeq}")
+    val hn = Similarity.hardNegativesIvfAgreementBounded(spark, sf).collect()
+    assert(hn.length == 1 && hn(0).getLong(0) == 50L && hn(0).getBoolean(1),
+      s"hard-negative bounded audit: ${hn.toSeq}")
+    // the floor must bite: agreement can never reach an impossible 1.1
+    val strict = Similarity.knnIvfAgreementBounded(spark, sf, floor = 1.1).collect()
+    assert(!strict(0).getBoolean(1), "floor=1.1 must turn the boolean false")
+  }
+
   test("IVF recall@5 >= 0.9 vs brute force, and is deterministic") {
     val brute = Similarity.bruteTopK(spark, sf, 5, 10)
       .select("query_id", "neighbor_id").collect()
@@ -322,7 +382,8 @@ class SimilaritySpec extends SparkSpec {
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // exhaustive check via the blocked-ngram path without lang blocking
     val docs = graft.Tables.load(spark, sf, "documents")
-      .select(col("doc_id"), graft.functions.VecText.shingles3("split(text, ' ')").as("sh"))
+      .withColumn("toks", graft.functions.VecText.tokens("text"))
+      .select(col("doc_id"), graft.functions.VecText.shingles3("toks").as("sh"))
       .filter(size(col("sh")) > 0)
     val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
