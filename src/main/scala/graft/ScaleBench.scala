@@ -900,7 +900,10 @@ object ScaleBench {
         val line =
           s"""{"metric":"ann5m","src":"$srcJson","two_level_5m":{$body,""" +
             s""""canary_floor":${f3(CanaryFloor)},"canary_seed":$seed,""" +
-            s""""canary_recall":${f3(canary)},"canary_gate_sec":${f3(canarySec)},""" +
+            // "cold": the window spans the memoized index BUILD for this
+            // draw plus the brute half plus the served join (the r17
+            // lesson — a bare "sec" beside recall reads as serve latency)
+            s""""canary_recall":${f3(canary)},"canary_gate_cold_sec":${f3(canarySec)},""" +
             s""""canary_steps_nprobe":[${steps.map(_.nprobe).mkString(",")}],""" +
             s""""canary_steps_recall":[${steps.map(s => f3(s.recall)).mkString(",")}],""" +
             s""""canary_steps_fraction":[${steps.map(s => f3(s.fraction)).mkString(",")}],""" +
