@@ -869,11 +869,18 @@ object ScaleBench {
       s"ANN5M_CANARY: prior artifact n=${num("n").toLong} != staged corpus n=$n5")
     val priorSeeds = numArr("seeds").map(_.toLong)
     val recSeeds = numArr("recall_seeds")
+    // si >= 0: re-gating a draw the sweep measured (the committed value
+    // doubles as the determinism check). si < 0: the RE-DRAW flow — the
+    // promotion rule's prescribed response to a rejected draw is a
+    // FRESH quantizer seed, which by definition has no committed recall
+    // yet; the gate itself is its first measurement (round 20: the
+    // seed-3 ladder measured escalation futile, so re-draw is the one
+    // live remediation and must be runnable end-to-end).
     val si = priorSeeds.indexOf(seed)
-    require(si >= 0,
-      s"ANN5M_CANARY: seed $seed is not among the measured sweep seeds " +
-        s"[${priorSeeds.mkString(",")}] — a canary on an unmeasured draw " +
-        "has no committed recall to validate against; run the sweep draw first")
+    if (si < 0)
+      println(s"[graft] canary: seed $seed is a FRESH draw (sweep seeds " +
+        s"[${priorSeeds.mkString(",")}]) — re-draw flow, no committed " +
+        "recall to cross-check")
     val commit = gitShortHead
     val measuredAt = System.currentTimeMillis() / 1000L
     val bound = graft.operators.Similarity.ServedFractionBound
@@ -883,14 +890,21 @@ object ScaleBench {
       val t0 = System.nanoTime()
       val canary = graft.operators.Similarity.recallCanary(spark, emb5m, 5, 10)
       val canarySec = (System.nanoTime() - t0) / 1e9
+      val committedNote = if (si >= 0)
+        String.format(java.util.Locale.ROOT,
+          " (committed recall_seeds[%d] = %.3f)", Int.box(si),
+          Double.box(recSeeds(si)))
+      else " (fresh draw - first measurement)"
       println(String.format(java.util.Locale.ROOT,
-        "[graft] recallCanary(seed=%d) = %.3f in %.1f s (committed " +
-          "recall_seeds[%d] = %.3f)", Long.box(seed), Double.box(canary),
-        Double.box(canarySec), Int.box(si), Double.box(recSeeds(si))))
+        "[graft] recallCanary(seed=%d) = %.3f in %.1f s%s", Long.box(seed),
+        Double.box(canary), Double.box(canarySec), committedNote))
       var steps = Vector.empty[graft.operators.Similarity.CanaryStep]
       def emit(): Unit = {
         val promoted = steps.find(s =>
           s.recall >= CanaryFloor && s.fraction <= bound)
+        // a re-gated sweep seed replaces its committed value with the
+        // live one; a fresh re-draw seed leaves the sweep's record
+        // untouched (its own numbers live in the canary_* fields)
         val canarySeeds = recSeeds.zipWithIndex
           .map { case (r, i) => if (i == si) canary else r }
         val promotedFields = promoted.map(pr =>
@@ -909,7 +923,10 @@ object ScaleBench {
             s""""canary_steps_fraction":[${steps.map(s => f3(s.fraction)).mkString(",")}],""" +
             promotedFields +
             s""""canary_seeds":[${canarySeeds.map(f3).mkString(",")}],""" +
-            s""""canary_seeds_basis":"seed $seed re-measured live through recallCanary; other seeds carry their committed recall_seeds values - recallCanary computes the identical brute-and-served join through the identical dispatch the sweep measured (spec-pinned identity)",""" +
+            (if (si >= 0)
+              s""""canary_seeds_basis":"seed $seed re-measured live through recallCanary; other seeds carry their committed recall_seeds values - recallCanary computes the identical brute-and-served join through the identical dispatch the sweep measured (spec-pinned identity)","""
+            else
+              s""""canary_seeds_basis":"seed $seed is a FRESH re-draw gated live through recallCanary (its numbers are the canary_* fields); canary_seeds carries the committed sweep values unchanged",""") +
             s""""promotion_rule":"promote a trained quantizer iff recallCanary >= ${f3(CanaryFloor)} at a ladder rung whose measured scanned fraction <= ${f3(bound)}; a draw that cannot reach the floor inside the fraction budget is rejected and re-drawn",""" +
             s""""canary_commit":"$commit","canary_measured_at_epoch_sec":$measuredAt}}"""
         java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))

@@ -251,7 +251,9 @@ object SparkEntry {
     "q_best_k"       -> graft.ml.Report.bestK _,
     "q_asof_join"       -> Breadth.asofJoin _,
     "q_approx_distinct" -> Breadth.approxDistinctBounded _,
-    "q_dedup_embedding_lsh" -> ((s: SparkSession, d: String) => Similarity.lshEmbeddingPairs(s, d)),
+    // bounded-recall audit vs the exact pair join (round 20);
+    // Similarity.lshEmbeddingPairs stays the banded scale carrier
+    "q_dedup_embedding_lsh" -> ((s: SparkSession, d: String) => Similarity.lshRecallBounded(s, d)),
     "q_typed_agg"       -> Scale.typedAgg _,
     "q_argmax_order"    -> Scale.argMaxOrder _,
     "q_explode_tokens"  -> Breadth.explodeTokens _,
@@ -270,7 +272,9 @@ object SparkEntry {
     "q_stream_foreachbatch" -> graft.streaming.EventsStream.foreachBatchTotals _,
     "q_stream_dedup_incremental" -> ((s: SparkSession, d: String) =>
       graft.streaming.EventsStream.streamIncrementalDedup(s, d)),
-    "q_ann_pq"             -> ((s: SparkSession, d: String) => Similarity.pqTopK(s, d)),
+    // bounded-recall audit over the PQ/IVFADC serve path (round 20 —
+    // the IVF twins' scheme; Similarity.pqTopK stays the scale carrier)
+    "q_ann_pq"             -> ((s: SparkSession, d: String) => Similarity.pqRecallBounded(s, d)),
     // round 5: supplier coverage, labeled kNN, TF-IDF featurization
     "q_supplier_volume" -> Breadth.localSupplierVolume _,
     // round 7: TPC-H Q2-shaped argmin over (part, supplier)
@@ -894,6 +898,18 @@ object SparkEntry {
         |  AND list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
         |      / (SQRT(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
         |         * SQRT(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.4""".stripMargin,
+    // bounded LSH recall audit (round 20): the exact half is the pair
+    // COUNT of the q_dedup_embedding join above; the boolean is the
+    // engine-side recall floor over the banded miner's pairs
+    "q_dedup_embedding_lsh" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+        |       TRUE AS recall_floor_met
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) > 0
+        |  AND list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) > 0
+        |  AND list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+        |      / (SQRT(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+        |         * SQRT(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.4""".stripMargin,
     // the 3-view augmented corpus is derived with EXACT integer-ratio
     // multipliers ((100+m)/100 in doubles) so both engines build
     // bit-identical vectors; the Spark side mines pairs via LSH banding
@@ -963,6 +979,7 @@ object SparkEntry {
     // serving under the per-probe floor turns the hash compare red
     "q_ann_ivf" -> annRecallBoundedOracleSql,
     "q_ann_ivf_saved" -> annRecallBoundedOracleSql,
+    "q_ann_pq" -> annRecallBoundedOracleSql,
     "q_text_tokens" ->
       """SELECT doc_id,
         |       CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,

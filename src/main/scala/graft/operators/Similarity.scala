@@ -197,6 +197,33 @@ object Similarity {
     }
   }
 
+  /** BOUNDED-RECALL AUDIT of the LSH near-dup miner against the exact
+    * pair join (round 20 — the bounded-oracle scheme extended to the
+    * last recall-floored rows-only shape): one row, the exact pair
+    * count at `threshold` (DuckDB-recomputable — the q_dedup_embedding
+    * dialect) plus a recall-floor boolean over the banded miner's
+    * pairs. The exact half rides the session-memoized
+    * [[Dedup.embeddingPairsShared]] frame, so in-session it costs one
+    * localCheckpoint read, and at 100 TB it is promotion-time audit
+    * scaffolding — the banded miner ([[lshEmbeddingPairs]]) carries the
+    * query. Floor provenance: measured recall at the registered 192×32
+    * config is 0.86 / 0.93 / 0.88 at sf0.001 / sf0.01 / sf0.1
+    * (round-20 ledger; the SimilaritySpec floor pins ≥ 0.8 — the
+    * thinnest margin of the bounded family, ~0.08 at sf0.1, inherited
+    * from the spec's own boundary-recall analysis). */
+  def lshRecallBounded(
+      spark: SparkSession, dir: String,
+      threshold: Double = 0.4, floor: Double = 0.8): DataFrame = {
+    val exact = Dedup.embeddingPairsShared(spark, dir, threshold)
+      .select("id_a", "id_b")
+    val mined = lshEmbeddingPairs(spark, dir, threshold)
+      .select(col("id_a"), col("id_b"), lit(1).as("hit"))
+    exact.join(mined, Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("n_exact_pairs"),
+        (avg(when(col("hit").isNotNull, 1.0).otherwise(0.0)) >= floor)
+          .as("recall_floor_met"))
+  }
+
   /** EXACT centroid-pruned cosine pair join — triangle-inequality
     * pruning over IVF buckets, bit-identical to the brute-force pairs
     * (spec-pinned at two thresholds).
@@ -1300,12 +1327,33 @@ object Similarity {
   def annRecallBounded(
       spark: SparkSession, dir: String,
       saved: Boolean = false, k: Int = 5, nProbes: Int = 10,
-      hitsFloor: Int = 3): DataFrame = {
+      hitsFloor: Int = 3): DataFrame =
+    recallBoundedOver(spark, dir,
+      if (saved) ivfTopKSaved(spark, dir, k, nProbes)
+      else ivfTopK(spark, dir, k, nProbes),
+      k, nProbes, hitsFloor)
+
+  /** [[annRecallBounded]] for the PQ/IVFADC serve path — the same
+    * per-probe exact half and floor boolean over [[pqTopK]] (round 20:
+    * PQ is deterministic under the pinned seed exactly like IVF — the
+    * strided-init codebook rides the shared coarse gate — so the same
+    * bounded-oracle scheme applies; measured per-probe hits match the
+    * IVF twin's at sf0.01/sf0.1, floor 3 with the same margin). */
+  def pqRecallBounded(
+      spark: SparkSession, dir: String,
+      k: Int = 5, nProbes: Int = 10, hitsFloor: Int = 3): DataFrame =
+    recallBoundedOver(spark, dir, pqTopK(spark, dir, k, nProbes),
+      k, nProbes, hitsFloor)
+
+  /** The shared audit join of the bounded-recall family: exact top-k
+    * cardinality per probe + hits-floor boolean over whatever serve
+    * frame the caller dispatches. */
+  private def recallBoundedOver(
+      spark: SparkSession, dir: String, servedDf: DataFrame,
+      k: Int, nProbes: Int, hitsFloor: Int): DataFrame = {
     val brute = bruteTopK(spark, dir, k, nProbes)
       .select("query_id", "neighbor_id")
-    val served = (if (saved) ivfTopKSaved(spark, dir, k, nProbes)
-                  else ivfTopK(spark, dir, k, nProbes))
-      .select("query_id", "neighbor_id")
+    val served = servedDf.select("query_id", "neighbor_id")
     val exact = brute.groupBy("query_id").agg(count(lit(1)).as("k_exact"))
     val hits = brute.join(served, Seq("query_id", "neighbor_id"))
       .groupBy("query_id").agg(count(lit(1)).as("n_hits"))

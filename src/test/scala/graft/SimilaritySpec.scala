@@ -80,10 +80,24 @@ class SimilaritySpec extends SparkSpec {
           s"fixture-scale serve must clear the hits floor (saved=$saved)")
       } finally df.unpersist(blocking = false)
     }
+    // the PQ twin rides the same audit join and must clear the same
+    // fixture floor (deterministic strided-init codebook)
+    val pq = Similarity.pqRecallBounded(spark, sf).collect()
+    assert(pq.length == 10 && pq.forall(r => r.getLong(1) == 5L && r.getBoolean(2)),
+      s"pq bounded audit: ${pq.toSeq}")
     // the floor boolean must actually bite: an impossible floor (6 of
     // 5) turns every row false — the oracle-red path, not a constant
     val strict = Similarity.annRecallBounded(spark, sf, hitsFloor = 6).collect()
     assert(strict.forall(!_.getBoolean(2)), "hitsFloor=6 must fail every probe")
+  }
+
+  test("bounded LSH recall audit: one row, exact pair count + floor boolean") {
+    val r = Similarity.lshRecallBounded(spark, sf).collect()
+    assert(r.length == 1 && r(0).getLong(0) > 0 && r(0).getBoolean(1),
+      s"lsh bounded audit: ${r.toSeq}")
+    // an unreachable floor must turn the boolean false (recall <= 1.0)
+    val strict = Similarity.lshRecallBounded(spark, sf, floor = 1.01).collect()
+    assert(!strict(0).getBoolean(1), "floor=1.01 must turn the boolean false")
   }
 
   test("bounded IVF agreement audits: one-row coverage counts + floor booleans") {
