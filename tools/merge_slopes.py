@@ -43,6 +43,12 @@ def main() -> None:
     if "copies" in new and new["copies"] != tx.get("copies"):
         sys.exit(f"copies mismatch: {sf1_path} thirty_x.copies="
                  f"{tx.get('copies')} vs {slope_path} {new['copies']}")
+    # src identity, same hard requirement as every other carry path
+    # (parseCarriedSingleton, runAnn5mCanary): a 30x point measured on a
+    # different source corpus must not splice in silently.
+    if slope.get("src") != sf1.get("src"):
+        sys.exit(f"src mismatch: {sf1_path} src={sf1.get('src')} vs "
+                 f"{slope_path} src={slope.get('src')}")
     queries = sf1.get("queries", {})
     merged_names = []
     for name, entry in new.items():
