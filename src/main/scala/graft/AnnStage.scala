@@ -17,9 +17,13 @@ object AnnStage {
     val out = if (args.length > 1) args(1) else "/tmp/graft_emb100"
     // named parse failure + positivity guard (round-20 review): a typo'd
     // copies arg died as a bare NumberFormatException, and copies <= 0
-    // would param-stamp an empty staging that later runs would trust
-    require(args.length <= 2 || args(2).matches("\\d+"),
-      s"AnnStage: copies argument '${args(2)}' is not a positive int")
+    // would param-stamp an empty staging that later runs would trust.
+    // Digit-count bound (round-21 ADVICE): \d+ alone admits values that
+    // overflow Int, so toInt still threw the bare exception the guard
+    // was added to eliminate — 9 digits always fits.
+    require(args.length <= 2 || (args(2).matches("\\d+") && args(2).length <= 9),
+      s"AnnStage: copies argument '${if (args.length > 2) args(2) else ""}' " +
+        "is not a positive int (digits only, <= 9 digits)")
     val copies = if (args.length > 2) args(2).toInt else 100
     require(copies > 0, s"AnnStage: copies=$copies must be positive")
     val spark = SparkSession.builder()

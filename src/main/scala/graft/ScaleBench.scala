@@ -840,6 +840,15 @@ object ScaleBench {
     require(java.nio.file.Files.exists(p),
       "ANN5M_CANARY: no committed SCALEBENCH_sf1_64g.json to extend")
     val whole = java.nio.file.Files.readString(p)
+    // shape guard (round-21 ADVICE): emit() rewrites the artifact as
+    // {metric,src,two_level_5m} only — on a legacy full-sweep-shaped 64g
+    // artifact every other top-level field (recall_at_5, thirty_x,
+    // queries) would be silently discarded on the first write. Refuse to
+    // extend anything but an ann5m-shaped artifact.
+    require(whole.startsWith("""{"metric":"ann5m""""),
+      "ANN5M_CANARY: committed SCALEBENCH_sf1_64g.json is not ann5m-shaped " +
+        "— rewriting it would discard its non-two_level_5m top-level " +
+        "fields; convert or re-emit it as ann5m before extending")
     val priorSrc = topLevelSrc(whole)
     require(priorSrc == srcJson,
       s"ANN5M_CANARY: prior artifact src [$priorSrc] != this run's src " +

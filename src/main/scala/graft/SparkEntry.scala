@@ -335,16 +335,24 @@ object SparkEntry {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.streaming.{OutputMode, Trigger}
       import org.apache.spark.sql.types.DecimalType
-      val stream = s.readStream.format("graft.sources.RangeGenSource")
-        .option("rows", "100000").option("batchRows", "50000").load()
-      val agg = stream.groupBy("event_type")
-        .agg(count(lit(1)).as("n"),
-          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
-      val name = s"gen_stream_${System.nanoTime()}"
-      val q = agg.writeStream.outputMode(OutputMode.Complete())
-        .format("memory").queryName(name)
-        .trigger(Trigger.AvailableNow()).start()
-      graft.streaming.EventsStream.drainAndDrop(s, q, name)
+      // stream partitions scoped to 8 like every EventsStream query
+      // (round-21 profile: at the session default 32 this 5-key
+      // complete-mode aggregation spun 32 state stores per micro-batch —
+      // 64 state-store task slots of pure provider overhead across the
+      // two batches, ~45 s of executor time for milliseconds of data
+      // work; the withStreamPartitions rationale applies verbatim)
+      graft.streaming.EventsStream.withStreamPartitions(s, 8) {
+        val stream = s.readStream.format("graft.sources.RangeGenSource")
+          .option("rows", "100000").option("batchRows", "50000").load()
+        val agg = stream.groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+        val name = s"gen_stream_${System.nanoTime()}"
+        val q = agg.writeStream.outputMode(OutputMode.Complete())
+          .format("memory").queryName(name)
+          .trigger(Trigger.AvailableNow()).start()
+        graft.streaming.EventsStream.drainAndDrop(s, q, name)
+      }
     }),
     // round 8: native point-in-interval join — irregular numeric bands +
     // time validity windows (same custom plan, two domains)

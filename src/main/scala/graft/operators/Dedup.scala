@@ -20,13 +20,20 @@ object Dedup {
   // ---- exact ---------------------------------------------------------
 
   /** Exact dedup: group by 64-bit content fingerprint, keep the smallest
-    * doc_id. At 100 TB the shuffle carries (hash, id) pairs — never text. */
+    * doc_id. At 100 TB the shuffle carries (hash, id) pairs — never text.
+    * Memoized per (session, dir) — the fingerprint table is read by the
+    * standalone query, the dashboard and the curation chain's keep-set
+    * ([[pairsMemo]] charter). */
   def exact(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "documents")
-      .select(xxhash64(col("text")).as("fp"), col("doc_id"))
-      .groupBy("fp")
-      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
-      .select("keep_id", "n_copies")
+    exactMemo.getOrCompute(spark, dir) {
+      Tables.load(spark, dir, "documents")
+        .select(xxhash64(col("text")).as("fp"), col("doc_id"))
+        .groupBy("fp")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .select("keep_id", "n_copies")
+        .localCheckpoint(true)
+    }
+  private val exactMemo = new graft.SessionMemo[DataFrame]()
 
   // ---- MinHash + LSH -------------------------------------------------
 
@@ -94,7 +101,24 @@ object Dedup {
     *
     * The band join is the scale path: candidates are only pairs sharing a
     * (band_idx, band_hash) bucket — O(n·bands) shuffle, no cross join. */
-  def minhashPairs(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
+  /** Thresholded near-dup PAIR GRAPHS, each built ONCE per (session,
+    * dir, params) and shared by the standalone pair query and the
+    * cross-method dashboard ([[dedupSummary]]) — the same
+    * materialize-the-pipeline-intermediate charter as
+    * [[docShinglesShared]]/[[embPairsMemo]]: a dedup pipeline computes
+    * its similarity graph once and every downstream consumer (summary,
+    * clustering, representative selection) reads the materialized
+    * frame. The memo values are post-threshold pair lists — orders
+    * smaller than the corpus — and checkpoint blocks are owned by the
+    * memoized frames ([[graft.SessionMemo]] session scoping). */
+  private val pairsMemo = new graft.SessionMemo[DataFrame]()
+
+  def minhashPairs(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame =
+    pairsMemo.getOrCompute(spark, s"minhash|$dir|$threshold") {
+      minhashPairsUncached(spark, dir, threshold)
+    }
+
+  private def minhashPairsUncached(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
     // The shingle table feeds the signature AND both sides of the
     // verification join; it comes from the shared per-dir materialization
     // ([[docShinglesShared]]), so consecutive dedup queries never re-hash
@@ -166,7 +190,12 @@ object Dedup {
     * pigeonhole — 3 differing bits can dirty at most 3 of the 4 bands —
     * so the exhaustive all-pairs Hamming filter is the exact DuckDB
     * oracle, not just a recall floor. */
-  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame =
+    pairsMemo.getOrCompute(spark, s"simhash|$dir|$maxHamming") {
+      simhashPairsUncached(spark, dir, maxHamming)
+    }
+
+  private def simhashPairsUncached(spark: SparkSession, dir: String, maxHamming: Int): DataFrame = {
     val docs = simhashDocs(spark, dir)
     val banded = docs.withColumn("band",
         explode(expr("transform(sequence(0, 3), k -> named_struct('band_idx', k, 'band_val', (simhash >> (k * 16)) & 65535))")))
@@ -197,7 +226,12 @@ object Dedup {
     * Σ_shingle df(s)² instead of O(block²·|sh|) — the only formulation
     * that survives 100 TB (a pair that shares no shingle never
     * materializes). Fully SQL-expressible → DuckDB oracle. */
-  def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.2): DataFrame = {
+  def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.2): DataFrame =
+    pairsMemo.getOrCompute(spark, s"ngram|$dir|$threshold") {
+      ngramJaccardPairsUncached(spark, dir, threshold).localCheckpoint(true)
+    }
+
+  private def ngramJaccardPairsUncached(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
     // Cache at the SHINGLE-TABLE level: the native shingle-hash loop runs
     // exactly once per doc; size/explode read the materialized arrays and
     // the join key is already an 8-byte hash.
@@ -239,7 +273,12 @@ object Dedup {
     * per-doc ordering window; saves the quadratic posting blow-up — the
     * trade that wins when df distributions are Zipfian, i.e. always at
     * corpus scale. */
-  def ngramJaccardPairsPrefix(spark: SparkSession, dir: String, threshold: Double = 0.2): DataFrame = {
+  def ngramJaccardPairsPrefix(spark: SparkSession, dir: String, threshold: Double = 0.2): DataFrame =
+    pairsMemo.getOrCompute(spark, s"ngram_prefix|$dir|$threshold") {
+      ngramJaccardPairsPrefixUncached(spark, dir, threshold)
+    }
+
+  private def ngramJaccardPairsPrefixUncached(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
     val docs = docShinglesShared(spark, dir)
     val postings = docs.select(col("lang"), col("doc_id"), col("sz"),
       explode(col("sh")).as("shingle"))
@@ -292,7 +331,12 @@ object Dedup {
     * t is high (prefix length ≈ |A|/10 at t = 0.9, and prefixes hold
     * each doc's rarest shingles by construction). Verification is one
     * exact set intersection per unique candidate pair. */
-  def containmentPairs(spark: SparkSession, dir: String, threshold: Double = 0.9): DataFrame = {
+  def containmentPairs(spark: SparkSession, dir: String, threshold: Double = 0.9): DataFrame =
+    pairsMemo.getOrCompute(spark, s"containment|$dir|$threshold") {
+      containmentPairsUncached(spark, dir, threshold).localCheckpoint(true)
+    }
+
+  private def containmentPairsUncached(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
     val docs = docShinglesShared(spark, dir)
     val postings = docs.select(col("lang"), col("doc_id"), col("sz"),
       explode(col("sh")).as("shingle"))
@@ -588,65 +632,114 @@ object Dedup {
     * ([[dedupComponents]]) and embedding ([[embeddingClusters]]) cluster
     * paths.
     *
-    * Convergence in O(effective propagation distance) rounds, each one
-    * distributed join + keyed min. Per-round cost is dominated by fixed
-    * job/shuffle-stage overhead (the frames are post-threshold pair
-    * lists, orders smaller than the corpus), so the loop spends two
-    * cheap levers on round/job count: labels START at min(id, min
-    * neighbor) — one agg folded into init buys the first propagation
-    * round for free — and the changed-row convergence COUNT runs every
-    * SECOND round (a no-change round is idempotent, so the worst case is
-    * one extra cheap round, for half the count jobs). Pointer-jumping
-    * (comp ← comp(comp)) was measured NET NEGATIVE here: reach per round
-    * grows only Fibonacci-like while every jump adds a shuffle stage to
-    * every round — simulated on the sf0.1 embedding pair graph it saved
-    * 1 round of 11 but added 10 stages. Lineage truncated per round
-    * (localCheckpoint) so plans stay flat; the driver loop holds only a
-    * changed-row COUNT, never data. */
+    * The frames are post-threshold pair lists — orders smaller than the
+    * corpus — so the loop's cost is FIXED per-round driver/job overhead,
+    * and the round count is the whole game (round-21 profile: the old
+    * one-hop loop ran the embedding cluster graph to ~30 rounds = 127
+    * driver jobs for 3 s of wall on milliseconds of compute). Three
+    * levers, all output-invariant (any correct propagation reaches the
+    * same min-reachable fixpoint, which is what the DuckDB recursive-
+    * reachability oracle and `PropertySpec`'s union-find reference pin):
+    *   - labels START at min(id, min neighbor) — init buys hop 1 free;
+    *   - each round takes ONE keyed min over THREE label sources — own
+    *     label, neighbor labels (one hop), and label-of-label (PATH
+    *     DOUBLING: comp ← comp(comp), the pointer-jumping half of
+    *     classic two-phase CC) — so label reach more than DOUBLES per
+    *     round and a diameter-d chain converges in O(log d) rounds
+    *     instead of d (the r20 note measured jumping as SEPARATE rounds
+    *     net-negative; folded into the same keyed min it costs one extra
+    *     tiny-frame join inside the round's single job, not a round);
+    *   - the OWN label rides the union as a second column, so the
+    *     convergence check is `comp < own` COUNTED on the frame the
+    *     round just checkpointed — no join, runs EVERY round, and the
+    *     loop stops the round convergence happens.
+    * Lineage truncated per round (localCheckpoint) so plans stay flat;
+    * the driver loop holds only a changed-row COUNT, never data. */
   private[graft] def minLabelComponents(edges: DataFrame): DataFrame = {
+    // adj materializes under the CALLER's conf (its lineage may hold the
+    // corpus-sized pair mining, which wants AQE); everything after runs
+    // under the loop conf below.
     val adj = edges.unionAll(
       edges.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .localCheckpoint(true)
+    val spark = adj.sparkSession
+    withLoopConf(spark, adj.count()) {
     var labels = adj
       .groupBy(col("id_a"))
       .agg(min("id_b").as("nbr_min"))
       .select(col("id_a").as("id"),
         least(col("id_a"), col("nbr_min")).as("comp"))
       .localCheckpoint(true)
-    // own label and neighbor labels ride ONE union into ONE keyed min —
-    // two shuffle boundaries per round (join, agg) instead of three
-    // (join, agg, label re-join); with post-threshold-sized frames the
-    // loop cost IS stage overhead, so boundaries are the unit of cost
-    def step(cur: DataFrame): DataFrame = adj
-      .join(cur.select(col("id").as("id_b"), col("comp").as("c")), "id_b")
-      .select(col("id_a").as("id"), col("c"))
-      .unionAll(cur.select(col("id"), col("comp").as("c")))
-      .groupBy("id").agg(min("c").as("comp"))
-      .localCheckpoint(true)
-    def delta(next: DataFrame, prev: DataFrame): Long = next
-      .join(prev.select(col("id"), col("comp").as("prev")), "id")
-      .filter(col("comp") < col("prev")).count()
+    // comp values are always node ids (mins over node ids), and `cur`
+    // covers every node, so the label-of-label inner join loses nothing.
+    // The helper is type-generic (the fuzzy-canonical graph keys on
+    // STRINGS), so the non-own branches' null must carry the id type.
+    val idType = edges.schema("id_a").dataType
+    def step(cur: DataFrame): DataFrame = {
+      val nullOwn = lit(null).cast(idType).as("own")
+      val own = cur.select(col("id"), col("comp").as("c"), col("comp").as("own"))
+      val nbr = adj
+        .join(cur.select(col("id").as("id_b"), col("comp").as("c")), "id_b")
+        .select(col("id_a").as("id"), col("c"), nullOwn)
+      val jump = cur
+        .join(cur.select(col("id").as("_cid"), col("comp").as("cc")),
+          col("comp") === col("_cid"))
+        .select(col("id"), col("cc").as("c"), nullOwn)
+      own.unionAll(nbr).unionAll(jump)
+        .groupBy("id").agg(min("c").as("comp"), max("own").as("own"))
+        .localCheckpoint(true)
+    }
     var changed = 1L
     var rounds = 0
     val maxRounds = 30
     while (changed > 0 && rounds < maxRounds) {
       val next = step(labels)
-      changed = if (rounds % 2 == 1) delta(next, labels) else 1L
-      labels = next
+      // labels are monotone non-increasing: comp < own ⇔ this round moved
+      changed = next.filter(col("comp") < col("own")).count()
+      labels = next.select("id", "comp")
       rounds += 1
     }
     // the round cap is a lineage/driver-loop bound, NOT a correctness
-    // device: a pair graph with propagation distance > maxRounds (a long
-    // chain) would otherwise return silently WRONG component labels. If
-    // the cap was hit without a proven no-change round, run one real
-    // convergence check and fail loudly instead.
-    if (changed > 0 && rounds >= maxRounds) {
-      val residual = delta(step(labels), labels)
-      require(residual == 0,
-        s"minLabelComponents: $residual labels still changing after " +
-          s"$maxRounds rounds — pair-graph diameter exceeds the round cap")
-    }
+    // device: a pair graph with propagation distance > maxRounds would
+    // otherwise return silently WRONG component labels. Convergence now
+    // checks every round, so the cap can only bind with changed > 0 —
+    // fail loudly instead of emitting unconverged labels.
+    require(changed == 0,
+      s"minLabelComponents: $changed labels still changing after " +
+        s"$maxRounds rounds — pair-graph diameter exceeds the round cap")
+    // observability only (round-count is THE cost driver of this loop)
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      System.err.println(s"[graft] minLabelComponents: $rounds rounds")
     labels
+    }
+  }
+
+  /** Loop-scoped session conf for the label-propagation rounds: the
+    * frames are POST-THRESHOLD pair graphs — orders smaller than the
+    * corpus — so the loop's cost is per-round stage/job overhead, not
+    * data. Shuffle parallelism derives from the measured adjacency size
+    * (~2M rows per partition, floor 1, capped at the session default so
+    * a genuinely huge pair graph keeps the session's parallelism), and
+    * AQE is scoped OFF for the rounds: each round is one fixed-shape
+    * materialization over a tiny frame, where adaptive per-stage
+    * re-planning only multiplies driver jobs (round-21 profile: 112
+    * jobs for 3 s of summed executor work on the embedding cluster
+    * graph) while the partition coalescing it would buy is exactly what
+    * the derived partition count already provides. Conf is read per
+    * action, so scoping around the loop is exact; restored in finally. */
+  private def withLoopConf[T](spark: SparkSession, nRows: Long)(body: => T): T = {
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val partKey = "spark.sql.shuffle.partitions"
+    val prevAqe = spark.conf.get(aqeKey)
+    val prevPart = spark.conf.get(partKey)
+    val parts = math.max(1L, math.min(prevPart.toLong, nRows / 2000000L + 1L))
+    spark.conf.set(aqeKey, "false")
+    spark.conf.set(partKey, parts.toString)
+    try body
+    finally {
+      spark.conf.set(aqeKey, prevAqe)
+      spark.conf.set(partKey, prevPart)
+    }
   }
 
   /** HOT-SHINGLE PROFILE — per-language top-`topK` shingles by document

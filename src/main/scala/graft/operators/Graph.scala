@@ -64,6 +64,13 @@ object Graph {
     // redundant full-fact shuffles at 3 iterations, a scale-killer at
     // 100 TB. Checkpoint blocks are owned by the frames' RDDs and
     // reclaimed by the ContextCleaner when the result is dropped.
+    // round-21 measured note: an "attach the degree to the edge list
+    // once, one join per iteration" rewrite was tried and REVERTED — it
+    // halved summed executor time but cost +1.3 s wall at sf0.1, because
+    // the per-iteration deg join below broadcasts (node-cardinality
+    // frame) while the rewrite widened the per-iteration edge⋈ranks
+    // shuffle by the carried degree column and put an extra upfront
+    // shuffle join on the critical path. The two-join loop stands.
     val und = edges.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint(true)
@@ -113,9 +120,11 @@ object Graph {
     // deg feeds two orientation joins + the shape rollup, oriented feeds
     // both sides of the wedge self-join: materialized once each, or the
     // plan re-shuffles the full edge set per consumer (3x / 2x) — the
-    // same loop-lineage discipline as pageRank's und/deg.
-    val deg = edges.select(col("a").as("n"))
-      .unionAll(edges.select(col("b").as("n")))
+    // same loop-lineage discipline as pageRank's und/deg. Degrees come
+    // from ONE explode pass over the edge blocks, not a two-branch union
+    // that reads the checkpointed edges twice (round-21 profile: the
+    // union shape re-read ~200 MB of edge blocks here).
+    val deg = edges.select(explode(array(col("a"), col("b"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("d"))
       .localCheckpoint(true)
     val oriented = edges
@@ -138,14 +147,20 @@ object Graph {
       .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")), Seq("dst"), "left")
       .agg(sum(size(array_intersect(col("nu"),
         coalesce(col("nv"), array())))).as("n_triangles"))
+    // n_edges = Σd/2 exactly (every edge contributes one to each
+    // endpoint's degree), so the shape rollup reads ONLY the node-sized
+    // deg frame — the old separate edges.count re-read the full edge
+    // blocks for a number the degree sum already carries.
     val shape = deg.agg(count(lit(1)).as("n_nodes"),
+      expr("sum(d) div 2").as("n_edges"),
       sum(expr("d * (d - 1) div 2")).as("n_wedges"))
-    shape.crossJoin(edges.agg(count(lit(1)).as("n_edges")))
-      .crossJoin(tri)
+    shape.crossJoin(tri)
       // SUM over zero rows is NULL: an empty edge set must report zero
-      // wedges/triangles, not NULLs that poison downstream arithmetic
-      // (the d3afe3e degenerate-input class)
-      .select(col("n_nodes"), col("n_edges"),
+      // edges/wedges/triangles, not NULLs that poison downstream
+      // arithmetic (the d3afe3e degenerate-input class; n_edges is now a
+      // degree SUM, so it needs the same guard the counts never did)
+      .select(col("n_nodes"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"),
         coalesce(col("n_wedges"), lit(0L)).as("n_wedges"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
   }
@@ -190,8 +205,9 @@ object Graph {
   def kCorePeel(edges0: DataFrame, k: Int, rounds: Int): DataFrame = {
     var edges = edges0
     for (_ <- 1 to rounds) {
-      val deg = edges.select(col("a").as("n"))
-        .unionAll(edges.select(col("b").as("n")))
+      // one explode pass, not a two-branch union that scans the round's
+      // edge blocks twice (the triangleCount deg note)
+      val deg = edges.select(explode(array(col("a"), col("b"))).as("n"))
         .groupBy("n").agg(count(lit(1)).as("d"))
       val keep = deg.filter(col("d") >= k).select("n")
       edges = edges
@@ -199,7 +215,7 @@ object Graph {
         .join(keep.select(col("n").as("b")), Seq("b"), "left_semi")
         .localCheckpoint(true)
     }
-    edges.select(col("a").as("n")).unionAll(edges.select(col("b").as("n")))
+    edges.select(explode(array(col("a"), col("b"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("core_deg"))
   }
 
@@ -232,8 +248,7 @@ object Graph {
       .select("nat_a", "nat_b")
       .localCheckpoint(true) // feeds the total, both degree rollups, and m_c
     val mTot = edges.agg(count(lit(1)).as("m"))
-    val dC = edges.select(col("nat_a").as("nation"))
-      .unionAll(edges.select(col("nat_b").as("nation")))
+    val dC = edges.select(explode(array(col("nat_a"), col("nat_b"))).as("nation"))
       .groupBy("nation").agg(count(lit(1)).as("d_c"))
     val mC = edges.filter(col("nat_a") === col("nat_b"))
       .groupBy(col("nat_a").as("nation")).agg(count(lit(1)).as("m_c"))
@@ -296,7 +311,7 @@ object Graph {
     * Bucket ids are exact integer log₂ via bit length, not float log. */
   def degreeDistribution(spark: SparkSession, dir: String): DataFrame = {
     val edges = tradeEdges(spark, dir)
-    val deg = edges.select(col("a").as("n")).unionAll(edges.select(col("b").as("n")))
+    val deg = edges.select(explode(array(col("a"), col("b"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("d"))
     // floor(log2(d)) as binary-digit count minus one: exact integer
     // arithmetic in both engines — float log2 rounds differently at

@@ -297,13 +297,37 @@ object Sketches {
       .select(col(keyCol), col("_s.mins").as("sk"))
   }
 
+  /** The three kmv intermediates — the labeled fact pass, the exact
+    * audit algebra, and the k-sketch pair estimates — built ONCE per
+    * (session, dir[, k]) and shared by the family's three declared
+    * queries (q_kmv_overlap, q_kmv_overlap_est, q_kmv_audit): the
+    * [[graft.operators.Graph.tradeEdges]] pattern — a dashboard runs
+    * several overlap profiles of the same assortment table in one
+    * session, and each previously re-ran the 3-join fact pass, the
+    * distinct self-join and the sketch build per query (round-21
+    * profile: ~150 MB of re-read per query, 3× the same joins).
+    * Checkpoint blocks are owned by the memoized frames; session
+    * scoping per [[graft.SessionMemo]]. */
+  private val nationPartsMemo = new graft.SessionMemo[DataFrame]()
+  private def nationPartsShared(spark: SparkSession, dir: String): DataFrame =
+    nationPartsMemo.getOrCompute(spark, dir) {
+      nationParts(spark, dir).localCheckpoint(true)
+    }
+  private val auditPairsMemo = new graft.SessionMemo[DataFrame]()
+  private def auditPairsShared(spark: SparkSession, dir: String): DataFrame =
+    auditPairsMemo.getOrCompute(spark, dir) {
+      auditPairs(nationPartsShared(spark, dir)).localCheckpoint(true)
+    }
+  private val kmvEstMemo = new graft.SessionMemo[DataFrame]()
+  private def kmvPairEstimatesShared(
+      spark: SparkSession, dir: String, k: Int): DataFrame =
+    kmvEstMemo.getOrCompute(spark, s"$dir|$k") {
+      kmvPairEstimates(nationPartsShared(spark, dir), k).localCheckpoint(true)
+    }
+
   def kmvAssortmentOverlap(spark: SparkSession, dir: String, k: Int = 1024): DataFrame = {
-    // one materialization feeds both the sketch build and the exact
-    // audit branch (three joins otherwise run twice); at 100 TB the
-    // audit branch doesn't exist and neither does this checkpoint
-    val labeled = nationParts(spark, dir).localCheckpoint(true)
-    kmvPairEstimates(labeled, k)
-      .join(broadcast(auditPairs(labeled)), Seq("nation_a", "nation_b"))
+    kmvPairEstimatesShared(spark, dir, k)
+      .join(broadcast(auditPairsShared(spark, dir)), Seq("nation_a", "nation_b"))
       .select(col("nation_a"), col("nation_b"), col("n_a"), col("n_b"),
         col("n_both"), col("est_a"), col("est_b"), col("est_union"),
         col("est_inter"), col("est_only_a"), col("est_only_b"),
@@ -367,7 +391,7 @@ object Sketches {
     * 300-row pair algebra answers every overlap question, and nothing
     * re-scans rows or self-joins the distinct value stream. */
   def kmvOverlapEstimates(spark: SparkSession, dir: String, k: Int = 1024): DataFrame =
-    kmvPairEstimates(nationParts(spark, dir), k)
+    kmvPairEstimatesShared(spark, dir, k)
 
   /** The DERIVED estimate family as a BOUNDED-ERROR ORACLE query
     * (round 18, closing the last KMV rows-only row): [[kmvOverlapBounded]]
@@ -394,15 +418,14 @@ object Sketches {
     * test-scale scaffolding (the [[hllDailyUsersBounded]] precedent);
     * at 100 TB [[kmvOverlapEstimates]] serves alone. */
   def kmvOverlapEstBounded(spark: SparkSession, dir: String, k: Int = 1024): DataFrame = {
-    val labeled = nationParts(spark, dir).localCheckpoint(true)
     val u = (col("n_a") + col("n_b") - col("n_both")).cast("double")
     val eA = col("n_a").cast("double") * 0.08
     val eB = col("n_b").cast("double") * 0.08
     val eU = u * 0.10
     val eI = greatest(col("n_both").cast("double") * 0.20, u * 0.02)
     val j = col("n_both").cast("double") / u
-    kmvPairEstimates(labeled, k)
-      .join(broadcast(auditPairs(labeled)), Seq("nation_a", "nation_b"))
+    kmvPairEstimatesShared(spark, dir, k)
+      .join(broadcast(auditPairsShared(spark, dir)), Seq("nation_a", "nation_b"))
       .select(col("nation_a"), col("nation_b"),
         col("n_a"), col("n_b"), col("n_both"),
         (abs(col("est_only_a") - (col("n_a") - col("n_both")).cast("double"))
@@ -417,7 +440,7 @@ object Sketches {
     * Plain relational algebra end-to-end, so the DuckDB oracle
     * hash-gates the shared pair logic the sketch columns ride beside. */
   def kmvAudit(spark: SparkSession, dir: String): DataFrame =
-    auditPairs(nationParts(spark, dir))
+    auditPairsShared(spark, dir)
 
   private def nationParts(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "lineitem")

@@ -37,7 +37,34 @@ object TextAnalysis {
     * oracle — same op order). The stopword list rides as a typed array
     * Column (`typedlit`), not SQL-string interpolation — same discipline
     * as [[scrubBlocklist]]/[[bm25Rank]]. */
-  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+  /** Corpus-pass intermediates shared across declared queries (round 21;
+    * the [[graft.operators.Dedup.docShinglesShared]] charter): the
+    * quality frame feeds q_text_quality, the curation chain (×2 queries),
+    * q_quality_calibrated and q_dedup_rep; the langId frame feeds
+    * q_text_langid and the curation chain; the (doc, term, tf) frame
+    * feeds q_tfidf_terms, q_tfidf_features' relational sibling and
+    * q_hybrid_search. Each is built once per (session, dir); checkpoint
+    * blocks are owned by the memoized frames. */
+  private val qualityMemo = new graft.SessionMemo[DataFrame]()
+  private val langIdMemo = new graft.SessionMemo[DataFrame]()
+  private val termFreqMemo = new graft.SessionMemo[DataFrame]()
+
+  /** The raw (doc_id, term, tf) term-frequency table — the tokenize-once
+    * step every TF-IDF-family consumer re-derived inline before round 21. */
+  private[graft] def docTermFreqShared(spark: SparkSession, dir: String): DataFrame =
+    termFreqMemo.getOrCompute(spark, dir) {
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true)
+    }
+
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    qualityMemo.getOrCompute(spark, dir) {
+      qualityScoreUncached(spark, dir).localCheckpoint(true)
+    }
+
+  private def qualityScoreUncached(spark: SparkSession, dir: String): DataFrame = {
     val stopArr = typedlit(Stopwords)
     Tables.load(spark, dir, "documents")
       .withColumn("toks", split(col("text"), " "))
@@ -106,7 +133,12 @@ object TextAnalysis {
   /** N-gram-heuristic language ID: integer stopword-profile hit counts per
     * language, argmax with fixed priority (en > de > fr > es), `und` when
     * no profile matches. Integer-only → bit-exact oracle. */
-  def langId(spark: SparkSession, dir: String): DataFrame = {
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    langIdMemo.getOrCompute(spark, dir) {
+      langIdUncached(spark, dir).localCheckpoint(true)
+    }
+
+  private def langIdUncached(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.load(spark, dir, "documents")
       .withColumn("toks", split(col("text"), " "))
     val withCounts = LangProfiles.foldLeft(base) { case (df, (lang, words)) =>
@@ -140,7 +172,20 @@ object TextAnalysis {
     * chain, so column pruning and the semi/anti joins compose instead of
     * materializing intermediate corpora (the reason curation belongs IN
     * the engine rather than as four scripted passes over storage). */
-  def curateCorpus(spark: SparkSession, dir: String): DataFrame = {
+  private val curateMemo = new graft.SessionMemo[DataFrame]()
+
+  /** Memoized per (session, dir): the curated corpus is THE pipeline
+    * product every downstream consumer reads — the per-source provenance
+    * rollup ([[curationBySource]]) must profile the same materialized
+    * keep-set the curation query emitted, not re-run the four-gate chain
+    * (the [[graft.operators.Dedup.dedupComponents]] precedent: a declared
+    * query whose result is itself the shared pipeline intermediate). */
+  def curateCorpus(spark: SparkSession, dir: String): DataFrame =
+    curateMemo.getOrCompute(spark, dir) {
+      curateCorpusUncached(spark, dir).localCheckpoint(true)
+    }
+
+  private def curateCorpusUncached(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     // Dedup.exact's fingerprint shape, not groupBy(text): grouping on the
     // full text column shuffles the whole corpus payload as the key —
@@ -195,8 +240,7 @@ object TextAnalysis {
     * discipline). */
   def tfidfTerms(spark: SparkSession, dir: String, topN: Int = 5): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val tf = docTermFreqShared(spark, dir)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfc"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
@@ -270,8 +314,7 @@ object TextAnalysis {
   def tfidfVectors(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val docs = Tables.load(spark, dir, "documents")
-    val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val tf = docTermFreqShared(spark, dir)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfc"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(dfreq, "term")

@@ -126,7 +126,7 @@ object EventsStream {
     }
   }
 
-  private def withStreamPartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+  private[graft] def withStreamPartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, n.toString)
