@@ -362,6 +362,66 @@ object HashExpressions {
       copy(child = newChild)
   }
 
+  /** Two-pointer intersection COUNT of two ascending-sorted long arrays
+    * with distinct elements (the oriented-adjacency contract in
+    * [[graft.operators.Graph.triangleCount]]): equal to
+    * `size(array_intersect(a, b))` on such inputs — array_intersect
+    * builds an OpenHashSet PER ROW, this is one linear merge over
+    * primitives (round 21: the intersect ran once per oriented edge, the
+    * hottest inner loop of the whole graph family). Inputs that are not
+    * sorted-distinct would under- or over-count silently, so the caller
+    * contract is named in scaladoc and pinned by GraphSpec against the
+    * array_intersect formulation. */
+  case class SortedIntersectCount(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    private def elemOk(dt: DataType): Boolean = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (elemOk(left.dataType) && elemOk(right.dataType)) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"sorted_intersect_count needs array<bigint>, got " +
+          s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "sorted_intersect_count"
+
+    def compute(l: ArrayData, r: ArrayData): Long = {
+      val nl = l.numElements()
+      val nr = r.numElements()
+      var i = 0
+      var j = 0
+      var c = 0L
+      while (i < nl && j < nr) {
+        rejectNullElement(l, i, "sorted_intersect_count")
+        rejectNullElement(r, j, "sorted_intersect_count")
+        val x = l.getLong(i)
+        val y = r.getLong(j)
+        if (x == y) { c += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+      c
+    }
+
+    override def nullSafeEval(l: Any, r: Any): Any =
+      compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("sicSelf", this, classOf[SortedIntersectCount].getName)
+      nullSafeCodeGen(ctx, ev, (l, r) => s"${ev.value} = $self.compute($l, $r);")
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): SortedIntersectCount =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedIntersectCount(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   def minhash_sig(hashes: Column, a: Array[Long], b: Array[Long], p: Long): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(hashes), a, b, p))
 

@@ -796,11 +796,22 @@ object Dedup {
         expr(s"transform(sequence(0, size(tk) - $width), i -> array_join(slice(tk, i + 1, $width), ' '))"))
         .as("gs"))
       .select(col("doc_id"), xxhash64(col("gs")).as("g"))
-    val counts = g.groupBy("g").agg(count(lit(1)).as("cnt"))
-    g.join(counts, "g")
+    // Pre-aggregate to the (doc, span) grain FIRST (round 21): the old
+    // shape grouped the positional stream and then joined the counts
+    // back onto the SAME positional stream — re-running the explode +
+    // hash over the corpus a second time and shuffling every positional
+    // row twice. One (doc_id, g) aggregation carries a multiplicity k;
+    // corpus totals are a re-aggregation of that strictly smaller frame
+    // (cnt = Σ k per span, the exact positional count as before), and
+    // the join attaches totals to distinct (doc, span) rows only.
+    // n_windows = Σ k and n_dup = Σ k·[cnt ≥ 2] are identities of the
+    // old per-row sums — bit-identical output.
+    val wg = g.groupBy("doc_id", "g").agg(count(lit(1)).as("k"))
+    val counts = wg.groupBy("g").agg(sum("k").as("cnt"))
+    wg.join(counts, "g")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_windows"),
-        sum(when(col("cnt") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .agg(sum("k").as("n_windows"),
+        sum(when(col("cnt") >= 2, col("k")).otherwise(0L)).as("n_dup"))
       .select(col("doc_id"), col("n_windows"), col("n_dup"),
         (col("n_dup").cast("double") / col("n_windows")).as("dup_frac"))
   }

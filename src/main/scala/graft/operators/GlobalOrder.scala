@@ -17,6 +17,17 @@ import org.apache.spark.sql.types.DecimalType
   *      BROADCAST back,
   *   4. local + offset = the exact global value.
   *
+  * The range exchange carries NO explicit partition count (round 21):
+  * `repartitionByRange(cols…)` inherits the session parallelism and —
+  * unlike an explicit `(32, cols…)` pin — stays AQE-coalescible, so the
+  * post-shuffle partition count derives from the DATA (advisory
+  * partition size) instead of a constant tuned for either local mode or
+  * a cluster: a 46 MB local frame collapses to a couple of partitions
+  * (the round-21 profile showed the fixed 32 paying ~32 near-empty
+  * window/checkpoint tasks per pass), while a 100 TB frame fans out to
+  * the session's full width. Correctness is partition-count-independent
+  * (the offsets algebra below), which is exactly what lets AQE choose.
+  *
   * The ranged frame is `localCheckpoint`'d before fan-out: its two
   * consumers (local window, partition partials) must observe the SAME
   * sampled range boundaries, and two independent executions of a range
@@ -144,7 +155,7 @@ private[graft] object GlobalOrder {
         specs.map { case (n, _) => s"'$n', _v_$n" }.mkString(", ") +
       ") AS (_metric, _v)")
     val local = stacked
-      .repartitionByRange(32, col("_metric"), col("_v"), col(keyCol))
+      .repartitionByRange(col("_metric"), col("_v"), col(keyCol))
       .withColumn("_pid", spark_partition_id())
       .withColumn("_lrn", row_number().over(
         Window.partitionBy("_pid", "_metric").orderBy(col("_v"), col(keyCol))))
@@ -171,7 +182,7 @@ private[graft] object GlobalOrder {
   def withGlobalRowNumber(df: DataFrame, outCol: String, order: Column*): DataFrame = {
     requireFreshNames(df, Seq("_pid", "_lrn", "_off", outCol),
       "withGlobalRowNumber")
-    val local = df.repartitionByRange(32, order: _*)
+    val local = df.repartitionByRange(order: _*)
       .withColumn("_pid", spark_partition_id())
       .withColumn("_lrn", row_number().over(
         Window.partitionBy("_pid").orderBy(order: _*)))
@@ -195,7 +206,7 @@ private[graft] object GlobalOrder {
       "withDistributedRunningSum")
     val pw = Window.partitionBy("_pid").orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = df.repartitionByRange(32, order: _*)
+    val local = df.repartitionByRange(order: _*)
       .withColumn("_pid", spark_partition_id())
       .withColumn("_v", valCol)
       .withColumn("_lsum", sum("_v").over(pw))
@@ -258,7 +269,7 @@ private[graft] object GlobalOrder {
       "withDistributedRunningMaxPrev")
     val pw = Window.partitionBy("_pid").orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val local = df.repartitionByRange(32, order: _*)
+    val local = df.repartitionByRange(order: _*)
       .withColumn("_pid", spark_partition_id())
       .withColumn("_v", valCol)
       .withColumn("_lmax", max("_v").over(pw))

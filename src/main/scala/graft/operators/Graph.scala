@@ -111,11 +111,23 @@ object Graph {
     * so the DuckDB oracle replays bit-exactly. Because edges are stored
     * canonically a<b, "(da,a) < (db,b)" reduces to da <= db. */
   def triangleCount(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.load(spark, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
-    val edges = li.as("x").join(li.as("y"),
-        col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
-      .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
+    // Edge generation via the [[Affinity.basketPairs]] shape (round 21 —
+    // the profile showed the old (ok,p)-distinct SELF-JOIN was the
+    // query's hottest stage group): one keyed collect_set per order
+    // (bounded by order width, ~4-7 items), pairs expanded MAP-SIDE from
+    // the sorted set, then one distinct. Identical edge set — sorted-set
+    // index pairs (i < j) enumerate exactly the {a < b, same order}
+    // pairs the self-join emitted — with one fact shuffle instead of
+    // two plus a join (the per-order set also absorbs the old li
+    // .distinct, so two distinct aggregations become one).
+    val edges = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .groupBy("ok").agg(sort_array(collect_set(col("p"))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps) - i - 1),
+          |            y -> struct(x AS a, y AS b))))""".stripMargin)).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b")).distinct()
       .localCheckpoint(true) // feeds deg, orientation, and the closing join
     // deg feeds two orientation joins + the shape rollup, oriented feeds
     // both sides of the wedge self-join: materialized once each, or the
@@ -140,13 +152,22 @@ object Graph {
     // intersecting per-edge adjacency arrays does the same comparisons
     // inside codegen over the 870k edge rows and shuffles nothing wider
     // than the O(√m)-bounded arrays. (3.4x measured at sf0.1.)
-    val adj = oriented.groupBy("src").agg(collect_list("dst").as("nbrs"))
+    // adjacency arrays SORTED once at build: the per-edge intersection —
+    // the hottest inner loop of the whole graph family (it runs once per
+    // oriented edge) — is then one codegen'd two-pointer merge
+    // ([[graft.functions.HashExpressions.SortedIntersectCount]]) instead
+    // of array_intersect's per-row hash-set build. Oriented edges are
+    // distinct by construction, so the lists are sorted-distinct sets
+    // and the merge count equals size(array_intersect(...)) exactly
+    // (GraphSpec pins the identity).
+    val adj = oriented.groupBy("src").agg(sort_array(collect_list("dst")).as("nbrs"))
       .localCheckpoint(true)
     val tri = oriented
       .join(adj.select(col("src"), col("nbrs").as("nu")), "src")
       .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")), Seq("dst"), "left")
-      .agg(sum(size(array_intersect(col("nu"),
-        coalesce(col("nv"), array())))).as("n_triangles"))
+      .agg(sum(when(col("nv").isNull, lit(0L)).otherwise(
+        graft.functions.HashExpressions.sorted_intersect_count(
+          col("nu"), col("nv")))).as("n_triangles"))
     // n_edges = Σd/2 exactly (every edge contributes one to each
     // endpoint's degree), so the shape rollup reads ONLY the node-sized
     // deg frame — the old separate edges.count re-read the full edge
@@ -234,15 +255,17 @@ object Graph {
     * broadcasts back into the per-community arithmetic. All counts are
     * integers; Q_c is one fixed-shape double expression rounded 6 dp. */
   def modularity(spark: SparkSession, dir: String): DataFrame = {
-    val orders = Tables.load(spark, dir, "orders").select("o_orderkey", "o_custkey")
-    val li = Tables.load(spark, dir, "lineitem").select("l_orderkey", "l_suppkey")
     val cust = Tables.load(spark, dir, "customer")
       .select(col("c_custkey"), col("c_nationkey").as("nat_a"))
     val supp = Tables.load(spark, dir, "supplier")
       .select(col("s_suppkey"), col("s_nationkey").as("nat_b"))
-    val edges = orders.join(li, col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
-      .distinct()
+    // the distinct customer↔supplier edge set IS the shared [[tradeEdges]]
+    // graph, decoded from its 2k / 2k+1 node encoding (a bijection, so
+    // the distinct sets are identical) — re-running the orders⋈lineitem
+    // fact join + distinct here paid the memo's whole cost a fourth time
+    // (kCore, assortativity and degreeDistribution already share it)
+    val edges = tradeEdges(spark, dir)
+      .select(expr("a div 2").as("ck"), expr("(b - 1) div 2").as("sk"))
       .join(broadcast(cust), col("ck") === col("c_custkey"))
       .join(broadcast(supp), col("sk") === col("s_suppkey"))
       .select("nat_a", "nat_b")

@@ -109,4 +109,24 @@ class GraphSpec extends SparkSpec {
     // supplier accumulates much more rank
     assert(avg(0) > avg(1) * 2, s"supplier avg ${avg(0)} vs part avg ${avg(1)}")
   }
+
+  test("sorted_intersect_count equals size(array_intersect) on sorted-distinct arrays") {
+    // pins the round-21 triangle inner-loop swap: the two-pointer merge
+    // must agree with the hash-set built-in on exactly the input class
+    // the adjacency build produces (ascending, distinct), including
+    // empty and disjoint arrays
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map { _ =>
+      def arr() = rnd.shuffle((0L until 60L).toList)
+        .take(rnd.nextInt(12)).distinct.sorted.toArray
+      (arr(), arr())
+    }
+    val df = rows.toDF("a", "b")
+    val got = df.select(
+      graft.functions.HashExpressions.sorted_intersect_count(col("a"), col("b")).as("fast"),
+      size(array_intersect(col("a"), col("b"))).cast("long").as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(got == 0, s"$got rows disagree with array_intersect")
+  }
 }
