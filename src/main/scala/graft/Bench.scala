@@ -15,6 +15,15 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // let the planner pick shuffled-hash join where its size conditions
+      // hold instead of always sort-merge (round 21, guide §3.1/§9
+      // baseline): measured −5.5% min-of-2 on the 28-query join subset
+      // (q11 −0.30 s, q21 −0.22 s, q2 −0.15 s; worst loss q16 +0.15 s),
+      // join strategy never changes results. Production note: SHJ only
+      // plans when the per-partition build side fits the planner's size
+      // conditions, and AQE's skew-join splitting applies to SHJ too, so
+      // the local[32] setting and a 1000-executor run want the same flag.
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

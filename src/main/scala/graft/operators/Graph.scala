@@ -71,6 +71,10 @@ object Graph {
     // frame) while the rewrite widened the per-iteration edge⋈ranks
     // shuffle by the carried degree column and put an extra upfront
     // shuffle join on the critical path. The two-join loop stands.
+    // (round 21 also tried hash-partitioning `und` on src before the
+    // checkpoint so iterations shuffle only ranks — shuffle read dropped
+    // 24.5→17.9 MB but wall did NOT improve at sf0.1, same verdict as
+    // the one-join rewrite above: measured, rejected.)
     val und = edges.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint(true)

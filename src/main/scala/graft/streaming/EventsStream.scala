@@ -309,7 +309,11 @@ object EventsStream {
   def sessionizeTws(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
     import spark.implicits._
     val gapMicros = gapMinutes * 60L * 1000000L
-    withRocksDbProvider(spark) { withStreamPartitions(spark, 8) {
+    // 4 state partitions: the [[runTimerSessions]] sizing rule — every
+    // partition spins its OWN RocksDB instance per micro-batch, and with
+    // a few thousand session keys provider startup dominates state work
+    // (keyed state itself is partition-count-independent)
+    withRocksDbProvider(spark) { withStreamPartitions(spark, 4) {
       val src = tableStream(spark, dir, "events", Tables.events)
         .select(col("user_id"), unix_micros(col("ts")).as("tsMicros"))
         .as[Event]
@@ -568,7 +572,8 @@ object EventsStream {
     * sink keeps each key's last emission). */
   def typeTotals(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    withRocksDbProvider(spark) { withStreamPartitions(spark, 8) {
+    // 4 state partitions — the [[runTimerSessions]] RocksDB sizing rule
+    withRocksDbProvider(spark) { withStreamPartitions(spark, 4) {
       val src = tableStream(spark, dir, "events", Tables.events)
         .select(col("user_id"), col("event_type"), col("value"))
         .as[EventT]
