@@ -15,6 +15,9 @@ object Explain {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.adaptive.enabled", "true")
+      // mirror the Bench/Verify join-strategy setting (round 21) so the
+      // audited plans are the plans the bench actually times
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       // UTC like every other main (round-19 review): a non-UTC default
       // locale would constant-fold date/timestamp literals differently
       // than the plans Verify/Bench actually execute
