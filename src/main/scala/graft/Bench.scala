@@ -43,27 +43,37 @@ object Bench {
     // wall time is mostly exception unwinding — recording it would read
     // as a 10-100× "speedup") and named in an errors field instead; the
     // stderr log alone is lost to the driver's stdout-only capture.
-    def sweep(): Seq[(String, Option[Double])] = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) }
-      .map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            false
+    def sweep(): Seq[(String, Option[Double])] = {
+      // De-gamed accounting (round 22, verdict item 1): every sweep
+      // starts COLD w.r.t. session-memoized intermediates (curation
+      // chain, dedup pair graphs, kmv/tfidf shared tables, ANN indexes,
+      // the bucketed-join layout), so each memo BUILD is paid inside the
+      // first consumer query of EVERY sweep and the per-query min is a
+      // reproducible standalone cost — never a cross-sweep cache-hit
+      // time. Consumers within one sweep still share (that cross-query
+      // reuse is the operators' real design and a long-lived engine's
+      // steady state); across sweeps nothing is carried.
+      SessionMemo.clearAllForSession(spark)
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => only.forall(_.contains(n)) }
+        .map { case (name, fn) =>
+          val t0 = System.nanoTime()
+          val ok = try { fn(spark, sfDir).count(); true } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              false
+          }
+          name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
         }
-        name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
-      }
+    }
     // Self-defending snapshot: the sweep runs TWICE and each query
     // records its min — one GC pause / compilation storm / cold page
     // cache in a single pass can no longer inflate a query 3-10× and
-    // masquerade as a regression (it did, three rounds running). The
-    // second pass also reads the session-memoized index/corpus frames
-    // warm, which is the steady-state a long-lived engine serves from.
-    // (Memo BUILD cost therefore lands once in the headline total via
-    // run 1 of whichever query builds first, never in a per-query min —
-    // per-query numbers are steady-state serving costs by design.)
-    // Opt-out for quick local iteration: SPARK_GRAFT_RUNS=1.
+    // masquerade as a regression (it did, three rounds running). With
+    // the per-sweep memo clear above, a shared intermediate's build cost
+    // lands in the same (first-consumer) query in BOTH sweeps, so the
+    // min never selects a memo-warm time that a standalone run could not
+    // reproduce. Opt-out for quick local iteration: SPARK_GRAFT_RUNS=1.
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt.max(1)
     val results = (1 to nRuns).map(_ => sweep())
       .reduce((a, b) => a.zip(b).map { case ((n, t1), (_, t2)) =>
@@ -110,6 +120,6 @@ object Bench {
     // snapshot against a clean min-of-N artifact from another round must
     // see the run-count difference IN the artifact — a single-run line
     // reads ~1.2× above a min-of-3 and was being misread as a regression.
-    s"""{"queries":$qs,"sf":"$sfDir"$errField,"runs":$nRuns,"protocol":"per-query min over $nRuns in-JVM sweeps, post warm-up","metric":"total","unit":"sec","value":${f3(total)}}"""
+    s"""{"queries":$qs,"sf":"$sfDir"$errField,"runs":$nRuns,"protocol":"per-query min over $nRuns cold-memo in-JVM sweeps, post warm-up","metric":"total","unit":"sec","value":${f3(total)}}"""
   }
 }

@@ -26,6 +26,7 @@ final class SessionMemo[V <: AnyRef] {
   private val m = new java.util.concurrent.ConcurrentHashMap[String, V]()
   private[graft] val owners =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.ref.WeakReference[SparkSession]]()
+  SessionMemo.register(this)
 
   def getOrCompute(spark: SparkSession, key: String)(body: => V): V = {
     val sid = org.apache.spark.sql.graft.ColumnBridge.sessionUUID(spark)
@@ -85,4 +86,28 @@ final class SessionMemo[V <: AnyRef] {
   }
 
   private[graft] def size: Int = m.size()
+}
+
+/** Registry of every live SessionMemo instance (they are all singletons
+  * inside operator objects, so the registry's size is the fixed count of
+  * memo declarations, never data-dependent). Exists for ONE caller:
+  * `Bench` drops a session's memoized intermediates between sweeps so
+  * that every sweep pays each build exactly once and the per-query min
+  * is a reproducible standalone cost — the round-21 verdict's de-gamed
+  * accounting (its item 1). Verify/production paths never clear: a
+  * long-lived engine legitimately serves memo-warm. */
+object SessionMemo {
+  private val registry =
+    new java.util.concurrent.ConcurrentLinkedQueue[SessionMemo[_ <: AnyRef]]()
+
+  private def register(m: SessionMemo[_ <: AnyRef]): Unit = registry.add(m)
+
+  /** Drop every memoized entry owned by `spark` in every SessionMemo
+    * instance, plus the one non-SessionMemo layout memo
+    * ([[graft.operators.Scale]]'s bucketed-join write marker). */
+  private[graft] def clearAllForSession(spark: SparkSession): Unit = {
+    val it = registry.iterator()
+    while (it.hasNext) it.next().clearSession(spark)
+    graft.operators.Scale.resetBucketedLayoutMemo()
+  }
 }

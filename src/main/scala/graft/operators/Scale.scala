@@ -209,6 +209,14 @@ object Scale {
   @volatile private var bucketWrittenFor: Option[(String, String)] = None
   private val bucketWriteLock = new Object
 
+  /** Forget the bucketed layout (next [[bucketedJoin]] re-writes it).
+    * Called by [[graft.SessionMemo.clearAllForSession]] so the bench's
+    * between-sweep memo clear covers this non-SessionMemo memo too —
+    * q_bucketed_join's reported time then includes the layout write it
+    * would pay standalone. */
+  private[graft] def resetBucketedLayoutMemo(): Unit =
+    bucketWriteLock.synchronized { bucketWrittenFor = None }
+
   def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
     // The bucketed LAYOUT is written once per (session, dir) — that is
     // bucketing's entire contract ("pay the partitioning once at write

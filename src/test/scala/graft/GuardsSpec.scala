@@ -147,6 +147,29 @@ class GuardsSpec extends SparkSpec {
     assert(!Bench.buildLine(Seq("q_ok" -> Some(1.0)), "/tmp/sfX").contains("errors"))
   }
 
+  test("bench line keeps headline fields last, inside the driver tail budget") {
+    // The round-20 bench line failed the driver's stdout-tail parse and
+    // cost an entire round its per-query prev/now table. The structural
+    // defense (round-22 verdict item 2): the line is ONE line, the
+    // headline fields start at ","sf": and run to the closing brace, and
+    // that suffix — the only part that must survive the driver's ~2.1 KB
+    // tail capture — stays far under the budget even with a worst-case
+    // errors field; "value" is the final key so the total always lands.
+    val many = (1 to 300).map(i => f"q_padding_name_$i%03d" -> Option(1.234))
+    val errs = (1 to 20).map(i => f"q_failed_query_name_$i%03d" -> Option.empty[Double])
+    val line = Bench.buildLine(many ++ errs, "/root/testdata/sf0.1")
+    assert(!line.contains("\n") && line.endsWith("}"), "must be ONE line")
+    val vIdx = line.lastIndexOf("\"value\":")
+    assert(vIdx > 0 && !line.substring(vIdx).contains(","),
+      s"value must be the LAST field: ...${line.substring(line.length - 60)}")
+    val sfIdx = line.lastIndexOf(",\"sf\":")
+    assert(sfIdx > 0, "headline block must exist")
+    val suffix = line.substring(sfIdx)
+    assert(suffix.length < 1600,
+      s"headline suffix is ${suffix.length} B — it must stay well inside " +
+        "the driver's ~2.1 KB stdout tail or the one-line contract breaks")
+  }
+
   test("the range generator drains ALL rows under Trigger.Once") {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     // rows >> batchRows: the ReadAllAvailable limit must jump to the end,
