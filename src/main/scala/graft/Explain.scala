@@ -11,13 +11,20 @@ object Explain {
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q_filter_pred", "q_region_revenue", "q_customer_features",
         "q_topk_customers", "q_dedup_ngram")
+    // Env overrides (round 22): plan-evidence dumps must be able to run
+    // at the BENCH's scale/topology (join-strategy size conditions are
+    // data-dependent — a sf0.001 plan can broadcast where the sf0.1
+    // bench shuffles), and GRAFT_PREFER_SMJ=true reproduces the
+    // pre-round-21 sort-merge-preferring planner for before/after pairs.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val preferSmj = sys.env.getOrElse("GRAFT_PREFER_SMJ", "false")
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       // mirror the Bench/Verify join-strategy setting (round 21) so the
       // audited plans are the plans the bench actually times
-      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.join.preferSortMergeJoin", preferSmj)
       // UTC like every other main (round-19 review): a non-UTC default
       // locale would constant-fold date/timestamp literals differently
       // than the plans Verify/Bench actually execute
@@ -30,7 +37,8 @@ object Explain {
       val q = SparkEntry.queries.getOrElse(n,
         sys.error(s"unknown query '$n' - not in SparkEntry.queries " +
           s"(${SparkEntry.queries.size} registered)"))
-      q(spark, "/root/testdata/sf0.001").explain("formatted")
+      q(spark, sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
+        .explain("formatted")
     }
     spark.stop()
   }

@@ -335,13 +335,13 @@ object SparkEntry {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.streaming.{OutputMode, Trigger}
       import org.apache.spark.sql.types.DecimalType
-      // stream partitions scoped to 8 like every EventsStream query
-      // (round-21 profile: at the session default 32 this 5-key
-      // complete-mode aggregation spun 32 state stores per micro-batch —
-      // 64 state-store task slots of pure provider overhead across the
-      // two batches, ~45 s of executor time for milliseconds of data
-      // work; the withStreamPartitions rationale applies verbatim)
-      graft.streaming.EventsStream.withStreamPartitions(s, 8) {
+      // state partitions derived from key cardinality (5 generator-
+      // defined event types → the rule's floor of 4; round-21 profile:
+      // at the session default 32 this 5-key complete-mode aggregation
+      // spun 32 state stores per micro-batch — ~45 s of executor time
+      // for milliseconds of data work)
+      graft.streaming.EventsStream.withStreamPartitions(s,
+        graft.streaming.EventsStream.streamStatePartitions(s, 5L)) {
         val stream = s.readStream.format("graft.sources.RangeGenSource")
           .option("rows", "100000").option("batchRows", "50000").load()
         val agg = stream.groupBy("event_type")

@@ -1505,12 +1505,27 @@ object Breadth {
     // checkpointed frame and suggesting multiplicity-weighting that
     // doesn't exist
     val srcD = vals.distinct().localCheckpoint(true)
-    val poolR = GlobalOrder
-      .withGlobalRowNumber(srcD.select("v").distinct(), "_prn1", col("v"))
-      .withColumn("prn", col("_prn1") - 1).drop("_prn1")
+    // BOTH rank passes through ONE stacked range exchange (round 22,
+    // verdict item 7): the pooled-distinct ranking (order by v) and the
+    // per-source ranking (order by (event_type, v)) ride the same
+    // [[GlobalOrder.withStackedGlobalRowNumber]] call — pool rows carry a
+    // '' sentinel type, so one (metric, event_type, v) order serves both
+    // lanes, saving a range-sampling job, an eager checkpoint and an
+    // offsets round vs the former two independent two-pass ranks. Ranks
+    // are bit-equal to the two-pass versions (same total orders), so the
+    // mapped output is unchanged.
+    val stacked = srcD
+      .select(lit("s").as("_m"), col("event_type"), col("v"))
+      .unionAll(srcD
+        .select(lit("p").as("_m"), lit("").as("event_type"), col("v"))
+        .distinct())
+    val ranked = GlobalOrder.withStackedGlobalRowNumber(
+      stacked, "_m", "_rn", col("event_type"), col("v"))
+    val poolR = ranked.filter(col("_m") === "p")
+      .select(col("v"), (col("_rn") - 1).as("prn"))
     val nPool = poolR.agg(max("prn").as("maxp"))
-    val srcRn = GlobalOrder
-      .withGlobalRowNumber(srcD, "_rn", col("event_type"), col("v"))
+    val srcRn = ranked.filter(col("_m") === "s")
+      .select("event_type", "v", "_rn")
     val typeBase = srcRn.groupBy("event_type").agg(min("_rn").as("_base"))
     val srcR = srcRn.join(broadcast(typeBase), "event_type")
       .withColumn("srn", col("_rn") - col("_base")).drop("_rn", "_base")

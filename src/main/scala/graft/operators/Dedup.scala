@@ -659,26 +659,42 @@ object Dedup {
     // adj materializes under the CALLER's conf (its lineage may hold the
     // corpus-sized pair mining, which wants AQE); everything after runs
     // under the loop conf below.
-    val adj = edges.unionAll(
+    val adj0 = edges.unionAll(
       edges.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .localCheckpoint(true)
-    val spark = adj.sparkSession
-    withLoopConf(spark, adj.count()) {
-    var labels = adj
+    val spark = adj0.sparkSession
+    withLoopConf(spark, adj0.count()) {
+    var labels = adj0
       .groupBy(col("id_a"))
       .agg(min("id_b").as("nbr_min"))
       .select(col("id_a").as("id"),
         least(col("id_a"), col("nbr_min")).as("comp"))
       .localCheckpoint(true)
+    // CONTRACTION (round 22, verdict item 3): the edge list is REWRITTEN
+    // into label space after every round — (a,b) → (comp(a), comp(b)),
+    // self-loops dropped, duplicates collapsed — so the per-round
+    // neighbor join runs over a SHRINKING frame instead of re-walking
+    // the full adjacency every round (the 100 TB cost of the old loop:
+    // |E| joined per round regardless of progress; a near-dup cluster
+    // contracts to nothing after 1-2 rounds). Connectivity dropped from
+    // the edge list lives on in the label pointers: a node whose edges
+    // contracted away keeps tracking its label's label via the jump
+    // branch, which doubles reach per round, so chains still converge in
+    // O(log d) rounds. The fixpoint is unchanged (PropertySpec union-find
+    // + the recursive DuckDB oracle pin it): stability under own∪nbr∪jump
+    // still forces comp idempotent and constant across every original
+    // edge — an edge contracted at round j had comp_j(a) = comp_j(b),
+    // and both endpoints' labels track the same pointer chain thereafter.
+    var adj = adj0
     // comp values are always node ids (mins over node ids), and `cur`
     // covers every node, so the label-of-label inner join loses nothing.
     // The helper is type-generic (the fuzzy-canonical graph keys on
     // STRINGS), so the non-own branches' null must carry the id type.
     val idType = edges.schema("id_a").dataType
-    def step(cur: DataFrame): DataFrame = {
+    def step(cur: DataFrame, adjCur: DataFrame): DataFrame = {
       val nullOwn = lit(null).cast(idType).as("own")
       val own = cur.select(col("id"), col("comp").as("c"), col("comp").as("own"))
-      val nbr = adj
+      val nbr = adjCur
         .join(cur.select(col("id").as("id_b"), col("comp").as("c")), "id_b")
         .select(col("id_a").as("id"), col("c"), nullOwn)
       val jump = cur
@@ -689,14 +705,22 @@ object Dedup {
         .groupBy("id").agg(min("c").as("comp"), max("own").as("own"))
         .localCheckpoint(true)
     }
+    def contract(adjCur: DataFrame, cur: DataFrame): DataFrame = adjCur
+      .join(cur.select(col("id").as("id_a"), col("comp").as("_ca")), "id_a")
+      .join(cur.select(col("id").as("id_b"), col("comp").as("_cb")), "id_b")
+      .filter(col("_ca") =!= col("_cb"))
+      .select(col("_ca").as("id_a"), col("_cb").as("id_b"))
+      .distinct()
+      .localCheckpoint(true)
     var changed = 1L
     var rounds = 0
     val maxRounds = 30
     while (changed > 0 && rounds < maxRounds) {
-      val next = step(labels)
+      val next = step(labels, adj)
       // labels are monotone non-increasing: comp < own ⇔ this round moved
       changed = next.filter(col("comp") < col("own")).count()
       labels = next.select("id", "comp")
+      if (changed > 0) adj = contract(adj, labels)
       rounds += 1
     }
     // the round cap is a lineage/driver-loop bound, NOT a correctness

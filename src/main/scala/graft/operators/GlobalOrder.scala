@@ -195,6 +195,35 @@ private[graft] object GlobalOrder {
       .drop("_pid", "_lrn", "_off")
   }
 
+  /** Distributed global `row_number()` for SEVERAL stacked orderings
+    * through ONE range exchange (round 22): input rows carry a metric
+    * discriminator in `metricCol`; within each metric value the `order`
+    * columns must be a total order. `outCol` is the 1-based rank WITHIN
+    * the row's metric — bit-equal to running [[withGlobalRowNumber]]
+    * once per metric, but paying one range-sampling job, one eager
+    * checkpoint and one offsets round instead of one of each per metric
+    * (the [[withStackedNtiles]] amortization, without the tiling). The
+    * range exchange keys on (metric, order...), so each partition holds
+    * a contiguous slice of one or more metrics and the per-(pid, metric)
+    * prefix offsets recover exact global positions. */
+  def withStackedGlobalRowNumber(df: DataFrame, metricCol: String,
+      outCol: String, order: Column*): DataFrame = {
+    requireFreshNames(df, Seq("_pid", "_lrn", "_off", outCol),
+      "withStackedGlobalRowNumber")
+    val local = df.repartitionByRange(col(metricCol) +: order: _*)
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_lrn", row_number().over(
+        Window.partitionBy(col("_pid"), col(metricCol)).orderBy(order: _*)))
+      .localCheckpoint(true)
+    val counts = local.groupBy(col("_pid"), col(metricCol))
+      .agg(count(lit(1)).as("_cnt"))
+    val offs = prefixOffsets(counts, Seq(metricCol), "_cnt",
+      b => coalesce(sum(b), lit(0L)))
+    local.join(broadcast(offs), Seq("_pid", metricCol))
+      .withColumn(outCol, col("_lrn") + col("_off"))
+      .drop("_pid", "_lrn", "_off")
+  }
+
   /** Distributed running sum over a total order: per-partition local
     * running sums + broadcast prefix offsets from per-partition partials
     * (same triangular-join shape as [[withGlobalRowNumber]]'s counts).

@@ -133,6 +133,48 @@ object EventsStream {
     try body finally spark.conf.set(key, prev)
   }
 
+  /** DERIVED state-partition count — the sizing rule the hard-coded 4/8
+    * constants approximated (round-22 verdict item 4). Every state
+    * partition spins its own state-store instance per micro-batch
+    * (RocksDB: a native instance plus changelog machinery) — a FIXED
+    * per-partition, per-batch cost — while keyed-state results are
+    * partition-count-independent. So the count must track the stream's
+    * KEY CARDINALITY, never the core count:
+    *
+    *   partitions = clamp(ceil(estKeys / KeysPerStore),
+    *                      MinStateParts, session shuffle.partitions)
+    *
+    * KeysPerStore = 1e6: at the ~10–100 B/key session/profile state these
+    * streams hold, a store below ~1M keys is still instance-startup-bound
+    * (the round-21 measurement: at a few THOUSAND keys, 8 stores were
+    * pure spin-up and 4 measurably cheaper — q_gen_stream 46→4.9 s,
+    * q_stream_type_totals 32→19 s summed executor time), while ~1M keys
+    * ≈ tens of MB per store, well inside one instance's working set.
+    * MinStateParts = 4 is that measured small-corpus floor (it also keeps
+    * multi-batch replays overlapping provider startup across tasks). The
+    * session-parallelism CAP sends a 10⁹-key corpus to the cluster's
+    * configured width instead of a constant this library invents. */
+  private[graft] val KeysPerStore = 1000000L
+  private[graft] val MinStateParts = 4
+  private[graft] def streamStatePartitions(spark: SparkSession, estKeys: Long): Int = {
+    val cap = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val derived = ((math.max(estKeys, 1L) + KeysPerStore - 1L) / KeysPerStore).toInt
+    math.min(math.max(derived, MinStateParts), math.max(cap, MinStateParts))
+  }
+
+  private val keyCountMemo = new graft.SessionMemo[java.lang.Long]()
+
+  /** Estimated distinct stream keys for the user-keyed streams: the user
+    * dimension's row count (events.user_id is the FK the stream-static
+    * join resolves against customer.c_custkey, so |customer| bounds the
+    * distinct key count from above — the safe direction for store
+    * sizing). A parquet row count reads footer metadata, not data;
+    * memoized per (session, dir) like every other derived table fact. */
+  private def estUserKeys(spark: SparkSession, dir: String): Long =
+    keyCountMemo.getOrCompute(spark, s"userkeys|$dir")(
+      java.lang.Long.valueOf(
+        Tables.load(spark, dir, "customer").count())).longValue()
+
   /** Streamed tumbling-1h aggregation with a 1-hour watermark; memory-sink
     * complete mode. Matches the batch `q_events_hourly` oracle exactly. */
   def hourlyCounts(spark: SparkSession, dir: String): DataFrame = {
@@ -309,11 +351,12 @@ object EventsStream {
   def sessionizeTws(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
     import spark.implicits._
     val gapMicros = gapMinutes * 60L * 1000000L
-    // 4 state partitions: the [[runTimerSessions]] sizing rule — every
-    // partition spins its OWN RocksDB instance per micro-batch, and with
-    // a few thousand session keys provider startup dominates state work
-    // (keyed state itself is partition-count-independent)
-    withRocksDbProvider(spark) { withStreamPartitions(spark, 4) {
+    // state partitions derived from the user-key cardinality
+    // ([[streamStatePartitions]] rule; the test corpus lands on the
+    // measured floor of 4, a 10⁹-user corpus fans out to session width)
+    withRocksDbProvider(spark) {
+      withStreamPartitions(spark,
+        streamStatePartitions(spark, estUserKeys(spark, dir))) {
       val src = tableStream(spark, dir, "events", Tables.events)
         .select(col("user_id"), unix_micros(col("ts")).as("tsMicros"))
         .as[Event]
@@ -436,15 +479,16 @@ object EventsStream {
     * the single-batch replay can't). RocksDB provider scoped as in
     * [[sessionizeTws]]. */
   private[graft] def runTimerSessions(spark: SparkSession,
-      src: Dataset[TimerEvent], gapMicros: Long): DataFrame = {
+      src: Dataset[TimerEvent], gapMicros: Long,
+      estKeys: Long = 1L): DataFrame = {
     import spark.implicits._
-    // 4 state partitions, not the streaming default 8: every partition
-    // spins its OWN RocksDB instance per micro-batch, and this query's
-    // multi-batch replay (two sources + trailing no-data batch) pays that
-    // spin-up 3+ times per partition — with a few thousand session keys,
-    // provider startup dominates state work at 8. The keyed state itself
-    // is partition-count-independent.
-    withRocksDbProvider(spark) { withStreamPartitions(spark, 4) {
+    // State partitions derived from the caller's key-cardinality estimate
+    // ([[streamStatePartitions]]; default 1 → the floor 4, the measured
+    // small-corpus optimum). This query's multi-batch replay (two sources
+    // + trailing no-data batch) pays each partition's RocksDB spin-up 3+
+    // times, so over-partitioning is 3× as expensive here as elsewhere.
+    withRocksDbProvider(spark) {
+      withStreamPartitions(spark, streamStatePartitions(spark, estKeys)) {
       val out = src.groupByKey(_.user_id)
         .transformWithState(new TimerSessionProcessor(gapMicros),
           TimeMode.EventTime(), OutputMode.Append())
@@ -519,7 +563,7 @@ object EventsStream {
       .withWatermark("ts", "1 hour")
       .select(col("user_id"), col("ts"), col("event_id"), col("value"))
       .as[TimerEvent]
-    runTimerSessions(spark, src, gapMicros)
+    runTimerSessions(spark, src, gapMicros, estUserKeys(spark, dir))
   }
 
   final case class TypeTotals(n_events: Long, total_cents: Long)
@@ -572,8 +616,11 @@ object EventsStream {
     * sink keeps each key's last emission). */
   def typeTotals(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // 4 state partitions — the [[runTimerSessions]] RocksDB sizing rule
-    withRocksDbProvider(spark) { withStreamPartitions(spark, 4) {
+    // state partitions derived from user-key cardinality
+    // ([[streamStatePartitions]] rule)
+    withRocksDbProvider(spark) {
+      withStreamPartitions(spark,
+        streamStatePartitions(spark, estUserKeys(spark, dir))) {
       val src = tableStream(spark, dir, "events", Tables.events)
         .select(col("user_id"), col("event_type"), col("value"))
         .as[EventT]
@@ -776,7 +823,13 @@ object EventsStream {
     * Timestamps are floor-truncated ns→µs on the Spark side and compared
     * in epoch µs by the oracle, so the 30-minute boundary is bit-exact. */
   def clickAttribution(spark: SparkSession, dir: String): DataFrame = {
-    withStreamPartitions(spark, 8) {
+    // A stream-stream join runs FOUR state-store instances per partition
+    // (left/right × keyToNumValues/keyWithIndexToValue), so partition
+    // count is 4× the usual per-batch fixed cost: derive it from the
+    // join-key (user) cardinality like the RocksDB family (round-22
+    // verdict item 5; measured below in OPTIMIZATION_r22.md).
+    withStreamPartitions(spark,
+      streamStatePartitions(spark, estUserKeys(spark, dir))) {
       val src = tableStream(spark, dir, "events", Tables.events)
       val clicks = src.filter(col("event_type") === "click")
         .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
@@ -819,7 +872,10 @@ object EventsStream {
     * written; the fact table itself is never copied (at 100 TB a
     * heartbeat row is free, a table rewrite is not). */
   def clickAttributionOuter(spark: SparkSession, dir: String): DataFrame =
-    withStreamPartitions(spark, 8) {
+    // 4 stores per partition, sized by join-key cardinality — the
+    // [[clickAttribution]] rationale verbatim
+    withStreamPartitions(spark,
+      streamStatePartitions(spark, estUserKeys(spark, dir))) {
       val raw = spark.read.schema(Tables.events)
         .parquet(s"$dir/events.parquet")
       // two-row sentinel depends only on the dir's max event ts (fixed
@@ -880,7 +936,8 @@ object EventsStream {
       srcDir: String,
       ckptDir: String,
       sinkName: String): org.apache.spark.sql.streaming.StreamingQuery =
-    withStreamPartitions(spark, 4) {
+    // keyed by event_type (5 generator-defined values) → the rule's floor
+    withStreamPartitions(spark, streamStatePartitions(spark, 5L)) {
       val src = spark.readStream
         .schema("event_id LONG, event_type STRING, value DOUBLE")
         .option("maxFilesPerTrigger", "1")

@@ -170,6 +170,27 @@ class GuardsSpec extends SparkSpec {
         "the driver's ~2.1 KB stdout tail or the one-line contract breaks")
   }
 
+  test("streamStatePartitions: key-derived with floor and session-width cap") {
+    import graft.streaming.EventsStream
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    try {
+      // small-corpus floor: a few thousand keys never drop below the
+      // measured 4-store optimum
+      spark.conf.set(key, "32")
+      assert(EventsStream.streamStatePartitions(spark, 1L) == 4)
+      assert(EventsStream.streamStatePartitions(spark, 15000L) == 4)
+      // derived: 1e8 keys at 1e6 keys/store → 100, capped at session width
+      assert(EventsStream.streamStatePartitions(spark, 100000000L) == 32)
+      spark.conf.set(key, "2000")
+      assert(EventsStream.streamStatePartitions(spark, 100000000L) == 100)
+      // a session narrower than the floor never yields MORE than the
+      // floor (and never zero/negative)
+      spark.conf.set(key, "2")
+      assert(EventsStream.streamStatePartitions(spark, 1L) == 4)
+    } finally spark.conf.set(key, prev)
+  }
+
   test("the range generator drains ALL rows under Trigger.Once") {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     // rows >> batchRows: the ReadAllAvailable limit must jump to the end,

@@ -260,6 +260,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(ok.count() == 10)
   }
 
+  test("withStackedGlobalRowNumber equals per-metric withGlobalRowNumber") {
+    // the quantileNorm single-exchange rewrite (round 22) is only legal
+    // because the stacked rank is bit-equal to ranking each metric lane
+    // independently — pin that identity on a frame with cross-lane value
+    // collisions and uneven lane sizes
+    import org.apache.spark.sql.functions._
+    val df = spark.range(200).select(
+      (col("id") % 3).cast("string").as("m"),
+      (col("id") * 37 % 41).as("v"),
+      col("id").as("k"))
+    val stacked = graft.operators.GlobalOrder
+      .withStackedGlobalRowNumber(df, "m", "rn", col("v"), col("k"))
+      .select("m", "k", "rn")
+    val perMetric = Seq("0", "1", "2").map { mv =>
+      graft.operators.GlobalOrder
+        .withGlobalRowNumber(df.filter(col("m") === mv), "rn", col("v"), col("k"))
+        .select("m", "k", "rn")
+    }.reduce(_ unionAll _)
+    assert(stacked.count() == 200)
+    assert(stacked.exceptAll(perMetric).isEmpty && perMetric.exceptAll(stacked).isEmpty,
+      "stacked global row numbers diverge from the per-metric two-pass")
+  }
+
   test("as-of join picks via partial-aggregated argmax, not a join-product window") {
     // the most-recent-order pick must be a max(struct) aggregate whose
     // map-side partial collapses each event's candidate orders BEFORE
