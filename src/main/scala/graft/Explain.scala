@@ -37,8 +37,20 @@ object Explain {
       val q = SparkEntry.queries.getOrElse(n,
         sys.error(s"unknown query '$n' - not in SparkEntry.queries " +
           s"(${SparkEntry.queries.size} registered)"))
-      q(spark, sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
-        .explain("formatted")
+      val df = q(spark,
+        sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
+      df.explain("formatted")
+      // GRAFT_EXECUTE=1: also execute and print the FINAL adaptive plan
+      // (AQE decides join strategy / coalescing at runtime, so the
+      // initial `isFinalPlan=false` dump can differ from what the bench
+      // actually times). collect() drives the same QueryExecution, so
+      // executedPlan is the finalized one afterwards. Only sane for
+      // small-output queries — the audit sets here all are.
+      if (sys.env.contains("GRAFT_EXECUTE")) {
+        df.collect()
+        println(s"---- $n FINAL (post-AQE) ----")
+        println(df.queryExecution.executedPlan.toString)
+      }
     }
     spark.stop()
   }

@@ -114,7 +114,41 @@ object Graph {
     * is Σ d·(d−1)/2 over UNDIRECTED degrees (orientation-independent),
     * so the DuckDB oracle replays bit-exactly. Because edges are stored
     * canonically a<b, "(da,a) < (db,b)" reduces to da <= db. */
+  /** Storage level for the EDGE-SCALE checkpoints below, derived from the
+    * input footprint vs the heap (round 22, guide §5). Both ends are
+    * measured, not guessed:
+    *   - deserialized MEMORY_AND_DISK at the 30× slope corpus OOMs an 8 g
+    *     serving heap (32 concurrent unrolls of the oriented-edge blocks;
+    *     MemoryStore.putIteratorAsValues — reproduced this round, first
+    *     seen r20);
+    *   - serialized MEMORY_AND_DISK_SER always fits (the 30× slope
+    *     completes at 8 g with it) but RDD-level serialized caching
+    *     Java-serializes UnsafeRows, which at sf0.1 tripled the query's
+    *     summed executor time (12.6 → 35.8 s) for frames that fit in
+    *     memory trivially.
+    * So the level is chosen from data: unrolled storage only when the
+    * projected deserialized footprint fits a quarter of the heap, else
+    * serialized. Projection = parquet bytes × 8 (dictionary/RLE-packed
+    * narrow columns expand ~8× as live rows) × 3 (edges, oriented and
+    * adj are checkpoint-resident CONCURRENTLY while the next builds —
+    * the OOM was concurrent unrolls, not one frame). sf0.1 (11 MB input,
+    * 8 g heap → 260 MB projected) stays deserialized — the bench plan is
+    * unchanged; the 30× corpus (231 MB input → 5.5 GB projected) flips
+    * to serialized and completes at the serving heap (both measured this
+    * round). Correctness is level-independent (storage level affects
+    * only block encoding). */
+  private def edgeCheckpointLevel(
+      spark: SparkSession, dir: String): org.apache.spark.storage.StorageLevel = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/lineitem.parquet")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val inputBytes = fs.getContentSummary(p).getLength
+    if (inputBytes * 8L * 3L > Runtime.getRuntime.maxMemory / 4L)
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+  }
+
   def triangleCount(spark: SparkSession, dir: String): DataFrame = {
+    val ckptLevel = edgeCheckpointLevel(spark, dir)
     // Edge generation via the [[Affinity.basketPairs]] shape (round 21 —
     // the profile showed the old (ok,p)-distinct SELF-JOIN was the
     // query's hottest stage group): one keyed collect_set per order
@@ -132,7 +166,8 @@ object Graph {
           |  transform(slice(ps, i + 2, size(ps) - i - 1),
           |            y -> struct(x AS a, y AS b))))""".stripMargin)).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b")).distinct()
-      .localCheckpoint(true) // feeds deg, orientation, and the closing join
+      // edge-scale checkpoint: level derived by [[edgeCheckpointLevel]]
+      .localCheckpoint(true, ckptLevel)
     // deg feeds two orientation joins + the shape rollup, oriented feeds
     // both sides of the wedge self-join: materialized once each, or the
     // plan re-shuffles the full edge set per consumer (3x / 2x) — the
@@ -148,7 +183,9 @@ object Graph {
       .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
       .select(when(col("da") <= col("db"), col("a")).otherwise(col("b")).as("src"),
         when(col("da") <= col("db"), col("b")).otherwise(col("a")).as("dst"))
-      .localCheckpoint(true)
+      // this is the checkpoint whose deserialized unroll died at 8 g on
+      // the 30× corpus — level derived by [[edgeCheckpointLevel]]
+      .localCheckpoint(true, ckptLevel)
     // Edge-iterator with adjacency arrays, NOT wedge materialization:
     // each triangle {x,y,z} (orientation order) is seen exactly once at
     // its lowest edge (x,y) as z ∈ N+(x) ∩ N+(y). The dense sf0.1 graph
@@ -165,7 +202,9 @@ object Graph {
     // and the merge count equals size(array_intersect(...)) exactly
     // (GraphSpec pins the identity).
     val adj = oriented.groupBy("src").agg(sort_array(collect_list("dst")).as("nbrs"))
-      .localCheckpoint(true)
+      // adjacency arrays are the biggest rows in the family (~2.2 GB/shard
+      // deserialized at the 30× corpus) — level derived like the others
+      .localCheckpoint(true, ckptLevel)
     val tri = oriented
       .join(adj.select(col("src"), col("nbrs").as("nu")), "src")
       .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")), Seq("dst"), "left")

@@ -373,6 +373,15 @@ object Sketches {
     val np = labeled.distinct().localCheckpoint(true)
     val sizes = np.groupBy("nation").agg(count(lit(1)).as("n"))
       .localCheckpoint(true) // 25 rows, feeds both sides of the pair join
+    // round-22 measured REJECTION: rewriting this via the triangleCount
+    // edge-gen shape (collect_set(nation) per part + map-side sorted-set
+    // pair expansion + 300-key count) was tried and benched in a
+    // controlled same-subset pair — q_kmv_audit 4.19 → 4.87 s (+0.68).
+    // Unlike triangle's order-key self-join, this one is already
+    // co-partitioned and bounded by the 25-nation dimension, so the
+    // saved second np shuffle is smaller than the per-row cost of the
+    // array expansion (struct alloc + sort per part). The self-join
+    // stands.
     val both = np.select(col("nation").as("nation_a"), col("l_partkey"))
       .join(np.select(col("nation").as("nation_b"), col("l_partkey")), "l_partkey")
       .filter(col("nation_a") < col("nation_b"))
